@@ -1,0 +1,349 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Core relational + window query inventory (SURVEY.md §2.2–§2.7) expressed
+  * over the driver's TPC-H-ish test tables, each with a DuckDB oracle twin.
+  *
+  * Numeric outputs follow [[Exact]]: integer-exact aggregation, one final
+  * IEEE division → bit-identical DOUBLEs across engines. Every query ends in
+  * a total ORDER BY (unique tiebreak) mirrored in the oracle.
+  */
+object QueriesCore {
+  import Exact.{sql => X}
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- q01: multi-measure group agg (A1/A8; TPC-H Q1 shape) -----------------
+  private val q01: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Exact.sumMoney(col("l_quantity")).as("sum_qty"),
+        Exact.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        Exact.sumRev4(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        Exact.avgMoney(col("l_quantity")).as("avg_qty"),
+        Exact.avgMoney(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+  private val q01Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |${X.sumMoney("l_quantity")} AS sum_qty,
+       |${X.sumMoney("l_extendedprice")} AS sum_base_price,
+       |${X.sumRev4("l_extendedprice", "l_discount")} AS sum_disc_price,
+       |${X.avgMoney("l_quantity")} AS avg_qty,
+       |${X.avgMoney("l_extendedprice")} AS avg_price,
+       |CAST(COUNT(*) AS BIGINT) AS n_rows
+       |FROM lineitem GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- q02: global top-k by aggregate (T1) ----------------------------------
+  private val q02: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val agg = o.groupBy(col("o_custkey"))
+      .agg(Exact.sumMoney(col("o_totalprice")).as("total_spend"),
+           count(lit(1)).as("n_orders"))
+    TopK.global(agg, 10, desc("total_spend"), col("o_custkey"))
+  }
+  private val q02Sql =
+    s"""SELECT o_custkey, ${X.sumMoney("o_totalprice")} AS total_spend,
+       |CAST(COUNT(*) AS BIGINT) AS n_orders
+       |FROM orders GROUP BY o_custkey
+       |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin
+
+  // --- q03: star joins fact→dims, broadcast (J1/J2) -------------------------
+  private val q03: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        Exact.sumMoney(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+  private val q03Sql =
+    s"""SELECT r_name, n_name, ${X.sumMoney("o_totalprice")} AS revenue,
+       |CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // --- q04: conditional aggregation (A2) -------------------------------------
+  private val q04: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("o_totalprice") > 200000.0, 1L).otherwise(0L)).as("n_high_value"))
+      .orderBy(col("o_orderpriority"))
+  }
+  private val q04Sql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+      |CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      |CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --- q05: per-day rollup (A3/P8) -------------------------------------------
+  private val q05: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Exact.sumMoney(col("value")).as("sum_value"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+  private val q05Sql =
+    s"""SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+       |CAST(COUNT(*) AS BIGINT) AS n_events,
+       |${X.sumMoney("value")} AS sum_value,
+       |CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+       |MAX(value) AS max_value
+       |FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+       |ORDER BY user_id, day""".stripMargin
+
+  // --- q06: gap sessionization, one window pass (W1–W4/J4) -------------------
+  private val q06: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    Sessionize
+      .sessions(e, col("user_id"), col("ts"), col("event_id"), 7200L,
+                Exact.cents(col("value")))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+  private val q06Sql =
+    s"""WITH d AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= CAST(7200 AS BIGINT) * 1000000 THEN 1
+       |         ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), t AS (
+       |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       |  FROM d
+       |)
+       |SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+       |  ${X.sumMoney("value")} AS sum_value
+       |FROM t GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+
+  // --- q07: gaps-and-islands streaks, global top-10 (W6/T2) ------------------
+  private val q07: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val st = Streaks.streaks(e, col("user_id"), col("event_type"), col("ts"),
+                             col("event_id"))
+      .select(col("user_id"), col("event_type"), col("streak_len"),
+              col("start_us"), col("end_us"))
+    TopK.global(st, 10, desc("streak_len"), col("user_id"), col("start_us"))
+  }
+  private val q07Sql =
+    """WITH i AS (
+      |  SELECT user_id, event_type, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |  - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS island
+      |  FROM events
+      |), st AS (
+      |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS streak_len,
+      |    MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+      |  FROM i GROUP BY user_id, event_type, island
+      |)
+      |SELECT user_id, event_type, streak_len, start_us, end_us
+      |FROM st ORDER BY streak_len DESC, user_id, start_us LIMIT 10""".stripMargin
+
+  // --- q08: smoothed + cumulative frames per entity (W7/W8) ------------------
+  private val q08: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val daily = e.groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(Exact.cents(col("value"))).as("vc"))
+    Frames.smoothedAndCumulative(daily, col("user_id"), col("day"),
+        Seq("value" -> col("vc")), Seq(7), 100.0)
+      .select(col("user_id"), col("day"), col("value_sma7"), col("value_cum"))
+      .orderBy(col("user_id"), col("day"))
+  }
+  private val q08Sql =
+    """WITH d AS (
+      |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS vc
+      |  FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+      |)
+      |SELECT user_id, day,
+      |  CAST(SUM(vc) OVER w7 AS DOUBLE) / CAST(COUNT(*) OVER w7 * 100.0 AS DOUBLE) AS value_sma7,
+      |  CAST(SUM(vc) OVER wc AS DOUBLE) / 100.0 AS value_cum
+      |FROM d
+      |WINDOW w7 AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+      |       wc AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day""".stripMargin
+
+  // --- q09: global cumulative series over pre-aggregated days (W8) -----------
+  // Single-partition window is safe: input is the per-day rollup (≤ #days
+  // rows), not the raw fact table.
+  private val q09: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val daily = e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(Exact.cents(col("value"))).as("vc"), count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_value", sum(col("vc")).over(w).cast("double") / 100.0)
+      .withColumn("cum_events", sum(col("n_events")).over(w))
+      .select(col("day"), col("n_events"), col("cum_value"), col("cum_events"))
+      .orderBy(col("day"))
+  }
+  private val q09Sql =
+    """WITH d AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS vc,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+      |)
+      |SELECT day, n_events,
+      |  CAST(SUM(vc) OVER wc AS DOUBLE) / 100.0 AS cum_value,
+      |  CAST(SUM(n_events) OVER wc AS BIGINT) AS cum_events
+      |FROM d
+      |WINDOW wc AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
+  // --- q10: top-1 per group = latest event per user (W5) ---------------------
+  private val q10: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    TopK.perGroup(e, 1, Seq(col("user_id")), Seq(desc("ts"), desc("event_id")))
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+  private val q10Sql =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // --- q11: recent-N global (T3) ---------------------------------------------
+  private val q11: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    TopK.global(e, 15, desc("ts"), desc("event_id"))
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+  }
+  private val q11Sql =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+      |FROM events ORDER BY ts DESC, event_id DESC LIMIT 15""".stripMargin
+
+  // --- q12: interval/range join vs overlapping season dim (J3/A6) ------------
+  // 'lifetime' spans the whole month on purpose — overlapping buckets are the
+  // reference's intended multiplying join (generate_lookup_data.sh:602-604).
+  private val seasonRows = Seq(
+    ("S1", "2024-01-01 00:00:00", "2024-01-11 00:00:00"),
+    ("S2", "2024-01-11 00:00:00", "2024-01-21 00:00:00"),
+    ("S3", "2024-01-21 00:00:00", "2024-02-01 00:00:00"),
+    ("lifetime", "2024-01-01 00:00:00", "2025-01-01 00:00:00"))
+  private val q12: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    import s.implicits._
+    val seasons = seasonRows.toDF("season", "start_s", "end_s")
+      .select(col("season"), to_timestamp(col("start_s")).as("start_ts"),
+              to_timestamp(col("end_s")).as("end_ts"))
+    RangeJoin.broadcastRange(e, seasons, col("ts"), col("start_ts"), col("end_ts"))
+      .groupBy(col("season"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.sumMoney(col("value")).as("sum_value"))
+      .orderBy(col("season"), col("event_type"))
+  }
+  private val q12Sql = {
+    val values = seasonRows.map { case (n, a, b) =>
+      s"('$n', TIMESTAMP '$a', TIMESTAMP '$b')"
+    }.mkString(", ")
+    s"""WITH seasons AS (SELECT * FROM (VALUES $values) AS t(season, start_ts, end_ts))
+       |SELECT season, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |${X.sumMoney("value")} AS sum_value
+       |FROM events JOIN seasons ON ts >= start_ts AND ts < end_ts
+       |GROUP BY season, event_type ORDER BY season, event_type""".stripMargin
+  }
+
+  // --- q13: pivot (A7) --------------------------------------------------------
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val q13: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val p = e.groupBy(col("user_id")).pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +: eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("user_id"))
+  }
+  private val q13Sql = {
+    val cols = eventTypes.map(t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS \"$t\"")
+      .mkString(",\n")
+    s"""SELECT user_id,
+       |$cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  // --- q14: deterministic team key + second-level rollup (A4/A5) -------------
+  private val q14: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    TeamKey.teamKey(li, col("l_orderkey"), col("l_suppkey"))
+      .groupBy(col("team_key"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") > 1)
+      .orderBy(desc("n_orders"), col("team_key"))
+  }
+  private val q14Sql =
+    """WITH t AS (
+      |  SELECT l_orderkey,
+      |    string_agg(DISTINCT CAST(l_suppkey AS VARCHAR), ',' ORDER BY CAST(l_suppkey AS VARCHAR)) AS team_key
+      |  FROM lineitem GROUP BY l_orderkey
+      |)
+      |SELECT team_key, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM t GROUP BY team_key HAVING COUNT(*) > 1
+      |ORDER BY n_orders DESC, team_key""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_topk_customers" -> q02,
+    "q03_revenue_by_nation" -> q03,
+    "q04_conditional_agg" -> q04,
+    "q05_daily_rollup" -> q05,
+    "q06_sessionize" -> q06,
+    "q07_streaks" -> q07,
+    "q08_smoothed_series" -> q08,
+    "q09_cumulative_series" -> q09,
+    "q10_latest_per_user" -> q10,
+    "q11_recent_n" -> q11,
+    "q12_range_join_seasons" -> q12,
+    "q13_pivot_event_types" -> q13,
+    "q14_team_rollup" -> q14)
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_topk_customers" -> q02Sql,
+    "q03_revenue_by_nation" -> q03Sql,
+    "q04_conditional_agg" -> q04Sql,
+    "q05_daily_rollup" -> q05Sql,
+    "q06_sessionize" -> q06Sql,
+    "q07_streaks" -> q07Sql,
+    "q08_smoothed_series" -> q08Sql,
+    "q09_cumulative_series" -> q09Sql,
+    "q10_latest_per_user" -> q10Sql,
+    "q11_recent_n" -> q11Sql,
+    "q12_range_join_seasons" -> q12Sql,
+    "q13_pivot_event_types" -> q13Sql,
+    "q14_team_rollup" -> q14Sql)
+}
