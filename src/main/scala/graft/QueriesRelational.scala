@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory, part 2 (SURVEY.md §2.2/§2.3/§2.7/§2.8):
+  * anti/semi joins, JSON extraction with null defaults, flag derivation,
+  * distinct, audit aggregations, multi-key joins, union, ratio metrics with
+  * per-call-site zero-denominator guards, dim left-join with display-name
+  * fallback.
+  */
+object QueriesRelational {
+  import Exact.{sql => X}
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- q15: left-anti join (J5) — customers with no high-value order --------
+  private val q15: Q = (s, dir) => {
+    val c  = Tables.customer(s, dir)
+    val hv = Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0)
+    c.join(hv, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+  private val q15Sql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- q16: left-semi join (J6/P7) — orders of BUILDING-segment customers ---
+  private val q16: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val b = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    o.join(b, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), Exact.sumMoney(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+  private val q16Sql =
+    s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       |${X.sumMoney("o_totalprice")} AS revenue
+       |FROM orders WHERE EXISTS (SELECT 1 FROM customer
+       |  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // --- q17: JSON extraction with null default (P1) ---------------------------
+  // Mirrors `ifnull(json_extract(stats,'$....'), 0)` — parse_matches.sh:627-670.
+  private val q17: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    e.withColumn("k", coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(-1)))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), Exact.sumMoney(col("value")).as("sum_value"))
+      .orderBy(col("k"))
+  }
+  private val q17Sql =
+    s"""SELECT COALESCE(CAST(json_extract_string(props, '$$.k') AS INTEGER), -1) AS k,
+       |CAST(COUNT(*) AS BIGINT) AS n, ${X.sumMoney("value")} AS sum_value
+       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
+  // --- q18: flag derivation over per-day rollup (P8) --------------------------
+  // monster/gooseegg analog: big day = daily value sum >= 700; zero day = no
+  // purchases that day (parse_matches.sh:487-498,527-534).
+  private val q18: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val daily = e.groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(Exact.cents(col("value"))).as("vc"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+    daily.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(when(col("vc") >= 70000L, 1L).otherwise(0L)).as("n_big_days"),
+        sum(when(col("np") === 0L, 1L).otherwise(0L)).as("n_zero_purchase_days"))
+      .orderBy(col("user_id"))
+  }
+  private val q18Sql =
+    """WITH d AS (
+      |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS vc,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(SUM(CASE WHEN vc >= 70000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_days,
+      |  CAST(SUM(CASE WHEN np = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_purchase_days
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --- q19: distinct (A9) -----------------------------------------------------
+  private val q19: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    d.select(col("lang"), col("source")).distinct()
+      .orderBy(col("lang"), col("source"))
+  }
+  private val q19Sql =
+    """SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""".stripMargin
+
+  // --- q20: min/max/count audit agg (P9/A11) ----------------------------------
+  private val q20: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("event_type"))
+      .agg(
+        min(unix_micros(col("ts"))).as("first_seen_us"),
+        max(unix_micros(col("ts"))).as("last_seen_us"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+  private val q20Sql =
+    """SELECT event_type, MIN(epoch_us(ts)) AS first_seen_us,
+      |MAX(epoch_us(ts)) AS last_seen_us, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- q21: multi-key equi join of two rollups (J8) ---------------------------
+  private val q21: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    def rollup(t: String, name: String) =
+      e.filter(col("event_type") === t)
+        .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as(name))
+    rollup("purchase", "n_purchases")
+      .join(rollup("click", "n_clicks"), Seq("user_id", "day"))
+      .orderBy(col("user_id"), col("day"))
+  }
+  private val q21Sql =
+    """WITH p AS (
+      |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n_purchases
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |), c AS (
+      |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n_clicks
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |)
+      |SELECT user_id, day, n_purchases, n_clicks
+      |FROM p JOIN c USING (user_id, day) ORDER BY user_id, day""".stripMargin
+
+  // --- q22: union-distinct (U1) ------------------------------------------------
+  private val q22: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+    val su = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+    c.union(su).distinct().orderBy(col("nationkey"))
+  }
+  private val q22Sql =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  // --- q23: ratio metrics with zero-denominator guards (§2.8 JS lambdas) ------
+  // K/D analog: errors==0 ⇒ ratio = purchases (index.js/player.js:219);
+  // win%% analog: errors==0 ⇒ 100%% (index.js:631). Integer counts → the
+  // guarded divisions are identical IEEE ops on both engines.
+  private val q23: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val agg = e.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("ne"))
+    agg.select(
+        col("user_id"), col("np").as("n_purchases"), col("ne").as("n_errors"),
+        when(col("ne") === 0L, col("np").cast("double"))
+          .otherwise(col("np").cast("double") / col("ne").cast("double"))
+          .as("purchase_error_ratio"),
+        when(col("ne") === 0L, lit(100.0))
+          .otherwise(lit(100.0) * col("np").cast("double")
+            / (col("np") + col("ne")).cast("double"))
+          .as("purchase_pct"))
+      .orderBy(col("user_id"))
+  }
+  private val q23Sql =
+    """WITH a AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+      |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ne
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT user_id, CAST(np AS BIGINT) AS n_purchases, CAST(ne AS BIGINT) AS n_errors,
+      |  CASE WHEN ne = 0 THEN CAST(np AS DOUBLE)
+      |       ELSE CAST(np AS DOUBLE) / CAST(ne AS DOUBLE) END AS purchase_error_ratio,
+      |  CASE WHEN ne = 0 THEN 100.0
+      |       ELSE 100.0 * CAST(np AS DOUBLE) / CAST(np + ne AS DOUBLE) END AS purchase_pct
+      |FROM a ORDER BY user_id""".stripMargin
+
+  // --- q24: dim left join + display-name fallback (J2/P10) --------------------
+  // `ifnull(display_name, 'Unknown <'||x||'>')` — parse_matches.sh:514.
+  private val typeDim = Seq(
+    ("click", "Click"), ("purchase", "Purchase"), ("signup", "Sign-up"),
+    ("error", "Error")) // 'view' intentionally missing from the dim
+  private val q24: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    import s.implicits._
+    val dim = typeDim.toDF("event_type", "display_name")
+    e.join(broadcast(dim), Seq("event_type"), "left")
+      .withColumn("display",
+        coalesce(col("display_name"),
+                 concat(lit("Unknown <"), col("event_type"), lit(">"))))
+      .groupBy(col("event_type"), col("display"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+  private val q24Sql = {
+    val values = typeDim.map { case (t, d) => s"('$t', '$d')" }.mkString(", ")
+    s"""WITH dim AS (SELECT * FROM (VALUES $values) AS t(event_type, display_name))
+       |SELECT event_type,
+       |  COALESCE(display_name, 'Unknown <' || event_type || '>') AS display,
+       |  CAST(COUNT(*) AS BIGINT) AS n
+       |FROM events LEFT JOIN dim USING (event_type)
+       |GROUP BY 1, 2 ORDER BY event_type""".stripMargin
+  }
+
+  // --- q25: unknown-key audit — anti-join + min/max/count (P9) ----------------
+  private val q25: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    import s.implicits._
+    val dim = typeDim.toDF("event_type", "display_name").select("event_type")
+    e.join(broadcast(dim), Seq("event_type"), "left_anti")
+      .groupBy(col("event_type"))
+      .agg(
+        min(unix_micros(col("ts"))).as("first_seen_us"),
+        max(unix_micros(col("ts"))).as("last_seen_us"),
+        count(lit(1)).as("total"))
+      .orderBy(col("event_type"))
+  }
+  private val q25Sql = {
+    val values = typeDim.map { case (t, _) => s"('$t')" }.mkString(", ")
+    s"""WITH dim AS (SELECT * FROM (VALUES $values) AS t(event_type))
+       |SELECT event_type, MIN(epoch_us(ts)) AS first_seen_us,
+       |  MAX(epoch_us(ts)) AS last_seen_us, CAST(COUNT(*) AS BIGINT) AS total
+       |FROM events WHERE event_type NOT IN (SELECT event_type FROM dim)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q15_anti_join" -> q15,
+    "q16_semi_join" -> q16,
+    "q17_json_extract" -> q17,
+    "q18_day_flags" -> q18,
+    "q19_distinct" -> q19,
+    "q20_minmax_audit" -> q20,
+    "q21_multikey_join" -> q21,
+    "q22_union_distinct" -> q22,
+    "q23_guarded_ratios" -> q23,
+    "q24_dim_fallback" -> q24,
+    "q25_unknown_audit" -> q25)
+
+  val oracleSql: Map[String, String] = Map(
+    "q15_anti_join" -> q15Sql,
+    "q16_semi_join" -> q16Sql,
+    "q17_json_extract" -> q17Sql,
+    "q18_day_flags" -> q18Sql,
+    "q19_distinct" -> q19Sql,
+    "q20_minmax_audit" -> q20Sql,
+    "q21_multikey_join" -> q21Sql,
+    "q22_union_distinct" -> q22Sql,
+    "q23_guarded_ratios" -> q23Sql,
+    "q24_dim_fallback" -> q24Sql,
+    "q25_unknown_audit" -> q25Sql)
+}

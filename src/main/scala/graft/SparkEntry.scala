@@ -17,8 +17,8 @@ object SparkEntry {
     QueriesCore.queries("q03_revenue_by_nation")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCore.queries
+    QueriesCore.queries ++ QueriesRelational.queries
 
   def oracleSql: Map[String, String] =
-    QueriesCore.oracleSql
+    QueriesCore.oracleSql ++ QueriesRelational.oracleSql
 }
