@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{TextOps, VectorOps}
+
+/** Deduplication operator family — the core large-scale training-data
+  * pipeline extension beyond the reference's own surface (SURVEY.md §7.2
+  * "scale ops"): exact dedup, MinHash+LSH near-dup, SimHash signatures,
+  * blocked n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Every query has a DuckDB oracle twin built from the same constants (see
+  * [[graft.ops.TextOps]] / [[graft.ops.VectorOps]]) so results hash-match
+  * bit-for-bit.
+  *
+  * Scale shapes (100 TB): all candidate generation is equi-join on derived
+  * keys (LSH band keys, length bands, sign-bit buckets) — never a raw cross
+  * join on the big side. Per-row shingle/hash work is higher-order-function
+  * expressions inside whole-stage codegen; the only shuffles are the
+  * candidate-key joins and final distincts.
+  */
+object QueriesDedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- q26: exact dedup — survivor + duplicate count per key (S5) ------------
+  // Reference analog: `INSERT OR IGNORE` idempotent ingest / dropDuplicates
+  // on the composite key (parse_matches.sh:605-617). Keep the lowest
+  // event_id per (user_id, event_type, day); report groups that actually
+  // had duplicates.
+  private val q26: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("user_id"), col("event_type"),
+              date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(min(col("event_id")).as("survivor_event_id"),
+           count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+      .orderBy(col("user_id"), col("event_type"), col("day"))
+  }
+  private val q26Sql =
+    """SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |  MIN(event_id) AS survivor_event_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) > 1
+      |ORDER BY user_id, event_type, day""".stripMargin
+
+  // --- q27: MinHash + LSH near-duplicate pairs -------------------------------
+  // shingle(3-word) → 16 minhashes → 8 bands of 2 → band-key equi-self-join
+  // → exact Jaccard verify >= 0.5. The LSH join is the 100 TB path: candidate
+  // generation is a shuffle on (band, key), never all-pairs.
+  private val q27: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val hs = d.filter(length(col("text")) >= 13)
+      .select(col("doc_id"), expr(TextOps.shingleHashesExpr("text", 3)).as("hs"))
+    val bands = TextOps.bandKeyExprs("hs").map { case (j, e) =>
+      s"named_struct('band', $j, 'key', $e)"
+    }.mkString("array(", ", ", ")")
+    val sig = hs.select(col("doc_id"), explode(expr(bands)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private val q27Sql = {
+    val X = TextOps.sql
+    val bandRows = X.bandKeys("hs").map { case (j, e) =>
+      s"SELECT doc_id, $j AS band, $e AS key FROM h"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH h AS (
+       |  SELECT doc_id, ${X.shingleHashes("text", 3)} AS hs
+       |  FROM documents WHERE length(text) >= 13
+       |), sig AS (
+       |$bandRows
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM sig x JOIN sig y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |), scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+       |    CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN h a ON a.doc_id = doc_a JOIN h b ON b.doc_id = doc_b
+       |)
+       |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --- q28: SimHash signature per document -----------------------------------
+  // 60-bit SimHash over distinct token hashes: bit j set iff more tokens have
+  // bit j set than clear. Explode + 60 SUM(CASE) aggregates (map-side
+  // combinable, codegen-friendly) rather than nested lambdas.
+  private val nBits = 60
+  private val q28: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val toks = d.select(col("doc_id"),
+        explode(expr(s"array_distinct(transform(${TextOps.tokensExpr("text")}, t -> ${TextOps.hash60("t")}))")).as("h"))
+    val sums = (0 until nBits).map(j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, 1L).otherwise(-1L)).as(s"s$j"))
+    val packed = (0 until nBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j}L ELSE 0L END)")
+      .mkString(" + ")
+    toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), expr(packed).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+  private val q28Sql = {
+    val X = TextOps.sql
+    val sums = (0 until nBits).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n")
+    val packed = (0 until nBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(${X.tokens("text")}, t2 -> ${X.hash60("t2")}))) AS h
+       |  FROM documents
+       |), a AS (
+       |  SELECT doc_id,
+       |$sums
+       |  FROM t GROUP BY doc_id
+       |)
+       |SELECT doc_id, $packed AS simhash FROM a ORDER BY doc_id""".stripMargin
+  }
+
+  // --- q29: blocked exact n-gram Jaccard -------------------------------------
+  // Candidate blocking on overlapping length bands (band = n_chars/16; each
+  // doc emits {band, band+1}) — catches every pair with |Δn_chars| <= 15
+  // via pure equi-joins. The planted near-dups differ by <= 8 chars.
+  private val q29: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).filter(length(col("text")) >= 13)
+    val hs = d.select(col("doc_id"), col("n_chars"),
+        expr(TextOps.shingleHashesExpr("text", 3)).as("hs"))
+    val blocked = hs.select(col("doc_id"), col("n_chars"), col("hs"),
+        explode(expr("array(CAST(n_chars DIV 16 AS BIGINT), CAST(n_chars DIV 16 AS BIGINT) + 1)")).as("blk"))
+    val cand = blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id") &&
+          abs(col("x.n_chars") - col("y.n_chars")) <= 15)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              col("x.hs").as("hs_a"), col("y.hs").as("hs_b"))
+      .distinct()
+    cand
+      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private val q29Sql = {
+    val X = TextOps.sql
+    s"""WITH h AS (
+       |  SELECT doc_id, n_chars, ${X.shingleHashes("text", 3)} AS hs
+       |  FROM documents WHERE length(text) >= 13
+       |), blocked AS (
+       |  SELECT doc_id, n_chars, hs, unnest([n_chars // 16, n_chars // 16 + 1]) AS blk FROM h
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM blocked x JOIN blocked y
+       |    ON x.blk = y.blk AND x.doc_id < y.doc_id
+       |   AND abs(x.n_chars - y.n_chars) <= 15
+       |), scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+       |    CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN h a ON a.doc_id = doc_a JOIN h b ON b.doc_id = doc_b
+       |)
+       |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --- q30: embedding-cosine near-dup — top-20 most-similar pairs ------------
+  // Norms computed once per vector; pair enumeration is id-ordered; cosine is
+  // the deterministic sequential fold (VectorOps) so ranking ties out
+  // identically cross-engine. Brute-force all-pairs here (the corpus is the
+  // small side); the bucketed scale path is q32.
+  private val q30: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
+      .withColumn("nrm", expr(VectorOps.normExpr("v")))
+    val a = em.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = em.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        expr(VectorOps.dotExpr("va", "vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(desc("cosine"), col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+  private val q30Sql = {
+    val X = VectorOps.sql
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding AS v, ${X.norm("embedding")} AS nrm FROM embeddings
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${X.dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${X.dot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.3
+       |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q26_exact_dedup" -> q26,
+    "q27_minhash_lsh" -> q27,
+    "q28_simhash" -> q28,
+    "q29_ngram_jaccard" -> q29,
+    "q30_embedding_neardup" -> q30)
+
+  val oracleSql: Map[String, String] = Map(
+    "q26_exact_dedup" -> q26Sql,
+    "q27_minhash_lsh" -> q27Sql,
+    "q28_simhash" -> q28Sql,
+    "q29_ngram_jaccard" -> q29Sql,
+    "q30_embedding_neardup" -> q30Sql)
+}

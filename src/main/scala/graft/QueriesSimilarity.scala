@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.VectorOps
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (SURVEY.md §7.2 "scale ops" / training-data extensions).
+  *
+  * q31 is the exact baseline: brute-force cosine top-k per query vector.
+  * q32 is the scale path: deterministic random-hyperplane LSH buckets turn
+  * the O(N·Q) scan into an equi-join on bucket id.
+  *
+  * Cross-engine exactness: cosine is the deterministic sequential fold of
+  * [[VectorOps]] — identical doubles, so per-query ranking (incl. the
+  * rank column itself) hash-matches the DuckDB oracle.
+  *
+  * Scale shapes (100 TB): the query side is small (broadcast); the corpus
+  * side never shuffles in q31 (map-side cross product of a broadcast query
+  * set + per-partition top-k heap via window-limit). q32 additionally
+  * prunes the corpus scan to matching buckets; at real scale the bucket id
+  * becomes the table's partition key so bucket pruning happens at the scan.
+  */
+object QueriesSimilarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NQueries = 10
+  private val NPlanes  = 8
+  private val Dim      = 64
+
+  // --- q31: brute-force cosine top-k per query (exact ANN baseline) ----------
+  private val q31: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
+      .withColumn("nrm", expr(VectorOps.normExpr("v")))
+    val queries = em.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val corpus = em.filter(col("vec_id") >= NQueries)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    corpus.join(broadcast(queries))
+      .withColumn("cosine",
+        expr(VectorOps.dotExpr("qv", "v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q31Sql = {
+    val X = VectorOps.sql
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding AS v, ${X.norm("embedding")} AS nrm FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${X.dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+       |  FROM e q JOIN e c ON q.vec_id < $NQueries AND c.vec_id >= $NQueries
+       |), ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER
+       |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // --- q32: LSH-bucketed ANN — search only the query's sign-bit bucket -------
+  private val q32: Q = (s, dir) => {
+    val bucket = VectorOps.hyperplaneBucketExpr("v", NPlanes, Dim)
+    val em = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
+      .withColumn("nrm", expr(VectorOps.normExpr("v")))
+      .withColumn("bucket", expr(bucket))
+    val queries = em.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+              col("nrm").as("qn"), col("bucket"))
+    val corpus = em.filter(col("vec_id") >= NQueries)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .withColumn("cosine",
+        expr(VectorOps.dotExpr("qv", "v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              col("bucket"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q32Sql = {
+    val X = VectorOps.sql
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding AS v, ${X.norm("embedding")} AS nrm,
+       |    ${X.hyperplaneBucket("embedding", NPlanes, Dim)} AS bucket
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+       |    ${X.dot("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+       |  FROM e q JOIN e c ON q.bucket = c.bucket
+       |   AND q.vec_id < $NQueries AND c.vec_id >= $NQueries
+       |), ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER
+       |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, bucket, cosine, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q31_cosine_topk" -> q31,
+    "q32_ann_lsh_bucket" -> q32)
+
+  val oracleSql: Map[String, String] = Map(
+    "q31_cosine_topk" -> q31Sql,
+    "q32_ann_lsh_bucket" -> q32Sql)
+}

@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Multimodal, TextOps}
+
+/** Text-analysis + multimodal + remaining relational operators:
+  * language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting (winnowing), binary-column decode plumbing, tie-aware
+  * records (SURVEY.md §2.6 T5), and token explode (§2.8 json_each analog).
+  *
+  * All scoring is integer counts + a single final IEEE division, mirrored
+  * verbatim in the DuckDB oracle — see [[Exact]] for the rationale.
+  */
+object QueriesText {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // Per-language stopword lists for the n-gram/stopword language-ID
+  // heuristic. Priority order breaks score ties deterministically.
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "los"),
+    "fr" -> Seq("le", "la", "de", "et"),
+    "de" -> Seq("der", "die", "das", "und"))
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  // --- q33: language identification (stopword-hit heuristic) -----------------
+  private val q33: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val toks = TextOps.tokensExpr("text")
+    val scored = stopwords.foldLeft(d) { case (acc, (lang, ws)) =>
+      acc.withColumn(s"s_$lang",
+        expr(s"CAST(size(filter($toks, t -> t IN ${inList(ws)})) AS BIGINT)"))
+    }
+    val others = stopwords.map(_._1)
+    val predicted = stopwords.map { case (lang, _) =>
+      val geAll = others.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN s_$lang > 0 AND $geAll THEN '$lang'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    scored
+      .select(col("doc_id") +: col("lang").as("labeled_lang") +:
+        stopwords.map { case (l, _) => col(s"s_$l") } :+
+        expr(predicted).as("predicted_lang"): _*)
+      .orderBy(col("doc_id"))
+  }
+  private val q33Sql = {
+    val toks = TextOps.sql.tokens("text")
+    val scores = stopwords.map { case (lang, ws) =>
+      s"CAST(len(list_filter($toks, t -> t IN ${inList(ws)})) AS BIGINT) AS s_$lang"
+    }.mkString(",\n")
+    val others = stopwords.map(_._1)
+    val predicted = stopwords.map { case (lang, _) =>
+      val geAll = others.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN s_$lang > 0 AND $geAll THEN '$lang'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |$scores
+       |  FROM documents
+       |)
+       |SELECT doc_id, labeled_lang, ${others.map(l => s"s_$l").mkString(", ")},
+       |  $predicted AS predicted_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // --- q34: quality scoring (length / stopword / uniqueness ratios) ----------
+  private val q34: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val toks = TextOps.tokensExpr("text")
+    d.select(
+        col("doc_id"),
+        expr(s"CAST(length(text) AS BIGINT)").as("n_chars_m"),
+        expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"),
+        expr(s"CAST(size(array_distinct($toks)) AS BIGINT)").as("n_uniq"),
+        expr(s"aggregate(transform($toks, t -> CAST(length(t) AS BIGINT)), CAST(0 AS BIGINT), (a2, x) -> a2 + x)").as("sum_tok_len"),
+        expr(s"CAST(size(filter($toks, t -> t IN ('the', 'a'))) AS BIGINT)").as("n_stop"))
+      .withColumn("avg_token_len",
+        col("sum_tok_len").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("uniq_ratio",
+        col("n_uniq").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("quality_band",
+        when(col("n_tokens") >= 60 && col("uniq_ratio") >= 0.4, "high")
+          .when(col("n_tokens") >= 25, "medium").otherwise("low"))
+      .drop("sum_tok_len")
+      .orderBy(col("doc_id"))
+  }
+  private val q34Sql = {
+    val toks = TextOps.sql.tokens("text")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars_m,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct($toks)) AS BIGINT) AS n_uniq,
+       |    CAST(list_sum(list_transform($toks, t -> length(t))) AS BIGINT) AS sum_tok_len,
+       |    CAST(len(list_filter($toks, t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+       |  FROM documents
+       |), r AS (
+       |  SELECT *,
+       |    CAST(sum_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+       |    CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS uniq_ratio,
+       |    CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio
+       |  FROM m
+       |)
+       |SELECT doc_id, n_chars_m, n_tokens, n_uniq, n_stop, avg_token_len,
+       |  uniq_ratio, stop_ratio,
+       |  CASE WHEN n_tokens >= 60 AND uniq_ratio >= 0.4 THEN 'high'
+       |       WHEN n_tokens >= 25 THEN 'medium' ELSE 'low' END AS quality_band
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  // --- q35: token counting — whitespace + BPE-ish regex subwords -------------
+  private val q35: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val toks = TextOps.tokensExpr("text")
+    d.select(
+        col("doc_id"),
+        expr(s"CAST(size($toks) AS BIGINT)").as("n_ws_tokens"),
+        expr("CAST(size(regexp_extract_all(text, '[a-z]{1,3}', 0)) AS BIGINT)").as("n_subwords"),
+        expr("CAST(length(text) AS BIGINT)").as("len_chars"))
+      .withColumn("chars_per_token",
+        col("len_chars").cast("double") / col("n_ws_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+  private val q35Sql = {
+    val toks = TextOps.sql.tokens("text")
+    s"""SELECT doc_id,
+       |  CAST(len($toks) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '[a-z]{1,3}')) AS BIGINT) AS n_subwords,
+       |  CAST(length(text) AS BIGINT) AS len_chars,
+       |  CAST(length(text) AS DOUBLE) / CAST(len($toks) AS DOUBLE) AS chars_per_token
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // --- q36: document fingerprinting — winnowing over rolling char 7-grams ----
+  // hash every 7-char gram, take the min of each 4-gram-hash window, emit
+  // the distinct minima (standard winnowing: guarantees any >= 10-char
+  // shared substring yields a shared fingerprint).
+  private val q36: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).filter(length(col("text")) >= 13)
+    val hs = s"transform(sequence(1, length(text) - 6), i -> ${TextOps.hash60("substring(text, i, 7)")})"
+    val fps =
+      s"""array_distinct(transform(sequence(1, size(hs) - 3),
+         |  p -> least(element_at(hs, p), element_at(hs, p + 1),
+         |             element_at(hs, p + 2), element_at(hs, p + 3))))""".stripMargin
+    d.select(col("doc_id"), expr(hs).as("hs"))
+      .select(col("doc_id"), explode(expr(fps)).as("fp"))
+      .orderBy(col("doc_id"), col("fp"))
+  }
+  private val q36Sql = {
+    val hs = s"list_transform(generate_series(1, length(text) - 6), i -> ${TextOps.sql.hash60("substr(text, i, 7)")})"
+    s"""WITH h AS (
+       |  SELECT doc_id, $hs AS hs FROM documents WHERE length(text) >= 13
+       |), f AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(hs) - 3),
+       |    p -> least(hs[p], hs[p + 1], hs[p + 2], hs[p + 3])))) AS fp
+       |  FROM h
+       |)
+       |SELECT doc_id, fp FROM f ORDER BY doc_id, fp""".stripMargin
+  }
+
+  // --- q37: multimodal decode plumbing (stubbed decoder, real pipeline) ------
+  // documents.text → BINARY payload + typed metadata → partition-batched
+  // decode (Multimodal.decodeStub) → typed features. The oracle recomputes
+  // the stub's byte math in SQL (ASCII corpus ⇒ unicode(char) == byte).
+  private val q37: Q = (s, dir) => {
+    import Multimodal.MediaRecord
+    val spark = s
+    import spark.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+              lit("text/plain").as("media_type"), col("n_chars"))
+      .as[MediaRecord]
+    Multimodal.decode(media).toDF().orderBy(col("doc_id"))
+  }
+  private val q37Sql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS INTEGER) AS n_bytes,
+      |    unicode(text[1]) AS first_byte,
+      |    CAST(list_sum(list_transform(generate_series(1, length(text)),
+      |      i -> unicode(text[i]))) % 997 AS BIGINT) AS checksum
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_bytes, first_byte, checksum,
+      |  CAST(checksum % 10 AS INTEGER) AS fake_label
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  // --- q38: tie-aware records (T5) -------------------------------------------
+  // Reference: keep ALL tied record holders, first record per player
+  // (index.js:408-418). Here: per event_type, every user hitting the max
+  // value, first occurrence per user.
+  private val q38: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val wMax = Window.partitionBy(col("event_type"))
+    val wFirst = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    e.withColumn("vmax", max(col("value")).over(wMax))
+      .filter(col("value") === col("vmax"))
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("user_id"), col("value"),
+              unix_micros(col("ts")).as("ts_us"))
+      .orderBy(col("event_type"), col("user_id"))
+  }
+  private val q38Sql =
+    """WITH m AS (
+      |  SELECT *, MAX(value) OVER (PARTITION BY event_type) AS vmax FROM events
+      |), r AS (
+      |  SELECT event_type, user_id, value, epoch_us(ts) AS ts_us,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, user_id ORDER BY ts, event_id) AS rn
+      |  FROM m WHERE value = vmax
+      |)
+      |SELECT event_type, user_id, value, ts_us FROM r WHERE rn = 1
+      |ORDER BY event_type, user_id""".stripMargin
+
+  // --- q39: lateral explode + rollup (§2.8 json_each analog, A10) ------------
+  private val q39: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    d.select(explode(expr(TextOps.tokensExpr("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token"))
+      .limit(20)
+  }
+  private val q39Sql = {
+    val toks = TextOps.sql.tokens("text")
+    s"""SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM (SELECT unnest($toks) AS token FROM documents)
+       |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q33_lang_id" -> q33,
+    "q34_quality_score" -> q34,
+    "q35_token_stats" -> q35,
+    "q36_fingerprint" -> q36,
+    "q37_multimodal_decode" -> q37,
+    "q38_tie_records" -> q38,
+    "q39_token_explode" -> q39)
+
+  val oracleSql: Map[String, String] = Map(
+    "q33_lang_id" -> q33Sql,
+    "q34_quality_score" -> q34Sql,
+    "q35_token_stats" -> q35Sql,
+    "q36_fingerprint" -> q36Sql,
+    "q37_multimodal_decode" -> q37Sql,
+    "q38_tie_records" -> q38Sql,
+    "q39_token_explode" -> q39Sql)
+}

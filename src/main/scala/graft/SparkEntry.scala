@@ -17,8 +17,10 @@ object SparkEntry {
     QueriesCore.queries("q03_revenue_by_nation")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCore.queries ++ QueriesRelational.queries
+    QueriesCore.queries ++ QueriesRelational.queries ++
+      QueriesDedup.queries ++ QueriesSimilarity.queries ++ QueriesText.queries
 
   def oracleSql: Map[String, String] =
-    QueriesCore.oracleSql ++ QueriesRelational.oracleSql
+    QueriesCore.oracleSql ++ QueriesRelational.oracleSql ++
+      QueriesDedup.oracleSql ++ QueriesSimilarity.oracleSql ++ QueriesText.oracleSql
 }

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, cross-engine text primitives: tokenization, word
+  * k-shingles, 60-bit content hashing, MinHash signatures with LSH band
+  * keys, and SimHash bit aggregation.
+  *
+  * Everything here must produce BIT-IDENTICAL values in Spark and in the
+  * DuckDB oracle, so each primitive is defined once as shared constants +
+  * two textual twins (a Spark SQL expression and a DuckDB SQL fragment)
+  * generated from the same Scala values.
+  *
+  * Hash choice: the first 15 hex digits of MD5 → a 60-bit non-negative
+  * BIGINT. MD5 is byte-stable across engines (unlike each engine's native
+  * `hash()`), and 60 bits keeps all downstream modular arithmetic inside
+  * 64-bit range: with P ≈ 2^30, a·(h mod P)+b < 2^60.
+  *
+  * Scale notes (100 TB): all primitives are per-row array expressions —
+  * no shuffle, no UDF, fully inside whole-stage codegen via higher-order
+  * functions. MinHash permutation count (16) and banding (8 bands × 2
+  * rows) follow the standard LSH S-curve for a ~0.5 Jaccard threshold:
+  * P(candidate) = 1-(1-j^2)^8, ≈ 0.92 at j=0.7, ≈ 0.04 at j=0.2.
+  */
+object TextOps {
+
+  /** Modulus for MinHash permutations: prime > 2^29 so products of two
+    * residues stay < 2^60. */
+  val P: Long = 1000000007L
+
+  val NumPerm = 16
+  val Bands   = 8 // rows per band r = NumPerm / Bands = 2
+
+  /** Deterministic permutation coefficients (odd multiplier LCG-style),
+    * reduced mod P; a_i never 0. */
+  val permA: IndexedSeq[Long] =
+    (1 to NumPerm).map(i => (2654435761L * i) % P)
+  val permB: IndexedSeq[Long] =
+    (1 to NumPerm).map(i => (40503L * i + 17L) % P)
+
+  // ---------------------------------------------------------------- Spark
+
+  /** 60-bit MD5-prefix hash of a string expression (Spark side). */
+  def hash60(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Whitespace tokens (documents are single-space separated). */
+  def tokensExpr(text: String): String = s"split($text, ' ')"
+
+  /** Distinct word k-shingle strings. Caller must guarantee
+    * size(tokens) >= k (the documents table always has >> k tokens) —
+    * `sequence(1, n)` with n < 1 would generate a DESCENDING sequence in
+    * Spark, so the guard is a WHERE filter upstream, not a CASE here. */
+  def shingleExpr(text: String, k: Int): String = {
+    val parts =
+      (0 until k).map(j => s"element_at(split($text, ' '), i + $j)").mkString(", ")
+    s"""array_distinct(transform(sequence(1, size(split($text, ' ')) - ${k - 1}),
+       |  i -> concat_ws(' ', $parts)))""".stripMargin
+  }
+
+  /** Distinct 60-bit hashes of the word k-shingles of `text`. */
+  def shingleHashesExpr(text: String, k: Int): String =
+    s"array_distinct(transform(${shingleExpr(text, k)}, s2 -> ${hash60("s2")}))"
+
+  /** MinHash signature of a distinct-hash array column `hs`: one
+    * `array_min` over a permuted copy per permutation. */
+  def minhashExprs(hs: String): Seq[String] =
+    (0 until NumPerm).map { i =>
+      s"array_min(transform($hs, h -> (${permA(i)}L * (h % ${P}L) + ${permB(i)}L) % ${P}L))"
+    }
+
+  /** LSH band keys: bands of r=2 signature rows combined into one BIGINT
+    * (m0·P + m1 < 2^60). Returns (bandIndex → key expression). */
+  def bandKeyExprs(hs: String): Seq[(Int, String)] = {
+    val ms = minhashExprs(hs)
+    (0 until Bands).map(j => j -> s"(${ms(2 * j)} * ${P}L + ${ms(2 * j + 1)})")
+  }
+
+  def col(e: String): Column = expr(e)
+
+  // --------------------------------------------------------------- DuckDB
+
+  /** DuckDB SQL twins of the expressions above. */
+  object sql {
+    def hash60(e: String): String =
+      s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+    def tokens(text: String): String = s"string_split($text, ' ')"
+
+    def shingle(text: String, k: Int): String = {
+      val t = tokens(text)
+      val parts = (0 until k).map(j => s"($t)[i + $j]").mkString(", ")
+      s"list_distinct(list_transform(generate_series(1, len($t) - ${k - 1}), i -> concat_ws(' ', $parts)))"
+    }
+
+    def shingleHashes(text: String, k: Int): String =
+      s"list_distinct(list_transform(${shingle(text, k)}, s2 -> ${hash60("s2")}))"
+
+    def minhash(hs: String): Seq[String] =
+      (0 until NumPerm).map { i =>
+        s"list_min(list_transform($hs, h -> (${permA(i)} * (h % ${P}) + ${permB(i)}) % ${P}))"
+      }
+
+    def bandKeys(hs: String): Seq[(Int, String)] = {
+      val ms = minhash(hs)
+      (0 until Bands).map(j => j -> s"(${ms(2 * j)} * ${P} + ${ms(2 * j + 1)})")
+    }
+  }
+}
