@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: every SparkEntry query timed at SPARK_GRAFT_SF_DIR,
+  * one JSON line on stdout.
+  *
+  * Queries run in sorted name order after an untimed warmup (a small real
+  * query) so JVM/codegen/parquet-footer warmup isn't charged to whichever
+  * query happens to run first — per-query numbers then measure the query,
+  * not JIT state.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,14 +20,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Untimed warmup: exercises parquet scan, shuffle, window, and agg
+    // codepaths once (JIT + codegen cache + file-footer cache).
+    try {
+      SparkEntry.queries("q05_daily_rollup")(spark, sfDir).count()
+      SparkEntry.queries("q10_latest_per_user")(spark, sfDir).count()
+    } catch { case _: Throwable => () }
+
+    // Optional name-substring filter for local iteration (unset = all).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(n.contains) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

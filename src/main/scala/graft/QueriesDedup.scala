@@ -49,14 +49,26 @@ object QueriesDedup {
   // → exact Jaccard verify >= 0.5. The LSH join is the 100 TB path: candidate
   // generation is a shuffle on (band, key), never all-pairs.
   private val q27: Q = (s, dir) => {
+    graft.functions.TextFunctions.register(s)
     val d = Tables.documents(s, dir)
-    val hs = d.filter(length(col("text")) >= 13)
+    // cache: hs feeds the band signatures AND both sides of the verify join
+    // — without it the md5 shingle-hashing lineage is recomputed three
+    // times. On a cluster this would be a persisted/checkpointed
+    // intermediate.
+    // repartition the (single-file ⇒ single-partition) scan first so the
+    // shingle hashing and the cache materialization parallelize.
+    val hs = d.repartition(Tables.shufflePartitions(s))
+      .filter(length(col("text")) >= 13)
       .select(col("doc_id"), expr(TextOps.shingleHashesExpr("text", 3)).as("hs"))
-    val bands = TextOps.bandKeyExprs("hs").map { case (j, e) =>
-      s"named_struct('band', $j, 'key', $e)"
-    }.mkString("array(", ", ", ")")
-    val sig = hs.select(col("doc_id"), explode(expr(bands)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+      .cache()
+    // graft_minhash_bands: all 16 permutation minima in one native pass
+    // (bit-identical to the composed TextOps.bandKeyExprs form — see
+    // MinhashSpec); posexplode position == band index.
+    val sig = hs.select(col("doc_id"),
+        posexplode(expr("graft_minhash_bands(hs)")).as(Seq("band", "key")))
+    // distinct over (doc_a, doc_b) only — small fixed-width keys; the big
+    // shingle arrays are joined back AFTER dedup so they never shuffle
+    // through the distinct.
     val cand = sig.as("x").join(sig.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -65,7 +77,7 @@ object QueriesDedup {
     val a = hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
     val b = hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("n_inter", expr("graft_sorted_intersect(hs_a, hs_b)"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (size(col("hs_a")) + size(col("hs_b")) - col("n_inter")).cast("double"))
@@ -138,19 +150,28 @@ object QueriesDedup {
   // doc emits {band, band+1}) — catches every pair with |Δn_chars| <= 15
   // via pure equi-joins. The planted near-dups differ by <= 8 chars.
   private val q29: Q = (s, dir) => {
+    graft.functions.TextFunctions.register(s)
     val d = Tables.documents(s, dir).filter(length(col("text")) >= 13)
-    val hs = d.select(col("doc_id"), col("n_chars"),
+    // cached: both sides of the self-join read it (else 2× shingle hashing);
+    // repartition first — single-file scan otherwise serializes the hashing.
+    val hs = d.repartition(Tables.shufflePartitions(s))
+      .select(col("doc_id"), col("n_chars"),
         expr(TextOps.shingleHashesExpr("text", 3)).as("hs"))
+      .cache()
     val blocked = hs.select(col("doc_id"), col("n_chars"), col("hs"),
         explode(expr("array(CAST(n_chars DIV 16 AS BIGINT), CAST(n_chars DIV 16 AS BIGINT) + 1)")).as("blk"))
+    // Each doc emits bands {k, k+1}; a qualifying pair (|Δchars| <= 15 ⇒
+    // |Δk| <= 1) matches in exactly one CANONICAL band, max(k_a, k_b) — so
+    // requiring blk == max(k_a, k_b) replaces a distinct that would shuffle
+    // the big hash arrays.
     val cand = blocked.as("x").join(blocked.as("y"),
         col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id") &&
-          abs(col("x.n_chars") - col("y.n_chars")) <= 15)
+          abs(col("x.n_chars") - col("y.n_chars")) <= 15 &&
+          col("x.blk") === greatest(expr("x.n_chars DIV 16"), expr("y.n_chars DIV 16")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
               col("x.hs").as("hs_a"), col("y.hs").as("hs_b"))
-      .distinct()
     cand
-      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("n_inter", expr("graft_sorted_intersect(hs_a, hs_b)"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (size(col("hs_a")) + size(col("hs_b")) - col("n_inter")).cast("double"))
@@ -186,6 +207,7 @@ object QueriesDedup {
   // identically cross-engine. Brute-force all-pairs here (the corpus is the
   // small side); the bucketed scale path is q32.
   private val q30: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
     val em = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
       .withColumn("nrm", expr(VectorOps.normExpr("v")))
@@ -193,7 +215,7 @@ object QueriesDedup {
     val b = em.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cosine",
-        expr(VectorOps.dotExpr("va", "vb")) / (col("na") * col("nb")))
+        expr(VectorOps.fastDot("va", "vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= 0.3)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(desc("cosine"), col("vec_a"), col("vec_b"))

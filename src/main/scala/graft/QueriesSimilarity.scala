@@ -33,6 +33,7 @@ object QueriesSimilarity {
 
   // --- q31: brute-force cosine top-k per query (exact ANN baseline) ----------
   private val q31: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
     val em = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
       .withColumn("nrm", expr(VectorOps.normExpr("v")))
@@ -43,7 +44,7 @@ object QueriesSimilarity {
       .orderBy(desc("cosine"), col("vec_id"))
     corpus.join(broadcast(queries))
       .withColumn("cosine",
-        expr(VectorOps.dotExpr("qv", "v")) / (col("qn") * col("nrm")))
+        expr(VectorOps.fastDot("qv", "v")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -69,6 +70,7 @@ object QueriesSimilarity {
 
   // --- q32: LSH-bucketed ANN — search only the query's sign-bit bucket -------
   private val q32: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
     val bucket = VectorOps.hyperplaneBucketExpr("v", NPlanes, Dim)
     val em = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
@@ -82,7 +84,7 @@ object QueriesSimilarity {
       .orderBy(desc("cosine"), col("vec_id"))
     corpus.join(broadcast(queries), Seq("bucket"))
       .withColumn("cosine",
-        expr(VectorOps.dotExpr("qv", "v")) / (col("qn") * col("nrm")))
+        expr(VectorOps.fastDot("qv", "v")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

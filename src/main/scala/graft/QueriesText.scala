@@ -149,8 +149,14 @@ object QueriesText {
       s"""array_distinct(transform(sequence(1, size(hs) - 3),
          |  p -> least(element_at(hs, p), element_at(hs, p + 1),
          |             element_at(hs, p + 2), element_at(hs, p + 3))))""".stripMargin
-    d.select(col("doc_id"), expr(hs).as("hs"))
-      .select(col("doc_id"), explode(expr(fps)).as("fp"))
+    // materialize the fingerprint arrays (repartition: single-file scan;
+    // cache: explode over an expensive interpreted array child re-evaluates
+    // pathologically — from a cached column it is a plain generate)
+    val mat = d.repartition(Tables.shufflePartitions(s))
+      .select(col("doc_id"), expr(hs).as("hs"))
+      .select(col("doc_id"), expr(fps).as("fps"))
+      .cache()
+    mat.select(col("doc_id"), explode(col("fps")).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
   }
   private val q36Sql = {

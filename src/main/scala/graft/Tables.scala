@@ -49,6 +49,11 @@ object Tables {
     raw.withColumn("ts", ts)
   }
 
+  /** Session shuffle parallelism — used to re-spread single-file scans
+    * before CPU-heavy per-row array work. */
+  def shufflePartitions(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+import graft.ops.TextOps
+
+/** Native Catalyst expressions for the text-dedup hot paths.
+  *
+  * Spark's array built-ins cover the semantics but not the throughput:
+  * `array_intersect` builds two hash sets per CALL — ruinous when the call
+  * sits inside a candidate-pair join (hundreds of thousands of evaluations)
+  * — and a MinHash signature as 16 interpreted `transform`s re-walks the
+  * shingle array 16 times with boxed arithmetic. Both replacements below
+  * are single tight loops over primitive `long[]`s.
+  */
+
+/** Intersection SIZE of two SORTED distinct LONG arrays via a two-pointer
+  * merge — O(n+m), zero allocation, whole-stage-codegen'd.
+  *
+  * Equivalent to `size(array_intersect(a, b))` when both inputs are sorted
+  * and duplicate-free (guaranteed by `TextOps.shingleHashesExpr`, which
+  * wraps `array_sort(array_distinct(...))`). Matches the DuckDB oracle's
+  * `len(list_intersect(a, b))` — sortedness never changes set semantics.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1L; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $x.numElements(); int $m = $y.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv < $yv) $i++;
+         |  else if ($xv > $yv) $j++;
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash LSH band keys of a distinct-hash array in ONE pass: all
+  * `TextOps.NumPerm` permutation minima tracked simultaneously, then packed
+  * into `TextOps.Bands` band keys (m_{2j}·P + m_{2j+1}).
+  *
+  * Bit-identical to the composed form in `TextOps.bandKeyExprs` (same P /
+  * permA / permB constants — asserted by MinhashSpec) and to the DuckDB
+  * oracle in `TextOps.sql.bandKeys`. Evaluated once per document row, so
+  * interpreted eval (primitive loops, no boxing) is already off the hot
+  * path; no doGenCode needed.
+  */
+case class MinhashBandKeys(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  private val P = TextOps.P
+  private val as = TextOps.permA.toArray
+  private val bs = TextOps.permB.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n == 0) return null // matches array_min(empty) => null key semantics
+    val nPerm = as.length
+    val ms = Array.fill(nPerm)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hp = hs.getLong(i) % P
+      var k = 0
+      while (k < nPerm) {
+        val v = (as(k) * hp + bs(k)) % P
+        if (v < ms(k)) ms(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    val keys = Array.tabulate(TextOps.Bands)(j => ms(2 * j) * P + ms(2 * j + 1))
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandKeys =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_sorted_intersect",
+      (c: Seq[Expression]) => SortedIntersectCount(c(0), c(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_bands",
+      (c: Seq[Expression]) => MinhashBandKeys(c(0)), "built-in")
+  }
+}

@@ -59,9 +59,12 @@ object TextOps {
        |  i -> concat_ws(' ', $parts)))""".stripMargin
   }
 
-  /** Distinct 60-bit hashes of the word k-shingles of `text`. */
+  /** SORTED distinct 60-bit hashes of the word k-shingles of `text`.
+    * Sorted so intersection sizes can use the two-pointer
+    * [[graft.functions.SortedIntersectCount]]; sorting never changes set
+    * semantics (minhash minima, Jaccard) so the DuckDB twin stays unsorted. */
   def shingleHashesExpr(text: String, k: Int): String =
-    s"array_distinct(transform(${shingleExpr(text, k)}, s2 -> ${hash60("s2")}))"
+    s"array_sort(array_distinct(transform(${shingleExpr(text, k)}, s2 -> ${hash60("s2")})))"
 
   /** MinHash signature of a distinct-hash array column `hs`: one
     * `array_min` over a permuted copy per permutation. */

@@ -23,11 +23,18 @@ object VectorOps {
   /** Spark: widen ARRAY<FLOAT> to ARRAY<DOUBLE>. */
   def toDoubleExpr(v: String): String = s"transform($v, x -> CAST(x AS DOUBLE))"
 
-  /** Spark: sequential-fold dot product of two ARRAY<DOUBLE> columns. */
+  /** Spark: sequential-fold dot product of two ARRAY<DOUBLE> columns.
+    * Interpreted (CodegenFallback) — reference semantics; use [[fastDot]]
+    * in hot paths. */
   def dotExpr(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 
-  def normExpr(a: String): String = s"sqrt(${dotExpr(a, a)})"
+  /** Spark: same fold as [[dotExpr]] as a native codegen expression
+    * ([[graft.functions.DotProduct]]); requires
+    * `GraftFunctions.register(spark)`. */
+  def fastDot(a: String, b: String): String = s"graft_dot($a, $b)"
+
+  def normExpr(a: String): String = s"sqrt(${fastDot(a, a)})"
 
   /** Deterministic pseudo-random hyperplanes: plane(p)(d) ∈ (-0.5, 0.5),
     * derived from an LCG over the flat index — identical literals are
@@ -47,8 +54,10 @@ object VectorOps {
   def hyperplaneBucketExpr(v: String, nPlanes: Int, dim: Int): String = {
     val ps = planes(nPlanes, dim)
     val bits = ps.zipWithIndex.map { case (plane, p) =>
-      val arr = plane.map(lit).mkString("array(", ", ", ")")
-      s"(CASE WHEN ${dotExpr(v, arr)} > 0.0 THEN ${1L << p}L ELSE 0L END)"
+      // D suffix: plain decimal literals parse as DECIMAL in Spark SQL and
+      // graft_dot does no implicit coercion.
+      val arr = plane.map(x => s"${lit(x)}D").mkString("array(", ", ", ")")
+      s"(CASE WHEN ${fastDot(v, arr)} > 0.0 THEN ${1L << p}L ELSE 0L END)"
     }
     bits.mkString("(", " + ", ")")
   }
