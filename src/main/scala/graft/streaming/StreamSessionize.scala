@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming gap-based sessionization with ORDINAL session ids — the
+  * Structured Streaming twin of [[graft.ops.Sessionize]].
+  *
+  * The reference's pipeline is batch-recompute-by-cron
+  * (`/root/reference/README.md:117-121`); its session semantics (new session
+  * when the inter-event gap >= threshold, sessions numbered per player —
+  * `/root/reference/parser/parse_matches.sh:298-346`) map here onto
+  * `flatMapGroupsWithState`: per-entity state carries (last event time,
+  * current ordinal, open-session aggregates). Spark's built-in
+  * `session_window` gives gap-windows but labels sessions by start time,
+  * not ordinal — the reference needs `session_number`, hence custom state.
+  *
+  * Emission contract: a session row is emitted when its successor session
+  * OPENS (the gap proves the previous session closed), and on event-time
+  * timeout for the final open session. Spark does not sort the group
+  * iterator, so each micro-batch's per-entity events are sorted in-memory
+  * here (bounded by events-per-entity-per-batch); late data beyond the
+  * watermark must be dropped upstream for ordinals to be stable.
+  *
+  * Scale: state is O(1) per entity (no event buffering); the only shuffle
+  * is the groupByKey on the entity — identical to the batch window's
+  * partitioning.
+  */
+object StreamSessionize {
+
+  case class Event(user_id: Long, ts_us: Long, value_cents: Long)
+
+  case class SessionState(lastTsUs: Long, seq: Long, nEvents: Long,
+                          startUs: Long, sumCents: Long)
+
+  case class Session(user_id: Long, session_seq: Long, n_events: Long,
+                     start_us: Long, end_us: Long, sum_cents: Long)
+
+  /** Apply to a `groupByKey(_.user_id)`-ed stream.
+    *
+    * @param gapUs new session when gap >= this many microseconds
+    */
+  def sessionize(events: Dataset[Event], gapUs: Long,
+                 timeout: GroupStateTimeout = GroupStateTimeout.EventTimeTimeout)
+      : Dataset[Session] = {
+    implicit val se = Encoders.product[Session]
+    implicit val ste = Encoders.product[SessionState]
+    implicit val le = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeout) {
+        case (userId, it, state) => flatMapFn(gapUs)(userId, it, state)
+      }
+  }
+
+  /** The state-transition function, exposed for unit testing. */
+  def flatMapFn(gapUs: Long)(
+      userId: Long, it: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    if (!it.hasNext && state.hasTimedOut) {
+      // final open session flushes on event-time timeout
+      val out = state.getOption.map(s =>
+        Session(userId, s.seq, s.nEvents, s.startUs, s.lastTsUs, s.sumCents))
+      state.remove()
+      return out.iterator
+    }
+    val sorted = it.toArray.sortBy(e => (e.ts_us, e.value_cents))
+    var cur = state.getOption.orNull
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      if (cur == null) {
+        cur = SessionState(e.ts_us, 1L, 1L, e.ts_us, e.value_cents)
+      } else if (e.ts_us - cur.lastTsUs >= gapUs) {
+        closed += Session(userId, cur.seq, cur.nEvents, cur.startUs,
+          cur.lastTsUs, cur.sumCents)
+        cur = SessionState(e.ts_us, cur.seq + 1L, 1L, e.ts_us, e.value_cents)
+      } else {
+        cur = SessionState(e.ts_us, cur.seq, cur.nEvents + 1L, cur.startUs,
+          cur.sumCents + e.value_cents)
+      }
+    }
+    if (cur != null) {
+      state.update(cur)
+      // throws iff the query runs without EventTimeTimeout (direct unit
+      // tests of the transition function) — the final session then stays
+      // open, which is the batch-equivalent behavior
+      try state.setTimeoutTimestamp(cur.lastTsUs / 1000L + gapUs / 1000L)
+      catch { case _: UnsupportedOperationException => () }
+    }
+    closed.result().iterator
+  }
+}

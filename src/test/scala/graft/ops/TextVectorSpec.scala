@@ -1,0 +1,130 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+/** Specs for the cross-engine text/vector primitives and their native
+  * Catalyst twins. The load-bearing assertions: the NATIVE expressions
+  * (graft_dot, graft_sorted_intersect, graft_minhash_bands) are
+  * bit-identical to the composed built-in forms they replace — that
+  * equivalence is what keeps the DuckDB oracle valid. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def onDoc(text: String) = Seq(Tuple1(text)).toDF("text")
+
+  test("hash60 is the first 15 hex digits of md5 as a long") {
+    val got = onDoc("hello world")
+      .select(expr(TextOps.hash60("text")).as("h")).as[Long].head()
+    val md = MessageDigest.getInstance("MD5")
+      .digest("hello world".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    assert(got == java.lang.Long.parseLong(md, 16))
+  }
+
+  test("3-word shingles are the distinct consecutive triples") {
+    val got = onDoc("a b c d b c d")
+      .select(expr(TextOps.shingleExpr("text", 3)).as("s"))
+      .as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d", "c d b", "d b c")) // distinct, first-seen order
+  }
+
+  test("native minhash band keys == composed array_min/transform form") {
+    TextFunctions.register(spark)
+    val df = onDoc("the quick brown fox jumps over the lazy dog again and again")
+      .select(expr(TextOps.shingleHashesExpr("text", 3)).as("hs"))
+    val native = df.select(expr("graft_minhash_bands(hs)").as("b"))
+      .as[Seq[Long]].head()
+    val composed = TextOps.bandKeyExprs("hs").map { case (_, e) =>
+      df.select(expr(e).cast("long")).as[Long].head()
+    }
+    assert(native == composed)
+  }
+
+  test("sorted intersect count == size(array_intersect) on sorted inputs") {
+    TextFunctions.register(spark)
+    val df = Seq((Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L))).toDF("a", "b")
+    val native = df.select(expr("graft_sorted_intersect(a, b)")).as[Long].head()
+    val builtin = df.select(size(array_intersect($"a", $"b")).cast("long")).as[Long].head()
+    assert(native == 2L && native == builtin)
+  }
+
+  test("empty-overlap and identical arrays") {
+    TextFunctions.register(spark)
+    val df = Seq(
+      (Seq(1L, 2L), Seq(3L, 4L), 0L),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 3L),
+      (Seq.empty[Long], Seq(1L), 0L)
+    ).toDF("a", "b", "want")
+    val bad = df.filter(expr("graft_sorted_intersect(a, b) != want")).count()
+    assert(bad == 0L)
+  }
+}
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_dot is bit-identical to the interpreted sequential fold") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map(_ => (
+      Seq.fill(64)(rnd.nextFloat().toDouble),
+      Seq.fill(64)(rnd.nextFloat().toDouble)))
+    val df = rows.toDF("a", "b")
+    val fast = df.select(expr(VectorOps.fastDot("a", "b"))).as[Double].collect()
+    val slow = df.select(expr(VectorOps.dotExpr("a", "b"))).as[Double].collect()
+    assert(fast.toSeq.map(java.lang.Double.doubleToLongBits) ==
+           slow.toSeq.map(java.lang.Double.doubleToLongBits))
+  }
+
+  test("hyperplane buckets are stable and in range") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 20).map(_ => Tuple1(Seq.fill(64)(rnd.nextFloat().toDouble))).toDF("v")
+    val buckets = df.select(expr(VectorOps.hyperplaneBucketExpr("v", 8, 64)).as("b"))
+      .as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < 256))
+    val again = df.select(expr(VectorOps.hyperplaneBucketExpr("v", 8, 64)).as("b"))
+      .as[Long].collect()
+    assert(buckets.toSeq == again.toSeq)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("decode stub: byte length, first byte, mod-997 checksum") {
+    val m = Multimodal.MediaRecord(7L, "abc".getBytes("UTF-8"), "text/plain", 3L)
+    val f = Multimodal.decodeStub(m)
+    assert(f.n_bytes == 3)
+    assert(f.first_byte == 'a'.toInt)
+    assert(f.checksum == (97 + 98 + 99) % 997)
+    assert(f.fake_label == f.checksum % 10)
+  }
+
+  test("decode over a Dataset preserves one row per record") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, Array[Byte](1, 2), "x", 2L),
+      Multimodal.MediaRecord(2L, Array[Byte](), "x", 0L)))
+    val got = Multimodal.decode(ds).collect().sortBy(_.doc_id)
+    assert(got.length == 2)
+    assert(got(1).first_byte == -1) // empty payload sentinel
+  }
+}
+
+class ExactSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cents scales 2-decimal measures to exact integers") {
+    // inputs are nearest-doubles of 2-decimal values (the only shape the
+    // data contains) plus a float-noise sum; both round unambiguously
+    val df = Seq(1.23, 100.0, 0.1 + 0.2, -7.5).toDF("x")
+    val got = df.select(graft.Exact.cents(col("x"))).as[Long].collect().toSeq
+    assert(got == Seq(123L, 10000L, 30L, -750L))
+  }
+}
