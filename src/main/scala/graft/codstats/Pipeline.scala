@@ -1,0 +1,55 @@
+package graft.codstats
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Model._
+
+/** End-to-end pipeline assembly (SURVEY.md §3 E1): landing JSON →
+  * normalize → derived views → report DataFrames → JSON report sink.
+  *
+  * The reference shells out one sqlite3 process per report
+  * (players × seasons × type); here every report family is one DataFrame,
+  * written once — `partitionBy(player_id)` on the series reports replaces
+  * the per-player loop.
+  */
+object Pipeline {
+
+  case class Context(spark: SparkSession, valid: DataFrame,
+                     players: Dataset[Player], modes: Dataset[GameMode],
+                     seasons: Dataset[Season], settings: Settings) {
+    lazy val stats: DataFrame = Reports.statsWz(valid, players, modes)
+  }
+
+  /** Build the context from raw per-match JSON documents. */
+  def fromRawJson(spark: SparkSession, raw: DataFrame,
+                  players: Dataset[Player], modes: Dataset[GameMode],
+                  seasons: Dataset[Season],
+                  settings: Settings = Settings()): Context = {
+    val valid = Normalize.validGames(Normalize.parse(raw), modes)
+    Context(spark, valid, players, modes, seasons, settings)
+  }
+
+  /** Write a report as single-file JSON (reference S7 sink shape:
+    * one JSON document per report, generate_lookup_data.sh:319-349).
+    * Small report DataFrames only — coalesce(1) is the point, not a
+    * bottleneck: every report here is already aggregated/top-k'd. */
+  def writeJsonReport(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+  /** Materialize the standard report set under `outDir`. */
+  def runReports(ctx: Context, outDir: String): Unit = {
+    val s = ctx.stats
+    writeJsonReport(Reports.leaderboards(s), s"$outDir/leaderboards")
+    writeJsonReport(Reports.recentMatches(s), s"$outDir/recent_matches")
+    writeJsonReport(Reports.recentSessions(s, ctx.settings), s"$outDir/recent_sessions")
+    writeJsonReport(Reports.seasonRollup(s, ctx.seasons), s"$outDir/season_rollup")
+    writeJsonReport(Normalize.unknownModes(ctx.valid, ctx.modes), s"$outDir/unknown_modes")
+    // per-player series: partitioned write replaces the per-player loop
+    val daily = Reports.perDay(s, ctx.settings)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+    Reports.timeSeries(daily)
+      .write.mode("overwrite").partitionBy("player_id")
+      .json(s"$outDir/time_series")
+  }
+}

@@ -1,0 +1,200 @@
+package graft.codstats
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Frames, RangeJoin, Sessionize, TopK}
+import Model._
+
+/** Derived layer + report queries — the Spark re-expression of the
+  * reference's analytical views (`parse_matches.sh:223-544`) and report
+  * generation (`generate_lookup_data.sh`). One DataFrame per report family;
+  * the reference's players × seasons × report-type loop of sqlite3
+  * subprocesses collapses into partitioned DataFrames written once
+  * (SURVEY.md §3 E1 "N-queries problem").
+  *
+  * At 100 TB: leaderboards are TakeOrderedAndProject (per-partition heaps,
+  * k rows to the driver); sessions/series shuffle once on player; team
+  * rollups shuffle once on game; the season range join broadcasts the
+  * 18-row dim.
+  */
+object Reports {
+
+  /** Tracked-stats view: core fact ⨝ players ⨝ tracked modes
+    * (vw_stats_wz, parse_matches.sh:223-278). */
+  def statsWz(valid: DataFrame, players: Dataset[Player],
+              modes: Dataset[GameMode]): DataFrame = {
+    val tracked = modes.filter(col("wz_track_stats")).select(col("id").as("game_mode_sub"))
+    valid
+      .filter(col("game_mode") === "wz")
+      .join(broadcast(tracked), Seq("game_mode_sub"), "left_semi")
+      .join(broadcast(players.toDF()), Seq("player_uno_id"))
+  }
+
+  private def corePlayers(stats: DataFrame): DataFrame =
+    stats.filter(col("is_core"))
+
+  /** Top-k leaderboard per metric over core players' games
+    * (generate_lookup_data.sh:101-315 — 12 metrics × LIMIT 10). */
+  def leaderboard(stats: DataFrame, metric: String, k: Int = 10): DataFrame =
+    TopK.global(
+      corePlayers(stats).select(col("player_id"), col("game_id"),
+        col("ended_at"), col(metric)),
+      k, desc(metric), col("player_id"), col("game_id"))
+
+  /** All standard leaderboards as one melted pass: metric → rows ranked
+    * <= k. One shuffle total instead of 12 scans. */
+  val leaderboardMetrics: Seq[String] = Seq(
+    "kills", "deaths", "kd_ratio", "damage_done", "damage_taken", "score",
+    "distance_traveled", "headshots", "caches_opened", "revives", "downs",
+    "vehicles_destroyed")
+
+  def leaderboards(stats: DataFrame, k: Int = 10): DataFrame = {
+    val melted = corePlayers(stats).select(
+      col("player_id"), col("game_id"), col("ended_at"),
+      explode(array(leaderboardMetrics.map(m =>
+        struct(lit(m).as("metric"), col(m).as("value"))): _*)).as("mv"))
+      .select(col("player_id"), col("game_id"), col("ended_at"),
+              col("mv.metric").as("metric"), col("mv.value").as("value"))
+    TopK.perGroup(melted, k, Seq(col("metric")),
+      Seq(desc("value"), col("player_id"), col("game_id")))
+  }
+
+  /** Sessions per player (2h gap, ordinal ids) + per-session stats
+    * (parse_matches.sh:298-376). */
+  def sessions(stats: DataFrame, settings: Settings = Settings()): DataFrame =
+    Sessionize.assign(stats, col("player_id"), col("ended_at"), col("game_id"),
+        settings.sessionGapSeconds)
+      .groupBy(col("player_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_games"),
+        min(col("ended_at")).as("session_start"),
+        max(col("ended_at")).as("session_end"),
+        sum(col("kills")).as("kills"),
+        sum(col("deaths")).as("deaths"),
+        sum(col("damage_done")).as("damage_done"),
+        sum(col("gulag_kills")).as("gulag_kills"),
+        sum(col("gulag_deaths")).as("gulag_deaths"),
+        max(col("kills")).as("max_kills"),
+        max(col("damage_done")).as("max_damage"),
+        sum(when(col("team_placement") === 1.0, 1L).otherwise(0L)).as("wins"),
+        sum(when(col("team_placement") <= 5.0, 1L).otherwise(0L)).as("top5"),
+        sum(when(col("team_placement") <= 10.0, 1L).otherwise(0L)).as("top10"))
+
+  /** Latest session per player (generate_lookup_data.sh:551-581). */
+  def recentSessions(stats: DataFrame, settings: Settings = Settings()): DataFrame =
+    TopK.perGroup(sessions(stats, settings), 1,
+      Seq(col("player_id")), Seq(desc("session_seq"))).drop("rank")
+
+  /** Recent N matches (generate_lookup_data.sh:514-549). */
+  def recentMatches(stats: DataFrame, n: Int = 15): DataFrame =
+    TopK.global(stats.select(col("player_id"), col("game_id"), col("ended_at"),
+      col("game_mode_sub"), col("kills"), col("deaths"), col("damage_done"),
+      col("team_placement")), n, desc("ended_at"), col("player_id"), col("game_id"))
+
+  /** Per-day rollup with monster/goose-egg flags
+    * (parse_matches.sh:472-534). */
+  def perDay(stats: DataFrame, settings: Settings = Settings()): DataFrame =
+    stats.groupBy(col("player_id"), to_date(col("ended_at")).as("day"))
+      .agg(
+        count(lit(1)).as("n_games"),
+        sum(col("kills")).as("kills"),
+        sum(col("deaths")).as("deaths"),
+        sum(col("damage_done")).as("damage_done"),
+        avg(col("kd_ratio")).as("avg_kd"),
+        avg(col("score_per_minute")).as("avg_spm"),
+        sum(when(col("kills") >= settings.monsterKills, 1L).otherwise(0L)).as("monsters"),
+        sum(when(col("kills") === 0.0, 1L).otherwise(0L)).as("gooseeggs"))
+
+  /** Team identity + per-team rollup (full teams only, > 1 shared game —
+    * parse_matches.sh:389-470). Deterministic roster key: sorted distinct
+    * player ids. */
+  def teamStats(stats: DataFrame): DataFrame = {
+    val perGame = stats.groupBy(col("game_id"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("player_id")))).as("team_key"),
+        count(lit(1)).as("n_players"),
+        sum(col("kills")).as("kills"),
+        sum(col("damage_done")).as("damage_done"),
+        min(col("team_placement")).as("team_placement"))
+    perGame.groupBy(col("team_key"), col("n_players"))
+      .agg(
+        count(lit(1)).as("n_games"),
+        round(avg(col("kills")), 2).as("avg_kills"),
+        round(avg(col("damage_done")), 2).as("avg_damage"),
+        max(col("kills")).as("max_kills"),
+        sum(when(col("team_placement") === 1.0, 1L).otherwise(0L)).as("wins"))
+      .filter(col("n_games") > 1)
+  }
+
+  /** Season×player rollup via the overlapping range join
+    * (generate_lookup_data.sh:590-633): per-season totals + guarded ratio
+    * metrics (K/D divides raw sums; Dmg/Kill truncates like SQLite's
+    * CAST AS int; gulag win% of decided gulags). */
+  def seasonRollup(stats: DataFrame, seasons: Dataset[Season]): DataFrame = {
+    val joined = RangeJoin.broadcastRange(stats, seasons.toDF(),
+      col("ended_at"), col("start_ts"), col("end_ts"))
+    joined.groupBy(col("player_id"), col("season_id"))
+      .agg(
+        count(lit(1)).as("n_games"),
+        sum(col("kills")).as("kills"),
+        sum(col("deaths")).as("deaths"),
+        sum(col("damage_done")).as("damage_done"),
+        sum(col("gulag_kills")).as("gulag_kills"),
+        sum(col("gulag_deaths")).as("gulag_deaths"),
+        sum(col("team_placement")).as("placement_sum"),
+        sum(col("number_of_teams")).as("teams_sum"))
+      .select(
+        col("player_id"), col("season_id"), col("n_games"), col("kills"),
+        col("deaths"), col("damage_done"),
+        round(col("kills") / when(col("deaths") === 0.0, lit(1.0))
+          .otherwise(col("deaths")), 2).as("kd"),
+        (col("damage_done") / when(col("kills") === 0.0, lit(1.0))
+          .otherwise(col("kills"))).cast("int").as("dmg_per_kill"),
+        when(col("gulag_kills") + col("gulag_deaths") === 0.0, lit(100))
+          .otherwise((lit(100.0) * col("gulag_kills") /
+            (col("gulag_kills") + col("gulag_deaths"))).cast("int"))
+          .as("gulag_win_pct"),
+        when(col("teams_sum") === 0L, lit(null).cast("double"))
+          .otherwise(lit(100.0) * col("placement_sum") / col("teams_sum"))
+          .as("avg_placement_pct"))
+  }
+
+  /** Per-season avg placement pivoted to category columns with 'N/A' fill
+    * (generate_lookup_data.sh:638-685). */
+  def placementPivot(stats: DataFrame, seasons: Dataset[Season],
+                     modes: Dataset[GameMode],
+                     categories: Seq[String]): DataFrame = {
+    val withCat = stats.join(
+      broadcast(modes.select(col("id").as("game_mode_sub"), col("category"))),
+      Seq("game_mode_sub"), "left")
+    val joined = RangeJoin.broadcastRange(withCat, seasons.toDF(),
+      col("ended_at"), col("start_ts"), col("end_ts"))
+    val agg = joined.groupBy(col("player_id"), col("season_id"))
+      .pivot("category", categories)
+      .agg(round(avg(col("team_placement")), 2))
+    agg.select(col("player_id") +: col("season_id") +: categories.map(c =>
+      coalesce(col(c).cast("string"), lit("N/A")).as(c)): _*)
+  }
+
+  /** Per-day (or per-game) time series with smoothed + cumulative frames
+    * and the client-side derived metrics computed server-side
+    * (generate_lookup_data.sh:734-868; index.js:19-135 statResolvers;
+    * zero-denominator guards per player.js:219 / index.js:631). */
+  def timeSeries(daily: DataFrame, ks: Seq[Int] = Seq(3, 7)): DataFrame = {
+    val framed = Frames.smoothedAndCumulative(
+      daily
+        .withColumn("kills_c", (col("kills") * 100).cast("long"))
+        .withColumn("deaths_c", (col("deaths") * 100).cast("long"))
+        .withColumn("damage_c", (col("damage_done") * 100).cast("long")),
+      col("player_id"), col("day"),
+      Seq("kills" -> col("kills_c"), "deaths" -> col("deaths_c"),
+          "damage" -> col("damage_c")),
+      ks, 100.0)
+    // cumulative K/D with the reference guard: deaths==0 => K/D = kills
+    framed.withColumn("kd_cum",
+      when(col("deaths_cum") === 0.0, col("kills_cum"))
+        .otherwise(col("kills_cum") / col("deaths_cum")))
+  }
+}

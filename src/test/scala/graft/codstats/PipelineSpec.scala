@@ -1,0 +1,158 @@
+package graft.codstats
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import Model._
+
+/** Golden end-to-end test of the match-stats domain pipeline: a small
+  * synthetic corpus exercises the business rules the reference encodes —
+  * gulag truth table, stimulus zeroing, quality filters, sessionization
+  * gap, team keys, leaderboards, season rollup guards, unknown-mode audit
+  * (SURVEY.md §5 consequence list). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(matchId: String, uno: String, endSec: Long, mode: String = "br_brtrios",
+                  kills: Double = 5, deaths: Double = 2, damageDone: Double = 1000,
+                  damageTaken: java.lang.Double = 500.0, gulagKills: Double = 0,
+                  gulagDeaths: Double = 0, placement: Double = 3, teams: Int = 30): String = {
+    val dt = if (damageTaken == null) "null" else damageTaken.toString
+    s"""{"matchID":"$matchId","utcStartSeconds":${endSec - 1200},"utcEndSeconds":$endSec,
+       |"gameType":"wz","mode":"$mode","playerCount":150,"teamCount":$teams,
+       |"player":{"uno":"$uno"},
+       |"playerStats":{"score":3000,"scorePerMinute":150.0,"kills":$kills,
+       |"deaths":$deaths,"damageDone":$damageDone,"damageTaken":$dt,
+       |"gulagKills":$gulagKills,"gulagDeaths":$gulagDeaths,
+       |"teamPlacement":$placement,"kdRatio":${kills / math.max(deaths, 1)},
+       |"distanceTraveled":4000.5,"headshots":2,
+       |"objectiveBrCacheOpen":3,"objectiveReviver":1,
+       |"objectiveBrDownEnemyCircle1":2,"objectiveBrDownEnemyCircle2":1,
+       |"objectiveBrDownEnemyCircle3":0,"objectiveBrDownEnemyCircle4":0,
+       |"objectiveBrDownEnemyCircle5":0,"objectiveBrDownEnemyCircle6":0,
+       |"objectiveDestroyedVehicleLight":1,"objectiveDestroyedVehicleMedium":0,
+       |"objectiveDestroyedVehicleHeavy":0}}""".stripMargin.replaceAll("\n", "")
+  }
+
+  private val t0 = 1590000000L // 2020-05-20T...Z, inside season s1
+
+  private lazy val ctx: Pipeline.Context = {
+    val docs = Seq(
+      // alice: two games 10 min apart (one session), then one 3h later (new session)
+      doc("m1", "uno-alice", t0, kills = 9, gulagKills = 2),          // monster + multi-gulag-kill
+      doc("m2", "uno-alice", t0 + 600, kills = 0, gulagDeaths = 3),   // gooseegg + multi-gulag-death
+      doc("m3", "uno-alice", t0 + 600 + 3 * 3600, kills = 4, placement = 1),
+      // bob shares m1 with alice (team of 2)
+      doc("m1", "uno-bob", t0, kills = 3, deaths = 0),
+      doc("m2", "uno-bob", t0 + 600, kills = 1),
+      // stimulus mode game: gulag must zero out; mode not tracked -> excluded from statsWz
+      doc("m4", "uno-alice", t0 + 7200, mode = "br_mini_rebirth", gulagKills = 1),
+      // unknown mode -> audit
+      doc("m5", "uno-alice", t0 + 9000, mode = "br_new_mode"),
+      // quality-filtered: deaths=0 AND damageTaken=0 (disconnect)
+      doc("m6", "uno-bob", t0 + 9600, deaths = 0, damageTaken = 0.0),
+      // quality-filtered: null damageTaken
+      doc("m7", "uno-bob", t0 + 9900, damageTaken = null),
+      // non-core player: excluded from leaderboards but present in teams
+      doc("m3", "uno-carol", t0 + 600 + 3 * 3600, kills = 11, placement = 1))
+    val raw = docs.toDF("json")
+    val players = Seq(
+      Player("uno-alice", "alice", is_core = true),
+      Player("uno-bob", "bob", is_core = true),
+      Player("uno-carol", "carol", is_core = false)).toDS()
+    val modes = seedGameModes.toDS()
+    val seasons = seedSeasons
+      .map { case (id, a, b) => Season(id,
+        java.sql.Timestamp.from(java.time.Instant.parse(a)),
+        java.sql.Timestamp.from(java.time.Instant.parse(b))) }.toDS()
+    Pipeline.fromRawJson(spark, raw, players, modes, seasons)
+  }
+
+  test("quality filters drop disconnects and null-damage rows") {
+    val ids = ctx.valid.select("game_id", "player_uno_id").as[(String, String)]
+      .collect().toSet
+    assert(!ids.contains(("m6", "uno-bob")) && !ids.contains(("m7", "uno-bob")))
+    assert(ids.size == 8) // 10 docs - 2 filtered
+  }
+
+  test("gulag truth table: multi-kill/death clamp to 1; stimulus zeroes") {
+    val g = ctx.valid.filter(col("player_uno_id") === "uno-alice")
+      .select("game_id", "gulag_kills", "gulag_deaths")
+      .as[(String, Double, Double)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(g("m1") == ((1.0, 0.0))) // gulagKills=2 -> (1,0)
+    assert(g("m2") == ((0.0, 1.0))) // gulagDeaths=3 -> (0,1)
+    assert(g("m4") == ((0.0, 0.0))) // stimulus mode forces (0,0)
+  }
+
+  test("derived folds: downs = sum of circle fields") {
+    val downs = ctx.valid.filter(col("game_id") === "m1" &&
+      col("player_uno_id") === "uno-alice").select("downs").as[Double].head()
+    assert(downs == 3.0)
+  }
+
+  test("statsWz keeps only tracked wz modes for known players") {
+    val modes = ctx.stats.select("game_mode_sub").distinct().as[String].collect().toSet
+    assert(modes == Set("br_brtrios")) // stimulus + unknown modes excluded
+  }
+
+  test("sessionization: 2h gap splits alice's games into two sessions") {
+    val s = Reports.sessions(ctx.stats).filter(col("player_id") === "alice")
+      .orderBy("session_seq")
+      .select("session_seq", "n_games", "wins").as[(Long, Long, Long)].collect().toSeq
+    assert(s == Seq((1L, 2L), (2L, 1L)).map { case (a, b) => (a, b, if (a == 2) 1L else 0L) })
+  }
+
+  test("leaderboards: core players only, correct winner per metric") {
+    val lb = Reports.leaderboards(ctx.stats)
+    val topKills = lb.filter(col("metric") === "kills" && col("rank") === 1)
+      .select("player_id", "value").as[(String, Double)].head()
+    assert(topKills == ("alice", 9.0)) // carol's 11 kills excluded (non-core)
+  }
+
+  test("team key is the sorted roster; shared games roll up") {
+    val teams = Reports.teamStats(ctx.stats)
+      .select("team_key", "n_games").as[(String, Long)].collect().toMap
+    assert(teams.contains("alice,bob") && teams("alice,bob") == 2L) // m1, m2
+  }
+
+  test("season rollup: K/D guard (deaths=0 => divide by 1) and gulag pct") {
+    val r = Reports.seasonRollup(ctx.stats, ctx.seasons)
+      .filter(col("player_id") === "alice" && col("season_id") === "s1")
+      .select("n_games", "kd", "gulag_win_pct").as[(Long, Double, Int)].head()
+    assert(r._1 == 3L)
+    // alice s1: kills 9+0+4=13, deaths 2+2+2=6 -> kd 2.17
+    assert(r._2 == 2.17)
+    // gulag: kills 1, deaths 1 -> 50%
+    assert(r._3 == 50)
+  }
+
+  test("overlapping 'lifetime' season multiplies: alice appears in s1 AND lifetime") {
+    val seasons = Reports.seasonRollup(ctx.stats, ctx.seasons)
+      .filter(col("player_id") === "alice").select("season_id").as[String].collect().toSet
+    assert(seasons == Set("s1", "lifetime"))
+  }
+
+  test("unknown-mode audit reports the unmapped mode with counts") {
+    val um = Normalize.unknownModes(ctx.valid, ctx.modes)
+      .select("game_mode_sub", "total_games").as[(String, Long)].collect().toSet
+    assert(um == Set(("br_new_mode", 1L)))
+  }
+
+  test("incremental guard drops already-ingested keys") {
+    val existing = Seq(("m1", "uno-alice")).toDF("game_id", "player_uno_id")
+    val fresh = Normalize.newGamesOnly(ctx.valid, existing)
+    assert(fresh.count() == ctx.valid.count() - 1)
+  }
+
+  test("time series: cumulative K/D uses the zero-deaths guard") {
+    val daily = Reports.perDay(ctx.stats)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+    val ts = Reports.timeSeries(daily)
+      .filter(col("player_id") === "bob").orderBy("day")
+      .select("kd_cum").as[Double].collect().toSeq
+    // bob: m1 (3 kills, 0 deaths), m2 (1 kill, 2 deaths) same day ->
+    // cum kills 4, cum deaths 2 -> 2.0
+    assert(ts == Seq(2.0))
+  }
+}
