@@ -59,7 +59,7 @@ object QueriesDedup {
     // shingle hashing and the cache materialization parallelize.
     val hs = d.repartition(Tables.shufflePartitions(s))
       .filter(length(col("text")) >= 13)
-      .select(col("doc_id"), expr(TextOps.shingleHashesExpr("text", 3)).as("hs"))
+      .select(col("doc_id"), expr("graft_shingle_hashes3(text)").as("hs"))
       .cache()
     // graft_minhash_bands: all 16 permutation minima in one native pass
     // (bit-identical to the composed TextOps.bandKeyExprs form — see
@@ -116,8 +116,13 @@ object QueriesDedup {
   private val nBits = 60
   private val q28: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
-    val toks = d.select(col("doc_id"),
-        explode(expr(s"array_distinct(transform(${TextOps.tokensExpr("text")}, t -> ${TextOps.hash60("t")}))")).as("h"))
+    // materialize the token-hash arrays before exploding (same pathology as
+    // q27/q29: explode over an expensive interpreted array child)
+    val hs = d.repartition(Tables.shufflePartitions(s))
+      .select(col("doc_id"),
+        expr(s"array_distinct(transform(${TextOps.tokensExpr("text")}, t -> ${TextOps.hash60("t")}))").as("hs"))
+      .cache()
+    val toks = hs.select(col("doc_id"), explode(col("hs")).as("h"))
     val sums = (0 until nBits).map(j =>
       sum(when(expr(s"(h >> $j) & 1") === 1, 1L).otherwise(-1L)).as(s"s$j"))
     val packed = (0 until nBits)
@@ -156,7 +161,7 @@ object QueriesDedup {
     // repartition first — single-file scan otherwise serializes the hashing.
     val hs = d.repartition(Tables.shufflePartitions(s))
       .select(col("doc_id"), col("n_chars"),
-        expr(TextOps.shingleHashesExpr("text", 3)).as("hs"))
+        expr("graft_shingle_hashes3(text)").as("hs"))
       .cache()
     val blocked = hs.select(col("doc_id"), col("n_chars"), col("hs"),
         explode(expr("array(CAST(n_chars DIV 16 AS BIGINT), CAST(n_chars DIV 16 AS BIGINT) + 1)")).as("blk"))

@@ -143,18 +143,14 @@ object QueriesText {
   // the distinct minima (standard winnowing: guarantees any >= 10-char
   // shared substring yields a shared fingerprint).
   private val q36: Q = (s, dir) => {
+    graft.functions.TextFunctions.register(s)
     val d = Tables.documents(s, dir).filter(length(col("text")) >= 13)
-    val hs = s"transform(sequence(1, length(text) - 6), i -> ${TextOps.hash60("substring(text, i, 7)")})"
-    val fps =
-      s"""array_distinct(transform(sequence(1, size(hs) - 3),
-         |  p -> least(element_at(hs, p), element_at(hs, p + 1),
-         |             element_at(hs, p + 2), element_at(hs, p + 3))))""".stripMargin
-    // materialize the fingerprint arrays (repartition: single-file scan;
-    // cache: explode over an expensive interpreted array child re-evaluates
-    // pathologically — from a cached column it is a plain generate)
+    // graft_winnow_7_4: one native pass (hash + window minima + distinct);
+    // TextOpsSpec asserts set equality with the composed HOF form. The
+    // repartition spreads the single-file scan; cache so explode reads
+    // materialized arrays.
     val mat = d.repartition(Tables.shufflePartitions(s))
-      .select(col("doc_id"), expr(hs).as("hs"))
-      .select(col("doc_id"), expr(fps).as("fps"))
+      .select(col("doc_id"), expr("graft_winnow_7_4(text)").as("fps"))
       .cache()
     mat.select(col("doc_id"), explode(col("fps")).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
@@ -242,7 +238,23 @@ object QueriesText {
        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
   }
 
+  // --- q40: approximate distinct (HLL++) vs exact — 100 TB additive op -------
+  // No DuckDB oracle (HLL sketches are engine-specific) -> driver records
+  // the weaker rows-only check; the exact column cross-checks plausibility.
+  private val q40: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+      .withColumn("err_pct",
+        round(lit(100.0) * abs(col("n_approx") - col("n_exact")) /
+          col("n_exact"), 2))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q40_approx_distinct" -> q40,
     "q33_lang_id" -> q33,
     "q34_quality_score" -> q34,
     "q35_token_stats" -> q35,

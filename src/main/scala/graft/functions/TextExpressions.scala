@@ -122,5 +122,115 @@ object TextFunctions {
       (c: Seq[Expression]) => SortedIntersectCount(c(0), c(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       (c: Seq[Expression]) => MinhashBandKeys(c(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes3",
+      (c: Seq[Expression]) => ShingleHashes(c(0), 3), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow_7_4",
+      (c: Seq[Expression]) => WinnowFingerprints(c(0), 7, 4), "built-in")
   }
+}
+
+/** Sorted distinct 60-bit MD5-prefix hashes of the word k-shingles of a
+  * text column — the whole `TextOps.shingleHashesExpr` chain (split →
+  * shingle concat → md5 → hex-prefix parse → distinct → sort) in one
+  * per-row eval with primitive arrays and a single reused MessageDigest.
+  *
+  * Bit-identical to the composed form (asserted by TextOpsSpec): tokens
+  * split on single spaces with trailing empties kept (Java split limit -1
+  * == Spark's split), shingles joined with ' ', hash = first 15 hex
+  * digits of MD5 == first 60 bits big-endian.
+  */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  private def hash60(s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.toString
+    val toks = text.split(" ", -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      set.add(hash60(sb.toString))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprints: distinct minima of every w-window over the
+  * rolling k-char-gram 60-bit hashes of a text column — the q36 chain in
+  * one eval. Returns the distinct minima SORTED (the consumer explodes and
+  * re-sorts, so order never reaches results). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  private def hash60(s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.toString
+    val nGrams = text.length - k + 1
+    val nWin = nGrams - w + 1
+    if (nWin <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) { hs(i) = hash60(text.substring(i, i + k)); i += 1 }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var p = 0
+    while (p < nWin) {
+      var m = hs(p)
+      var j = 1
+      while (j < w) { if (hs(p + j) < m) m = hs(p + j); j += 1 }
+      set.add(m)
+      p += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var q = 0
+    while (it.hasNext) { out(q) = it.next(); q += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
 }

@@ -45,6 +45,30 @@ class TextOpsSpec extends SparkSpec {
     assert(native == composed)
   }
 
+  test("native shingle hashes == composed array_sort/distinct/md5 form") {
+    TextFunctions.register(spark)
+    val df = onDoc("the quick brown fox jumps over the quick brown fox again")
+    val native = df.select(expr("graft_shingle_hashes3(text)").as("h"))
+      .as[Seq[Long]].head()
+    val composed = df.select(expr(TextOps.shingleHashesExpr("text", 3)).as("h"))
+      .as[Seq[Long]].head()
+    assert(native == composed)
+  }
+
+  test("native winnow fingerprints == composed rolling-hash window minima") {
+    TextFunctions.register(spark)
+    val df = onDoc("a quick brown fox jumps over the lazy dog")
+    val native = df.select(expr("graft_winnow_7_4(text)").as("f"))
+      .as[Seq[Long]].head().toSet
+    val hs = s"transform(sequence(1, length(text) - 6), i -> ${TextOps.hash60("substring(text, i, 7)")})"
+    val composed = df.select(expr(hs).as("hs"))
+      .select(expr("""array_distinct(transform(sequence(1, size(hs) - 3),
+        p -> least(element_at(hs, p), element_at(hs, p + 1),
+                   element_at(hs, p + 2), element_at(hs, p + 3))))""").as("f"))
+      .as[Seq[Long]].head().toSet
+    assert(native == composed && native.nonEmpty)
+  }
+
   test("sorted intersect count == size(array_intersect) on sorted inputs") {
     TextFunctions.register(spark)
     val df = Seq((Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L))).toDF("a", "b")
