@@ -308,7 +308,7 @@ object QueriesCore {
   private val q14Sql =
     """WITH t AS (
       |  SELECT l_orderkey,
-      |    string_agg(DISTINCT CAST(l_suppkey AS VARCHAR), ',' ORDER BY CAST(l_suppkey AS VARCHAR)) AS team_key
+      |    string_agg(DISTINCT CAST(l_suppkey AS VARCHAR), ',' ORDER BY l_suppkey) AS team_key
       |  FROM lineitem GROUP BY l_orderkey
       |)
       |SELECT team_key, CAST(COUNT(*) AS BIGINT) AS n_orders

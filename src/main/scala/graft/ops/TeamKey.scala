@@ -18,10 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object TeamKey {
 
-  /** Adds `team_key` = comma-joined sorted distinct member ids per group. */
+  /** Adds `team_key` = comma-joined numerically-sorted distinct member ids
+    * per group. Members stay numeric through the shuffle and the set —
+    * stringification happens once per GROUP after sorting, not once per
+    * row before it (collect_set of 8-byte longs beats a set of strings at
+    * every scale). */
   def teamKey(df: DataFrame, group: Column, member: Column): DataFrame =
     df.groupBy(group)
       .agg(
-        concat_ws(",", sort_array(collect_set(member.cast("string")))).as("team_key"),
+        concat_ws(",",
+          transform(sort_array(collect_set(member)), m => m.cast("string")))
+          .as("team_key"),
         count(lit(1)).as("n_members"))
 }
