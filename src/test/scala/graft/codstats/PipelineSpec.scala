@@ -145,6 +145,15 @@ class PipelineSpec extends SparkSpec {
     assert(fresh.count() == ctx.valid.count() - 1)
   }
 
+  test("placement pivot fills absent categories with N/A") {
+    val p = Reports.placementPivot(ctx.stats, ctx.seasons, ctx.modes,
+        Seq("wz_trios", "wz_quads"))
+      .filter(col("player_id") === "alice" && col("season_id") === "s1")
+      .select("wz_trios", "wz_quads").as[(String, String)].head()
+    // alice s1 trios placements: 3, 3, 1 -> avg 2.33; no quads games
+    assert(p == ("2.33", "N/A"))
+  }
+
   test("time series: cumulative K/D uses the zero-deaths guard") {
     val daily = Reports.perDay(ctx.stats)
       .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))

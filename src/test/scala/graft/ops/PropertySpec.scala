@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property-based invariants (SURVEY.md §5.4) over seeded random cases:
+  * sessionization partitions events exactly (count = qualifying gaps + 1);
+  * global top-k is a prefix of the full sort for any k; cumulative sums
+  * are monotone for non-negative measures; team keys are input-order
+  * independent. Deterministic seeds keep the suite reproducible. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cases[A](seed: Int, n: Int)(mk: scala.util.Random => A): Seq[A] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map(_ => mk(rnd))
+  }
+
+  test("sessionize: every event in exactly one session; count = gaps + 1") {
+    cases(1, 8) { rnd =>
+      (1 to (1 + rnd.nextInt(40))).map(_ => rnd.nextLong(100000L)).toList
+    }.foreach { ts =>
+      val sorted = ts.sorted
+      val gap = 500L
+      val df = sorted.zipWithIndex.map { case (t, i) =>
+        (1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t)), i.toLong)
+      }.toDF("uid", "ts", "eid")
+      val seqs = Sessionize.assign(df, col("uid"), col("ts"), col("eid"), gap)
+        .select("session_seq").as[Long].collect().toSeq
+      val expectedSessions = 1 + sorted.sliding(2).count {
+        case List(a, b) => b - a >= gap
+        case _          => false
+      }
+      assert(seqs.length == ts.length)
+      assert(seqs.max == expectedSessions && seqs.min == 1L)
+    }
+  }
+
+  test("global top-k == prefix of full sort, for any k") {
+    cases(2, 8) { rnd =>
+      val vs = (1 to (1 + rnd.nextInt(60))).map(_ => rnd.nextLong(2000L) - 1000L)
+      (vs, 1 + rnd.nextInt(20))
+    }.foreach { case (vs, k) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val top = TopK.global(df, k, desc("v"), col("id"))
+        .select("id").as[Long].collect().toSeq
+      val full = df.orderBy(desc("v"), col("id"))
+        .select("id").as[Long].collect().take(k).toSeq
+      assert(top == full)
+    }
+  }
+
+  test("cumulative frame is monotone non-decreasing for non-negative measures") {
+    cases(3, 6) { rnd =>
+      (1 to (1 + rnd.nextInt(40))).map(_ => rnd.nextLong(10000L))
+    }.foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (1L, f"d$i%05d", v) }
+        .toDF("uid", "day", "cents")
+      val cums = Frames.smoothedAndCumulative(df, col("uid"), col("day"),
+          Seq("v" -> col("cents")), Seq(3), 1.0)
+        .orderBy("day").select("v_cum").as[Double].collect().toSeq
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+      assert(math.abs(cums.last - vs.map(_.toDouble).sum) < 1e-6)
+    }
+  }
+
+  test("team key is invariant under input permutation") {
+    cases(4, 6) { rnd =>
+      val members = (1 to (1 + rnd.nextInt(30))).map(_ => 1L + rnd.nextInt(50)).toList
+      (members, new scala.util.Random(rnd.nextInt()).shuffle(members))
+    }.foreach { case (members, shuffled) =>
+      val a = members.map((1L, _)).toDF("g", "m")
+      val b = shuffled.map((1L, _)).toDF("g", "m")
+      val ka = TeamKey.teamKey(a, col("g"), col("m")).select("team_key").as[String].head()
+      val kb = TeamKey.teamKey(b, col("g"), col("m")).select("team_key").as[String].head()
+      assert(ka == kb)
+      assert(ka.split(",").map(_.toLong).toSeq == members.distinct.sorted)
+    }
+  }
+}
