@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Physical-plan assertions: the scale-critical plan properties claimed in
+  * the operator Scaladoc must actually hold — dims broadcast, scans prune
+  * to the referenced columns, global top-k compiles to
+  * TakeOrderedAndProject (per-partition heaps, no full sort), window
+  * dedup uses the rank-limit pushdown. Runs on sf0.001 (plan shape is
+  * scale-independent). */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(SimpleMode)
+  }
+
+  test("q03 star join broadcasts the dimension sides") {
+    val p = plan("q03_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q01 scan prunes to the five referenced lineitem columns") {
+    val p = plan("q01_pricing_summary")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_quantity") && read.contains("l_returnflag"))
+    assert(!read.contains("l_comment") && !read.contains("l_shipmode"))
+  }
+
+  test("q02 global top-k is TakeOrderedAndProject, not a full sort") {
+    assert(plan("q02_topk_customers").contains("TakeOrderedAndProject"))
+  }
+
+  test("q10 per-group top-1 uses the window-group-limit pushdown") {
+    assert(plan("q10_latest_per_user").contains("WindowGroupLimit"))
+  }
+
+  test("q15 anti join and q16 semi join plan as such") {
+    assert(plan("q15_anti_join").contains("LeftAnti"))
+    assert(plan("q16_semi_join").contains("LeftSemi"))
+  }
+
+  test("q01 aggregates partially before the exchange (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_"))
+  }
+
+  test("q31 broadcasts the query-vector side") {
+    assert(plan("q31_cosine_topk").contains("BroadcastNestedLoopJoin") ||
+           plan("q31_cosine_topk").contains("BroadcastHashJoin"))
+  }
+}
