@@ -111,11 +111,75 @@ object QueriesSimilarity {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // --- q41: IVF-style ANN — probe the 2 nearest centroid cells ---------------
+  // Deterministic pseudo-centroids stand in for offline k-means (see
+  // VectorOps.centroids); cell = cosine-argmax centroid, queries probe
+  // nprobe=2 cells. At scale the cell id is the table partition key, so
+  // probing prunes the scan to 2/NCells of the corpus.
+  private val NCells = 8
+  private val q41: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    val em = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
+      .withColumn("nrm", expr(VectorOps.normExpr("v")))
+    val scoreCols = VectorOps.centroidScoreExprs("v", NCells, Dim)
+      .zipWithIndex.map { case (e, i) => expr(e).as(s"s$i") }
+    val withCell = em.select(col("vec_id") +: col("v") +: col("nrm") +: scoreCols: _*)
+      .withColumn("cell", expr(VectorOps.argmaxCase(NCells)))
+    val corpus = withCell.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val probes = withCell.filter(col("vec_id") < NQueries)
+      .withColumn("cell2", expr(VectorOps.argmaxCase(NCells, Some("cell"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+              col("nrm").as("qn"),
+              explode(array(col("cell"), col("cell2"))).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    corpus.join(broadcast(probes), Seq("cell"))
+      .withColumn("cosine",
+        expr(VectorOps.fastDot("qv", "v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              col("cell"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q41Sql = {
+    val X = VectorOps.sql
+    val scores = X.centroidScores("embedding", NCells, Dim)
+      .zipWithIndex.map { case (e, i) => s"$e AS s$i" }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding AS v, ${X.norm("embedding")} AS nrm,
+       |$scores
+       |  FROM embeddings
+       |), c1 AS (
+       |  SELECT *, ${VectorOps.argmaxCase(NCells)} AS cell FROM e
+       |), probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+       |    unnest([cell, ${VectorOps.argmaxCase(NCells, Some("cell"))}]) AS cell
+       |  FROM c1 WHERE vec_id < $NQueries
+       |), corpus AS (
+       |  SELECT vec_id, v, nrm, cell FROM c1 WHERE vec_id >= $NQueries
+       |), scored AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id, c.cell,
+       |    ${X.dot("p.qv", "c.v")} / (p.qn * c.nrm) AS cosine
+       |  FROM probes p JOIN corpus c ON c.cell = p.cell
+       |), ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER
+       |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cell, cosine, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_cosine_topk" -> q31,
-    "q32_ann_lsh_bucket" -> q32)
+    "q32_ann_lsh_bucket" -> q32,
+    "q41_ann_ivf_probe" -> q41)
 
   val oracleSql: Map[String, String] = Map(
     "q31_cosine_topk" -> q31Sql,
-    "q32_ann_lsh_bucket" -> q32Sql)
+    "q32_ann_lsh_bucket" -> q32Sql,
+    "q41_ann_ivf_probe" -> q41Sql)
 }

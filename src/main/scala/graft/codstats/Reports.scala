@@ -61,6 +61,19 @@ object Reports {
       Seq(desc("value"), col("player_id"), col("game_id")))
   }
 
+  /** Leaderboards shaped as one JSON document per metric (the reference's
+    * json_group_array report sink, generate_lookup_data.sh:319-349).
+    * Determinism: entries carried as rank-first structs and array-sorted
+    * before serialization — collect_list order alone is
+    * partition-dependent (SURVEY §7.5.3). */
+  def leaderboardsJson(stats: DataFrame, k: Int = 10): DataFrame =
+    leaderboards(stats, k)
+      .groupBy(col("metric"))
+      .agg(collect_list(struct(col("rank"), col("player_id"), col("game_id"),
+        col("value"))).as("entries"))
+      .select(col("metric"),
+        to_json(sort_array(col("entries"))).as("top_json"))
+
   /** Sessions per player (2h gap, ordinal ids) + per-session stats
     * (parse_matches.sh:298-376). */
   def sessions(stats: DataFrame, settings: Settings = Settings()): DataFrame =

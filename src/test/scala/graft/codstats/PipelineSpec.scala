@@ -110,6 +110,14 @@ class PipelineSpec extends SparkSpec {
     assert(topKills == ("alice", 9.0)) // carol's 11 kills excluded (non-core)
   }
 
+  test("leaderboard JSON documents are rank-ordered") {
+    val js = Reports.leaderboardsJson(ctx.stats)
+      .filter(col("metric") === "kills").select("top_json").as[String].head()
+    val ranks = """"rank":(\d+)""".r.findAllMatchIn(js).map(_.group(1).toInt).toSeq
+    assert(ranks == ranks.sorted && ranks.nonEmpty)
+    assert(js.indexOf("alice") >= 0 && js.indexOf("alice") < js.indexOf("bob"))
+  }
+
   test("team key is the sorted roster; shared games roll up") {
     val teams = Reports.teamStats(ctx.stats)
       .select("team_key", "n_games").as[(String, Long)].collect().toMap
