@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{TextOps, VectorOps}
+import graft.ops.{NearDup, TextOps, VectorOps}
 
 /** Deduplication operator family — the core large-scale training-data
   * pipeline extension beyond the reference's own surface (SURVEY.md §7.2
@@ -49,40 +49,14 @@ object QueriesDedup {
   // → exact Jaccard verify >= 0.5. The LSH join is the 100 TB path: candidate
   // generation is a shuffle on (band, key), never all-pairs.
   private val q27: Q = (s, dir) => {
-    graft.functions.TextFunctions.register(s)
     val d = Tables.documents(s, dir)
-    // cache: hs feeds the band signatures AND both sides of the verify join
-    // — without it the md5 shingle-hashing lineage is recomputed three
-    // times. On a cluster this would be a persisted/checkpointed
-    // intermediate.
-    // repartition the (single-file ⇒ single-partition) scan first so the
-    // shingle hashing and the cache materialization parallelize.
-    val hs = d.repartition(Tables.shufflePartitions(s))
-      .filter(length(col("text")) >= 13)
-      .select(col("doc_id"), expr("graft_shingle_hashes3(text)").as("hs"))
+    // library operator (ops/NearDup); the hash arrays are cached because
+    // they feed the band signatures AND both sides of the verify join, and
+    // the single-file scan is repartitioned so hashing parallelizes.
+    val hashed = NearDup
+      .shingleHashed(d.repartition(Tables.shufflePartitions(s)), "doc_id", "text")
       .cache()
-    // graft_minhash_bands: all 16 permutation minima in one native pass
-    // (bit-identical to the composed TextOps.bandKeyExprs form — see
-    // MinhashSpec); posexplode position == band index.
-    val sig = hs.select(col("doc_id"),
-        posexplode(expr("graft_minhash_bands(hs)")).as(Seq("band", "key")))
-    // distinct over (doc_a, doc_b) only — small fixed-width keys; the big
-    // shingle arrays are joined back AFTER dedup so they never shuffle
-    // through the distinct.
-    val cand = sig.as("x").join(sig.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val a = hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-    val b = hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-    cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("n_inter", expr("graft_sorted_intersect(hs_a, hs_b)"))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (size(col("hs_a")) + size(col("hs_b")) - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    NearDup.pairs(hashed, 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
   private val q27Sql = {

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** MinHash + LSH near-duplicate detection as a reusable library operator —
+  * the scale path for corpus dedup (candidate generation is an equi-join
+  * on band keys, never all-pairs).
+  *
+  * Pipeline: word-3-shingle 60-bit hashes per doc (native
+  * `graft_shingle_hashes3`) → 16-permutation MinHash packed into 8 band
+  * keys of 2 rows (`graft_minhash_bands`, the standard S-curve for a
+  * ~0.5 Jaccard threshold) → band-key self-join → exact Jaccard verify
+  * with the two-pointer `graft_sorted_intersect`.
+  *
+  * At 100 TB: the hash arrays are computed once and persisted (caller
+  * caches or checkpoints `hashed`); the self-join shuffles only
+  * (doc_id, band, key) triples; candidate dedup happens on small
+  * fixed-width pairs BEFORE the arrays are joined back for verification.
+  */
+object NearDup {
+
+  /** (id, hs) — sorted distinct shingle hashes per doc. Caller should
+    * repartition a single-file scan first and cache the result. */
+  def shingleHashed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    TextFunctions.register(docs.sparkSession)
+    docs.filter(length(col(textCol)) >= 13)
+      .select(col(idCol).as("doc_id"),
+              expr(s"graft_shingle_hashes3($textCol)").as("hs"))
+  }
+
+  /** Near-dup pairs with exact Jaccard >= `threshold` among LSH candidates. */
+  def pairs(hashed: DataFrame, threshold: Double): DataFrame = {
+    TextFunctions.register(hashed.sparkSession)
+    val sig = hashed.select(col("doc_id"),
+      posexplode(expr("graft_minhash_bands(hs)")).as(Seq("band", "key")))
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = hashed.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = hashed.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("n_inter", expr("graft_sorted_intersect(hs_a, hs_b)"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Survivor selection: connected near-dup pairs → keep the lowest id per
+    * duplicate group (single-link one-hop union: a doc is dropped if any
+    * near-dup with a lower id exists — the standard greedy dedup rule;
+    * full transitive closure would need iterative connected components). */
+  def survivors(docs: DataFrame, id: Column, nearDupPairs: DataFrame): DataFrame =
+    docs.join(nearDupPairs.select(col("doc_b").as("drop_id")).distinct(),
+      id === col("drop_id"), "left_anti")
+}

@@ -77,6 +77,11 @@ class TextOpsSpec extends SparkSpec {
     assert(native == 2L && native == builtin)
   }
 
+  test("GraftExtensions registers all native functions via the extensions API") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext) // must not throw
+  }
+
   test("empty-overlap and identical arrays") {
     TextFunctions.register(spark)
     val df = Seq(
