@@ -200,10 +200,14 @@ object QueriesText {
   // value, first occurrence per user.
   private val q38: Q = (s, dir) => {
     val e = Tables.events(s, dir)
-    val wMax = Window.partitionBy(col("event_type"))
+    // per-type max via groupBy + broadcast join, NOT an unbounded window
+    // partitioned by event_type — a handful of type keys would funnel the
+    // whole table through a handful of window reducers at scale; the
+    // aggregate is map-side combined and the join side is tiny.
+    val maxes = e.groupBy(col("event_type")).agg(max(col("value")).as("vmax"))
     val wFirst = Window.partitionBy(col("event_type"), col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    e.withColumn("vmax", max(col("value")).over(wMax))
+    e.join(broadcast(maxes), Seq("event_type"))
       .filter(col("value") === col("vmax"))
       .withColumn("rn", row_number().over(wFirst))
       .filter(col("rn") === 1)
