@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Streaming gap-based sessionization with ORDINAL session ids — the
   * Structured Streaming twin of [[graft.ops.Sessionize]].
@@ -88,5 +89,51 @@ object StreamSessionize {
       catch { case _: UnsupportedOperationException => () }
     }
     closed.result().iterator
+  }
+
+  /** The same sessionization on the modern `transformWithState` API
+    * (Spark 4 StatefulProcessor). Unlike FlatMapGroupsWithStateExec, the
+    * TransformWithStateExec operator plans cleanly in this environment, so
+    * this variant carries the streaming e2e coverage. State shape and
+    * transition rules are identical to [[flatMapFn]]. */
+  class SessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+
+    @transient private var st: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[Session] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts_us, e.value_cents))
+      var cur = if (st.exists()) st.get() else null
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        if (cur == null) {
+          cur = SessionState(e.ts_us, 1L, 1L, e.ts_us, e.value_cents)
+        } else if (e.ts_us - cur.lastTsUs >= gapUs) {
+          closed += Session(userId, cur.seq, cur.nEvents, cur.startUs,
+            cur.lastTsUs, cur.sumCents)
+          cur = SessionState(e.ts_us, cur.seq + 1L, 1L, e.ts_us, e.value_cents)
+        } else {
+          cur = SessionState(e.ts_us, cur.seq, cur.nEvents + 1L, cur.startUs,
+            cur.sumCents + e.value_cents)
+        }
+      }
+      if (cur != null) st.update(cur)
+      closed.result().iterator
+    }
+  }
+
+  /** transformWithState-based sessionize (no timers: the final open session
+    * stays open until its successor arrives — batch-equivalent). */
+  def sessionizeTws(events: Dataset[Event], gapUs: Long): Dataset[Session] = {
+    implicit val se = Encoders.product[Session]
+    implicit val le = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapUs),
+        TimeMode.None(), OutputMode.Append())
   }
 }

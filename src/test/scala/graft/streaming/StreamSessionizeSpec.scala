@@ -8,11 +8,13 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
 import graft.SparkSpec
 import StreamSessionize._
 
-/** Streaming sessionization (SURVEY.md §2.9): the transition function is
-  * unit-tested via TestGroupState and batch-mode flatMapGroupsWithState;
-  * the streaming engine is e2e-tested via a watermarked session_window
-  * aggregation over MemoryStream (see the in-test note on why the
-  * FlatMapGroupsWithStateExec streaming operator itself can't run here). */
+/** Streaming sessionization (SURVEY.md §2.9): the flatMapGroupsWithState
+  * transition function is unit-tested via TestGroupState and batch mode;
+  * streaming ordinal sessionization is e2e-tested through the modern
+  * transformWithState operator (RocksDB state store), and gap windows
+  * through a watermarked session_window aggregation — both over
+  * MemoryStream. (FlatMapGroupsWithStateExec itself cannot stream in this
+  * environment — see the in-test note.) */
 class StreamSessionizeSpec extends SparkSpec {
 
   private val GapUs = 7200L * 1000000L
@@ -59,6 +61,36 @@ class StreamSessionizeSpec extends SparkSpec {
       .collect().toSeq.sortBy(s => (s.user_id, s.session_seq))
     // only sessions CLOSED by a successor appear (no timeout in batch)
     assert(got == Seq(Session(1L, 1L, 2L, 0L, 1000000L, 30L)))
+  }
+
+  test("transformWithState e2e: streaming ordinal sessions over MemoryStream") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires a multi-column-family state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val q = sessionizeTws(mem.toDS(), GapUs)
+      .writeStream.format("memory").queryName("sess_tws")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1L, 0L, 10L), Event(1L, 1000000L, 20L), Event(2L, 0L, 5L))
+      q.processAllAvailable()
+      // user 1 jumps the gap twice across two batches -> sessions 1, 2 close
+      mem.addData(Event(1L, GapUs + 1000000L, 30L))
+      q.processAllAvailable()
+      mem.addData(Event(1L, 2L * GapUs + 2000000L, 40L))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM sess_tws ORDER BY user_id, session_seq")
+        .as[Session].collect().toSeq
+      assert(got == Seq(
+        Session(1L, 1L, 2L, 0L, 1000000L, 30L),
+        Session(1L, 2L, 1L, GapUs + 1000000L, GapUs + 1000000L, 30L)))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("streaming session_window e2e: watermarked gap sessions over MemoryStream") {
