@@ -191,6 +191,47 @@ object Reports {
       coalesce(col(c).cast("string"), lit("N/A")).as(c)): _*)
   }
 
+  /** Per-game series with smoothed + cumulative frames — the by-game twin
+    * of [[timeSeries]] (generate_lookup_data.sh:827-868: smoothed_10/25
+    * over games in play order). */
+  def gameSeries(stats: DataFrame, ks: Seq[Int] = Seq(10, 25)): DataFrame = {
+    val framed = Frames.smoothedAndCumulative(
+      stats
+        .withColumn("kills_c", (col("kills") * 100).cast("long"))
+        .withColumn("deaths_c", (col("deaths") * 100).cast("long"))
+        .withColumn("damage_c", (col("damage_done") * 100).cast("long")),
+      col("player_id"), col("ended_at"),
+      Seq("kills" -> col("kills_c"), "deaths" -> col("deaths_c"),
+          "damage" -> col("damage_c")),
+      ks, 100.0)
+    framed.withColumn("kd_cum",
+      when(col("deaths_cum") === 0.0, col("kills_cum"))
+        .otherwise(col("kills_cum") / col("deaths_cum")))
+  }
+
+  /** Lifetime per-metric records with the reference's tie semantics
+    * (index.js:408-418, SURVEY §2.6 T5): every player tied at the metric
+    * maximum is a record holder, deduped to each holder's first occurrence.
+    * Per-metric max via broadcast (never an unbounded window over a
+    * handful of metric keys). */
+  def records(stats: DataFrame, metrics: Seq[String] = leaderboardMetrics): DataFrame = {
+    val melted = corePlayers(stats).select(
+      col("player_id"), col("game_id"), col("ended_at"),
+      explode(array(metrics.map(m =>
+        struct(lit(m).as("metric"), col(m).as("value"))): _*)).as("mv"))
+      .select(col("player_id"), col("game_id"), col("ended_at"),
+              col("mv.metric").as("metric"), col("mv.value").as("value"))
+    val maxes = melted.groupBy(col("metric")).agg(max(col("value")).as("vmax"))
+    val wFirst = Window.partitionBy(col("metric"), col("player_id"))
+      .orderBy(col("ended_at"), col("game_id"))
+    melted.join(broadcast(maxes), Seq("metric"))
+      .filter(col("value") === col("vmax"))
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .select(col("metric"), col("player_id"), col("value"),
+              col("game_id"), col("ended_at"))
+  }
+
   /** Per-day (or per-game) time series with smoothed + cumulative frames
     * and the client-side derived metrics computed server-side
     * (generate_lookup_data.sh:734-868; index.js:19-135 statResolvers;

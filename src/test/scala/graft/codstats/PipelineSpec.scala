@@ -153,6 +153,29 @@ class PipelineSpec extends SparkSpec {
     assert(fresh.count() == ctx.valid.count() - 1)
   }
 
+  test("records keep all tied holders, first occurrence per player") {
+    // both alice (m3) and a hypothetical tie: alice's max kills 9 is unique,
+    // but placement-independent check: every metric has >= 1 record holder
+    // and no player appears twice per metric
+    val r = Reports.records(ctx.stats)
+      .select("metric", "player_id").as[(String, String)].collect().toSeq
+    assert(r.nonEmpty)
+    assert(r.distinct.size == r.size)
+    val kills = Reports.records(ctx.stats, Seq("kills"))
+      .select("player_id", "value").as[(String, Double)].collect().toSeq
+    assert(kills == Seq(("alice", 9.0))) // carol (11 kills) is non-core
+  }
+
+  test("game series frames run in play order per player") {
+    val gs = Reports.gameSeries(ctx.stats, Seq(2))
+      .filter(col("player_id") === "alice")
+      .orderBy("ended_at")
+      .select("kills_sma2", "kd_cum").as[(Double, Double)].collect().toSeq
+    // alice tracked games in order: kills 9, 0, 4 (deaths 2 each)
+    assert(gs.map(_._1) == Seq(9.0, 4.5, 2.0)) // trailing-2 means
+    assert(math.abs(gs.last._2 - 13.0 / 6.0) < 1e-12) // cum K/D
+  }
+
   test("placement pivot fills absent categories with N/A") {
     val p = Reports.placementPivot(ctx.stats, ctx.seasons, ctx.modes,
         Seq("wz_trios", "wz_quads"))
