@@ -185,6 +185,22 @@ class PipelineSpec extends SparkSpec {
     assert(p == ("2.33", "N/A"))
   }
 
+  test("runReports writes every report family as readable JSON") {
+    val out = java.nio.file.Files.createTempDirectory("graft_reports").toString
+    Pipeline.runReports(ctx, out)
+    for (r <- Seq("leaderboards", "recent_matches", "recent_sessions",
+                  "season_rollup", "unknown_modes", "time_series")) {
+      val df = spark.read.json(s"$out/$r")
+      assert(df.count() > 0, s"report $r is empty")
+    }
+    // per-player series is partitioned by player_id (replaces the
+    // reference's per-player query loop)
+    val parts = new java.io.File(s"$out/time_series").listFiles()
+      .filter(_.getName.startsWith("player_id=")).map(_.getName).toSet
+    // carol is non-core: excluded from leaderboards but present in series
+    assert(parts == Set("player_id=alice", "player_id=bob", "player_id=carol"))
+  }
+
   test("time series: cumulative K/D uses the zero-deaths guard") {
     val daily = Reports.perDay(ctx.stats)
       .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))

@@ -40,3 +40,28 @@ class NearDupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L)) // 2 dropped as dup of 1
   }
 }
+
+/** Embedding-space near-dup: same-bucket LSH candidates + exact cosine. */
+class VectorNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("finds a planted near-identical vector pair and keeps the survivor") {
+    val rnd = new scala.util.Random(5)
+    val base = Seq.fill(64)(rnd.nextFloat())
+    val nearDup = base.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.001f else x }
+    val others = (3L to 30L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Seq.fill(64)(r.nextFloat() - 0.5f))
+    }
+    val vecs = (Seq((1L, base), (2L, nearDup)) ++ others).toDF("vec_id", "embedding")
+    val prep = VectorNearDup.prepared(vecs, "vec_id", "embedding", 8, 64).cache()
+    val got = VectorNearDup.pairs(prep, 0.999)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L))) // near-identical vectors share every sign bit
+    val kept = VectorNearDup.survivors(vecs, col("vec_id"),
+        VectorNearDup.pairs(prep, 0.999))
+      .select("vec_id").as[Long].collect().toSet
+    assert(!kept.contains(2L) && kept.contains(1L) && kept.size == 29)
+  }
+}
