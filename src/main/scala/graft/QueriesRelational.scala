@@ -227,7 +227,66 @@ object QueriesRelational {
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  // --- q42: ROLLUP subtotals (additive beyond the reference — no grouping
+  // sets exist there, SURVEY §2.4 note). NULL rollup keys are coalesced to
+  // a sentinel on both engines (data contains no real NULL names).
+  private val q42: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(Exact.sumMoney(col("o_totalprice")).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+        col("revenue"), col("n_orders"))
+      .orderBy(col("nation"), col("segment"))
+  }
+  private val q42Sql =
+    s"""SELECT COALESCE(n_name, '(all)') AS nation,
+       |  COALESCE(c_mktsegment, '(all)') AS segment,
+       |  ${X.sumMoney("o_totalprice")} AS revenue,
+       |  CAST(COUNT(*) AS BIGINT) AS n_orders
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY ROLLUP(n_name, c_mktsegment)
+       |ORDER BY nation, segment""".stripMargin
+
+  // --- q43: ntile quartiles over a total order (window bucketing) ------------
+  // A global ntile is inherently a single-ordered-pass op (fine here; the
+  // row count is bench-scale). The 100 TB path computes approximate cut
+  // points first (approx_percentile) and bucket-assigns map-side — exact
+  // ntile at that scale is the wrong tool and is NOT what this query
+  // claims to scale to.
+  private val q43: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    o.withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"),
+           Exact.sumMoney(col("o_totalprice")).as("revenue"),
+           min(col("o_totalprice")).as("min_price"),
+           max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("quartile"))
+  }
+  private val q43Sql =
+    s"""WITH t AS (
+       |  SELECT *, CAST(NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS quartile
+       |  FROM orders
+       |)
+       |SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${X.sumMoney("o_totalprice")} AS revenue,
+       |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+       |FROM t GROUP BY quartile ORDER BY quartile""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q42_rollup_revenue" -> q42,
+    "q43_ntile_quartiles" -> q43,
     "q15_anti_join" -> q15,
     "q16_semi_join" -> q16,
     "q17_json_extract" -> q17,
@@ -241,6 +300,8 @@ object QueriesRelational {
     "q25_unknown_audit" -> q25)
 
   val oracleSql: Map[String, String] = Map(
+    "q42_rollup_revenue" -> q42Sql,
+    "q43_ntile_quartiles" -> q43Sql,
     "q15_anti_join" -> q15Sql,
     "q16_semi_join" -> q16Sql,
     "q17_json_extract" -> q17Sql,
