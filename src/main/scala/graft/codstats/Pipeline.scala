@@ -45,10 +45,17 @@ object Pipeline {
     writeJsonReport(Reports.recentSessions(s, ctx.settings), s"$outDir/recent_sessions")
     writeJsonReport(Reports.seasonRollup(s, ctx.seasons), s"$outDir/season_rollup")
     writeJsonReport(Normalize.unknownModes(ctx.valid, ctx.modes), s"$outDir/unknown_modes")
-    // per-player series: partitioned write replaces the per-player loop
+    // per-player series: partitioned write replaces the per-player loop.
+    // Output keys follow the reference's report contract, INCLUDING its
+    // literal "cumalative" [sic] spelling (generate_lookup_data.sh:762,855;
+    // SURVEY §7.1) — downstream consumers of the original files key on it.
     val daily = Reports.perDay(s, ctx.settings)
       .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
     Reports.timeSeries(daily)
+      .withColumnRenamed("kd_cum", "cumalative_kd")
+      .withColumnRenamed("kills_cum", "cumalative_kills")
+      .withColumnRenamed("deaths_cum", "cumalative_deaths")
+      .withColumnRenamed("damage_cum", "cumalative_damage")
       .write.mode("overwrite").partitionBy("player_id")
       .json(s"$outDir/time_series")
   }

@@ -141,6 +141,51 @@ object Reports {
       .filter(col("n_games") > 1)
   }
 
+  /** Longest gulag win/loss streaks, top-k (generate_lookup_data.sh:
+    * 356-414, SURVEY §2.5 W6): only DECIDED gulags participate
+    * (gulag_kills=1 or gulag_deaths=1 — reference :368,381); a streak is a
+    * maximal run of equal outcomes per player in play order. */
+  def gulagStreaks(stats: DataFrame, k: Int = 10): DataFrame = {
+    val decided = corePlayers(stats)
+      .filter(col("gulag_kills") === 1.0 || col("gulag_deaths") === 1.0)
+      .withColumn("outcome", when(col("gulag_kills") === 1.0, "win").otherwise("loss"))
+    val st = graft.ops.Streaks.streaks(decided, col("player_id"), col("outcome"),
+        col("ended_at"), col("game_id"))
+      .select(col("player_id"), col("outcome"), col("streak_len"),
+              col("start_us"), col("end_us"))
+    TopK.global(st, k, desc("streak_len"), col("player_id"), col("start_us"))
+  }
+
+  /** Full-team variant of [[teamStats]]: a game's roster only counts when
+    * its size equals the mode category's team size (reference
+    * parse_matches.sh:418-424 — a trios game with 2 tracked players is
+    * excluded). */
+  def fullTeamStats(stats: DataFrame, modes: Dataset[GameMode],
+                    categorySizes: Map[String, Int]): DataFrame = {
+    val sizeDf = stats.sparkSession.createDataFrame(categorySizes.toSeq)
+      .toDF("category", "expected_size")
+    val withCat = stats.join(
+      broadcast(modes.select(col("id").as("game_mode_sub"), col("category"))),
+      Seq("game_mode_sub"))
+    val perGame = withCat.groupBy(col("game_id"), col("category"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("player_id")))).as("team_key"),
+        count(lit(1)).as("n_players"),
+        sum(col("kills")).as("kills"),
+        sum(col("damage_done")).as("damage_done"),
+        min(col("team_placement")).as("team_placement"))
+    perGame.join(broadcast(sizeDf), Seq("category"))
+      .filter(col("n_players") === col("expected_size"))
+      .groupBy(col("team_key"), col("category"))
+      .agg(
+        count(lit(1)).as("n_games"),
+        round(avg(col("kills")), 2).as("avg_kills"),
+        round(avg(col("damage_done")), 2).as("avg_damage"),
+        max(col("kills")).as("max_kills"),
+        sum(when(col("team_placement") === 1.0, 1L).otherwise(0L)).as("wins"))
+      .filter(col("n_games") > 1)
+  }
+
   /** Season×player rollup via the overlapping range join
     * (generate_lookup_data.sh:590-633): per-season totals + guarded ratio
     * metrics (K/D divides raw sums; Dmg/Kill truncates like SQLite's

@@ -185,6 +185,44 @@ class PipelineSpec extends SparkSpec {
     assert(p == ("2.33", "N/A"))
   }
 
+  test("gulag streaks: decided gulags only, longest run wins") {
+    // fixture (FIXTURES.md §1): outcomes W,W,W,L,W,W -> longest win streak 3
+    val spark2 = spark
+    import spark2.implicits._
+    val outcomes = Seq(1.0, 1.0, 1.0, 0.0, 1.0, 1.0) // 1=win
+    val rows = outcomes.zipWithIndex.map { case (w, i) =>
+      ("p1", s"g$i", new java.sql.Timestamp(1000L * i), true, w, 1.0 - w)
+    } :+ (("p1", "gx", new java.sql.Timestamp(99999L), true, 0.0, 0.0)) // undecided: ignored
+    val df = rows.toDF("player_id", "game_id", "ended_at", "is_core",
+      "gulag_kills", "gulag_deaths")
+    val top = Reports.gulagStreaks(df, 3)
+      .select("outcome", "streak_len").as[(String, Long)].collect().toSeq
+    assert(top.head == ("win", 3L))
+    assert(!top.contains(("win", 4L))) // undecided gulag does not extend a run
+  }
+
+  test("full-team filter: only rosters matching the category size count") {
+    val ft = Reports.fullTeamStats(ctx.stats, ctx.modes, Map("wz_trios" -> 2))
+      .select("team_key", "n_games").as[(String, Long)].collect().toMap
+    // alice+bob share m1, m2 as a 2-roster; with expected size 2 they count
+    assert(ft.get("alice,bob").contains(2L))
+    val none = Reports.fullTeamStats(ctx.stats, ctx.modes, Map("wz_trios" -> 3))
+    assert(none.count() == 0) // no 3-player rosters in the corpus
+  }
+
+  test("identity merge: multiple accounts collapse to one player_id") {
+    val json = java.nio.file.Files.createTempFile("players", ".json")
+    java.nio.file.Files.writeString(json,
+      """[{"name":"Merged","isCore":true,"accounts":[
+        |{"activisionPlatform":"battle","activisionTag":"M#1","unoId":"u-a"},
+        |{"activisionPlatform":"acti","activisionTag":"M#2","unoId":"u-b"}]}]"""
+        .stripMargin.replaceAll("\n", ""))
+    val players = Dims.playersFromJson(spark, json.toString).collect().toSeq
+    assert(players.map(_.player_uno_id).toSet == Set("u-a", "u-b"))
+    assert(players.map(_.player_id).toSet == Set("merged")) // lowercased, merged
+    assert(players.forall(_.is_core))
+  }
+
   test("runReports writes every report family as readable JSON") {
     val out = java.nio.file.Files.createTempDirectory("graft_reports").toString
     Pipeline.runReports(ctx, out)
