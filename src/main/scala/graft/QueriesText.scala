@@ -257,7 +257,35 @@ object QueriesText {
       .orderBy(col("event_type"))
   }
 
+  // --- q44: deterministic hash split (train/val/test) ------------------------
+  // The training-data split op: assignment by content hash (md5-prefix mod
+  // 100) is stable across runs, engines, and cluster sizes — never
+  // rand()-based sampling, which breaks task retry determinism and
+  // cross-engine checking. 80/10/10 by doc_id.
+  private val q44: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val bucket = s"pmod(${TextOps.hash60("CAST(doc_id AS STRING)")}, 100)"
+    d.withColumn("split",
+        expr(s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' ELSE 'test' END"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"),
+           min(col("doc_id")).as("min_doc_id"),
+           max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("split"))
+  }
+  private val q44Sql = {
+    val bucket = s"${TextOps.sql.hash60("CAST(doc_id AS VARCHAR)")} % 100"
+    s"""SELECT CASE WHEN $bucket < 80 THEN 'train'
+       |            WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q44_hash_split" -> q44,
     "q40_approx_distinct" -> q40,
     "q33_lang_id" -> q33,
     "q34_quality_score" -> q34,
@@ -268,6 +296,7 @@ object QueriesText {
     "q39_token_explode" -> q39)
 
   val oracleSql: Map[String, String] = Map(
+    "q44_hash_split" -> q44Sql,
     "q33_lang_id" -> q33Sql,
     "q34_quality_score" -> q34Sql,
     "q35_token_stats" -> q35Sql,
