@@ -315,7 +315,48 @@ object QueriesCore {
       |FROM t GROUP BY team_key HAVING COUNT(*) > 1
       |ORDER BY n_orders DESC, team_key""".stripMargin
 
+  // --- q45: team identity via commutative hashing (A4 scale path) ------------
+  // q14 materializes the roster string (collect_set -> ObjectHashAggregate);
+  // at 100 TB the team IDENTITY is better computed as an order-independent
+  // hash: sum of distinct member hashes mod 2^61-1. Commutative integer
+  // aggregation -> plain codegen HashAggregate with map-side combine, no
+  // per-group array buffers; the readable roster is then resolved only for
+  // the survivors that matter. Distinctness inside the group comes from
+  // pre-deduping (order, member) pairs.
+  private val q45: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    // member hashes reduced to 1e15 BEFORE summing: Spark sums in 64-bit
+    // (silent wraparound) while DuckDB sums in 128-bit — capping each term
+    // keeps sums of up to ~9000 members inside both. (Unbounded team sizes
+    // would use XOR, which never overflows.)
+    val P = 1000000000000000L
+    li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(expr(s"pmod(sum(pmod(${graft.ops.TextOps.hash60("CAST(l_suppkey AS STRING)")}, ${P}L)), ${P}L)").as("team_hash"),
+           count(lit(1)).as("n_members"))
+      .groupBy(col("team_hash"), col("n_members"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") > 1)
+      .orderBy(desc("n_orders"), col("team_hash"))
+  }
+  private val q45Sql = {
+    val P = "1000000000000000"
+    val h = graft.ops.TextOps.sql.hash60("CAST(l_suppkey AS VARCHAR)")
+    s"""WITH m AS (
+       |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+       |), t AS (
+       |  SELECT l_orderkey,
+       |    CAST(SUM($h % $P) % $P AS BIGINT) AS team_hash,
+       |    CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM m GROUP BY l_orderkey
+       |)
+       |SELECT team_hash, n_members, CAST(COUNT(*) AS BIGINT) AS n_orders
+       |FROM t GROUP BY team_hash, n_members HAVING COUNT(*) > 1
+       |ORDER BY n_orders DESC, team_hash""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q45_team_hash_rollup" -> q45,
     "q01_pricing_summary" -> q01,
     "q02_topk_customers" -> q02,
     "q03_revenue_by_nation" -> q03,
@@ -332,6 +373,7 @@ object QueriesCore {
     "q14_team_rollup" -> q14)
 
   val oracleSql: Map[String, String] = Map(
+    "q45_team_hash_rollup" -> q45Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_topk_customers" -> q02Sql,
     "q03_revenue_by_nation" -> q03Sql,
