@@ -284,7 +284,30 @@ object QueriesRelational {
        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
        |FROM t GROUP BY quartile ORDER BY quartile""".stripMargin
 
+  // --- q46: exact discrete percentiles (ANSI percentile_disc) ----------------
+  // percentile_disc picks an actual element (first value with cume_dist >=
+  // q, the ANSI rule both engines implement) — unlike interpolating
+  // percentile_cont, the result is an existing double, so cross-engine
+  // equality is exact. Scale note: exact percentiles need a per-group sort;
+  // the 100 TB path is approx_percentile for cut points (see q43 note).
+  private val q46: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("event_type"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+  private val q46Sql =
+    """SELECT event_type,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+      |  percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q46_percentile_disc" -> q46,
     "q42_rollup_revenue" -> q42,
     "q43_ntile_quartiles" -> q43,
     "q15_anti_join" -> q15,
@@ -300,6 +323,7 @@ object QueriesRelational {
     "q25_unknown_audit" -> q25)
 
   val oracleSql: Map[String, String] = Map(
+    "q46_percentile_disc" -> q46Sql,
     "q42_rollup_revenue" -> q42Sql,
     "q43_ntile_quartiles" -> q43Sql,
     "q15_anti_join" -> q15Sql,
