@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{Multimodal, TextOps}
 
+
 /** Text-analysis + multimodal + remaining relational operators:
   * language-ID heuristic, quality scoring, token counting, document
   * fingerprinting (winnowing), binary-column decode plumbing, tie-aware
@@ -284,7 +285,35 @@ object QueriesText {
        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
   }
 
+  // --- q47: multimodal frame sampling (stride over fixed-size chunks) --------
+  // Every 4th 16-byte chunk of the payload becomes a "frame" row with a
+  // byte checksum — the video-frame-sampling plumbing with a deterministic
+  // stub extractor (see Multimodal.sampleFrames). Oracle mirrors the byte
+  // math via substr on the ASCII text.
+  private val q47: Q = (s, dir) => {
+    import Multimodal.MediaRecord
+    val spark = s
+    import spark.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+              lit("video/fake").as("media_type"), col("n_chars"))
+      .as[MediaRecord]
+    Multimodal.frames(media, chunkBytes = 16, stride = 4).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+  private val q47Sql =
+    """WITH f AS (
+      |  SELECT doc_id, unnest(generate_series(0, (length(text) // 16 - 1) // 4)) AS x
+      |  FROM documents WHERE length(text) >= 16
+      |)
+      |SELECT f.doc_id, CAST(f.x AS INTEGER) AS frame_idx, 16 AS n_bytes,
+      |  CAST(list_sum(list_transform(generate_series(f.x * 64 + 1, f.x * 64 + 16),
+      |    i -> unicode(d.text[i]))) % 997 AS BIGINT) AS checksum
+      |FROM f JOIN documents d USING (doc_id)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q47_frame_sample" -> q47,
     "q44_hash_split" -> q44,
     "q40_approx_distinct" -> q40,
     "q33_lang_id" -> q33,
@@ -296,6 +325,7 @@ object QueriesText {
     "q39_token_explode" -> q39)
 
   val oracleSql: Map[String, String] = Map(
+    "q47_frame_sample" -> q47Sql,
     "q44_hash_split" -> q44Sql,
     "q33_lang_id" -> q33Sql,
     "q34_quality_score" -> q34Sql,

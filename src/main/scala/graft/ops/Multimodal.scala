@@ -55,4 +55,29 @@ object Multimodal {
 
   def decode(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] =
     ds.mapPartitions(decodeBatch _)(Encoders.product[MediaFeatures])
+
+  /** One sampled "frame" of a payload: byte range [offset, offset+size). */
+  case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
+  /** Frame sampling STUB: treat the payload as fixed-size chunks and keep
+    * every `stride`-th one — the byte-plumbing shape of video frame
+    * extraction (a real implementation seeks keyframes via the container
+    * index instead of fixed strides; the partition-batched iteration,
+    * opaque-bytes handling, and one-row-per-frame output are the real
+    * contract). */
+  def sampleFrames(m: MediaRecord, chunkBytes: Int, stride: Int): Seq[Frame] = {
+    val bytes = m.payload
+    val nChunks = bytes.length / chunkBytes
+    (0 until nChunks by stride).zipWithIndex.map { case (chunk, idx) =>
+      val off = chunk * chunkBytes
+      var sum = 0L
+      var i = off
+      while (i < off + chunkBytes) { sum += bytes(i) & 0xff; i += 1 }
+      Frame(m.doc_id, idx, chunkBytes, sum % 997L)
+    }
+  }
+
+  def frames(ds: Dataset[MediaRecord], chunkBytes: Int, stride: Int): Dataset[Frame] =
+    ds.mapPartitions(_.flatMap(sampleFrames(_, chunkBytes, stride)))(
+      Encoders.product[Frame])
 }

@@ -134,6 +134,15 @@ class MultimodalSpec extends SparkSpec {
     assert(f.fake_label == f.checksum % 10)
   }
 
+  test("frame sampling: every stride-th chunk, deterministic checksums") {
+    val payload = (0 until 100).map(_.toByte).toArray // 6 chunks of 16
+    val m = Multimodal.MediaRecord(9L, payload, "video/fake", 100L)
+    val fs = Multimodal.sampleFrames(m, chunkBytes = 16, stride = 4)
+    assert(fs.map(_.frame_idx) == Seq(0, 1)) // chunks 0 and 4
+    assert(fs.head.checksum == (0 until 16).sum % 997)
+    assert(fs(1).checksum == (64 until 80).sum % 997)
+  }
+
   test("decode over a Dataset preserves one row per record") {
     val spark2 = spark
     import spark2.implicits._
