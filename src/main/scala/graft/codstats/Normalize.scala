@@ -34,12 +34,18 @@ object Normalize {
     *
     * Encodes the reference's business rules
     * (parse_matches.sh:627-686):
-    *  - every stat null-defaults to 0 (ids to '-1')
+    *  - every stat null-defaults to 0 (ids to '-1'); playerCount/
+    *    teamCount/teamPlacement default to -1 (parse_matches.sh:627-628,651)
     *  - gulag truth table: stimulus modes force (0,0); gulagKills>=1 →
     *    (1,0); else gulagDeaths>=1 → (0,1) — the API reports multi-death
     *    gulags incorrectly
     *  - drop rows with null damageDone/damageTaken, and rows with
     *    deaths=0 AND damageTaken=0 (disconnects / buggy early-API rows)
+    *  - drop rows violating the schema CHECKs the reference enforces with
+    *    INSERT OR IGNORE (parse_matches.sh:68-83): game_mode ∈ {mp,wz},
+    *    numberOfPlayers/numberOfTeams/teamPlacement > 0 — so a missing
+    *    placement (defaulted -1) never counts toward wins/top5/top10 or
+    *    skews placement_sum/teams_sum downstream
     */
   def validGames(parsed: DataFrame, modes: Dataset[GameMode]): DataFrame = {
     val stimulus = modes.filter(col("is_stimulus")).select(col("id").as("mode"))
@@ -50,21 +56,27 @@ object Normalize {
       .filter(col("playerStats.damageDone").isNotNull &&
               col("playerStats.damageTaken").isNotNull)
       .filter(!(stat("deaths") === 0.0 && stat("damageTaken") === 0.0))
+      // the reference's CHECK constraints + INSERT OR IGNORE: violating
+      // rows are silently dropped, never ingested with sentinel values
+      .filter(col("gameType").isin("mp", "wz") &&
+              coalesce(col("playerCount"), lit(-1)) > 0 &&
+              coalesce(col("teamCount"), lit(-1)) > 0 &&
+              stat("teamPlacement", -1.0) > 0.0)
       .select(
         coalesce(col("matchID"), lit("-1")).as("game_id"),
         coalesce(col("player.uno"), lit("-1")).as("player_uno_id"),
         timestamp_seconds(coalesce(col("utcEndSeconds"), lit(0L))).as("ended_at"),
         coalesce(col("gameType"), lit("-1")).as("game_mode"),
         coalesce(col("mode"), lit("-1")).as("game_mode_sub"),
-        coalesce(col("playerCount"), lit(0)).as("number_of_players"),
-        coalesce(col("teamCount"), lit(0)).as("number_of_teams"),
+        coalesce(col("playerCount"), lit(-1)).as("number_of_players"),
+        coalesce(col("teamCount"), lit(-1)).as("number_of_teams"),
         stat("score").as("score"),
         stat("scorePerMinute").as("score_per_minute"),
         stat("kills").as("kills"),
         stat("deaths").as("deaths"),
         stat("damageDone").as("damage_done"),
         stat("damageTaken").as("damage_taken"),
-        stat("teamPlacement").as("team_placement"),
+        stat("teamPlacement", -1.0).as("team_placement"), // unreachable -1: CHECK filter above
         stat("kdRatio").as("kd_ratio"),
         stat("distanceTraveled").as("distance_traveled"),
         stat("headshots").as("headshots"),

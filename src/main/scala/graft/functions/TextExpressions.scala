@@ -1,10 +1,39 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Analysis-time input typing shared by the graft expressions: these are
+  * registered session-wide, so a wrong-typed SQL call (`graft_sorted_
+  * intersect(array<int>, ...)`) must fail at analysis rather than read
+  * garbage through `ArrayData.getLong`. (`ExpectsInputTypes` is not an
+  * option outside org.apache.spark — `AbstractDataType` is private[sql].) */
+private[functions] object InputCheck {
+  def arrayOfLong(e: Expression, fn: String, pos: Int): Option[String] =
+    e.dataType match {
+      // containsNull is accepted either way: engine-constructed arrays are
+      // null-free, and lambda-derived arrays are typed containsNull=true
+      // even when provably null-free. Null ELEMENTS remain unsupported.
+      case ArrayType(LongType, _) => None
+      case other =>
+        Some(s"$fn argument $pos must be ARRAY<BIGINT>, got ${other.sql}")
+    }
+
+  def string(e: Expression, fn: String, pos: Int): Option[String] =
+    e.dataType match {
+      case StringType => None
+      case other => Some(s"$fn argument $pos must be STRING, got ${other.sql}")
+    }
+
+  def result(problems: Option[String]*): TypeCheckResult =
+    problems.flatten.headOption
+      .map(TypeCheckResult.TypeCheckFailure)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+}
 
 import graft.ops.TextOps
 
@@ -31,6 +60,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_sorted_intersect"
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.result(
+    InputCheck.arrayOfLong(left, prettyName, 1),
+    InputCheck.arrayOfLong(right, prettyName, 2))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -85,6 +118,15 @@ case class MinhashBandKeys(child: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_bands"
+  // nullSafeEval returns null for an EMPTY hash array even when the child
+  // itself is non-nullable (e.g. graft_shingle_hashes3 over a non-null
+  // column yields empty, not null, for short texts) — without this
+  // override Catalyst would treat the result as non-null and consumers
+  // could NPE in generated code.
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputCheck.result(InputCheck.arrayOfLong(child, prettyName, 1))
 
   private val P = TextOps.P
   private val as = TextOps.permA.toArray
@@ -145,6 +187,9 @@ case class ShingleHashes(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputCheck.result(InputCheck.string(child, prettyName, 1))
+
   @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
 
   private def hash60(s: String): Long = {
@@ -195,6 +240,9 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_winnow"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputCheck.result(InputCheck.string(child, prettyName, 1))
 
   @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
 

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for the sequential-fold dot product of two
   * `ARRAY<DOUBLE>` columns.
@@ -25,11 +26,27 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs are engine-constructed ARRAY<DOUBLE> columns (VectorOps widens
-  // floats first), so no analysis-time input typing is declared
-  // (AbstractDataType is private[sql]).
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+
+  // Registered session-wide, so wrong-typed SQL calls must fail at analysis
+  // time instead of reading garbage through ArrayData.getDouble. (No
+  // ExpectsInputTypes outside org.apache.spark — AbstractDataType is
+  // private[sql].) Ragged same-typed inputs still fold over the shorter
+  // length: engine callers (VectorOps) always construct equal-dim arrays.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull accepted either way (lambda-derived arrays are typed
+    // containsNull=true even when provably null-free); null ELEMENTS are
+    // unsupported.
+    def check(e: Expression, pos: Int): Option[String] = e.dataType match {
+      case ArrayType(DoubleType, _) => None
+      case other =>
+        Some(s"$prettyName argument $pos must be ARRAY<DOUBLE>, got ${other.sql}")
+    }
+    check(left, 1).orElse(check(right, 2))
+      .map(TypeCheckResult.TypeCheckFailure)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -29,5 +29,8 @@ object TeamKey {
         concat_ws(",",
           transform(sort_array(collect_set(member)), m => m.cast("string")))
           .as("team_key"),
-        count(lit(1)).as("n_members"))
+        // distinct members, NOT rows: with duplicate member rows per group
+        // the two disagree and n_members must track the deduped team_key.
+        // Catalyst dedups the two identical collect_set aggregate buffers.
+        size(collect_set(member)).cast("long").as("n_members"))
 }

@@ -75,6 +75,25 @@ class PipelineSpec extends SparkSpec {
     assert(ids.size == 8) // 10 docs - 2 filtered
   }
 
+  test("CHECK-constraint rows drop like INSERT OR IGNORE (placement/teams/mode)") {
+    // parse_matches.sh:68-83: game_mode IN (mp,wz), numberOfPlayers/
+    // numberOfTeams/teamPlacement > 0 — violating rows never ingest.
+    val ok       = doc("c1", "uno-alice", t0)
+    val noPlace  = doc("c2", "uno-alice", t0)
+      .replace("\"teamPlacement\":3.0", "\"teamPlacement\":null")
+    val noTeams  = doc("c3", "uno-alice", t0)
+      .replace("\"teamCount\":30", "\"teamCount\":null")
+    val badMode  = doc("c4", "uno-alice", t0)
+      .replace("\"gameType\":\"wz\"", "\"gameType\":\"menu\"")
+    assert(noPlace != doc("c2", "uno-alice", t0) &&
+           noTeams != doc("c3", "uno-alice", t0) &&
+           badMode != doc("c4", "uno-alice", t0)) // guard against format drift
+    val valid = Normalize.validGames(
+      Normalize.parse(Seq(ok, noPlace, noTeams, badMode).toDF("json")),
+      seedGameModes.toDS())
+    assert(valid.select("game_id").as[String].collect().toSet == Set("c1"))
+  }
+
   test("gulag truth table: multi-kill/death clamp to 1; stimulus zeroes") {
     val g = ctx.valid.filter(col("player_uno_id") === "uno-alice")
       .select("game_id", "gulag_kills", "gulag_deaths")

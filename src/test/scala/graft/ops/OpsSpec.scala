@@ -109,6 +109,13 @@ class TeamKeySpec extends SparkSpec {
     val kb = TeamKey.teamKey(b, col("g"), col("m")).select("team_key").as[String].head()
     assert(ka == "10,20,30" && kb == ka)
   }
+
+  test("n_members counts distinct members, not rows") {
+    // 4 rows, member 10 duplicated -> 3 distinct members
+    val a = Seq((1L, 30L), (1L, 10L), (1L, 10L), (1L, 20L)).toDF("g", "m")
+    val n = TeamKey.teamKey(a, col("g"), col("m")).select("n_members").as[Long].head()
+    assert(n == 3L)
+  }
 }
 
 class RangeJoinSpec extends SparkSpec {
