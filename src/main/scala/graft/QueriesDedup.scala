@@ -125,31 +125,43 @@ object QueriesDedup {
   }
 
   // --- q29: blocked exact n-gram Jaccard -------------------------------------
-  // Candidate blocking on overlapping length bands (band = n_chars/16; each
-  // doc emits {band, band+1}) — catches every pair with |Δn_chars| <= 15
-  // via pure equi-joins. The planted near-dups differ by <= 8 chars.
+  // Candidate blocking by PREFIX FILTERING (AllPairs / SSJoin, Bayardo et
+  // al. WWW'07; Chaudhuri et al. ICDE'06 — public literature): with shingle
+  // hashes in a canonical global order (the sorted hash value), any pair
+  // with Jaccard >= 0.5 must share at least one hash within each side's
+  // first floor(|hs|/2)+1 elements. Proof: J >= t ⇒ |A∩B| >= ceil(t·max)
+  // =: α, and two sets sharing α elements must collide inside prefixes of
+  // length |A|-α+1 <= floor(|A|/2)+1 at t=0.5. So the blocking key is the
+  // prefix hash itself — CONTENT-derived and uniformly distributed, unlike
+  // the earlier length-band key (n_chars DIV 16) under which real corpora
+  // concentrate in a few length bands and candidates go quadratic. The
+  // |Δn_chars| <= 15 length gate stays as a residual predicate (it is part
+  // of this query's result contract), and EXACT recall is preserved — no
+  // minhash-style probabilistic misses. At 100 TB the refinement is
+  // rarest-first ordering (order shingles by corpus frequency instead of
+  // hash value) to shrink prefixes of common shingles.
   private val q29: Q = (s, dir) => {
     graft.functions.TextFunctions.register(s)
     val d = Tables.documents(s, dir).filter(length(col("text")) >= 13)
-    // cached: both sides of the self-join read it (else 2× shingle hashing);
-    // repartition first — single-file scan otherwise serializes the hashing.
+    // cached: prefix explode AND both verify sides read it (else 3× shingle
+    // hashing); repartition first — single-file scan serializes the hashing.
     val hs = d.repartition(Tables.shufflePartitions(s))
       .select(col("doc_id"), col("n_chars"),
         expr("graft_shingle_hashes3(text)").as("hs"))
       .cache()
-    val blocked = hs.select(col("doc_id"), col("n_chars"), col("hs"),
-        explode(expr("array(CAST(n_chars DIV 16 AS BIGINT), CAST(n_chars DIV 16 AS BIGINT) + 1)")).as("blk"))
-    // Each doc emits bands {k, k+1}; a qualifying pair (|Δchars| <= 15 ⇒
-    // |Δk| <= 1) matches in exactly one CANONICAL band, max(k_a, k_b) — so
-    // requiring blk == max(k_a, k_b) replaces a distinct that would shuffle
-    // the big hash arrays.
-    val cand = blocked.as("x").join(blocked.as("y"),
-        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id") &&
-          abs(col("x.n_chars") - col("y.n_chars")) <= 15 &&
-          col("x.blk") === greatest(expr("x.n_chars DIV 16"), expr("y.n_chars DIV 16")))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              col("x.hs").as("hs_a"), col("y.hs").as("hs_b"))
-    cand
+    // hs is sorted (ShingleHashes returns ascending) — slice IS the prefix.
+    val pref = hs.select(col("doc_id"), col("n_chars"),
+      explode(expr("slice(hs, 1, size(hs) DIV 2 + 1)")).as("pk"))
+    // fixed-width pair distinct BEFORE the arrays join back (q27 shape):
+    // the self-join shuffles only (doc_id, n_chars, pk) triples.
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.pk") === col("y.pk") && col("x.doc_id") < col("y.doc_id") &&
+          abs(col("x.n_chars") - col("y.n_chars")) <= 15)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
       .withColumn("n_inter", expr("graft_sorted_intersect(hs_a, hs_b)"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
@@ -163,12 +175,14 @@ object QueriesDedup {
     s"""WITH h AS (
        |  SELECT doc_id, n_chars, ${X.shingleHashes("text", 3)} AS hs
        |  FROM documents WHERE length(text) >= 13
-       |), blocked AS (
-       |  SELECT doc_id, n_chars, hs, unnest([n_chars // 16, n_chars // 16 + 1]) AS blk FROM h
+       |), pref AS (
+       |  SELECT doc_id, n_chars,
+       |    unnest(list_sort(hs)[1 : len(hs) // 2 + 1]) AS pk
+       |  FROM h
        |), cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM blocked x JOIN blocked y
-       |    ON x.blk = y.blk AND x.doc_id < y.doc_id
+       |  FROM pref x JOIN pref y
+       |    ON x.pk = y.pk AND x.doc_id < y.doc_id
        |   AND abs(x.n_chars - y.n_chars) <= 15
        |), scored AS (
        |  SELECT doc_a, doc_b,

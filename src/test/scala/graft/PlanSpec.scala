@@ -53,4 +53,10 @@ class PlanSpec extends SparkSpec {
     assert(plan("q31_cosine_topk").contains("BroadcastNestedLoopJoin") ||
            plan("q31_cosine_topk").contains("BroadcastHashJoin"))
   }
+
+  test("q29 candidate join keys on the content-derived prefix hash, not length bands") {
+    val p = plan("q29_ngram_jaccard")
+    assert(p.contains("pk"), "join key must include the prefix-hash content component")
+    assert(!p.contains("blk"), "length-band-only blocking key must be gone")
+  }
 }
