@@ -355,7 +355,51 @@ object QueriesCore {
        |ORDER BY n_orders DESC, team_hash""".stripMargin
   }
 
+  // --- q48/q49: lifetime count leaderboards (T2) ------------------------------
+  // The reference's most-wins / most-lastplaces global reports
+  // (generate_lookup_data.sh:436-456 teamPlacement=1; :416-434
+  // teamPlacement=numberOfTeams): count rows matching a per-row predicate
+  // per entity, global top-10 by count. Analogs here: a "win" is a
+  // first-line-number lineitem (placement = 1, a constant compare); a
+  // "last place" is the line carrying the order's MAX line number
+  // (placement = group size — the reference denormalizes numberOfTeams
+  // onto the row; TPC-H doesn't, so it's derived per order first).
+  // Conditional-filter agg → TakeOrderedAndProject heap merge.
+  private val q48: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    TopK.global(
+      li.filter(col("l_linenumber") === 1)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("value")),
+      10, desc("value"), col("l_suppkey"))
+  }
+  private val q48Sql =
+    """SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS value
+      |FROM lineitem WHERE l_linenumber = 1
+      |GROUP BY l_suppkey ORDER BY value DESC, l_suppkey LIMIT 10""".stripMargin
+
+  private val q49: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val maxLn = li.groupBy(col("l_orderkey"))
+      .agg(max(col("l_linenumber")).as("maxln"))
+    TopK.global(
+      li.join(maxLn, "l_orderkey")
+        .filter(col("l_linenumber") === col("maxln"))
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("value")),
+      10, desc("value"), col("l_suppkey"))
+  }
+  private val q49Sql =
+    """WITH m AS (
+      |  SELECT l_orderkey, MAX(l_linenumber) AS maxln
+      |  FROM lineitem GROUP BY l_orderkey
+      |)
+      |SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS value
+      |FROM lineitem JOIN m USING (l_orderkey)
+      |WHERE l_linenumber = maxln
+      |GROUP BY l_suppkey ORDER BY value DESC, l_suppkey LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q48_most_wins" -> q48,
+    "q49_most_lastplaces" -> q49,
     "q45_team_hash_rollup" -> q45,
     "q01_pricing_summary" -> q01,
     "q02_topk_customers" -> q02,
@@ -373,6 +417,8 @@ object QueriesCore {
     "q14_team_rollup" -> q14)
 
   val oracleSql: Map[String, String] = Map(
+    "q48_most_wins" -> q48Sql,
+    "q49_most_lastplaces" -> q49Sql,
     "q45_team_hash_rollup" -> q45Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_topk_customers" -> q02Sql,

@@ -37,26 +37,40 @@ object Pipeline {
   def writeJsonReport(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").json(path)
 
-  /** Materialize the standard report set under `outDir`. */
+  /** The series measures whose cumulative keys the reference frontend
+    * reads — emitted with its literal "cumalative" [sic] spelling
+    * (generate_lookup_data.sh:762,855; SURVEY §7.1): downstream consumers
+    * of the original files key on it. */
+  private val cumalativeKeys: Seq[String] = Seq(
+    "matches_played", "kills", "deaths", "gulag_kills", "gulag_deaths",
+    "headshots", "damage_done", "distance_traveled", "monsters", "gooseeggs")
+
+  private def renameCumalative(df: DataFrame): DataFrame =
+    cumalativeKeys.foldLeft(df.withColumnRenamed("kd_cum", "cumalative_kd")) {
+      (d, m) => d.withColumnRenamed(s"${m}_cum", s"cumalative_$m")
+    }
+
+  /** Materialize the standard report set under `outDir` — one directory
+    * per file the reference frontend loads (write_meta +
+    * write_leaderboards + per-player loops, generate_lookup_data.sh). */
   def runReports(ctx: Context, outDir: String): Unit = {
     val s = ctx.stats
     writeJsonReport(Reports.leaderboards(s), s"$outDir/leaderboards")
-    writeJsonReport(Reports.recentMatches(s), s"$outDir/recent_matches")
+    writeJsonReport(Reports.mostWins(s), s"$outDir/most_wins")
+    writeJsonReport(Reports.mostLastPlaces(s), s"$outDir/most_lastplaces")
+    writeJsonReport(Reports.seasonsDoc(ctx.seasons), s"$outDir/seasons")
+    writeJsonReport(Reports.recentMatches(s, ctx.modes), s"$outDir/recent_matches")
     writeJsonReport(Reports.recentSessions(s, ctx.settings), s"$outDir/recent_sessions")
     writeJsonReport(Reports.seasonRollup(s, ctx.seasons), s"$outDir/season_rollup")
     writeJsonReport(Normalize.unknownModes(ctx.valid, ctx.modes), s"$outDir/unknown_modes")
-    // per-player series: partitioned write replaces the per-player loop.
-    // Output keys follow the reference's report contract, INCLUDING its
-    // literal "cumalative" [sic] spelling (generate_lookup_data.sh:762,855;
-    // SURVEY §7.1) — downstream consumers of the original files key on it.
+    // per-player series: partitioned write replaces the per-player loop
     val daily = Reports.perDay(s, ctx.settings)
       .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
-    Reports.timeSeries(daily)
-      .withColumnRenamed("kd_cum", "cumalative_kd")
-      .withColumnRenamed("kills_cum", "cumalative_kills")
-      .withColumnRenamed("deaths_cum", "cumalative_deaths")
-      .withColumnRenamed("damage_cum", "cumalative_damage")
+    renameCumalative(Reports.timeSeries(daily))
       .write.mode("overwrite").partitionBy("player_id")
       .json(s"$outDir/time_series")
+    renameCumalative(Reports.gameSeries(s, settings = ctx.settings))
+      .write.mode("overwrite").partitionBy("player_id")
+      .json(s"$outDir/game_series")
   }
 }

@@ -74,16 +74,31 @@ object Reports {
       .select(col("metric"),
         to_json(sort_array(col("entries"))).as("top_json"))
 
+  /** Open-session sentinel: the reference reports the latest session's end
+    * as unixepoch 9999999999 − 1 (parse_matches.sh:323 — `ifnull(lead(...),
+    * 9999999999) - 1`). */
+  val OpenSessionSentinelSeconds: Long = 9999999999L
+
   /** Sessions per player (2h gap, ordinal ids) + per-session stats
-    * (parse_matches.sh:298-376). */
-  def sessions(stats: DataFrame, settings: Settings = Settings()): DataFrame =
-    Sessionize.assign(stats, col("player_id"), col("ended_at"), col("game_id"),
+    * (parse_matches.sh:298-376).
+    *
+    * Field semantics follow the reference's report contract
+    * (parse_matches.sh:320-328): `session_id` = player_id||'_'||ordinal,
+    * `session_start` = first game's end time, and `session_end` = the NEXT
+    * session's start − 1s — a session "lasts" until the next one begins;
+    * the open (latest) session ends at the 9999999999 sentinel.
+    * `last_game_at` keeps the observed max(ended_at) for per-session stats.
+    * The lead window runs over the already-aggregated session rows
+    * (≤ sessions per player), reusing the same player_id partitioning as
+    * the groupBy — no extra full shuffle. */
+  def sessions(stats: DataFrame, settings: Settings = Settings()): DataFrame = {
+    val agg = Sessionize.assign(stats, col("player_id"), col("ended_at"), col("game_id"),
         settings.sessionGapSeconds)
       .groupBy(col("player_id"), col("session_seq"))
       .agg(
         count(lit(1)).as("n_games"),
         min(col("ended_at")).as("session_start"),
-        max(col("ended_at")).as("session_end"),
+        max(col("ended_at")).as("last_game_at"),
         sum(col("kills")).as("kills"),
         sum(col("deaths")).as("deaths"),
         sum(col("damage_done")).as("damage_done"),
@@ -94,20 +109,72 @@ object Reports {
         sum(when(col("team_placement") === 1.0, 1L).otherwise(0L)).as("wins"),
         sum(when(col("team_placement") <= 5.0, 1L).otherwise(0L)).as("top5"),
         sum(when(col("team_placement") <= 10.0, 1L).otherwise(0L)).as("top10"))
+    val w = Window.partitionBy(col("player_id")).orderBy(col("session_seq"))
+    agg
+      .withColumn("session_id",
+        concat(col("player_id"), lit("_"), col("session_seq")))
+      .withColumn("session_end",
+        timestamp_seconds(
+          coalesce(unix_seconds(lead(col("session_start"), 1).over(w)),
+                   lit(OpenSessionSentinelSeconds)) - 1))
+  }
 
   /** Latest session per player (generate_lookup_data.sh:551-581). */
   def recentSessions(stats: DataFrame, settings: Settings = Settings()): DataFrame =
     TopK.perGroup(sessions(stats, settings), 1,
       Seq(col("player_id")), Seq(desc("session_seq"))).drop("rank")
 
-  /** Recent N matches (generate_lookup_data.sh:514-549). */
-  def recentMatches(stats: DataFrame, n: Int = 15): DataFrame =
+  /** Recent N matches (generate_lookup_data.sh:514-549) with the J2+P10
+    * display-name join: mode id → display name, falling back to the
+    * reference's literal `Unknown &lt;id&gt;` (HTML-entity escaped at the
+    * source, generate_lookup_data.sh:525 / parse_matches.sh:514). The dim
+    * join runs AFTER the global top-N — n rows join a broadcast dim. */
+  def recentMatches(stats: DataFrame, modes: Dataset[GameMode],
+                    n: Int = 15): DataFrame = {
+    val dim = modes.select(col("id").as("game_mode_sub"),
+                           col("display_name"))
     TopK.global(stats.select(col("player_id"), col("game_id"), col("ended_at"),
-      col("game_mode_sub"), col("kills"), col("deaths"), col("damage_done"),
-      col("team_placement")), n, desc("ended_at"), col("player_id"), col("game_id"))
+        col("game_mode_sub"), col("kills"), col("deaths"), col("damage_done"),
+        col("team_placement")), n, desc("ended_at"), col("player_id"), col("game_id"))
+      .join(broadcast(dim), Seq("game_mode_sub"), "left")
+      .withColumn("game_mode_display",
+        coalesce(col("display_name"),
+                 concat(lit("Unknown &lt;"), col("game_mode_sub"), lit("&gt;"))))
+      .drop("display_name")
+  }
 
-  /** Per-day rollup with monster/goose-egg flags
-    * (parse_matches.sh:472-534). */
+  /** Lifetime count leaderboard: core players ranked by how many of their
+    * games satisfy `predicate` (conditional agg + global top-k). */
+  def countLeaderboard(stats: DataFrame, predicate: Column, k: Int = 10): DataFrame =
+    TopK.global(
+      corePlayers(stats).filter(predicate)
+        .groupBy(col("player_id")).agg(count(lit(1)).as("value")),
+      k, desc("value"), col("player_id"))
+
+  /** Most lifetime wins (cte_most_wins, generate_lookup_data.sh:436-456:
+    * teamPlacement = 1). */
+  def mostWins(stats: DataFrame, k: Int = 10): DataFrame =
+    countLeaderboard(stats, col("team_placement") === 1.0, k)
+
+  /** Most lifetime last places (cte_most_lastplaces,
+    * generate_lookup_data.sh:416-434: teamPlacement = numberOfTeams). */
+  def mostLastPlaces(stats: DataFrame, k: Int = 10): DataFrame =
+    countLeaderboard(stats, col("team_placement") === col("number_of_teams"), k)
+
+  /** Bootstrap seasons document (write_meta, generate_lookup_data.sh:54-91):
+    * `current` = the latest-starting season (rn=1 over start DESC — the
+    * all-overlapping 'lifetime' row starts earliest so never wins), plus
+    * the whole dim as a start-ordered JSON array. Single-row aggregate over
+    * the O(10)-row dim — never touches fact data. */
+  def seasonsDoc(seasons: Dataset[Season]): DataFrame =
+    seasons.toDF().agg(
+      max_by(col("season_id"), col("start_ts")).as("current"),
+      to_json(sort_array(collect_list(struct(
+        col("start_ts"), col("season_id"), col("end_ts"))))).as("seasons"))
+
+  /** Per-day rollup — the full vw_player_stats_by_day_wz measure set
+    * (parse_matches.sh:472-534): 10 summed count measures, 2 averaged
+    * ratio measures, monster/goose-egg flag counts. */
   def perDay(stats: DataFrame, settings: Settings = Settings()): DataFrame =
     stats.groupBy(col("player_id"), to_date(col("ended_at")).as("day"))
       .agg(
@@ -115,6 +182,10 @@ object Reports {
         sum(col("kills")).as("kills"),
         sum(col("deaths")).as("deaths"),
         sum(col("damage_done")).as("damage_done"),
+        sum(col("gulag_kills")).as("gulag_kills"),
+        sum(col("gulag_deaths")).as("gulag_deaths"),
+        sum(col("headshots")).as("headshots"),
+        sum(col("distance_traveled")).as("distance_traveled"),
         avg(col("kd_ratio")).as("avg_kd"),
         avg(col("score_per_minute")).as("avg_spm"),
         sum(when(col("kills") >= settings.monsterKills, 1L).otherwise(0L)).as("monsters"),
@@ -236,22 +307,62 @@ object Reports {
       coalesce(col(c).cast("string"), lit("N/A")).as(c)): _*)
   }
 
-  /** Per-game series with smoothed + cumulative frames — the by-game twin
-    * of [[timeSeries]] (generate_lookup_data.sh:827-868: smoothed_10/25
-    * over games in play order). */
-  def gameSeries(stats: DataFrame, ks: Seq[Int] = Seq(10, 25)): DataFrame = {
-    val framed = Frames.smoothedAndCumulative(
-      stats
-        .withColumn("kills_c", (col("kills") * 100).cast("long"))
-        .withColumn("deaths_c", (col("deaths") * 100).cast("long"))
-        .withColumn("damage_c", (col("damage_done") * 100).cast("long")),
+  /** The reference's 12 series measures: 10 windowed-sum counts + 2
+    * windowed-avg ratios (generate_lookup_data.sh:734-775,827-868). */
+  private def seriesSumMeasures(matches: Column, monsters: Column,
+                                gooseeggs: Column): Seq[(String, Column)] = Seq(
+    "matches_played" -> matches.cast("double"),
+    "kills" -> col("kills"), "deaths" -> col("deaths"),
+    "gulag_kills" -> col("gulag_kills"), "gulag_deaths" -> col("gulag_deaths"),
+    "headshots" -> col("headshots"), "damage_done" -> col("damage_done"),
+    "distance_traveled" -> col("distance_traveled"),
+    "monsters" -> monsters.cast("double"), "gooseeggs" -> gooseeggs.cast("double"))
+
+  /** The client-side statResolvers computed server-side over the cumulative
+    * bucket (index.js:19-135), each with ITS OWN zero-denominator guard:
+    * K/D divides by 1 when deaths=0; every per-match / per-kill / percent
+    * metric returns 0 when its denominator is 0. (The player-card gulag
+    * guard at index.js:631 defaults to 100% instead — that variant lives in
+    * [[seasonRollup]]; the series resolver at index.js:85-91 returns 0.) */
+  private def withDerivedMetrics(framed: DataFrame): DataFrame = {
+    val m  = col("matches_played_cum")
+    val k  = col("kills_cum")
+    val d  = col("deaths_cum")
+    val gk = col("gulag_kills_cum")
+    val gd = col("gulag_deaths_cum")
+    framed
+      .withColumn("kd_cum", when(d === 0.0, k).otherwise(k / d))
+      .withColumn("kills_per_game",
+        when(m === 0.0, 0.0).otherwise(k / m))
+      .withColumn("deaths_per_game",
+        when(m === 0.0, 0.0).otherwise(d / m))
+      .withColumn("dmg_per_game",
+        when(m === 0.0, 0.0).otherwise(col("damage_done_cum") / m))
+      .withColumn("dmg_per_kill",
+        when(k === 0.0, 0.0).otherwise(col("damage_done_cum") / k))
+      .withColumn("gulag_win_pct",
+        when(gk + gd === 0.0, 0.0).otherwise(lit(100.0) * gk / (gk + gd)))
+      .withColumn("monster_pct",
+        when(m === 0.0, 0.0).otherwise(lit(100.0) * col("monsters_cum") / m))
+      .withColumn("gooseegg_pct",
+        when(m === 0.0, 0.0).otherwise(lit(100.0) * col("gooseeggs_cum") / m))
+  }
+
+  /** Per-game series — the by-game twin of [[timeSeries]]
+    * (generate_lookup_data.sh:827-868: smoothed_10/25 over games in play
+    * order; each game contributes matchesPlayed=1 and its monster /
+    * goose-egg flags, parse_matches.sh:509-534). */
+  def gameSeries(stats: DataFrame, ks: Seq[Int] = Seq(10, 25),
+                 settings: Settings = Settings()): DataFrame = {
+    val framed = Frames.rollingSumsAndAvgs(stats,
       col("player_id"), col("ended_at"),
-      Seq("kills" -> col("kills_c"), "deaths" -> col("deaths_c"),
-          "damage" -> col("damage_c")),
-      ks, 100.0)
-    framed.withColumn("kd_cum",
-      when(col("deaths_cum") === 0.0, col("kills_cum"))
-        .otherwise(col("kills_cum") / col("deaths_cum")))
+      seriesSumMeasures(lit(1L),
+        when(col("kills") >= settings.monsterKills, 1L).otherwise(0L),
+        when(col("kills") === 0.0, 1L).otherwise(0L)),
+      Seq("kd_ratio" -> col("kd_ratio"),
+          "score_per_minute" -> col("score_per_minute")),
+      ks)
+    withDerivedMetrics(framed)
   }
 
   /** Lifetime per-metric records with the reference's tie semantics
@@ -277,23 +388,17 @@ object Reports {
               col("game_id"), col("ended_at"))
   }
 
-  /** Per-day (or per-game) time series with smoothed + cumulative frames
-    * and the client-side derived metrics computed server-side
-    * (generate_lookup_data.sh:734-868; index.js:19-135 statResolvers;
-    * zero-denominator guards per player.js:219 / index.js:631). */
+  /** Per-day time series over the [[perDay]] rollup: the full 12-measure
+    * smoothed_3/7 + cumulative buckets and the client-side derived metrics
+    * computed server-side (generate_lookup_data.sh:734-775; index.js:19-135
+    * statResolvers with their zero-denominator guards). */
   def timeSeries(daily: DataFrame, ks: Seq[Int] = Seq(3, 7)): DataFrame = {
-    val framed = Frames.smoothedAndCumulative(
-      daily
-        .withColumn("kills_c", (col("kills") * 100).cast("long"))
-        .withColumn("deaths_c", (col("deaths") * 100).cast("long"))
-        .withColumn("damage_c", (col("damage_done") * 100).cast("long")),
+    val framed = Frames.rollingSumsAndAvgs(daily,
       col("player_id"), col("day"),
-      Seq("kills" -> col("kills_c"), "deaths" -> col("deaths_c"),
-          "damage" -> col("damage_c")),
-      ks, 100.0)
-    // cumulative K/D with the reference guard: deaths==0 => K/D = kills
-    framed.withColumn("kd_cum",
-      when(col("deaths_cum") === 0.0, col("kills_cum"))
-        .otherwise(col("kills_cum") / col("deaths_cum")))
+      seriesSumMeasures(col("n_games"), col("monsters"), col("gooseeggs")),
+      Seq("kd_ratio" -> col("avg_kd"),
+          "score_per_minute" -> col("avg_spm")),
+      ks)
+    withDerivedMetrics(framed)
   }
 }

@@ -40,4 +40,35 @@ object Frames {
           .cast("double") / scale)
     }
   }
+
+  /** The reference's series buckets verbatim: trailing-k-frame SUMS (its
+    * `smoothed_k` keys are windowed sums, not means) for count measures and
+    * trailing-frame AVGs for ratio measures, plus the cumulative twins
+    * (`/root/reference/frontend/generate_lookup_data.sh:734-775,827-868`:
+    * sum(...) OVER k-frames for 10 measures, avg(kdRatio/scorePerMinute)).
+    *
+    * Emits `<name>_s<k>` + `<name>_cum` per sum measure and `<name>_a<k>`
+    * + `<name>_cuma` per avg measure. All frames share the one
+    * (entity, order) sort — a single shuffle + single ordered scan
+    * regardless of how many measures × frames are requested.
+    */
+  def rollingSumsAndAvgs(df: DataFrame, entity: Column, order: Column,
+                         sumMeasures: Seq[(String, Column)],
+                         avgMeasures: Seq[(String, Column)],
+                         ks: Seq[Int]): DataFrame = {
+    val base = Window.partitionBy(entity).orderBy(order)
+    val cumW = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSums = sumMeasures.foldLeft(df) { case (acc, (name, m)) =>
+      ks.foldLeft(acc) { (a, k) =>
+        a.withColumn(s"${name}_s$k",
+          sum(m).over(base.rowsBetween(-(k - 1), Window.currentRow)))
+      }.withColumn(s"${name}_cum", sum(m).over(cumW))
+    }
+    avgMeasures.foldLeft(withSums) { case (acc, (name, m)) =>
+      ks.foldLeft(acc) { (a, k) =>
+        a.withColumn(s"${name}_a$k",
+          avg(m).over(base.rowsBetween(-(k - 1), Window.currentRow)))
+      }.withColumn(s"${name}_cuma", avg(m).over(cumW))
+    }
+  }
 }

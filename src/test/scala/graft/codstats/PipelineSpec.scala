@@ -44,7 +44,7 @@ class PipelineSpec extends SparkSpec {
       doc("m3", "uno-alice", t0 + 600 + 3 * 3600, kills = 4, placement = 1),
       // bob shares m1 with alice (team of 2)
       doc("m1", "uno-bob", t0, kills = 3, deaths = 0),
-      doc("m2", "uno-bob", t0 + 600, kills = 1),
+      doc("m2", "uno-bob", t0 + 600, kills = 1, placement = 30), // last of 30 teams
       // stimulus mode game: gulag must zero out; mode not tracked -> excluded from statsWz
       doc("m4", "uno-alice", t0 + 7200, mode = "br_mini_rebirth", gulagKills = 1),
       // unknown mode -> audit
@@ -185,13 +185,15 @@ class PipelineSpec extends SparkSpec {
     assert(kills == Seq(("alice", 9.0))) // carol (11 kills) is non-core
   }
 
-  test("game series frames run in play order per player") {
+  test("game series frames run in play order per player (smoothed_k = windowed SUM)") {
     val gs = Reports.gameSeries(ctx.stats, Seq(2))
       .filter(col("player_id") === "alice")
       .orderBy("ended_at")
-      .select("kills_sma2", "kd_cum").as[(Double, Double)].collect().toSeq
-    // alice tracked games in order: kills 9, 0, 4 (deaths 2 each)
-    assert(gs.map(_._1) == Seq(9.0, 4.5, 2.0)) // trailing-2 means
+      .select("kills_s2", "kd_cum").as[(Double, Double)].collect().toSeq
+    // alice tracked games in order: kills 9, 0, 4 (deaths 2 each); the
+    // reference's smoothed_k buckets are trailing SUMS, not means
+    // (generate_lookup_data.sh:827-868)
+    assert(gs.map(_._1) == Seq(9.0, 9.0, 4.0))
     assert(math.abs(gs.last._2 - 13.0 / 6.0) < 1e-12) // cum K/D
   }
 
@@ -245,8 +247,10 @@ class PipelineSpec extends SparkSpec {
   test("runReports writes every report family as readable JSON") {
     val out = java.nio.file.Files.createTempDirectory("graft_reports").toString
     Pipeline.runReports(ctx, out)
-    for (r <- Seq("leaderboards", "recent_matches", "recent_sessions",
-                  "season_rollup", "unknown_modes", "time_series")) {
+    for (r <- Seq("leaderboards", "most_wins", "most_lastplaces", "seasons",
+                  "recent_matches", "recent_sessions",
+                  "season_rollup", "unknown_modes", "time_series",
+                  "game_series")) {
       val df = spark.read.json(s"$out/$r")
       assert(df.count() > 0, s"report $r is empty")
     }
@@ -267,5 +271,79 @@ class PipelineSpec extends SparkSpec {
     // bob: m1 (3 kills, 0 deaths), m2 (1 kill, 2 deaths) same day ->
     // cum kills 4, cum deaths 2 -> 2.0
     assert(ts == Seq(2.0))
+  }
+
+  test("lifetime count leaderboards: wins and last places, core players only") {
+    // alice won m3 (placement=1); carol also won m3 but is non-core
+    val wins = Reports.mostWins(ctx.stats)
+      .select("player_id", "value").as[(String, Long)].collect().toSeq
+    assert(wins == Seq(("alice", 1L)))
+    // bob placed last (30 of 30) in m2; alice placed 3rd in it
+    val lasts = Reports.mostLastPlaces(ctx.stats)
+      .select("player_id", "value").as[(String, Long)].collect().toSeq
+    assert(lasts == Seq(("bob", 1L)))
+  }
+
+  test("session end is next session's start - 1s, open session gets the sentinel") {
+    val s = Reports.sessions(ctx.stats).filter(col("player_id") === "alice")
+      .orderBy("session_seq")
+      .select(col("session_id"),
+        unix_seconds(col("session_start")).as("start_s"),
+        unix_seconds(col("session_end")).as("end_s"),
+        unix_seconds(col("last_game_at")).as("last_s"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(s.map(_._1) == Seq("alice_1", "alice_2"))
+    // session 1 ends one second before session 2 begins (parse_matches.sh:320-328)
+    assert(s(0)._3 == s(1)._2 - 1)
+    // open session: end = 9999999999 - 1
+    assert(s(1)._3 == Reports.OpenSessionSentinelSeconds - 1)
+    // the observed game span stays available
+    assert(s(0)._4 == t0 + 600)
+  }
+
+  test("seasons doc: current = latest-starting season, start-ordered array") {
+    val d = Reports.seasonsDoc(ctx.seasons)
+      .select("current", "seasons").as[(String, String)].head()
+    assert(d._1 == "s2") // s2 starts 2020-06-01, after s1; 'lifetime' starts earliest
+    val order = Seq("lifetime", "s1", "s2")
+      .map(id => d._2.indexOf("\"" + id + "\""))
+    assert(order.forall(_ >= 0) && order == order.sorted)
+  }
+
+  test("recent matches resolve display names with the Unknown fallback") {
+    val rm = Reports.recentMatches(ctx.stats, ctx.modes)
+      .select("game_mode_display").distinct().as[String].collect().toSet
+    assert(rm == Set("BR Trios"))
+    // unmapped mode → the reference's HTML-escaped fallback literal
+    // (generate_lookup_data.sh:525)
+    val unmapped = ctx.stats.withColumn("game_mode_sub", lit("br_mystery"))
+    val fb = Reports.recentMatches(unmapped, ctx.modes)
+      .select("game_mode_display").distinct().as[String].collect().toSet
+    assert(fb == Set("Unknown &lt;br_mystery&gt;"))
+  }
+
+  test("series derived metrics honor each resolver's zero guard") {
+    val spark2 = spark
+    import spark2.implicits._
+    // day 1: deaths=0 (K/D guard → kills); kills=0 on day 2 (dmg_per_kill → 0)
+    val daily = Seq(
+      ("p", "2024-01-01", 2L, 6.0, 0.0, 900.0, 0.0, 0.0, 3.0, 100.0, 2.0, 140.0, 0L, 0L),
+      ("p", "2024-01-02", 1L, 0.0, 4.0, 300.0, 1.0, 1.0, 0.0, 50.0, 0.5, 90.0, 0L, 1L))
+      .toDF("player_id", "day", "n_games", "kills", "deaths", "damage_done",
+            "gulag_kills", "gulag_deaths", "headshots", "distance_traveled",
+            "avg_kd", "avg_spm", "monsters", "gooseeggs")
+    val ts = Reports.timeSeries(daily).orderBy("day")
+      .select("kd_cum", "dmg_per_kill", "gulag_win_pct", "gooseegg_pct",
+              "kills_per_game")
+      .as[(Double, Double, Double, Double, Double)].collect().toSeq
+    // day 1: deaths_cum=0 → kd = kills_cum = 6; gulag 0+0 → 0 (series
+    // resolver, index.js:85-91 — NOT the 100% card default)
+    assert(ts(0) == ((6.0, 150.0, 0.0, 0.0, 3.0)))
+    // day 2 cumulative: kills 6, deaths 4, dmg 1200, gulag 1W/1L, 3 games
+    assert(ts(1)._1 == 1.5)
+    assert(ts(1)._2 == 200.0)
+    assert(ts(1)._3 == 50.0)
+    assert(math.abs(ts(1)._4 - 100.0 / 3.0) < 1e-12)
+    assert(ts(1)._5 == 2.0)
   }
 }
