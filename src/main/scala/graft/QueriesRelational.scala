@@ -284,6 +284,56 @@ object QueriesRelational {
        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
        |FROM t GROUP BY quartile ORDER BY quartile""".stripMargin
 
+  // --- q50: quantile bucketing WITHOUT a global window (q43's scale path) ----
+  // The 100 TB replacement for global ntile: compute the three quartile cut
+  // points in one aggregate (partial+final, no sort of the world), broadcast
+  // the 1-row cut table, and bucket-assign map-side with a CASE — the plan
+  // has NO Window operator, so no single reducer ever sees a total order.
+  // percentile_disc picks actual elements by the ANSI cume_dist rule, which
+  // both engines implement identically (the q46 precedent), making the cut
+  // points — and therefore every bucket assignment — bit-identical
+  // cross-engine. At real scale swap percentile_disc for approx_percentile:
+  // same plan shape, sketch-merge aggregate instead of exact. Bucket counts
+  // differ from exact ntile only at cut-point ties (ntile splits ties by
+  // row order; threshold bucketing is value-deterministic — the property
+  // that makes it scale-safe AND engine-portable). q43 stays as the exact
+  // small-scale cross-check.
+  private val q50: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val cuts = o.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("c25"),
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)").as("c50"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").as("c75"))
+    o.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("o_totalprice") <= col("c25"), 1)
+          .when(col("o_totalprice") <= col("c50"), 2)
+          .when(col("o_totalprice") <= col("c75"), 3)
+          .otherwise(4))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           Exact.sumMoney(col("o_totalprice")).as("revenue"),
+           min(col("o_totalprice")).as("min_price"),
+           max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("bucket"))
+  }
+  private val q50Sql =
+    s"""WITH c AS (
+       |  SELECT
+       |    percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS c25,
+       |    percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS c50,
+       |    percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS c75
+       |  FROM orders
+       |)
+       |SELECT CASE WHEN o_totalprice <= c25 THEN 1
+       |            WHEN o_totalprice <= c50 THEN 2
+       |            WHEN o_totalprice <= c75 THEN 3
+       |            ELSE 4 END AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${X.sumMoney("o_totalprice")} AS revenue,
+       |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+       |FROM orders, c GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // --- q46: exact discrete percentiles (ANSI percentile_disc) ----------------
   // percentile_disc picks an actual element (first value with cume_dist >=
   // q, the ANSI rule both engines implement) — unlike interpolating
@@ -307,6 +357,7 @@ object QueriesRelational {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q50_quantile_buckets" -> q50,
     "q46_percentile_disc" -> q46,
     "q42_rollup_revenue" -> q42,
     "q43_ntile_quartiles" -> q43,
@@ -323,6 +374,7 @@ object QueriesRelational {
     "q25_unknown_audit" -> q25)
 
   val oracleSql: Map[String, String] = Map(
+    "q50_quantile_buckets" -> q50Sql,
     "q46_percentile_disc" -> q46Sql,
     "q42_rollup_revenue" -> q42Sql,
     "q43_ntile_quartiles" -> q43Sql,

@@ -54,6 +54,13 @@ class PlanSpec extends SparkSpec {
            plan("q31_cosine_topk").contains("BroadcastHashJoin"))
   }
 
+  test("q50 quantile bucketing plans with no Window operator at all") {
+    val p = plan("q50_quantile_buckets")
+    assert(!p.contains("Window"), "scale path must not sort a total order")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "cut points must broadcast")
+  }
+
   test("q29 candidate join keys on the content-derived prefix hash, not length bands") {
     val p = plan("q29_ngram_jaccard")
     assert(p.contains("pk"), "join key must include the prefix-hash content component")
