@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{NearDup, TextOps, VectorOps}
+import graft.ops.{Components, NearDup, TextOps, VectorOps}
 
 /** Deduplication operator family — the core large-scale training-data
   * pipeline extension beyond the reference's own surface (SURVEY.md §7.2
@@ -59,12 +59,14 @@ object QueriesDedup {
     NearDup.pairs(hashed, 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
-  private val q27Sql = {
+  /** Shared DuckDB CTE chain producing `scored` = LSH candidate pairs with
+    * exact Jaccard (the q27 pipeline); reused by the q51 components twin. */
+  private val lshScoredCtes: String = {
     val X = TextOps.sql
     val bandRows = X.bandKeys("hs").map { case (j, e) =>
       s"SELECT doc_id, $j AS band, $e AS key FROM h"
     }.mkString("\nUNION ALL\n")
-    s"""WITH h AS (
+    s"""h AS (
        |  SELECT doc_id, ${X.shingleHashes("text", 3)} AS hs
        |  FROM documents WHERE length(text) >= 13
        |), sig AS (
@@ -78,10 +80,12 @@ object QueriesDedup {
        |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
        |    CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS DOUBLE) AS jaccard
        |  FROM cand JOIN h a ON a.doc_id = doc_a JOIN h b ON b.doc_id = doc_b
-       |)
+       |)""".stripMargin
+  }
+  private val q27Sql =
+    s"""WITH $lshScoredCtes
        |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // --- q28: SimHash signature per document -----------------------------------
   // 60-bit SimHash over distinct token hashes: bit j set iff more tokens have
@@ -194,11 +198,14 @@ object QueriesDedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  // --- q30: embedding-cosine near-dup — top-20 most-similar pairs ------------
-  // Norms computed once per vector; pair enumeration is id-ordered; cosine is
-  // the deterministic sequential fold (VectorOps) so ranking ties out
-  // identically cross-engine. Brute-force all-pairs here (the corpus is the
-  // small side); the bucketed scale path is q32.
+  // --- q30: embedding-cosine near-dup — EXACT all-pairs VERIFIER -------------
+  // This is deliberately the exact brute-force baseline (BroadcastNestedLoop
+  // all-pairs): it exists to measure the recall of the bucketed operators,
+  // NOT to run at corpus scale. The inventory's embedding-near-dup entry is
+  // q52 (VectorNearDup.pairsMultiprobe — equi-join on sign-bit buckets);
+  // point any real corpus THERE. Norms computed once per vector; pair
+  // enumeration id-ordered; cosine is the deterministic sequential fold
+  // (VectorOps) so ranking ties out identically cross-engine.
   private val q30: Q = (s, dir) => {
     graft.functions.GraftFunctions.register(s)
     val em = Tables.embeddings(s, dir)
@@ -226,7 +233,81 @@ object QueriesDedup {
        |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin
   }
 
+  // --- q52: embedding near-dup via the BUCKETED library path -----------------
+  // The scale form of q30: VectorNearDup.pairsMultiprobe — candidates come
+  // from an equi-join on sign-bit LSH buckets (own bucket + the 8 Hamming-1
+  // probes), never an all-pairs product. The oracle mirrors the probe
+  // expansion exactly, so this query verifies the bucketed operator's own
+  // contract (pairs within Hamming <= 1, cosine >= 0.3, top-20); q30's
+  // exact baseline measures its recall. At 100 TB the bucket id doubles as
+  // the corpus partition key so the self-join co-locates.
+  private val NPlanesND = 8
+  private val DimND     = 64
+  private val q52: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    val prep = graft.ops.VectorNearDup
+      .prepared(Tables.embeddings(s, dir), "vec_id", "embedding", NPlanesND, DimND)
+      .cache()
+    graft.ops.VectorNearDup.pairsMultiprobe(prep, 0.3, NPlanesND)
+      .orderBy(desc("cosine"), col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+  private val q52Sql = {
+    val X = VectorOps.sql
+    val probeItems = ("bucket" +: (0 until NPlanesND).map(i => s"xor(bucket, ${1L << i})"))
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding AS v, ${X.norm("embedding")} AS nrm,
+       |    ${X.hyperplaneBucket("embedding", NPlanesND, DimND)} AS bucket
+       |  FROM embeddings
+       |), probes AS (
+       |  SELECT vec_id, unnest($probeItems) AS probe FROM e
+       |), cand AS (
+       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM probes x JOIN e y ON x.probe = y.bucket AND x.vec_id < y.vec_id
+       |), scored AS (
+       |  SELECT vec_a, vec_b,
+       |    ${X.dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+       |  FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b
+       |)
+       |SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.3
+       |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin
+  }
+
+  // --- q51: transitive dedup components over near-dup pairs ------------------
+  // The survivor-selection fixer (a~b~c is ONE group): connected components
+  // by min-label propagation (ops/Components) over the q27 LSH pairs. The
+  // DuckDB twin walks the same edges with a recursive CTE — min reachable
+  // id per node == the propagation fixpoint, so both engines agree exactly.
+  private val q51: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val hashed = NearDup
+      .shingleHashed(d.repartition(Tables.shufflePartitions(s)), "doc_id", "text")
+      .cache()
+    // fixed-width id pairs: tiny relative to the corpus; cached because the
+    // component loop scans the edge list every round
+    val pairs = NearDup.pairs(hashed, 0.5)
+    Components.minLabel(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+  private val q51Sql =
+    s"""WITH RECURSIVE $lshScoredCtes,
+       |p AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION SELECT doc_b, doc_a FROM p
+       |), reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.id
+       |)
+       |SELECT id AS doc_id, MIN(r) AS component
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q52_embedding_neardup_bucketed" -> q52,
+    "q51_dedup_components" -> q51,
     "q26_exact_dedup" -> q26,
     "q27_minhash_lsh" -> q27,
     "q28_simhash" -> q28,
@@ -234,6 +315,8 @@ object QueriesDedup {
     "q30_embedding_neardup" -> q30)
 
   val oracleSql: Map[String, String] = Map(
+    "q52_embedding_neardup_bucketed" -> q52Sql,
+    "q51_dedup_components" -> q51Sql,
     "q26_exact_dedup" -> q26Sql,
     "q27_minhash_lsh" -> q27Sql,
     "q28_simhash" -> q28Sql,

@@ -52,11 +52,23 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Survivor selection: connected near-dup pairs → keep the lowest id per
-    * duplicate group (single-link one-hop union: a doc is dropped if any
-    * near-dup with a lower id exists — the standard greedy dedup rule;
-    * full transitive closure would need iterative connected components). */
+  /** Greedy survivor selection: keep a doc unless some near-dup with a
+    * lower id exists (one-hop rule). Cheap — a single anti-join — but NOT
+    * transitive: a chain a~b~c keeps BOTH a and c even though the three
+    * form one duplicate group. Use [[transitiveSurvivors]] when chains
+    * matter (they do at corpus scale). */
   def survivors(docs: DataFrame, id: Column, nearDupPairs: DataFrame): DataFrame =
     docs.join(nearDupPairs.select(col("doc_b").as("drop_id")).distinct(),
       id === col("drop_id"), "left_anti")
+
+  /** Transitive survivor selection: connected components over the pair
+    * graph ([[Components.minLabel]]), keep exactly min(id) per component —
+    * a chain a~b~c drops b AND c. */
+  def transitiveSurvivors(docs: DataFrame, id: Column, nearDupPairs: DataFrame,
+                          aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val drops = Components.minLabel(nearDupPairs, aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("drop_id"))
+    docs.join(drops, id === col("drop_id"), "left_anti")
+  }
 }

@@ -38,6 +38,36 @@ object VectorNearDup {
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
               col("cosine"))
 
+  /** Multiprobe variant of [[pairs]]: each vector also probes the nPlanes
+    * buckets at Hamming distance 1 (one sign bit flipped), so every pair
+    * whose buckets differ in <= 1 bit is found — the standard multiprobe
+    * LSH recall boost (Lv et al., VLDB'07 — public) at ~(nPlanes+1)× the
+    * candidate fan-in instead of 2^nPlanes× for full coverage.
+    *
+    * Shape: the probe explosion carries only (vec_id, probe) — fixed-width
+    * candidate pairs form BEFORE the vectors join back (the q27/NearDup
+    * discipline), so the shuffle never multiplies the embedding arrays.
+    * A qualifying pair matches exactly once (its bucket XOR is 0 or a
+    * single distinct bit ⇒ exactly one probe hits), so no pair-distinct
+    * shuffle is needed either.
+    */
+  def pairsMultiprobe(prep: DataFrame, threshold: Double, nPlanes: Int): DataFrame = {
+    val probeList = ("bucket" +: (0 until nPlanes).map(i => s"bucket ^ ${1L << i}L"))
+      .mkString("array(", ", ", ")")
+    val probes = prep.select(col("vec_id"), explode(expr(probeList)).as("probe"))
+    val cand = probes.as("x")
+      .join(prep.select(col("vec_id"), col("bucket")).as("y"),
+        col("x.probe") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    val a = prep.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = prep.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(a, "vec_a").join(b, "vec_b")
+      .withColumn("cosine",
+        expr(VectorOps.fastDot("va", "vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   /** Greedy survivor rule (see [[NearDup.survivors]]). */
   def survivors(vectors: DataFrame, id: Column, nearDupPairs: DataFrame): DataFrame =
     vectors.join(nearDupPairs.select(col("vec_b").as("drop_id")).distinct(),

@@ -61,6 +61,12 @@ class PlanSpec extends SparkSpec {
       "cut points must broadcast")
   }
 
+  test("q52 bucketed near-dup candidates come from equi-joins, never all-pairs") {
+    val p = plan("q52_embedding_neardup_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the bucketed path must not enumerate all pairs")
+  }
+
   test("q29 candidate join keys on the content-derived prefix hash, not length bands") {
     val p = plan("q29_ngram_jaccard")
     assert(p.contains("pk"), "join key must include the prefix-hash content component")

@@ -39,6 +39,32 @@ class NearDupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 4L)) // 2 dropped as dup of 1
   }
+
+  test("one-hop vs transitive survivors on a planted a~c~b chain") {
+    // chain through the HIGHEST id: 10~30 and 20~30 are pairs, 10~20 is not
+    val chain = Seq((10L, 30L), (20L, 30L)).toDF("doc_a", "doc_b")
+    val cdocs = Seq(10L, 20L, 30L, 99L).toDF("doc_id")
+    // greedy one-hop keeps BOTH 10 and 20: 20's only direct near-dup (30)
+    // has a higher id, so nothing drops it — the known flaw
+    val oneHop = NearDup.survivors(cdocs, col("doc_id"), chain)
+      .select("doc_id").as[Long].collect().toSet
+    assert(oneHop == Set(10L, 20L, 99L))
+    // transitive closure sees {10,20,30} as one group -> one survivor
+    val transitive = NearDup.transitiveSurvivors(cdocs, col("doc_id"), chain)
+      .select("doc_id").as[Long].collect().toSet
+    assert(transitive == Set(10L, 99L))
+  }
+
+  test("components assign min reachable id across multiple groups") {
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L),           // component 1 (unordered pair input)
+      (7L, 8L), (8L, 9L), (9L, 10L) // component 7: diameter-3 chain
+    ).toDF("doc_a", "doc_b")
+    val comp = Components.minLabel(pairs, "doc_a", "doc_b")
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                       7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L))
+  }
 }
 
 /** Embedding-space near-dup: same-bucket LSH candidates + exact cosine. */
@@ -63,5 +89,22 @@ class VectorNearDupSpec extends SparkSpec {
         VectorNearDup.pairs(prep, 0.999))
       .select("vec_id").as[Long].collect().toSet
     assert(!kept.contains(2L) && kept.contains(1L) && kept.size == 29)
+  }
+
+  test("multiprobe finds every single-bucket pair plus Hamming-1 neighbors, once") {
+    val vecs = (1L to 40L).map { i =>
+      val r = new scala.util.Random(i % 7) // collisions -> identical vectors
+      (i, Seq.fill(64)(r.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val prep = VectorNearDup.prepared(vecs, "vec_id", "embedding", 8, 64).cache()
+    val single = VectorNearDup.pairs(prep, 0.0)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
+    val multi = VectorNearDup.pairsMultiprobe(prep, 0.0, 8)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
+    // no duplicate candidate pairs (each pair matches exactly one probe)
+    assert(multi.distinct.size == multi.size)
+    assert(single.toSet.subsetOf(multi.toSet))
+    // identical vectors (same seed) share a bucket -> found by both
+    assert(single.toSet.contains((1L, 8L)))
   }
 }
