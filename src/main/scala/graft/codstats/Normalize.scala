@@ -57,7 +57,12 @@ object Normalize {
               col("playerStats.damageTaken").isNotNull)
       .filter(!(stat("deaths") === 0.0 && stat("damageTaken") === 0.0))
       // the reference's CHECK constraints + INSERT OR IGNORE: violating
-      // rows are silently dropped, never ingested with sentinel values
+      // rows are silently dropped, never ingested with sentinel values.
+      // Same for its NOT NULL columns that the INSERT does NOT ifnull()-
+      // default: a null utcEndSeconds (date_key) or null mode
+      // (game_mode_sub) row is skipped by the reference, not defaulted
+      // (parse_matches.sh:67-70,627-670)
+      .filter(col("utcEndSeconds").isNotNull && col("mode").isNotNull)
       .filter(col("gameType").isin("mp", "wz") &&
               coalesce(col("playerCount"), lit(-1)) > 0 &&
               coalesce(col("teamCount"), lit(-1)) > 0 &&

@@ -53,17 +53,40 @@ object Pipeline {
   /** Materialize the standard report set under `outDir` — one directory
     * per file the reference frontend loads (write_meta +
     * write_leaderboards + per-player loops, generate_lookup_data.sh). */
+  /** The frozen report-tree inventory (FIXTURES.md §4 ↔ the files the
+    * reference frontend loads, generate_lookup_data.sh): one entry per
+    * written directory; the e2e golden test pins this exact set. */
+  val reportInventory: Seq[String] = Seq(
+    "meta", "seasons",                       // write_meta (:54-91)
+    "leaderboards",                          // per-metric top-10 (:101-349)
+    "most_wins", "most_lastplaces",          // lifetime counts (:416-456)
+    "team_leaderboards",                     // team rollups (:478-505)
+    "recent_matches", "recent_sessions",     // (:514-581)
+    "sessions",                              // per-player sessions (:941-961)
+    "season_rollup",                         // per-season rollup (:590-633)
+    "unknown_modes",                         // audit (parse_matches.sh:205-221)
+    "time_series", "game_series")            // per-player series (:707-868)
+
+  /** Materialize the standard report set under `outDir` — one directory
+    * per file the reference frontend loads (write_meta +
+    * write_leaderboards + per-player loops, generate_lookup_data.sh). */
   def runReports(ctx: Context, outDir: String): Unit = {
     val s = ctx.stats
+    writeJsonReport(ctx.spark.sql(
+      "SELECT unix_millis(current_timestamp()) AS updatedAt"), s"$outDir/meta")
+    writeJsonReport(Reports.seasonsDoc(ctx.seasons), s"$outDir/seasons")
     writeJsonReport(Reports.leaderboards(s), s"$outDir/leaderboards")
     writeJsonReport(Reports.mostWins(s), s"$outDir/most_wins")
     writeJsonReport(Reports.mostLastPlaces(s), s"$outDir/most_lastplaces")
-    writeJsonReport(Reports.seasonsDoc(ctx.seasons), s"$outDir/seasons")
+    writeJsonReport(Reports.teamStats(s), s"$outDir/team_leaderboards")
     writeJsonReport(Reports.recentMatches(s, ctx.modes), s"$outDir/recent_matches")
     writeJsonReport(Reports.recentSessions(s, ctx.settings), s"$outDir/recent_sessions")
     writeJsonReport(Reports.seasonRollup(s, ctx.seasons), s"$outDir/season_rollup")
     writeJsonReport(Normalize.unknownModes(ctx.valid, ctx.modes), s"$outDir/unknown_modes")
-    // per-player series: partitioned write replaces the per-player loop
+    // per-player outputs: partitioned writes replace the per-player loop
+    Reports.sessions(s, ctx.settings)
+      .write.mode("overwrite").partitionBy("player_id")
+      .json(s"$outDir/sessions")
     val daily = Reports.perDay(s, ctx.settings)
       .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
     renameCumalative(Reports.timeSeries(daily))

@@ -61,6 +61,12 @@ class PlanSpec extends SparkSpec {
       "cut points must broadcast")
   }
 
+  test("q33 tokenizes each row exactly once (single split in the plan)") {
+    val df = SparkEntry.queries("q33_lang_id")(spark, dir)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert("split\\(".r.findAllIn(p).length == 1)
+  }
+
   test("q52 bucketed near-dup candidates come from equi-joins, never all-pairs") {
     val p = plan("q52_embedding_neardup_bucketed")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

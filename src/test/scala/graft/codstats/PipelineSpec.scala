@@ -85,11 +85,19 @@ class PipelineSpec extends SparkSpec {
       .replace("\"teamCount\":30", "\"teamCount\":null")
     val badMode  = doc("c4", "uno-alice", t0)
       .replace("\"gameType\":\"wz\"", "\"gameType\":\"menu\"")
+    // NOT NULL columns without an ifnull() default in the reference INSERT:
+    // null utcEndSeconds / null mode rows are skipped, not defaulted
+    val noEnd    = doc("c5", "uno-alice", t0)
+      .replace(s"\"utcEndSeconds\":$t0", "\"utcEndSeconds\":null")
+    val noMode   = doc("c6", "uno-alice", t0)
+      .replace("\"mode\":\"br_brtrios\"", "\"mode\":null")
     assert(noPlace != doc("c2", "uno-alice", t0) &&
            noTeams != doc("c3", "uno-alice", t0) &&
-           badMode != doc("c4", "uno-alice", t0)) // guard against format drift
+           badMode != doc("c4", "uno-alice", t0) &&
+           noEnd   != doc("c5", "uno-alice", t0) &&
+           noMode  != doc("c6", "uno-alice", t0)) // guard against format drift
     val valid = Normalize.validGames(
-      Normalize.parse(Seq(ok, noPlace, noTeams, badMode).toDF("json")),
+      Normalize.parse(Seq(ok, noPlace, noTeams, badMode, noEnd, noMode).toDF("json")),
       seedGameModes.toDS())
     assert(valid.select("game_id").as[String].collect().toSet == Set("c1"))
   }
@@ -247,10 +255,12 @@ class PipelineSpec extends SparkSpec {
   test("runReports writes every report family as readable JSON") {
     val out = java.nio.file.Files.createTempDirectory("graft_reports").toString
     Pipeline.runReports(ctx, out)
-    for (r <- Seq("leaderboards", "most_wins", "most_lastplaces", "seasons",
-                  "recent_matches", "recent_sessions",
-                  "season_rollup", "unknown_modes", "time_series",
-                  "game_series")) {
+    // golden-frozen inventory: the tree contains EXACTLY the directories
+    // mirroring the reference frontend's file set (FIXTURES.md §4)
+    val written = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(written == Pipeline.reportInventory.toSet)
+    for (r <- Pipeline.reportInventory) {
       val df = spark.read.json(s"$out/$r")
       assert(df.count() > 0, s"report $r is empty")
     }
