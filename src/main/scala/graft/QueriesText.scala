@@ -173,6 +173,64 @@ object QueriesText {
        |SELECT doc_id, fp FROM f ORDER BY doc_id, fp""".stripMargin
   }
 
+  // --- q53: benchmark decontamination — fingerprint-overlap vs an eval set ---
+  // The training-data op that removes (here: reports) documents overlapping
+  // a held-out benchmark (n-gram-overlap decontamination à la the GPT-3
+  // appendix / C4 & Gopher dataset analyses — public literature), built
+  // from pieces already in the engine: winnowing fingerprints (q36) as the
+  // shared-substring witness, the md5 hash split (q44) as the eval-set
+  // selector, and a document-frequency cap that BOTH removes ubiquitous
+  // fingerprints with no contamination signal AND is the skew guard — the
+  // capped fp is the join key, so no hot key survives into the join. At
+  // 100 TB the eval side is a real benchmark corpus (tiny) → broadcast
+  // join, train fps never shuffle; the df table is computed once per
+  // corpus snapshot and reused.
+  private val DecontamDfCap     = 10 // fp in > 10 docs carries no signal
+  private val DecontamMinShared = 3  // >= 3 rare shared fps ⇒ contaminated
+  private val q53: Q = (s, dir) => {
+    graft.functions.TextFunctions.register(s)
+    val d = Tables.documents(s, dir).filter(length(col("text")) >= 13)
+    val mat = d.repartition(Tables.shufflePartitions(s))
+      .select(col("doc_id"), expr("graft_winnow_7_4(text)").as("fps"))
+      .cache()
+    val fps = mat.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df_"))
+      .filter(col("df_") <= DecontamDfCap).select("fp")
+    val fr = fps.join(rare, "fp")
+    val split = expr(s"${TextOps.hash60("CAST(doc_id AS STRING)")} % 10")
+    val evalSide = fr.filter(split === 0)
+      .select(col("doc_id").as("eval_id"), col("fp"))
+    fr.filter(split =!= 0)
+      .join(broadcast(evalSide), "fp")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= DecontamMinShared)
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+  private val q53Sql = {
+    val hs = s"list_transform(generate_series(1, length(text) - 6), i -> ${TextOps.sql.hash60("substr(text, i, 7)")})"
+    val split = s"${TextOps.sql.hash60("CAST(doc_id AS VARCHAR)")} % 10"
+    s"""WITH h AS (
+       |  SELECT doc_id, $hs AS hs FROM documents WHERE length(text) >= 13
+       |), f AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(hs) - 3),
+       |    p -> least(hs[p], hs[p + 1], hs[p + 2], hs[p + 3])))) AS fp
+       |  FROM h
+       |), rare AS (
+       |  SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= $DecontamDfCap
+       |), fr AS (
+       |  SELECT f.* FROM f JOIN rare USING (fp)
+       |), e AS (
+       |  SELECT doc_id AS eval_id, fp FROM fr WHERE $split = 0
+       |), t AS (
+       |  SELECT doc_id, fp FROM fr WHERE $split <> 0
+       |)
+       |SELECT t.doc_id, e.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM t JOIN e USING (fp)
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $DecontamMinShared
+       |ORDER BY doc_id, eval_id""".stripMargin
+  }
+
   // --- q37: multimodal decode plumbing (stubbed decoder, real pipeline) ------
   // documents.text → BINARY payload + typed metadata → partition-batched
   // decode (Multimodal.decodeStub) → typed features. The oracle recomputes
@@ -318,6 +376,7 @@ object QueriesText {
       |ORDER BY doc_id, frame_idx""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q53_decontaminate" -> q53,
     "q47_frame_sample" -> q47,
     "q44_hash_split" -> q44,
     "q40_approx_distinct" -> q40,
@@ -330,6 +389,7 @@ object QueriesText {
     "q39_token_explode" -> q39)
 
   val oracleSql: Map[String, String] = Map(
+    "q53_decontaminate" -> q53Sql,
     "q47_frame_sample" -> q47Sql,
     "q44_hash_split" -> q44Sql,
     "q33_lang_id" -> q33Sql,
