@@ -83,17 +83,21 @@ object Pipeline {
     writeJsonReport(Reports.recentSessions(s, ctx.settings), s"$outDir/recent_sessions")
     writeJsonReport(Reports.seasonRollup(s, ctx.seasons), s"$outDir/season_rollup")
     writeJsonReport(Normalize.unknownModes(ctx.valid, ctx.modes), s"$outDir/unknown_modes")
-    // per-player outputs: partitioned writes replace the per-player loop
+    // per-(player, season) outputs: partitioned writes replace the
+    // reference's players × seasons query loop; the 'lifetime' season
+    // partition carries the unscoped series
     Reports.sessions(s, ctx.settings)
       .write.mode("overwrite").partitionBy("player_id")
       .json(s"$outDir/sessions")
-    val daily = Reports.perDay(s, ctx.settings)
+    val daily = Reports.perDayBySeason(s, ctx.seasons, ctx.settings)
       .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
-    renameCumalative(Reports.timeSeries(daily))
-      .write.mode("overwrite").partitionBy("player_id")
+    renameCumalative(Reports.timeSeries(daily,
+        entity = Seq(col("player_id"), col("season_id"))))
+      .write.mode("overwrite").partitionBy("player_id", "season_id")
       .json(s"$outDir/time_series")
-    renameCumalative(Reports.gameSeries(s, settings = ctx.settings))
-      .write.mode("overwrite").partitionBy("player_id")
+    renameCumalative(Reports.gameSeriesBySeason(s, ctx.seasons,
+        settings = ctx.settings))
+      .write.mode("overwrite").partitionBy("player_id", "season_id")
       .json(s"$outDir/game_series")
   }
 }

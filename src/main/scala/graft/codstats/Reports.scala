@@ -176,7 +176,24 @@ object Reports {
     * (parse_matches.sh:472-534): 10 summed count measures, 2 averaged
     * ratio measures, monster/goose-egg flag counts. */
   def perDay(stats: DataFrame, settings: Settings = Settings()): DataFrame =
-    stats.groupBy(col("player_id"), to_date(col("ended_at")).as("day"))
+    perDayKeyed(stats, Seq(col("player_id")), settings)
+
+  /** [[perDay]] scoped to each overlapping season via the broadcast range
+    * join — one partitioned DataFrame replaces the reference's
+    * players × seasons query loop (generate_lookup_data.sh:905-935 calls
+    * write_player_time_stats once per (name, season) with the season's
+    * [start, end) bounds; 'lifetime' overlaps everything so that partition
+    * reproduces the unscoped series). */
+  def perDayBySeason(stats: DataFrame, seasons: Dataset[Season],
+                     settings: Settings = Settings()): DataFrame =
+    perDayKeyed(
+      RangeJoin.broadcastRange(stats, seasons.toDF(),
+        col("ended_at"), col("start_ts"), col("end_ts")),
+      Seq(col("player_id"), col("season_id")), settings)
+
+  private def perDayKeyed(stats: DataFrame, keys: Seq[Column],
+                          settings: Settings): DataFrame =
+    stats.groupBy(keys :+ to_date(col("ended_at")).as("day"): _*)
       .agg(
         count(lit(1)).as("n_games"),
         sum(col("kills")).as("kills"),
@@ -353,9 +370,10 @@ object Reports {
     * order; each game contributes matchesPlayed=1 and its monster /
     * goose-egg flags, parse_matches.sh:509-534). */
   def gameSeries(stats: DataFrame, ks: Seq[Int] = Seq(10, 25),
-                 settings: Settings = Settings()): DataFrame = {
+                 settings: Settings = Settings(),
+                 entity: Seq[Column] = Seq(col("player_id"))): DataFrame = {
     val framed = Frames.rollingSumsAndAvgs(stats,
-      col("player_id"), col("ended_at"),
+      entity, col("ended_at"),
       seriesSumMeasures(lit(1L),
         when(col("kills") >= settings.monsterKills, 1L).otherwise(0L),
         when(col("kills") === 0.0, 1L).otherwise(0L)),
@@ -364,6 +382,16 @@ object Reports {
       ks)
     withDerivedMetrics(framed)
   }
+
+  /** [[gameSeries]] scoped per overlapping season (frames restart at each
+    * season boundary, matching the reference's per-season game files). */
+  def gameSeriesBySeason(stats: DataFrame, seasons: Dataset[Season],
+                         ks: Seq[Int] = Seq(10, 25),
+                         settings: Settings = Settings()): DataFrame =
+    gameSeries(
+      RangeJoin.broadcastRange(stats, seasons.toDF(),
+        col("ended_at"), col("start_ts"), col("end_ts")),
+      ks, settings, Seq(col("player_id"), col("season_id")))
 
   /** Lifetime per-metric records with the reference's tie semantics
     * (index.js:408-418, SURVEY §2.6 T5): every player tied at the metric
@@ -392,9 +420,10 @@ object Reports {
     * smoothed_3/7 + cumulative buckets and the client-side derived metrics
     * computed server-side (generate_lookup_data.sh:734-775; index.js:19-135
     * statResolvers with their zero-denominator guards). */
-  def timeSeries(daily: DataFrame, ks: Seq[Int] = Seq(3, 7)): DataFrame = {
+  def timeSeries(daily: DataFrame, ks: Seq[Int] = Seq(3, 7),
+                 entity: Seq[Column] = Seq(col("player_id"))): DataFrame = {
     val framed = Frames.rollingSumsAndAvgs(daily,
-      col("player_id"), col("day"),
+      entity, col("day"),
       seriesSumMeasures(col("n_games"), col("monsters"), col("gooseeggs")),
       Seq("kd_ratio" -> col("avg_kd"),
           "score_per_minute" -> col("avg_spm")),

@@ -52,11 +52,11 @@ object Frames {
     * (entity, order) sort — a single shuffle + single ordered scan
     * regardless of how many measures × frames are requested.
     */
-  def rollingSumsAndAvgs(df: DataFrame, entity: Column, order: Column,
+  def rollingSumsAndAvgs(df: DataFrame, entity: Seq[Column], order: Column,
                          sumMeasures: Seq[(String, Column)],
                          avgMeasures: Seq[(String, Column)],
                          ks: Seq[Int]): DataFrame = {
-    val base = Window.partitionBy(entity).orderBy(order)
+    val base = Window.partitionBy(entity: _*).orderBy(order)
     val cumW = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withSums = sumMeasures.foldLeft(df) { case (acc, (name, m)) =>
       ks.foldLeft(acc) { (a, k) =>

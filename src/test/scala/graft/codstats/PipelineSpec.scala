@@ -264,12 +264,29 @@ class PipelineSpec extends SparkSpec {
       val df = spark.read.json(s"$out/$r")
       assert(df.count() > 0, s"report $r is empty")
     }
-    // per-player series is partitioned by player_id (replaces the
-    // reference's per-player query loop)
+    // per-player series is partitioned by (player_id, season_id) —
+    // replaces the reference's players × seasons query loop
     val parts = new java.io.File(s"$out/time_series").listFiles()
       .filter(_.getName.startsWith("player_id=")).map(_.getName).toSet
     // carol is non-core: excluded from leaderboards but present in series
     assert(parts == Set("player_id=alice", "player_id=bob", "player_id=carol"))
+    val aliceSeasons = new java.io.File(s"$out/time_series/player_id=alice")
+      .listFiles().filter(_.getName.startsWith("season_id=")).map(_.getName).toSet
+    // alice's games fall in s1; 'lifetime' overlaps everything
+    assert(aliceSeasons == Set("season_id=s1", "season_id=lifetime"))
+  }
+
+  test("season-scoped series restart frames at the season boundary") {
+    val bySeason = Reports.gameSeriesBySeason(ctx.stats, ctx.seasons, Seq(2))
+      .filter(col("player_id") === "alice")
+    // alice's tracked games (kills 9, 0, 4) all fall inside s1, so her s1
+    // series equals her lifetime series — and BOTH restart cumulative
+    // sums at their own first row
+    val bySeasonMap = bySeason
+      .select(col("season_id"), col("kills_cum")).as[(String, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(bySeasonMap("s1") == Seq(9.0, 9.0, 13.0))
+    assert(bySeasonMap("lifetime") == Seq(9.0, 9.0, 13.0))
   }
 
   test("time series: cumulative K/D uses the zero-deaths guard") {
