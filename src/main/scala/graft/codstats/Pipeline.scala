@@ -64,6 +64,7 @@ object Pipeline {
     "recent_matches", "recent_sessions",     // (:514-581)
     "sessions",                              // per-player sessions (:941-961)
     "season_rollup",                         // per-season rollup (:590-633)
+    "player_stats",                          // per-player season doc (:590-701)
     "unknown_modes",                         // audit (parse_matches.sh:205-221)
     "time_series", "game_series")            // per-player series (:707-868)
 
@@ -82,6 +83,13 @@ object Pipeline {
     writeJsonReport(Reports.recentMatches(s, ctx.modes), s"$outDir/recent_matches")
     writeJsonReport(Reports.recentSessions(s, ctx.settings), s"$outDir/recent_sessions")
     writeJsonReport(Reports.seasonRollup(s, ctx.seasons), s"$outDir/season_rollup")
+    // category list is dimension data (O(10) rows): driver-side collect is
+    // the intended use, same as broadcasting the dim itself
+    val categories = ctx.modes.select(col("category")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    writeJsonReport(
+      Reports.playerStatsDoc(s, ctx.seasons, ctx.modes, categories),
+      s"$outDir/player_stats")
     writeJsonReport(Normalize.unknownModes(ctx.valid, ctx.modes), s"$outDir/unknown_modes")
     // per-(player, season) outputs: partitioned writes replace the
     // reference's players × seasons query loop; the 'lifetime' season

@@ -307,6 +307,27 @@ object Reports {
           .as("avg_placement_pct"))
   }
 
+  /** The combined per-player stats document: one row per player, a
+    * season-ordered JSON array of {season metrics ⨝ category placements}
+    * (generate_lookup_data.sh:590-701: cte_stats_rollup JOIN
+    * cte_placements_rollup USING (player_id, id), grouped per player; the
+    * reference orders seasons by sort_order — season_id stands in here).
+    * Both inputs already share the (player_id, season_id) shuffle key, so
+    * the join co-locates; the final doc is one row per player. */
+  def playerStatsDoc(stats: DataFrame, seasons: Dataset[Season],
+                     modes: Dataset[GameMode],
+                     categories: Seq[String]): DataFrame = {
+    val rollup = seasonRollup(stats, seasons)
+    val placements = placementPivot(stats, seasons, modes, categories)
+    val joined = rollup.join(placements, Seq("player_id", "season_id"))
+    val seasonStruct = struct(
+      col("season_id") +: (rollup.columns.filterNot(c =>
+        c == "player_id" || c == "season_id").map(col) ++
+        categories.map(col)): _*)
+    joined.groupBy(col("player_id"))
+      .agg(to_json(sort_array(collect_list(seasonStruct))).as("seasons_doc"))
+  }
+
   /** Per-season avg placement pivoted to category columns with 'N/A' fill
     * (generate_lookup_data.sh:638-685). */
   def placementPivot(stats: DataFrame, seasons: Dataset[Season],

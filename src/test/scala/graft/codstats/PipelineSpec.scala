@@ -137,6 +137,18 @@ class PipelineSpec extends SparkSpec {
     assert(topKills == ("alice", 9.0)) // carol's 11 kills excluded (non-core)
   }
 
+  test("golden: kills leaderboard JSON document byte-for-byte") {
+    val js = Reports.leaderboardsJson(ctx.stats)
+      .filter(col("metric") === "kills").select("top_json").as[String].head()
+    // frozen content: rank order = kills desc, then player_id, game_id
+    assert(js ==
+      """[{"rank":1,"player_id":"alice","game_id":"m1","value":9.0},""" +
+      """{"rank":2,"player_id":"alice","game_id":"m3","value":4.0},""" +
+      """{"rank":3,"player_id":"bob","game_id":"m1","value":3.0},""" +
+      """{"rank":4,"player_id":"bob","game_id":"m2","value":1.0},""" +
+      """{"rank":5,"player_id":"alice","game_id":"m2","value":0.0}]""")
+  }
+
   test("leaderboard JSON documents are rank-ordered") {
     val js = Reports.leaderboardsJson(ctx.stats)
       .filter(col("metric") === "kills").select("top_json").as[String].head()
@@ -274,6 +286,21 @@ class PipelineSpec extends SparkSpec {
       .listFiles().filter(_.getName.startsWith("season_id=")).map(_.getName).toSet
     // alice's games fall in s1; 'lifetime' overlaps everything
     assert(aliceSeasons == Set("season_id=s1", "season_id=lifetime"))
+  }
+
+  test("player stats doc: one row per player, season-ordered metrics+placements") {
+    val doc = Reports.playerStatsDoc(ctx.stats, ctx.seasons, ctx.modes,
+        Seq("wz_trios", "wz_quads"))
+      .filter(col("player_id") === "alice")
+      .select("seasons_doc").as[String].head()
+    // both of alice's seasons appear, each with rollup metrics AND the
+    // pivoted placement categories
+    assert(doc.contains("\"season_id\":\"s1\"") &&
+           doc.contains("\"season_id\":\"lifetime\""))
+    assert(doc.contains("\"kd\":") && doc.contains("\"wz_trios\":\"2.33\"") &&
+           doc.contains("\"wz_quads\":\"N/A\""))
+    // deterministic array order (sorted by season_id)
+    assert(doc.indexOf("lifetime") < doc.indexOf("\"s1\""))
   }
 
   test("season-scoped series restart frames at the season boundary") {
