@@ -45,6 +45,36 @@ class StreamingIngestSpec extends SparkSpec {
     assert(rows.count() == 3L) // no duplicates from re-reading old files
     assert(rows.select("game_id").distinct().as[String].collect().toSet == Set("m1", "m2"))
   }
+
+  test("continuousRun: each tick drains new files and refreshes the report tree") {
+    val landing = Files.createTempDirectory("graft_cr_landing")
+    val fact = Files.createTempDirectory("graft_cr_fact").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft_cr_ckpt")
+    val reports = Files.createTempDirectory("graft_cr_reports")
+    val players = Seq(
+      Model.Player("u1", "p1", is_core = true),
+      Model.Player("u2", "p2", is_core = true)).toDS()
+    val seasons = Model.seedSeasons.map { case (id, a, b) => Model.Season(id,
+      java.sql.Timestamp.from(java.time.Instant.parse(a)),
+      java.sql.Timestamp.from(java.time.Instant.parse(b))) }.toDS()
+    def tick(): Unit = Pipeline.continuousRun(spark, landing.toString,
+      ckpt.toString, fact, reports.toString,
+      players, Model.seedGameModes.toDS(), seasons)
+
+    writeDoc(landing, "match_m1_u1.json", "m1", "u1", 1590000000L)
+    writeDoc(landing, "match_m1_u2.json", "m1", "u2", 1590000000L)
+    tick()
+    assert(spark.read.parquet(fact).count() == 2L)
+    val lb1 = spark.read.json(s"$reports/leaderboards")
+    assert(lb1.filter(col("metric") === "kills").count() == 2L)
+
+    // next cron tick: one new game arrives; reports are regenerated
+    writeDoc(landing, "match_m2_u1.json", "m2", "u1", 1590003600L)
+    tick()
+    assert(spark.read.parquet(fact).count() == 3L)
+    val rm = spark.read.json(s"$reports/recent_matches")
+    assert(rm.select("game_id").as[String].collect().toSet == Set("m1", "m2"))
+  }
 }
 
 class SaltSpec extends SparkSpec {
