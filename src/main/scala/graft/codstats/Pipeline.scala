@@ -92,7 +92,7 @@ object Pipeline {
     * reference frontend loads, generate_lookup_data.sh): one entry per
     * written directory; the e2e golden test pins this exact set. */
   val reportInventory: Seq[String] = Seq(
-    "meta", "seasons",                       // write_meta (:54-91)
+    "meta", "seasons", "players",            // write_meta (:54-91)
     "leaderboards",                          // per-metric top-10 (:101-349)
     "most_wins", "most_lastplaces",          // lifetime counts (:416-456)
     "team_leaderboards",                     // team rollups (:478-505)
@@ -111,11 +111,13 @@ object Pipeline {
     writeJsonReport(ctx.spark.sql(
       "SELECT unix_millis(current_timestamp()) AS updatedAt"), s"$outDir/meta")
     writeJsonReport(Reports.seasonsDoc(ctx.seasons), s"$outDir/seasons")
+    // players.json copy (write_meta:56): the dim ships with the site
+    writeJsonReport(ctx.players.toDF(), s"$outDir/players")
     writeJsonReport(Reports.leaderboards(s), s"$outDir/leaderboards")
     writeJsonReport(Reports.mostWins(s), s"$outDir/most_wins")
     writeJsonReport(Reports.mostLastPlaces(s), s"$outDir/most_lastplaces")
     writeJsonReport(Reports.teamStats(s), s"$outDir/team_leaderboards")
-    writeJsonReport(Reports.recentMatches(s, ctx.modes), s"$outDir/recent_matches")
+    writeJsonReport(Reports.recentMatchesDoc(s, ctx.modes), s"$outDir/recent_matches")
     writeJsonReport(Reports.recentSessions(s, ctx.settings), s"$outDir/recent_sessions")
     writeJsonReport(Reports.seasonRollup(s, ctx.seasons), s"$outDir/season_rollup")
     // category list is dimension data (O(10) rows): driver-side collect is

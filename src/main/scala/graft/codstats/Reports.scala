@@ -143,6 +143,30 @@ object Reports {
       .drop("display_name")
   }
 
+  /** Recent N games as NESTED documents — the vw_full_game_stats shape the
+    * frontend actually loads (parse_matches.sh:481-505: one row per game,
+    * comma-joined roster + a per-player stats JSON array;
+    * generate_lookup_data.sh:514-541 adds the display-name join). Roster
+    * and stats arrays are sorted for determinism (SURVEY §7.5.3). The
+    * re-nest groupBy runs BEFORE the top-N cut (the cut needs per-game
+    * rows), then n rows join the broadcast dim. */
+  def recentMatchesDoc(stats: DataFrame, modes: Dataset[GameMode],
+                       n: Int = 15): DataFrame = {
+    val perGame = stats.groupBy(col("game_id"), col("ended_at"), col("game_mode_sub"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("player_id")))).as("player_ids"),
+        to_json(sort_array(collect_list(struct(col("player_id"), col("kills"),
+          col("deaths"), col("damage_done"), col("team_placement")))))
+          .as("player_stats"))
+    val dim = modes.select(col("id").as("game_mode_sub"), col("display_name"))
+    TopK.global(perGame, n, desc("ended_at"), col("game_id"))
+      .join(broadcast(dim), Seq("game_mode_sub"), "left")
+      .withColumn("game_mode_display",
+        coalesce(col("display_name"),
+                 concat(lit("Unknown &lt;"), col("game_mode_sub"), lit("&gt;"))))
+      .drop("display_name")
+  }
+
   /** Lifetime count leaderboard: core players ranked by how many of their
     * games satisfy `predicate` (conditional agg + global top-k). */
   def countLeaderboard(stats: DataFrame, predicate: Column, k: Int = 10): DataFrame =

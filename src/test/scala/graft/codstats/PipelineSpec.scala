@@ -364,6 +364,20 @@ class PipelineSpec extends SparkSpec {
     assert(order.forall(_ >= 0) && order == order.sorted)
   }
 
+  test("recent matches doc: one nested row per game, sorted roster and stats") {
+    val rm = Reports.recentMatchesDoc(ctx.stats, ctx.modes)
+      .select("game_id", "player_ids", "player_stats", "game_mode_display")
+      .as[(String, String, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rm.keySet == Set("m1", "m2", "m3"))
+    assert(rm("m1")._2 == "alice,bob")
+    assert(rm("m3")._2 == "alice,carol") // non-core carol appears in games
+    assert(rm("m1")._4 == "BR Trios")
+    // per-player stats array is sorted by player_id (alice first)
+    assert(rm("m1")._3.indexOf("alice") < rm("m1")._3.indexOf("bob"))
+    assert(rm("m1")._3.contains("\"kills\":9.0")) // alice's monster game
+  }
+
   test("recent matches resolve display names with the Unknown fallback") {
     val rm = Reports.recentMatches(ctx.stats, ctx.modes)
       .select("game_mode_display").distinct().as[String].collect().toSet
