@@ -92,10 +92,11 @@ object QueriesDedup {
   // bit j set than clear. Explode + 60 SUM(CASE) aggregates (map-side
   // combinable, codegen-friendly) rather than nested lambdas.
   private val nBits = 60
-  private val q28: Q = (s, dir) => {
+  /** (doc_id, simhash) — shared by q28 (signatures) and q54 (pairing).
+    * Token-hash arrays are materialized before exploding (explode over an
+    * expensive interpreted array child is pathological — see q27/q29). */
+  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    // materialize the token-hash arrays before exploding (same pathology as
-    // q27/q29: explode over an expensive interpreted array child)
     val hs = d.repartition(Tables.shufflePartitions(s))
       .select(col("doc_id"),
         expr(s"array_distinct(transform(${TextOps.tokensExpr("text")}, t -> ${TextOps.hash60("t")}))").as("hs"))
@@ -108,24 +109,76 @@ object QueriesDedup {
       .mkString(" + ")
     toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), expr(packed).as("simhash"))
-      .orderBy(col("doc_id"))
   }
-  private val q28Sql = {
+  private val q28: Q = (s, dir) => simhashDf(s, dir).orderBy(col("doc_id"))
+  /** DuckDB CTE chain producing `s` = (doc_id, simhash); shared by q28/q54. */
+  private val simhashSqlCtes: String = {
     val X = TextOps.sql
     val sums = (0 until nBits).map(j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n")
     val packed = (0 until nBits)
       .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(${X.tokens("text")}, t2 -> ${X.hash60("t2")}))) AS h
        |  FROM documents
        |), a AS (
        |  SELECT doc_id,
        |$sums
        |  FROM t GROUP BY doc_id
+       |), s AS (
+       |  SELECT doc_id, $packed AS simhash FROM a
+       |)""".stripMargin
+  }
+  private val q28Sql =
+    s"""WITH $simhashSqlCtes
+       |SELECT doc_id, simhash FROM s ORDER BY doc_id""".stripMargin
+
+  // --- q54: SimHash near-dup pairing — banded Hamming-distance join ----------
+  // The signatures (q28) put to their actual use: pairs within Hamming
+  // distance <= 3. Blocking is EXACT by pigeonhole — the 60 bits split
+  // into 4 bands of 15; <= 3 differing bits cannot touch all 4 bands, so
+  // every qualifying pair collides on at least one band key. Candidate
+  // generation is an equi-join on (band index ⊕ band value) packed into
+  // one BIGINT; the verify is a single xor + bit_count on fixed-width
+  // columns. At corpus scale the known hazard is template-heavy buckets
+  // (many identical simhashes in one band) — mitigated by splitting hot
+  // buckets on a second band, same discipline as the LSH paths.
+  private val SimBands    = 4
+  private val SimBandBits = 15
+  private val SimMaxHam   = 3 // must stay < SimBands for exact recall
+  private val q54: Q = (s, dir) => {
+    val sim = simhashDf(s, dir).cache()
+    val mask = (1L << SimBandBits) - 1
+    val keys = (0 until SimBands).map(j =>
+      s"(${j.toLong << 60}L + (shiftright(simhash, ${j * SimBandBits}) & ${mask}L))")
+      .mkString("array(", ", ", ")")
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      explode(expr(keys)).as("bkey"))
+    banded.as("x").join(banded.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct() // a pair may collide in several bands
+      .filter(col("hamming") <= SimMaxHam)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private val q54Sql = {
+    val mask = (1L << SimBandBits) - 1
+    val keys = (0 until SimBands).map(j =>
+      s"(${j.toLong << 60} + ((simhash >> ${j * SimBandBits}) & $mask))")
+      .mkString("[", ", ", "]")
+    s"""WITH $simhashSqlCtes,
+       |banded AS (
+       |  SELECT doc_id, simhash, unnest($keys) AS bkey FROM s
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+       |  FROM banded x JOIN banded y
+       |    ON x.bkey = y.bkey AND x.doc_id < y.doc_id
        |)
-       |SELECT doc_id, $packed AS simhash FROM a ORDER BY doc_id""".stripMargin
+       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= $SimMaxHam
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // --- q29: blocked exact n-gram Jaccard -------------------------------------
@@ -306,6 +359,7 @@ object QueriesDedup {
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q54_simhash_neardup" -> q54,
     "q52_embedding_neardup_bucketed" -> q52,
     "q51_dedup_components" -> q51,
     "q26_exact_dedup" -> q26,
@@ -315,6 +369,7 @@ object QueriesDedup {
     "q30_embedding_neardup" -> q30)
 
   val oracleSql: Map[String, String] = Map(
+    "q54_simhash_neardup" -> q54Sql,
     "q52_embedding_neardup_bucketed" -> q52Sql,
     "q51_dedup_components" -> q51Sql,
     "q26_exact_dedup" -> q26Sql,
