@@ -196,7 +196,9 @@ object QueriesText {
     val fps = mat.select(col("doc_id"), explode(col("fps")).as("fp"))
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df_"))
       .filter(col("df_") <= DecontamDfCap).select("fp")
-    val fr = fps.join(rare, "fp")
+    // cached: BOTH split branches scan it — without this the df aggregate
+    // and the rare join (the expensive part) execute twice
+    val fr = fps.join(rare, "fp").cache()
     val split = expr(s"${TextOps.hash60("CAST(doc_id AS STRING)")} % 10")
     val evalSide = fr.filter(split === 0)
       .select(col("doc_id").as("eval_id"), col("fp"))

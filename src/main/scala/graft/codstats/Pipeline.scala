@@ -40,22 +40,34 @@ object Pipeline {
 
   /** The reference's cron run loop (`run_and_deploy.sh`: fetch → parse →
     * generate → sync, README.md run-loop docs) as ONE streaming job:
-    * landing stream → normalize → foreachBatch { append the batch to the
-    * parquet fact store, rebuild the report tree over the full store }.
+    * landing stream → normalize → foreachBatch appends NEW fact rows →
+    * one report-tree rebuild per tick over the full store.
     *
     * `Trigger.AvailableNow` makes each invocation one cron tick — drain
     * everything new, refresh reports, stop, resumable from the checkpoint;
     * swapping in a processing-time trigger turns the same job into a
-    * continuously-refreshing service with no other change. Rebuilding
-    * every report per tick is the reference's own cost model (it
-    * regenerates every file each run); the fact-store append is the only
-    * per-batch work proportional to batch size.
+    * continuously-refreshing service (move the report rebuild into a
+    * listener or a second cadence). Rebuilding every report per tick is
+    * the reference's own cost model (it regenerates every file each run),
+    * and the rebuild runs even on an empty tick so meta.updatedAt always
+    * reflects the last successful run.
+    *
+    * Idempotency: each batch anti-joins the store's existing
+    * (game_id, player_uno_id) keys before appending — the reference's
+    * INSERT OR IGNORE (its parser does the same NOT-IN over all ingested
+    * keys, parse_matches.sh:580-596). This guards BOTH re-delivered
+    * documents under new filenames AND foreachBatch replays after a crash
+    * between the append and the checkpoint commit. At scale the key read
+    * is column-pruned to the two id columns.
     */
   def continuousRun(spark: SparkSession, landingDir: String,
                     checkpointDir: String, factDir: String, reportDir: String,
                     players: Dataset[Player], modes: Dataset[GameMode],
                     seasons: Dataset[Season],
                     settings: Settings = Settings()): Unit = {
+    def store(): Option[DataFrame] =
+      if (new java.io.File(factDir).exists()) Some(spark.read.parquet(factDir))
+      else None
     val raw = StreamingIngest.readLanding(spark, landingDir)
     val valid = StreamingIngest.validGamesStream(raw, modes)
     val q = valid.writeStream
@@ -63,13 +75,18 @@ object Pipeline {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(factDir)
-        val ctx = Context(spark, spark.read.parquet(factDir),
-          players, modes, seasons, settings)
-        runReports(ctx, reportDir)
+        val fresh = store() match {
+          case Some(existing) => Normalize.newGamesOnly(batch, existing)
+          case None           => batch
+        }
+        fresh.write.mode("append").parquet(factDir)
       }
       .start()
     q.awaitTermination()
+    store().foreach { fact =>
+      runReports(Context(spark, fact, players, modes, seasons, settings),
+        reportDir)
+    }
   }
 
   /** The series measures whose cumulative keys the reference frontend
@@ -85,9 +102,6 @@ object Pipeline {
       (d, m) => d.withColumnRenamed(s"${m}_cum", s"cumalative_$m")
     }
 
-  /** Materialize the standard report set under `outDir` — one directory
-    * per file the reference frontend loads (write_meta +
-    * write_leaderboards + per-player loops, generate_lookup_data.sh). */
   /** The frozen report-tree inventory (FIXTURES.md §4 ↔ the files the
     * reference frontend loads, generate_lookup_data.sh): one entry per
     * written directory; the e2e golden test pins this exact set. */

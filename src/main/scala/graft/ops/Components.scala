@@ -47,9 +47,14 @@ object Components {
       changed = next
         .join(labels.select(col("id"), col("component").as("prev")), "id")
         .filter(col("component") < col("prev")).count()
+      // release the superseded round's checkpoint NOW — otherwise up to
+      // maxIter full label-table copies stay pinned in block storage
+      // until nondeterministic ContextCleaner GC
+      labels.unpersist()
       labels = next
       iter += 1
     }
+    edges.unpersist()
     require(changed == 0, s"components did not converge in $maxIter rounds")
     labels
   }

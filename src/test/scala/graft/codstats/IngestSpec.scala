@@ -68,12 +68,24 @@ class StreamingIngestSpec extends SparkSpec {
     val lb1 = spark.read.json(s"$reports/leaderboards")
     assert(lb1.filter(col("metric") === "kills").count() == 2L)
 
-    // next cron tick: one new game arrives; reports are regenerated
+    // next cron tick: one new game arrives, and m1/u1 is RE-DELIVERED
+    // under a fresh filename — the store-key anti-join must drop it
+    // (INSERT OR IGNORE semantics)
     writeDoc(landing, "match_m2_u1.json", "m2", "u1", 1590003600L)
+    writeDoc(landing, "match_m1_u1_redelivered.json", "m1", "u1", 1590000000L)
     tick()
-    assert(spark.read.parquet(fact).count() == 3L)
+    assert(spark.read.parquet(fact).count() == 3L) // not 4: no duplicate
     val rm = spark.read.json(s"$reports/recent_matches")
     assert(rm.select("game_id").as[String].collect().toSet == Set("m1", "m2"))
+
+    // a quiet tick (no new files) still refreshes the report tree
+    val metaBefore = spark.read.json(s"$reports/meta")
+      .select("updatedAt").as[Long].head()
+    tick()
+    val metaAfter = spark.read.json(s"$reports/meta")
+      .select("updatedAt").as[Long].head()
+    assert(metaAfter >= metaBefore)
+    assert(spark.read.parquet(fact).count() == 3L)
   }
 }
 
