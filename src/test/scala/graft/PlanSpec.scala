@@ -78,4 +78,9 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("pk"), "join key must include the prefix-hash content component")
     assert(!p.contains("blk"), "length-band-only blocking key must be gone")
   }
+
+  test("q54 simhash pairing joins on band keys, never all-pairs") {
+    val p = plan("q54_simhash_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }
