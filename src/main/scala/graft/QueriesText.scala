@@ -350,6 +350,65 @@ object QueriesText {
        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
   }
 
+  // --- q55: stratified deterministic sample — k docs per (lang, source) ------
+  // The training-mix curation op: a fixed-size per-stratum sample whose
+  // membership is decided by content hash rank, not rand() — stable across
+  // runs, task retries, engines, and cluster sizes (same discipline as
+  // q44). The per-group rank compiles to WindowGroupLimit, so no partition
+  // buffers more than k rows past the pushdown; one shuffle on the
+  // stratum key.
+  private val StratifiedK = 3
+  private val q55: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(expr(TextOps.hash60("CAST(doc_id AS STRING)")), col("doc_id"))
+    d.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= StratifiedK)
+      .orderBy(col("lang"), col("source"), col("rk"))
+  }
+  private val q55Sql = {
+    val h = TextOps.sql.hash60("CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, lang, source, CAST(rk AS INTEGER) AS rk FROM (
+       |  SELECT doc_id, lang, source,
+       |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY $h, doc_id) AS rk
+       |  FROM documents
+       |)
+       |WHERE rk <= $StratifiedK ORDER BY lang, source, rk""".stripMargin
+  }
+
+  // --- q56: weighted mixture sampling — per-source keep rates ----------------
+  // The data-mix op: each source contributes at its own rate (upsampled
+  // high-quality sources, downsampled boilerplate). Keep decision =
+  // content-hash bucket < the source's percentage — deterministic, and the
+  // realized counts concentrate tightly around rate × population. The rate
+  // dim broadcasts; the filter is map-side; the audit agg is
+  // partial+final. Unlisted sources fall back to a default rate.
+  private val mixRates = Seq(("src0", 80), ("src1", 50), ("src2", 25))
+  private val MixDefaultPct = 10
+  private val q56: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    import s.implicits._
+    val rates = mixRates.toDF("source", "pct")
+    val bucket = s"pmod(${TextOps.hash60("CAST(doc_id AS STRING)")}, 100)"
+    d.join(broadcast(rates), Seq("source"), "left")
+      .withColumn("pct", coalesce(col("pct"), lit(MixDefaultPct)))
+      .filter(expr(bucket) < col("pct"))
+      .groupBy(col("source"), col("pct"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc_id"))
+      .orderBy(col("source"))
+  }
+  private val q56Sql = {
+    val values = mixRates.map { case (src, p) => s"('$src', $p)" }.mkString(", ")
+    val bucket = s"${TextOps.sql.hash60("CAST(doc_id AS VARCHAR)")} % 100"
+    s"""WITH rates AS (SELECT * FROM (VALUES $values) AS t(source, pct))
+       |SELECT source, COALESCE(pct, $MixDefaultPct) AS pct,
+       |  CAST(COUNT(*) AS BIGINT) AS n_kept, MIN(doc_id) AS min_doc_id
+       |FROM documents LEFT JOIN rates USING (source)
+       |WHERE $bucket < COALESCE(pct, $MixDefaultPct)
+       |GROUP BY 1, 2 ORDER BY source""".stripMargin
+  }
+
   // --- q47: multimodal frame sampling (stride over fixed-size chunks) --------
   // Every 4th 16-byte chunk of the payload becomes a "frame" row with a
   // byte checksum — the video-frame-sampling plumbing with a deterministic
@@ -379,6 +438,8 @@ object QueriesText {
 
   val queries: Map[String, Q] = Map(
     "q53_decontaminate" -> q53,
+    "q55_stratified_sample" -> q55,
+    "q56_mixture_sample" -> q56,
     "q47_frame_sample" -> q47,
     "q44_hash_split" -> q44,
     "q40_approx_distinct" -> q40,
@@ -392,6 +453,8 @@ object QueriesText {
 
   val oracleSql: Map[String, String] = Map(
     "q53_decontaminate" -> q53Sql,
+    "q55_stratified_sample" -> q55Sql,
+    "q56_mixture_sample" -> q56Sql,
     "q47_frame_sample" -> q47Sql,
     "q44_hash_split" -> q44Sql,
     "q33_lang_id" -> q33Sql,

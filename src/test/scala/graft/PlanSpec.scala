@@ -79,6 +79,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("blk"), "length-band-only blocking key must be gone")
   }
 
+  test("q55 stratified sample uses the window-group-limit pushdown") {
+    assert(plan("q55_stratified_sample").contains("WindowGroupLimit"))
+  }
+
   test("q54 simhash pairing joins on band keys, never all-pairs") {
     val p = plan("q54_simhash_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
