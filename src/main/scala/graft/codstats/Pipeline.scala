@@ -79,14 +79,43 @@ object Pipeline {
           case Some(existing) => Normalize.newGamesOnly(batch, existing)
           case None           => batch
         }
-        fresh.write.mode("append").parquet(factDir)
+        // event-date partitioning (Normalize's production contract): the
+        // derived layer prunes to the dates a report touches, and
+        // compaction works per partition
+        fresh.withColumn("fact_day", to_date(col("ended_at")))
+          .write.mode("append").partitionBy("fact_day").parquet(factDir)
       }
       .start()
     q.awaitTermination()
     store().foreach { fact =>
-      runReports(Context(spark, fact, players, modes, seasons, settings),
-        reportDir)
+      runReports(Context(spark, fact.drop("fact_day"),
+        players, modes, seasons, settings), reportDir)
     }
+  }
+
+  /** Compact the streaming fact store: every `continuousRun` tick appends
+    * one small parquet file per (batch, day) — after months of 20-minute
+    * ticks that is the classic small-files problem (footer-per-file
+    * planning cost dominates the scan). Rewrites each day partition as one
+    * file into a staging dir, then atomically swaps directories. Runs
+    * BETWEEN ticks (same cadence discipline as the reference's cron slot);
+    * local-FS rename here — an object-store deployment swaps via a
+    * manifest/table format instead. */
+  def compactFactStore(spark: SparkSession, factDir: String): Unit = {
+    if (!new java.io.File(factDir).exists()) return
+    val staging = factDir + "_compacting"
+    spark.read.parquet(factDir)
+      .repartition(col("fact_day"))
+      .write.mode("overwrite").partitionBy("fact_day").parquet(staging)
+    val old = new java.io.File(factDir + "_old")
+    val cur = new java.io.File(factDir)
+    val stg = new java.io.File(staging)
+    require(cur.renameTo(old) && stg.renameTo(cur),
+      s"compaction swap failed for $factDir")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(old)
   }
 
   /** The series measures whose cumulative keys the reference frontend

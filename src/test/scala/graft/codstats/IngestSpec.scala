@@ -86,6 +86,24 @@ class StreamingIngestSpec extends SparkSpec {
       .select("updatedAt").as[Long].head()
     assert(metaAfter >= metaBefore)
     assert(spark.read.parquet(fact).count() == 3L)
+
+    // compaction: the two ticks left multiple files per day partition;
+    // after compaction each day holds ONE file and the rows are identical
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(fact)).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = spark.read.parquet(fact).orderBy("game_id", "player_uno_id")
+      .collect().toSeq
+    val nBefore = dataFiles().size
+    Pipeline.compactFactStore(spark, fact)
+    val after = spark.read.parquet(fact).orderBy("game_id", "player_uno_id")
+      .collect().toSeq
+    assert(after == before)
+    val perDay = dataFiles().groupBy(_.getParentFile.getName)
+    assert(perDay.values.forall(_.size == 1), s"expected 1 file/day, had $nBefore total")
   }
 }
 
