@@ -65,6 +65,7 @@ object Pipeline {
                     players: Dataset[Player], modes: Dataset[GameMode],
                     seasons: Dataset[Season],
                     settings: Settings = Settings()): Unit = {
+    recoverFactStore(factDir) // heal a crashed compaction swap first
     def store(): Option[DataFrame] =
       if (new java.io.File(factDir).exists()) Some(spark.read.parquet(factDir))
       else None
@@ -93,29 +94,86 @@ object Pipeline {
     }
   }
 
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+  }
+
+  /** Self-heal a fact store left mid-swap by a crashed [[compactFactStore]]:
+    * restore a staged-out whole store or per-day backups whose replacement
+    * never landed, and drop leftovers whose swap DID complete. Spark never
+    * reads `_`-prefixed directories, so in-flight staging/backup dirs are
+    * invisible to concurrent readers. Called on entry by both
+    * [[continuousRun]] and [[compactFactStore]]. */
+  def recoverFactStore(factDir: String): Unit = {
+    val root = new java.io.File(factDir)
+    val wholeOld = new java.io.File(factDir + "_old")
+    if (!root.exists() && wholeOld.exists()) wholeOld.renameTo(root)
+    if (!root.exists()) return
+    val entries = Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
+    entries.filter(_.getName.startsWith("_old_fact_day=")).foreach { old =>
+      val live = new java.io.File(root, old.getName.stripPrefix("_old_"))
+      if (!live.exists()) old.renameTo(live) else rmTree(old)
+    }
+    entries.filter(_.getName.startsWith("_tmp_fact_day=")).foreach(rmTree)
+  }
+
   /** Compact the streaming fact store: every `continuousRun` tick appends
     * one small parquet file per (batch, day) — after months of 20-minute
     * ticks that is the classic small-files problem (footer-per-file
-    * planning cost dominates the scan). Rewrites each day partition as one
-    * file into a staging dir, then atomically swaps directories. Runs
-    * BETWEEN ticks (same cadence discipline as the reference's cron slot);
-    * local-FS rename here — an object-store deployment swaps via a
+    * planning cost dominates the scan). INCREMENTAL: only day partitions
+    * holding more than one data file are rewritten (ticks append only to
+    * recent days, so old days are compacted once and never touched again)
+    * — O(days touched since last compaction), not O(store). Each rewrite
+    * stages into a `_`-prefixed dir (invisible to Spark readers), swaps by
+    * rename with a backup kept until the swap completes, and rolls back on
+    * failure; [[recoverFactStore]] heals any crash window. A legacy
+    * UNPARTITIONED store (pre-day-layout) is migrated wholesale on first
+    * call — run compaction once when upgrading, before the next tick.
+    * Local-FS renames here; an object-store deployment swaps via a
     * manifest/table format instead. */
   def compactFactStore(spark: SparkSession, factDir: String): Unit = {
-    if (!new java.io.File(factDir).exists()) return
-    val staging = factDir + "_compacting"
-    spark.read.parquet(factDir)
-      .repartition(col("fact_day"))
-      .write.mode("overwrite").partitionBy("fact_day").parquet(staging)
-    val old = new java.io.File(factDir + "_old")
-    val cur = new java.io.File(factDir)
-    val stg = new java.io.File(staging)
-    require(cur.renameTo(old) && stg.renameTo(cur),
-      s"compaction swap failed for $factDir")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    recoverFactStore(factDir)
+    val root = new java.io.File(factDir)
+    if (!root.exists()) return
+    val entries = Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
+    val dayDirs = entries.filter(f =>
+      f.isDirectory && f.getName.startsWith("fact_day="))
+    if (dayDirs.isEmpty) {
+      // legacy unpartitioned store → migrate to the day-partitioned layout
+      val staging = new java.io.File(factDir + "_compacting")
+      rmTree(staging)
+      val df0 = spark.read.parquet(factDir)
+      val df = if (df0.columns.contains("fact_day")) df0
+               else df0.withColumn("fact_day", to_date(col("ended_at")))
+      df.repartition(col("fact_day"))
+        .write.mode("overwrite").partitionBy("fact_day").parquet(staging.getPath)
+      val old = new java.io.File(factDir + "_old")
+      rmTree(old)
+      require(root.renameTo(old), s"compaction: cannot stage out $factDir")
+      if (!staging.renameTo(root)) {
+        old.renameTo(root)
+        sys.error(s"compaction swap failed for $factDir; original restored")
+      }
+      rmTree(old)
+      return
     }
-    rm(old)
+    dayDirs.foreach { d =>
+      val nData = Option(d.listFiles()).map(_.count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))).getOrElse(0)
+      if (nData > 1) {
+        val stg = new java.io.File(root, "_tmp_" + d.getName)
+        spark.read.parquet(d.getPath).coalesce(1)
+          .write.mode("overwrite").parquet(stg.getPath)
+        val old = new java.io.File(root, "_old_" + d.getName)
+        rmTree(old)
+        require(d.renameTo(old), s"compaction: cannot stage out ${d.getPath}")
+        if (!stg.renameTo(d)) {
+          old.renameTo(d)
+          sys.error(s"compaction swap failed for ${d.getPath}; partition restored")
+        }
+        rmTree(old)
+      }
+    }
   }
 
   /** The series measures whose cumulative keys the reference frontend

@@ -68,15 +68,16 @@ class StreamingIngestSpec extends SparkSpec {
     val lb1 = spark.read.json(s"$reports/leaderboards")
     assert(lb1.filter(col("metric") === "kills").count() == 2L)
 
-    // next cron tick: one new game arrives, and m1/u1 is RE-DELIVERED
-    // under a fresh filename — the store-key anti-join must drop it
-    // (INSERT OR IGNORE semantics)
-    writeDoc(landing, "match_m2_u1.json", "m2", "u1", 1590003600L)
+    // next cron tick: two new games arrive — m3 on day 1, m2 on day 2 —
+    // and m1/u1 is RE-DELIVERED under a fresh filename, which the
+    // store-key anti-join must drop (INSERT OR IGNORE semantics)
+    writeDoc(landing, "match_m2_u1.json", "m2", "u1", 1590090000L) // day 2
+    writeDoc(landing, "match_m3_u2.json", "m3", "u2", 1590007200L) // day 1
     writeDoc(landing, "match_m1_u1_redelivered.json", "m1", "u1", 1590000000L)
     tick()
-    assert(spark.read.parquet(fact).count() == 3L) // not 4: no duplicate
+    assert(spark.read.parquet(fact).count() == 4L) // not 5: no duplicate
     val rm = spark.read.json(s"$reports/recent_matches")
-    assert(rm.select("game_id").as[String].collect().toSet == Set("m1", "m2"))
+    assert(rm.select("game_id").as[String].collect().toSet == Set("m1", "m2", "m3"))
 
     // a quiet tick (no new files) still refreshes the report tree
     val metaBefore = spark.read.json(s"$reports/meta")
@@ -85,10 +86,10 @@ class StreamingIngestSpec extends SparkSpec {
     val metaAfter = spark.read.json(s"$reports/meta")
       .select("updatedAt").as[Long].head()
     assert(metaAfter >= metaBefore)
-    assert(spark.read.parquet(fact).count() == 3L)
+    assert(spark.read.parquet(fact).count() == 4L)
 
-    // compaction: the two ticks left multiple files per day partition;
-    // after compaction each day holds ONE file and the rows are identical
+    // compaction: day 1 now holds two files (one per tick); day 2 one.
+    // After compaction BOTH day partitions hold one file, rows identical.
     def dataFiles() = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
@@ -97,13 +98,32 @@ class StreamingIngestSpec extends SparkSpec {
     }
     val before = spark.read.parquet(fact).orderBy("game_id", "player_uno_id")
       .collect().toSeq
-    val nBefore = dataFiles().size
+    val perDayBefore = dataFiles().groupBy(_.getParentFile.getName)
+    assert(perDayBefore.size == 2 && perDayBefore.values.exists(_.size > 1),
+      "fixture must span two days with one multi-file partition")
     Pipeline.compactFactStore(spark, fact)
     val after = spark.read.parquet(fact).orderBy("game_id", "player_uno_id")
       .collect().toSeq
     assert(after == before)
     val perDay = dataFiles().groupBy(_.getParentFile.getName)
-    assert(perDay.values.forall(_.size == 1), s"expected 1 file/day, had $nBefore total")
+    assert(perDay.size == 2 && perDay.values.forall(_.size == 1))
+  }
+
+  test("compaction migrates a legacy unpartitioned store to the day layout") {
+    val dir = Files.createTempDirectory("graft_legacy").toString + "/store"
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val legacy = Seq(
+      ("g1", "u1", ts(1590000000L), 5.0),
+      ("g2", "u1", ts(1590090000L), 2.0))
+      .toDF("game_id", "player_uno_id", "ended_at", "kills")
+    legacy.write.parquet(dir)
+    Pipeline.compactFactStore(spark, dir)
+    val migrated = spark.read.parquet(dir)
+    assert(migrated.columns.contains("fact_day"))
+    assert(migrated.count() == 2L)
+    val days = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("fact_day=")).map(_.getName).toSet
+    assert(days == Set("fact_day=2020-05-20", "fact_day=2020-05-21"))
   }
 }
 
