@@ -78,4 +78,64 @@ class PropertySpec extends SparkSpec {
       assert(ka.split(",").map(_.toLong).toSeq == members.distinct.sorted)
     }
   }
+
+  test("prefix-filter pigeonhole: any Jaccard >= 0.5 hash-set pair shares a prefix hash") {
+    // the q29 blocking lemma, checked directly on random sorted hash sets:
+    // prefixes of length floor(n/2)+1 must intersect whenever J >= 0.5
+    cases(5, 200) { rnd =>
+      val universe = (1L to 40L).toVector
+      val a = rnd.shuffle(universe).take(4 + rnd.nextInt(20)).toSet
+      // derive b from a by dropping/adding a few elements -> varied Jaccard
+      val b = a.filter(_ => rnd.nextDouble() > 0.2) ++
+        rnd.shuffle(universe).take(rnd.nextInt(4))
+      (a, b)
+    }.foreach { case (a, b) =>
+      if (a.nonEmpty && b.nonEmpty) {
+        val j = a.intersect(b).size.toDouble / a.union(b).size
+        if (j >= 0.5) {
+          val pa = a.toSeq.sorted.take(a.size / 2 + 1).toSet
+          val pb = b.toSeq.sorted.take(b.size / 2 + 1).toSet
+          assert(pa.intersect(pb).nonEmpty,
+            s"pigeonhole violated for J=$j a=$a b=$b")
+        }
+      }
+    }
+  }
+
+  test("simhash banding: any pair within Hamming 3 shares one of the 4 band keys") {
+    // the q54 blocking lemma over random 60-bit values and random <=3-bit flips
+    cases(6, 300) { rnd =>
+      val v = rnd.nextLong() & ((1L << 60) - 1)
+      val flips = (1 to rnd.nextInt(4)).map(_ => rnd.nextInt(60)).distinct
+      (v, flips.foldLeft(v)((x, b) => x ^ (1L << b)))
+    }.foreach { case (x, y) =>
+      def bands(v: Long) = (0 until 4).map(j => (j, (v >> (j * 15)) & 0x7FFFL))
+      assert(java.lang.Long.bitCount(x ^ y) > 3 ||
+             bands(x).intersect(bands(y)).nonEmpty)
+    }
+  }
+
+  test("min-label components equal brute-force transitive closure") {
+    cases(7, 6) { rnd =>
+      (1 to (2 + rnd.nextInt(12))).map(_ =>
+        (rnd.nextLong(15L), rnd.nextLong(15L))).filter(p => p._1 != p._2)
+    }.filter(_.nonEmpty).foreach { edges =>
+      // brute force: repeatedly relabel to the min over each edge
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var label = nodes.map(n => n -> n).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(label(a), label(b))
+          if (label(a) != m || label(b) != m) {
+            label += a -> m; label += b -> m; changed = true
+          }
+        }
+      }
+      val got = Components.minLabel(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .select("id", "component").as[(Long, Long)].collect().toMap
+      assert(got == label)
+    }
+  }
 }
