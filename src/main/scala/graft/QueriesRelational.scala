@@ -334,6 +334,49 @@ object QueriesRelational {
        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
        |FROM orders, c GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // --- q57: as-of join — click→purchase attribution --------------------------
+  // Each purchase attributed to the user's latest click at-or-before it:
+  // the canonical operator Spark lacks natively, composed scale-correctly
+  // by ops/AsofJoin (union + one window pass — one shuffle on user_id, one
+  // ordered scan; never an inequality join). The DuckDB twin uses its
+  // native ASOF JOIN with the right side deduped to max(click_id) per
+  // (user, ts) — exactly the operator's documented tie rule.
+  private val q57: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+              col("event_id").as("click_id"), col("ts").as("click_ts"))
+    graft.ops.AsofJoin
+      .latestAtOrBefore(purchases, clicks, "user_id", "ts",
+        Seq("click_id", "click_ts"), "click_id")
+      .filter(col("asof_click_id").isNotNull)
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("asof_click_id").as("click_id"),
+        unix_micros(col("asof_click_ts")).as("click_ts_us"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_click_ts"))).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+  private val q57Sql =
+    """WITH p AS (
+      |  SELECT user_id, ts, event_id AS purchase_id FROM events
+      |  WHERE event_type = 'purchase'
+      |), c0 AS (
+      |  SELECT user_id, ts, event_id AS click_id FROM events
+      |  WHERE event_type = 'click'
+      |), c AS (
+      |  SELECT user_id, ts, MAX(click_id) AS click_id FROM c0 GROUP BY 1, 2
+      |), j AS (
+      |  SELECT p.purchase_id, p.user_id, p.ts AS pts, c.click_id, c.ts AS cts
+      |  FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |)
+      |SELECT purchase_id, user_id, epoch_us(pts) AS ts_us, click_id,
+      |  epoch_us(cts) AS click_ts_us,
+      |  epoch_us(pts) - epoch_us(cts) AS gap_us
+      |FROM j ORDER BY purchase_id""".stripMargin
+
   // --- q46: exact discrete percentiles (ANSI percentile_disc) ----------------
   // percentile_disc picks an actual element (first value with cume_dist >=
   // q, the ANSI rule both engines implement) — unlike interpolating
@@ -357,6 +400,7 @@ object QueriesRelational {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q57_asof_attribution" -> q57,
     "q50_quantile_buckets" -> q50,
     "q46_percentile_disc" -> q46,
     "q42_rollup_revenue" -> q42,
@@ -374,6 +418,7 @@ object QueriesRelational {
     "q25_unknown_audit" -> q25)
 
   val oracleSql: Map[String, String] = Map(
+    "q57_asof_attribution" -> q57Sql,
     "q50_quantile_buckets" -> q50Sql,
     "q46_percentile_disc" -> q46Sql,
     "q42_rollup_revenue" -> q42Sql,
