@@ -19,7 +19,15 @@ import org.apache.spark.sql.types.StructType
   *    join is inclusive (at-or-before), matching DuckDB `ON l.ts >= r.ts`;
   *  - among right rows tied on (key, ts), the LAST in `tieBreakCol` order
   *    wins — equivalent to deduping the right side to max(tieBreak) per
-  *    (key, ts); mirror that rule in any cross-engine oracle;
+  *    (key, ts); mirror that rule in any cross-engine oracle. The caller
+  *    must guarantee tieBreakCol is UNIQUE per (key, ts) (an id column) —
+  *    with duplicate tie-breaks the carried payload is shuffle-order
+  *    nondeterministic;
+  *  - NULL semantics follow the SQL join: right rows with a null key or
+  *    null ts can never be "at or before" anything and are dropped here
+  *    (a left row therefore gets a null payload rather than matching
+  *    them, exactly as DuckDB's `ON l.ts >= r.ts AND l.k = r.k` never
+  *    matches NULLs);
   *  - the right payload is carried as ONE struct, so all carried fields
   *    come from the SAME right row even when individual fields are null;
   *  - left rows with no prior right row keep a null payload (left-join
@@ -27,15 +35,20 @@ import org.apache.spark.sql.types.StructType
   */
 object AsofJoin {
 
-  /** @param payloadCols right columns to carry (emitted as `asof_<name>`)
-    * @param tieBreakCol right column ordering ties on equal (key, ts)
+  /** @param payloadCols right columns to carry (emitted as `asof_<name>`,
+    *                    in this order); must all exist on `right`
+    * @param tieBreakCol right column ordering ties on equal (key, ts);
+    *                    must be unique per (key, ts)
     */
-  def latestAtOrBefore(left: DataFrame, right: DataFrame,
+  def latestAtOrBefore(left: DataFrame, right0: DataFrame,
                        keyCol: String, tsCol: String,
                        payloadCols: Seq[String],
                        tieBreakCol: String): DataFrame = {
+    val missing = payloadCols.filterNot(right0.columns.contains)
+    require(missing.isEmpty, s"payload columns absent from right side: $missing")
+    val right = right0.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
     val leftOther  = left.schema.filter(f => f.name != keyCol && f.name != tsCol)
-    val payload    = right.schema.filter(f => payloadCols.contains(f.name))
+    val payload    = payloadCols.map(n => right0.schema(n))
     val payloadTyp = StructType(payload)
     val lSide = left.select(
       Seq(col(keyCol), col(tsCol), lit(1).as("_kind"),

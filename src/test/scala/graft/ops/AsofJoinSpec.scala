@@ -34,4 +34,19 @@ class AsofJoinSpec extends SparkSpec {
       .select("asof_cid", "asof_v").as[(String, String)].head()
     assert(got == (("c9", null)))
   }
+
+  test("null-key/null-ts right rows never match; bad payload names fail fast") {
+    val left = Seq((1L, ts(10), "p1")).toDF("k", "ts", "pid")
+    val right = Seq(
+      (Some(1L), None, "cNullTs"),            // null ts: droppable
+      (None, Some(ts(3)), "cNullKey"))        // null key: droppable
+      .map { case (k, t, c) => (k.map(Long.box).orNull, t.orNull, c) }
+      .toDF("k", "ts", "cid")
+    val got = AsofJoin.latestAtOrBefore(left, right, "k", "ts", Seq("cid"), "cid")
+      .select("asof_cid").as[String].head()
+    assert(got == null) // neither null row is "at or before" anything
+    intercept[IllegalArgumentException] {
+      AsofJoin.latestAtOrBefore(left, right, "k", "ts", Seq("nope"), "cid")
+    }
+  }
 }
