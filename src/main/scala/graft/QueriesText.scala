@@ -409,6 +409,32 @@ object QueriesText {
        |GROUP BY 1, 2 ORDER BY source""".stripMargin
   }
 
+  // --- q58: multimodal resize (nearest-neighbor byte downsample) -------------
+  // Keep every 4th payload byte — the image-resize plumbing (batched
+  // partition iteration, opaque bytes in, smaller representation +
+  // checksum out) with a deterministic stub sampler (see
+  // Multimodal.resizeStub; a real resize samples the decoded pixel grid).
+  // Oracle mirrors the byte math via unicode() over the ASCII text.
+  private val ResizeFactor = 4
+  private val q58: Q = (s, dir) => {
+    import Multimodal.MediaRecord
+    val spark = s
+    import spark.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+              lit("image/fake").as("media_type"), col("n_chars"))
+      .as[MediaRecord]
+    Multimodal.resize(media, ResizeFactor).toDF().orderBy(col("doc_id"))
+  }
+  private val q58Sql =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS INTEGER) AS orig_bytes,
+       |  CAST((length(text) + ${ResizeFactor - 1}) // $ResizeFactor AS INTEGER) AS out_bytes,
+       |  CAST(list_sum(list_transform(
+       |    generate_series(1, (length(text) + ${ResizeFactor - 1}) // $ResizeFactor),
+       |    i -> unicode(text[(i - 1) * $ResizeFactor + 1]))) % 997 AS BIGINT) AS checksum
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // --- q47: multimodal frame sampling (stride over fixed-size chunks) --------
   // Every 4th 16-byte chunk of the payload becomes a "frame" row with a
   // byte checksum — the video-frame-sampling plumbing with a deterministic
@@ -440,6 +466,7 @@ object QueriesText {
     "q53_decontaminate" -> q53,
     "q55_stratified_sample" -> q55,
     "q56_mixture_sample" -> q56,
+    "q58_multimodal_resize" -> q58,
     "q47_frame_sample" -> q47,
     "q44_hash_split" -> q44,
     "q40_approx_distinct" -> q40,
@@ -455,6 +482,7 @@ object QueriesText {
     "q53_decontaminate" -> q53Sql,
     "q55_stratified_sample" -> q55Sql,
     "q56_mixture_sample" -> q56Sql,
+    "q58_multimodal_resize" -> q58Sql,
     "q47_frame_sample" -> q47Sql,
     "q44_hash_split" -> q44Sql,
     "q33_lang_id" -> q33Sql,

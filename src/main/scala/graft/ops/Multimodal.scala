@@ -80,4 +80,25 @@ object Multimodal {
   def frames(ds: Dataset[MediaRecord], chunkBytes: Int, stride: Int): Dataset[Frame] =
     ds.mapPartitions(_.flatMap(sampleFrames(_, chunkBytes, stride)))(
       Encoders.product[Frame])
+
+  /** Resized payload summary: original size, downsampled size, checksum
+    * of the kept bytes. */
+  case class Resized(doc_id: Long, orig_bytes: Int, out_bytes: Int,
+                     checksum: Long)
+
+  /** Resize STUB: nearest-neighbor downsample — keep every `factor`-th
+    * byte (a real image resize samples the pixel grid through the codec;
+    * the partition-batched iteration, opaque-byte handling, and
+    * size-reduction contract are the real plumbing). */
+  def resizeStub(m: MediaRecord, factor: Int): Resized = {
+    val bytes = m.payload
+    var sum = 0L
+    var i = 0
+    var n = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xff; n += 1; i += factor }
+    Resized(m.doc_id, bytes.length, n, sum % 997L)
+  }
+
+  def resize(ds: Dataset[MediaRecord], factor: Int): Dataset[Resized] =
+    ds.mapPartitions(_.map(resizeStub(_, factor)))(Encoders.product[Resized])
 }
