@@ -359,9 +359,11 @@ class PipelineSpec extends SparkSpec {
     val d = Reports.seasonsDoc(ctx.seasons)
       .select("current", "seasons").as[(String, String)].head()
     assert(d._1 == "s2") // s2 starts 2020-06-01, after s1; 'lifetime' starts earliest
-    val order = Seq("lifetime", "s1", "s2")
-      .map(id => d._2.indexOf("\"" + id + "\""))
-    assert(order.forall(_ >= 0) && order == order.sorted)
+    // golden: the full document, byte-for-byte (start-ordered array)
+    assert(d._2 ==
+      """[{"start_ts":"2020-01-01T00:00:00.000Z","season_id":"lifetime","end_ts":"2100-01-01T00:00:00.000Z"},""" +
+      """{"start_ts":"2020-03-01T00:00:00.000Z","season_id":"s1","end_ts":"2020-06-01T00:00:00.000Z"},""" +
+      """{"start_ts":"2020-06-01T00:00:00.000Z","season_id":"s2","end_ts":"2020-09-01T00:00:00.000Z"}]""")
   }
 
   test("recent matches doc: one nested row per game, sorted roster and stats") {
