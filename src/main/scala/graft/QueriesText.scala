@@ -430,9 +430,9 @@ object QueriesText {
     s"""SELECT doc_id,
        |  CAST(length(text) AS INTEGER) AS orig_bytes,
        |  CAST((length(text) + ${ResizeFactor - 1}) // $ResizeFactor AS INTEGER) AS out_bytes,
-       |  CAST(list_sum(list_transform(
+       |  CAST(COALESCE(list_sum(list_transform(
        |    generate_series(1, (length(text) + ${ResizeFactor - 1}) // $ResizeFactor),
-       |    i -> unicode(text[(i - 1) * $ResizeFactor + 1]))) % 997 AS BIGINT) AS checksum
+       |    i -> unicode(text[(i - 1) * $ResizeFactor + 1]))), 0) % 997 AS BIGINT) AS checksum
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // --- q47: multimodal frame sampling (stride over fixed-size chunks) --------

@@ -91,6 +91,7 @@ object Multimodal {
     * the partition-batched iteration, opaque-byte handling, and
     * size-reduction contract are the real plumbing). */
   def resizeStub(m: MediaRecord, factor: Int): Resized = {
+    require(factor > 0, s"resize factor must be positive, got $factor")
     val bytes = m.payload
     var sum = 0L
     var i = 0
