@@ -76,22 +76,31 @@ object Pipeline {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val fresh = store() match {
+        val fresh = (store() match {
           case Some(existing) => Normalize.newGamesOnly(batch, existing)
           case None           => batch
+        }).localCheckpoint()
+        // a zero-row batch must not create a data-less factDir (parquet
+        // schema inference would fail on the next store() read)
+        if (!fresh.isEmpty) {
+          // event-date partitioning (Normalize's production contract): the
+          // derived layer prunes to the dates a report touches, and
+          // compaction works per partition
+          fresh.withColumn("fact_day", to_date(col("ended_at")))
+            .write.mode("append").partitionBy("fact_day").parquet(factDir)
         }
-        // event-date partitioning (Normalize's production contract): the
-        // derived layer prunes to the dates a report touches, and
-        // compaction works per partition
-        fresh.withColumn("fact_day", to_date(col("ended_at")))
-          .write.mode("append").partitionBy("fact_day").parquet(factDir)
+        fresh.unpersist()
+        ()
       }
       .start()
     q.awaitTermination()
-    store().foreach { fact =>
-      runReports(Context(spark, fact.drop("fact_day"),
-        players, modes, seasons, settings), reportDir)
-    }
+    // the report rebuild runs even when no store exists yet (first tick saw
+    // nothing): meta/seasons/players need no fact data, and the fact-backed
+    // reports come out empty-but-valid over a zero-row frame
+    val fact = store().map(_.drop("fact_day")).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        valid.schema))
+    runReports(Context(spark, fact, players, modes, seasons, settings), reportDir)
   }
 
   private def rmTree(f: java.io.File): Unit = {
@@ -109,6 +118,11 @@ object Pipeline {
     val wholeOld = new java.io.File(factDir + "_old")
     if (!root.exists() && wholeOld.exists()) wholeOld.renameTo(root)
     if (!root.exists()) return
+    // root exists ⇒ any whole-store swap completed; a surviving backup or
+    // staging copy is a crash leftover (e.g. mid-rmTree) — drop both so a
+    // stale full copy never lingers on disk
+    rmTree(wholeOld)
+    rmTree(new java.io.File(factDir + "_compacting"))
     val entries = Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
     entries.filter(_.getName.startsWith("_old_fact_day=")).foreach { old =>
       val live = new java.io.File(root, old.getName.stripPrefix("_old_"))
@@ -130,7 +144,18 @@ object Pipeline {
     * UNPARTITIONED store (pre-day-layout) is migrated wholesale on first
     * call — run compaction once when upgrading, before the next tick.
     * Local-FS renames here; an object-store deployment swaps via a
-    * manifest/table format instead. */
+    * manifest/table format instead.
+    *
+    * Concurrency contract: the store has ONE writer at a time — run
+    * compaction between `continuousRun` ticks, never concurrently with one
+    * (the reference's cron loop gives the same serialization for free).
+    * As a belt-and-braces guard against a violated contract, each per-day
+    * swap re-lists the partition just before renaming and SKIPS the swap
+    * if the file set changed since the staging copy was read — an appended
+    * tick file is then never staged out and lost; the partition simply
+    * compacts on the next call. The legacy whole-store migration has no
+    * such guard (it predates the partitioned layout, so no tick can be
+    * appending day partitions to it). */
   def compactFactStore(spark: SparkSession, factDir: String): Unit = {
     recoverFactStore(factDir)
     val root = new java.io.File(factDir)
@@ -157,21 +182,30 @@ object Pipeline {
       rmTree(old)
       return
     }
+    def dataFiles(d: java.io.File): Set[String] =
+      Option(d.listFiles()).map(_.filter(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(_.getName).toSet).getOrElse(Set.empty)
     dayDirs.foreach { d =>
-      val nData = Option(d.listFiles()).map(_.count(f =>
-        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))).getOrElse(0)
-      if (nData > 1) {
+      val snapshot = dataFiles(d)
+      if (snapshot.size > 1) {
         val stg = new java.io.File(root, "_tmp_" + d.getName)
         spark.read.parquet(d.getPath).coalesce(1)
           .write.mode("overwrite").parquet(stg.getPath)
-        val old = new java.io.File(root, "_old_" + d.getName)
-        rmTree(old)
-        require(d.renameTo(old), s"compaction: cannot stage out ${d.getPath}")
-        if (!stg.renameTo(d)) {
-          old.renameTo(d)
-          sys.error(s"compaction swap failed for ${d.getPath}; partition restored")
+        if (dataFiles(d) != snapshot) {
+          // a concurrent tick appended despite the single-writer contract:
+          // the staging copy is stale — discard it, keep the live partition
+          rmTree(stg)
+        } else {
+          val old = new java.io.File(root, "_old_" + d.getName)
+          rmTree(old)
+          require(d.renameTo(old), s"compaction: cannot stage out ${d.getPath}")
+          if (!stg.renameTo(d)) {
+            old.renameTo(d)
+            sys.error(s"compaction swap failed for ${d.getPath}; partition restored")
+          }
+          rmTree(old)
         }
-        rmTree(old)
       }
     }
   }

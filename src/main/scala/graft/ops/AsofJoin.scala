@@ -46,6 +46,10 @@ object AsofJoin {
                        tieBreakCol: String): DataFrame = {
     val missing = payloadCols.filterNot(right0.columns.contains)
     require(missing.isEmpty, s"payload columns absent from right side: $missing")
+    val reserved = Set("_kind", "_tb", "_asof", "_carried")
+    val clash = (left.columns ++ payloadCols).filter(reserved)
+    require(clash.isEmpty,
+      s"column names ${clash.toSeq} are reserved by AsofJoin internals; rename them first")
     val right = right0.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
     val leftOther  = left.schema.filter(f => f.name != keyCol && f.name != tsCol)
     val payload    = payloadCols.map(n => right0.schema(n))

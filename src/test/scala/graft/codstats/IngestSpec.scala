@@ -109,6 +109,46 @@ class StreamingIngestSpec extends SparkSpec {
     assert(perDay.size == 2 && perDay.values.forall(_.size == 1))
   }
 
+  test("continuousRun: a first tick with no data still writes the dim reports") {
+    val landing = Files.createTempDirectory("graft_e_landing")
+    val fact = Files.createTempDirectory("graft_e_fact").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft_e_ckpt")
+    val reports = Files.createTempDirectory("graft_e_reports")
+    val players = Seq(Model.Player("u1", "p1", is_core = true)).toDS()
+    val seasons = Model.seedSeasons.map { case (id, a, b) => Model.Season(id,
+      java.sql.Timestamp.from(java.time.Instant.parse(a)),
+      java.sql.Timestamp.from(java.time.Instant.parse(b))) }.toDS()
+    def tick(): Unit = Pipeline.continuousRun(spark, landing.toString,
+      ckpt.toString, fact, reports.toString,
+      players, Model.seedGameModes.toDS(), seasons)
+    tick() // nothing landed yet
+    // no data-less store that would break the next tick's schema inference
+    assert(!new java.io.File(fact).exists())
+    // the fact-free reports exist: meta.updatedAt reflects this run
+    assert(spark.read.json(s"$reports/meta").select("updatedAt").as[Long].head() > 0L)
+    assert(spark.read.json(s"$reports/seasons").count() > 0L)
+    assert(spark.read.json(s"$reports/players").count() == 1L)
+    // the same checkpoint then ingests a real batch cleanly
+    writeDoc(landing, "match_m1_u1.json", "m1", "u1", 1590000000L)
+    tick()
+    assert(spark.read.parquet(fact).count() == 1L)
+  }
+
+  test("recoverFactStore drops whole-store leftovers once the swap completed") {
+    val base = Files.createTempDirectory("graft_rec").toString
+    val dir = base + "/store"
+    Seq(("g1", "u1")).toDF("game_id", "player_uno_id").write.parquet(dir)
+    // simulate a crash after the swap finished but before cleanup
+    val old = new java.io.File(dir + "_old")
+    val compacting = new java.io.File(dir + "_compacting")
+    old.mkdirs(); compacting.mkdirs()
+    Files.writeString(old.toPath.resolve("stale"), "x")
+    Files.writeString(compacting.toPath.resolve("stale"), "x")
+    Pipeline.recoverFactStore(dir)
+    assert(!old.exists() && !compacting.exists())
+    assert(spark.read.parquet(dir).count() == 1L) // live store untouched
+  }
+
   test("compaction migrates a legacy unpartitioned store to the day layout") {
     val dir = Files.createTempDirectory("graft_legacy").toString + "/store"
     def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))

@@ -49,4 +49,17 @@ class AsofJoinSpec extends SparkSpec {
       AsofJoin.latestAtOrBefore(left, right, "k", "ts", Seq("nope"), "cid")
     }
   }
+
+  test("reserved internal column names on either side fail fast") {
+    val left = Seq((1L, ts(10), "p1")).toDF("k", "ts", "pid")
+    val right = Seq((1L, ts(3), "c1")).toDF("k", "ts", "cid")
+    intercept[IllegalArgumentException] { // left column collides with internals
+      AsofJoin.latestAtOrBefore(left.withColumnRenamed("pid", "_carried"),
+        right, "k", "ts", Seq("cid"), "cid")
+    }
+    intercept[IllegalArgumentException] { // payload column collides too
+      AsofJoin.latestAtOrBefore(left,
+        right.withColumnRenamed("cid", "_kind"), "k", "ts", Seq("_kind"), "_kind")
+    }
+  }
 }
