@@ -1,0 +1,483 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{TextOps, VectorOps}
+
+/** Corpus-curation operators for an LLM training-data pipeline — the
+  * round-5 extension family beyond SURVEY.md §2: repetition-based quality
+  * rules (Gopher-style), PII detection/redaction, corpus-level
+  * frequent-token pruning with ordered document reassembly, inverted-index
+  * keyword retrieval, token-budget mixture planning, and SemDeDup-style
+  * semantic dedup over embedding clusters.
+  *
+  * Cross-engine rules (see [[Exact]] / [[graft.ops.TextOps]]): all scores
+  * are integer counters with at most ONE final IEEE division; all content
+  * hashes are 60-bit md5 prefixes; every regex sticks to the syntax subset
+  * Java regex and RE2 interpret identically.
+  *
+  * Scale notes are per-query below; none of these shuffles more than the
+  * keyed aggregates they declare, and every small side (term lists,
+  * per-source rates, frequent-token lists) broadcasts.
+  */
+object QueriesCorpus {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- q59: repetition stats (Gopher-style quality rules) --------------------
+  // Per-document repetition signals used by quality filters (Rae et al.,
+  // "Scaling Language Models" — the public Gopher rules): duplicate-token
+  // fraction and most-frequent-bigram coverage. The bigram mode is found by
+  // explode → (doc, bigram) count → per-doc max: two partial+final
+  // HashAggregates keyed by doc_id — NOT a per-row O(n²) HOF scan — so the
+  // same plan holds when documents are millions of tokens. The per-row
+  // token stats are array expressions (no shuffle); the final join is
+  // doc_id↔doc_id on two already-doc_id-keyed sides.
+  private val q59: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", expr(TextOps.tokensExpr("text")))
+      .filter(expr("size(toks) >= 2")) // sequence(1, n<1) would descend
+    val base = d.select(col("doc_id"),
+      expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
+      expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("n_distinct_toks"))
+    val bigrams = d.select(col("doc_id"), explode(expr(
+      """transform(sequence(1, size(toks) - 1),
+        |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+        .stripMargin)).as("bg"))
+    val top = bigrams.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
+    base.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_toks"), col("n_distinct_toks"),
+        (expr("CAST(n_toks - n_distinct_toks AS DOUBLE)") / col("n_toks"))
+          .as("dup_tok_frac"),
+        col("top_bigram_n"),
+        (expr("CAST(2 * top_bigram_n AS DOUBLE)") / col("n_toks"))
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+  private val q59Sql = {
+    val toks = TextOps.sql.tokens("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) >= 2
+       |),
+       |base AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_toks
+       |  FROM t
+       |),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> concat(toks[i], ' ', toks[i + 1]))) AS bg
+       |  FROM t
+       |),
+       |top AS (
+       |  SELECT doc_id, MAX(c) AS top_bigram_n FROM (
+       |    SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+       |  ) GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_toks, n_distinct_toks,
+       |  CAST(n_toks - n_distinct_toks AS DOUBLE) / n_toks AS dup_tok_frac,
+       |  top_bigram_n,
+       |  CAST(2 * top_bigram_n AS DOUBLE) / n_toks AS top_bigram_frac
+       |FROM base JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  // --- q60: PII detection + redaction ----------------------------------------
+  // Count and redact emails / IPv4 addresses. The synthetic corpus contains
+  // no PII, so a deterministic fixture suffix is injected for a subset of
+  // docs FIRST (doc_id mod 7 → email+IP, mod 5 → email only) — clearly a
+  // test harness step, not part of the operator; the operator itself is the
+  // regexp_count + regexp_replace pass. Patterns use only syntax Java regex
+  // and RE2 (DuckDB) agree on: literal classes, {m,n}, \d, \b. Everything
+  // is per-row codegen'd — zero shuffles beyond the final presentation sort.
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val q60: Q = (s, dir) => {
+    val pii =
+      """CASE WHEN doc_id % 7 = 0 THEN concat(text, ' reach user',
+        |       CAST(doc_id AS STRING), '@example.com at 10.0.',
+        |       CAST(doc_id % 256 AS STRING), '.1 ok')
+        |     WHEN doc_id % 5 = 0 THEN concat(text, ' mail user',
+        |       CAST(doc_id AS STRING), '@example.org soon')
+        |     ELSE text END""".stripMargin
+    Tables.documents(s, dir)
+      .withColumn("pii_text", expr(pii))
+      .withColumn("clean", regexp_replace(
+        regexp_replace(col("pii_text"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"))
+      .select(col("doc_id"),
+        expr(s"CAST(regexp_count(pii_text, '${EmailRe.replace("\\", "\\\\")}') AS BIGINT)")
+          .as("n_emails"),
+        expr(s"CAST(regexp_count(pii_text, '${Ipv4Re.replace("\\", "\\\\")}') AS BIGINT)")
+          .as("n_ips"),
+        expr("CAST(length(clean) AS BIGINT)").as("clean_len"),
+        expr(TextOps.hash60("clean")).as("clean_h"))
+      .orderBy(col("doc_id"))
+  }
+  private val q60Sql =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN concat(text, ' reach user',
+       |           CAST(doc_id AS VARCHAR), '@example.com at 10.0.',
+       |           CAST(doc_id % 256 AS VARCHAR), '.1 ok')
+       |         WHEN doc_id % 5 = 0 THEN concat(text, ' mail user',
+       |           CAST(doc_id AS VARCHAR), '@example.org soon')
+       |         ELSE text END AS pii_text
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, pii_text,
+       |    regexp_replace(regexp_replace(pii_text, '$EmailRe', '<EMAIL>', 'g'),
+       |                   '$Ipv4Re', '<IP>', 'g') AS clean
+       |  FROM p
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(pii_text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(pii_text, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |  CAST(length(clean) AS BIGINT) AS clean_len,
+       |  ${TextOps.sql.hash60("clean")} AS clean_h
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // --- q61: corpus-frequency token pruning + ordered reassembly --------------
+  // Boilerplate-vocabulary removal (the C4/RefinedWeb "remove lines seen
+  // everywhere" step, recast on tokens since this corpus is single-line):
+  // tokens whose document frequency exceeds 80% of the corpus are dropped
+  // from every document, and each document is REASSEMBLED in original token
+  // order. Plan shape: posexplode → df agg; the frequent-token list is tiny
+  // (≤ vocabulary) so the prune is a BROADCAST anti-join — the corpus never
+  // reshuffles for the filter; reassembly is one doc_id-keyed aggregate
+  // using sort_array(collect_list(struct(pos,tok))) for a deterministic
+  // order (the DuckDB twin is string_agg(... ORDER BY pos)).
+  private val q61: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val toks = d.select(col("doc_id"),
+      posexplode(expr(TextOps.tokensExpr("text"))).as(Seq("pos", "tok")))
+    val nDocs = d.select(count(lit(1)).as("n_docs"))
+    val common = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("dfq"))
+      .crossJoin(nDocs)
+      .filter(col("dfq") * 5 > col("n_docs") * 4)
+      .select(col("tok"))
+    val rebuilt = toks.join(broadcast(common), Seq("tok"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+          .as("rebuilt"))
+    d.select(col("doc_id"),
+        expr(s"CAST(size(${TextOps.tokensExpr("text")}) AS BIGINT)").as("n_toks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        expr(TextOps.hash60("coalesce(rebuilt, '')")).as("rebuilt_h"))
+      .orderBy(col("doc_id"))
+  }
+  private val q61Sql = {
+    val toks = TextOps.sql.tokens("text")
+    s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |t AS (
+       |  SELECT doc_id, unnest($toks) AS tok,
+       |         unnest(generate_series(1, len($toks))) AS pos
+       |  FROM documents
+       |),
+       |common AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, COUNT(DISTINCT doc_id) AS dfq FROM t GROUP BY tok
+       |  ), n WHERE dfq * 5 > n_docs * 4
+       |),
+       |r AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY pos) AS rebuilt
+       |  FROM t WHERE tok NOT IN (SELECT tok FROM common)
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(len($toks) AS BIGINT) AS n_toks,
+       |  COALESCE(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       |  CAST(len($toks) AS BIGINT) - COALESCE(n_kept, CAST(0 AS BIGINT)) AS n_dropped,
+       |  ${TextOps.sql.hash60("COALESCE(rebuilt, '')")} AS rebuilt_h
+       |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  // --- q62: inverted-index keyword retrieval (tf-idf-ranked top-k) -----------
+  // The retrieval pattern over a posting list: token explode → per-(term,
+  // doc) tf → per-term df → rank docs per term. The ranking score is the
+  // INTEGER tf-idf proxy tf·(N − df) — monotone in tf and in idf for a
+  // fixed term set, and exactly reproducible cross-engine (a float BM25
+  // differs in ln() ulps between engines; the real formula is documented
+  // here and drops in by replacing one expression). The term filter is
+  // pushed below the explode, so only matching postings materialize; the df
+  // side is ≤ |terms| rows → broadcast; top-k per term is a WindowGroupLimit
+  // window, never a global sort.
+  private val SearchTerms = Seq("spark", "join", "window")
+  private val TopK = 10
+  private val q62: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val postings = d
+      .select(col("doc_id"), explode(expr(TextOps.tokensExpr("text"))).as("term"))
+      .filter(col("term").isin(SearchTerms: _*))
+    val tf = postings.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("dfq"))
+    val nDocs = d.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(desc("score"), col("doc_id"))
+    tf.join(broadcast(df_), Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * (col("n_docs") - col("dfq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("term"), col("rank"), col("doc_id"), col("tf"),
+        col("dfq"), col("score"))
+      .orderBy(col("term"), col("rank"))
+  }
+  private val q62Sql = {
+    val terms = SearchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH p AS (
+       |  SELECT doc_id, unnest(${TextOps.sql.tokens("text")}) AS term FROM documents
+       |),
+       |tf AS (
+       |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM p
+       |  WHERE term IN $terms GROUP BY 1, 2
+       |),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfq FROM tf GROUP BY term),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |ranked AS (
+       |  SELECT term, doc_id, tf, dfq, tf * (n_docs - dfq) AS score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY term
+       |      ORDER BY tf * (n_docs - dfq) DESC, doc_id) AS INTEGER) AS rank
+       |  FROM tf JOIN df USING (term), n
+       |)
+       |SELECT term, rank, doc_id, tf, dfq, score FROM ranked
+       |WHERE rank <= $TopK ORDER BY term, rank""".stripMargin
+  }
+
+  // --- q63: token-budget mixture planning ------------------------------------
+  // Data-mix planning by TOKENS, not documents (what a training run
+  // actually budgets): per source, total tokens → a keep rate that hits a
+  // fixed per-source token budget → deterministic hash-bucket sampling at
+  // that rate → realized counts audit. Two doc-level aggregates + one
+  // broadcast join back; the sample filter is map-side. Integer arithmetic
+  // throughout (floor division for the rate) so every engine lands on the
+  // same rows.
+  private val BudgetToks = 6000L
+  private val q63: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("n_toks", expr(s"CAST(size(${TextOps.tokensExpr("text")}) AS BIGINT)"))
+    val totals = d.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("total_toks"))
+      .withColumn("rate_pct",
+        least(lit(100L), lit(BudgetToks) * 100L / col("total_toks")))
+    val bucket = s"pmod(${TextOps.hash60("CAST(doc_id AS STRING)")}, 100)"
+    val kept = d.join(broadcast(totals), Seq("source"))
+      .filter(expr(bucket) < col("rate_pct"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("toks_kept"))
+    totals.join(kept, Seq("source"), "left")
+      .select(col("source"), col("total_toks"), col("rate_pct"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("toks_kept"), lit(0L)).as("toks_kept"))
+      .orderBy(col("source"))
+  }
+  private val q63Sql = {
+    val nToks = s"CAST(len(${TextOps.sql.tokens("text")}) AS BIGINT)"
+    val bucket = s"${TextOps.sql.hash60("CAST(doc_id AS VARCHAR)")} % 100"
+    s"""WITH d AS (SELECT doc_id, source, $nToks AS n_toks FROM documents),
+       |totals AS (
+       |  SELECT source, CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+       |    LEAST(CAST(100 AS BIGINT), CAST($BudgetToks AS BIGINT) * 100 // CAST(SUM(n_toks) AS BIGINT)) AS rate_pct
+       |  FROM d GROUP BY source
+       |),
+       |kept AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |         CAST(SUM(n_toks) AS BIGINT) AS toks_kept
+       |  FROM d JOIN totals USING (source)
+       |  WHERE $bucket < rate_pct GROUP BY source
+       |)
+       |SELECT source, total_toks, rate_pct,
+       |  COALESCE(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       |  COALESCE(toks_kept, CAST(0 AS BIGINT)) AS toks_kept
+       |FROM totals LEFT JOIN kept USING (source) ORDER BY source""".stripMargin
+  }
+
+  // --- q64: SemDeDup-style semantic dedup ------------------------------------
+  // Semantic dedup via clustering (Abbas et al., "SemDeDup"): assign each
+  // embedding to its nearest centroid cell (the q41 IVF cells — offline
+  // k-means in a real deployment), enumerate WITHIN-CELL pairs above a
+  // cosine threshold, and drop the higher-id member of each pair (the
+  // paper keeps one arbitrary representative per duplicate neighborhood;
+  // q51's transitive components are the principled alternative when chains
+  // matter). The pairwise step is quadratic ONLY within a cell — the cell
+  // id is the self-join equi-key and, at 100 TB, the table partition key,
+  // so each cluster dedups independently; cells are sized by k (offline
+  // choice), never by corpus growth. Output: per-cell audit counts.
+  private val SemCells = 8
+  private val SemDim   = 64
+  private val SemTau   = 0.3
+  private val q64: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    val em = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
+      .withColumn("nrm", expr(VectorOps.normExpr("v")))
+    val scoreCols = VectorOps.centroidScoreExprs("v", SemCells, SemDim)
+      .zipWithIndex.map { case (e, i) => expr(e).as(s"s$i") }
+    val cellv = em.select(col("vec_id") +: col("v") +: col("nrm") +: scoreCols: _*)
+      .withColumn("cell", expr(VectorOps.argmaxCase(SemCells)))
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+    val a = cellv.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = cellv.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .filter(expr(VectorOps.fastDot("va", "vb")) / (col("na") * col("nb")) >= SemTau)
+      .select(col("cell"), col("id_b")).distinct()
+    val counts = cellv.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val drops = dropped.groupBy(col("cell")).agg(count(lit(1)).as("n_dropped"))
+    counts.join(drops, Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy(col("cell"))
+  }
+  private val q64Sql = {
+    val X = VectorOps.sql
+    val scores = X.centroidScores("v", SemCells, SemDim)
+      .zipWithIndex.map { case (e, i) => s"$e AS s$i" }.mkString(",\n    ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding AS v, ${X.norm("embedding")} AS nrm,
+       |    $scores
+       |  FROM embeddings
+       |),
+       |c AS (
+       |  SELECT vec_id, v, nrm, ${VectorOps.argmaxCase(SemCells)} AS cell FROM e
+       |),
+       |dropped AS (
+       |  SELECT DISTINCT a.cell, b.vec_id AS id_b
+       |  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${X.dot("a.v", "b.v")} / (a.nrm * b.nrm) >= $SemTau
+       |),
+       |n AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM c GROUP BY cell),
+       |d AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_dropped FROM dropped GROUP BY cell)
+       |SELECT n.cell, n_vecs,
+       |  COALESCE(n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+       |  n_vecs - COALESCE(n_dropped, CAST(0 AS BIGINT)) AS n_kept
+       |FROM n LEFT JOIN d USING (cell) ORDER BY cell""".stripMargin
+  }
+
+  // --- q65: document chunking (fixed token windows with overlap) -------------
+  // Context-window preparation: each document becomes overlapping chunks of
+  // ChunkToks tokens advancing by StrideToks (overlap = ChunkToks −
+  // StrideToks, kept so no boundary n-gram is lost). Pure per-row explode +
+  // array slicing — no shuffle at all before the presentation sort; chunk
+  // count per doc is ⌈n/stride⌉ so output scales linearly with corpus
+  // tokens, and the same plan serves million-token documents (slice is
+  // O(chunk), not O(doc), per output row).
+  private val ChunkToks  = 32
+  private val StrideToks = 24
+  private val q65: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", expr(TextOps.tokensExpr("text")))
+      .withColumn("n_toks", expr("CAST(size(toks) AS BIGINT)"))
+    d.select(col("doc_id"), col("toks"), col("n_toks"),
+        explode(expr(s"sequence(0, CAST((n_toks - 1) DIV $StrideToks AS INT))"))
+          .as("chunk_idx"))
+      .withColumn("chunk",
+        expr(s"slice(toks, chunk_idx * $StrideToks + 1, $ChunkToks)"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr("CAST(size(chunk) AS BIGINT)").as("n_chunk_toks"),
+        expr(TextOps.hash60("array_join(chunk, ' ')")).as("chunk_h"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+  private val q65Sql = {
+    val toks = TextOps.sql.tokens("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks, CAST(len($toks) AS BIGINT) AS n_toks
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |    CAST(unnest(generate_series(0, (n_toks - 1) // $StrideToks)) AS INTEGER) AS chunk_idx
+       |  FROM t
+       |),
+       |s2 AS (
+       |  SELECT doc_id, chunk_idx,
+       |    list_slice(toks, chunk_idx * $StrideToks + 1,
+       |               chunk_idx * $StrideToks + $ChunkToks) AS chunk
+       |  FROM c
+       |)
+       |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_chunk_toks,
+       |  ${TextOps.sql.hash60("array_to_string(chunk, ' ')")} AS chunk_h
+       |FROM s2 ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  // --- q66: sequence packing (concat-and-split accounting) -------------------
+  // Training-sequence packing the way production pipelines do it: within
+  // each source, documents are concatenated in a deterministic
+  // content-hash order and the token stream is cut into fixed SeqLen
+  // windows; the audit reports, per (source, sequence), how many documents
+  // START there, their token mass, and how many straddle a boundary.
+  // One window pass PARTITIONED BY SOURCE (never a global unpartitioned
+  // window): each source's running offset is independent, so sources pack
+  // in parallel; at 100 TB a too-hot single source would be range-split by
+  // hash prefix with per-split offsets merged in a second tiny pass.
+  private val SeqLen = 512L
+  private val q66: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("n_toks",
+        expr(s"CAST(size(${TextOps.tokensExpr("text")}) AS BIGINT)"))
+      .withColumn("h", expr(TextOps.hash60("CAST(doc_id AS STRING)")))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("start_off", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"start_off DIV $SeqLen"))
+      .withColumn("crosses",
+        expr(s"CASE WHEN (start_off + n_toks - 1) DIV $SeqLen > seq_id THEN 1 ELSE 0 END"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks_started"),
+        sum(col("crosses")).cast("long").as("n_split_docs"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+  private val q66Sql = {
+    val nToks = s"CAST(len(${TextOps.sql.tokens("text")}) AS BIGINT)"
+    val h = TextOps.sql.hash60("CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, $nToks AS n_toks, $h AS h FROM documents
+       |),
+       |o AS (
+       |  SELECT source, n_toks,
+       |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+       |  FROM d
+       |),
+       |b AS (
+       |  SELECT source, n_toks, start_off, start_off // $SeqLen AS seq_id,
+       |    CASE WHEN (start_off + n_toks - 1) // $SeqLen > start_off // $SeqLen
+       |         THEN 1 ELSE 0 END AS crosses
+       |  FROM o
+       |)
+       |SELECT source, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS toks_started,
+       |  CAST(SUM(crosses) AS BIGINT) AS n_split_docs
+       |FROM b GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q65_doc_chunking" -> q65,
+    "q66_sequence_pack" -> q66,
+    "q59_repetition_stats" -> q59,
+    "q60_pii_scrub" -> q60,
+    "q61_boilerplate_prune" -> q61,
+    "q62_inverted_index_topk" -> q62,
+    "q63_token_budget_mixture" -> q63,
+    "q64_semantic_dedup" -> q64)
+
+  val oracleSql: Map[String, String] = Map(
+    "q65_doc_chunking" -> q65Sql,
+    "q66_sequence_pack" -> q66Sql,
+    "q59_repetition_stats" -> q59Sql,
+    "q60_pii_scrub" -> q60Sql,
+    "q61_boilerplate_prune" -> q61Sql,
+    "q62_inverted_index_topk" -> q62Sql,
+    "q63_token_budget_mixture" -> q63Sql,
+    "q64_semantic_dedup" -> q64Sql)
+}

@@ -18,9 +18,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesRelational.queries ++
-      QueriesDedup.queries ++ QueriesSimilarity.queries ++ QueriesText.queries
+      QueriesDedup.queries ++ QueriesSimilarity.queries ++ QueriesText.queries ++
+      QueriesCorpus.queries
 
   def oracleSql: Map[String, String] =
     QueriesCore.oracleSql ++ QueriesRelational.oracleSql ++
-      QueriesDedup.oracleSql ++ QueriesSimilarity.oracleSql ++ QueriesText.oracleSql
+      QueriesDedup.oracleSql ++ QueriesSimilarity.oracleSql ++ QueriesText.oracleSql ++
+      QueriesCorpus.oracleSql
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Corpus-curation family (q59–q64) on planted fixtures: exact repetition
+  * fractions, PII redaction, order-preserving boilerplate pruning, and the
+  * SemDeDup one-per-pair drop rule. (Cross-engine value equality is the
+  * oracle gate's job; these pin the SEMANTICS on corpora small enough to
+  * reason about by hand.) */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted corpus: "the" occurs in 5/6 docs (> 80% → boilerplate);
+  // doc 7 carries a dominant repeated bigram; doc 20 carries search terms
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    Seq(
+      (7L,  "a b a b a b c",       "en", "s0", 13L),
+      (10L, "the cat sat",         "en", "s0", 11L),
+      (11L, "the dog ran",         "en", "s1", 11L),
+      (12L, "the owl saw",         "en", "s1", 11L),
+      (13L, "the stop words here", "en", "s1", 19L),
+      (20L, "spark spark join the","en", "s2", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val up    = Array.fill(64)(0.5f)
+    val upToo = Array.fill(64)(0.45f)                       // cos(up, upToo) = 1
+    val ortho = Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f) // cos = 0
+    Seq((1L, up, 0), (2L, upToo, 0), (3L, ortho, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def hash60Of(s0: String): Long =
+    spark.sql(s"SELECT CAST(conv(substring(md5('$s0'), 1, 15), 16, 10) AS BIGINT)")
+      .as[Long].head()
+
+  test("q59: duplicate-token and top-bigram fractions are exact") {
+    val row = SparkEntry.queries("q59_repetition_stats")(spark, dir)
+      .filter(col("doc_id") === 7L)
+      .select("n_toks", "n_distinct_toks", "dup_tok_frac", "top_bigram_n", "top_bigram_frac")
+      .as[(Long, Long, Double, Long, Double)].head()
+    // a b a b a b c: 7 tokens, 3 distinct; 'a b' occurs 3× (top bigram)
+    assert(row == ((7L, 3L, 4.0 / 7.0, 3L, 6.0 / 7.0)))
+  }
+
+  test("q60: injected PII is counted and fully redacted") {
+    val got = SparkEntry.queries("q60_pii_scrub")(spark, dir)
+      .select("doc_id", "n_emails", "n_ips", "clean_h")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(7L)._2 == 1L && got(7L)._3 == 1L)  // doc_id % 7 = 0: email + IP
+    assert(got(10L)._2 == 1L && got(10L)._3 == 0L) // doc_id % 5 = 0: email only
+    assert(got(11L)._2 == 0L && got(11L)._3 == 0L) // untouched
+    assert(got(7L)._4 == hash60Of("a b a b a b c reach <EMAIL> at <IP> ok"))
+    assert(got(10L)._4 == hash60Of("the cat sat mail <EMAIL> soon"))
+  }
+
+  test("q61: corpus-frequent token dropped, token order preserved in reassembly") {
+    val got = SparkEntry.queries("q61_boilerplate_prune")(spark, dir)
+      .select("doc_id", "n_toks", "n_kept", "rebuilt_h")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // 'the' is in 5/6 docs (83% > 80%) → pruned everywhere; nothing else is
+    assert(got(10L)._3 == 2L && got(10L)._4 == hash60Of("cat sat"))
+    assert(got(13L)._4 == hash60Of("stop words here"))
+    assert(got(20L)._4 == hash60Of("spark spark join"))
+    assert(got(7L)._3 == 7L) // no boilerplate → untouched
+  }
+
+  test("q62: per-term ranking orders by tf, ties by doc_id") {
+    val rows = SparkEntry.queries("q62_inverted_index_topk")(spark, dir)
+      .select("term", "rank", "doc_id", "tf")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(rows == Set(("spark", 1, 20L, 2L), ("join", 1, 20L, 1L)))
+  }
+
+  test("q65: chunks advance by stride, overlap preserved, tail truncated") {
+    // doc 13 has 4 tokens < stride → exactly one chunk of 4
+    val got = SparkEntry.queries("q65_doc_chunking")(spark, dir)
+      .select("doc_id", "chunk_idx", "n_chunk_toks")
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+    assert(got(13L).toSeq == Seq((13L, 0, 4L)))
+    assert(got(7L).toSeq == Seq((7L, 0, 7L)))
+  }
+
+  test("q66: packing accounts every doc exactly once per source") {
+    val rows = SparkEntry.queries("q66_sequence_pack")(spark, dir)
+      .select("source", "n_docs", "toks_started")
+      .as[(String, Long, Long)].collect()
+    // 6 docs across 3 sources; all sources are tiny → everything in seq 0
+    assert(rows.map(_._2).sum == 6L)
+    assert(rows.map(_._3).sum == 7L + 3 + 3 + 3 + 4 + 4)
+  }
+
+  test("q64: the near-identical pair in one cell drops exactly its higher id") {
+    val rows = SparkEntry.queries("q64_semantic_dedup")(spark, dir)
+      .select("n_vecs", "n_dropped", "n_kept").as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).sum == 3L)
+    assert(rows.map(_._2).sum == 1L) // vec 2 (higher id of the cos≈1 pair)
+    assert(rows.map(_._3).sum == 2L)
+  }
+}

@@ -87,4 +87,28 @@ class PlanSpec extends SparkSpec {
     val p = plan("q54_simhash_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q61 frequent-token prune is a broadcast anti-join (corpus never reshuffles to filter)") {
+    val p = plan("q61_boilerplate_prune")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the frequent-token list must broadcast")
+  }
+
+  test("q62 retrieval ranks per term via the window-group-limit pushdown") {
+    val p = plan("q62_inverted_index_topk")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastHashJoin"), "the per-term df side must broadcast")
+  }
+
+  test("q64 semantic dedup pairs only within cells (equi-join on cell)") {
+    val p = plan("q64_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      "within-cell pairing must be an equi-join on the cell id")
+  }
+
+  test("q59 bigram mode is aggregated, not a per-row quadratic HOF") {
+    val p = plan("q59_repetition_stats")
+    assert(p.contains("partial_"), "bigram counts must map-side combine")
+  }
 }
