@@ -260,14 +260,17 @@ object QueriesCorpus {
   // broadcast join back; the sample filter is map-side. Integer arithmetic
   // throughout (floor division for the rate) so every engine lands on the
   // same rows.
-  private val BudgetToks = 6000L
+  private val BudgetToks = 800L
   private val q63: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
       .withColumn("n_toks", expr(s"CAST(size(${TextOps.tokensExpr("text")}) AS BIGINT)"))
     val totals = d.groupBy(col("source"))
       .agg(sum(col("n_toks")).as("total_toks"))
+      // DIV, not `/`: Column./ is IEEE division (a 46.15 rate would keep
+      // bucket 46 while the oracle's floor-46 drops it) — the rate must be
+      // the same integer percentage in both engines
       .withColumn("rate_pct",
-        least(lit(100L), lit(BudgetToks) * 100L / col("total_toks")))
+        least(lit(100L), expr(s"$BudgetToks * 100 DIV total_toks")))
     val bucket = s"pmod(${TextOps.hash60("CAST(doc_id AS STRING)")}, 100)"
     val kept = d.join(broadcast(totals), Seq("source"))
       .filter(expr(bucket) < col("rate_pct"))
@@ -461,7 +464,52 @@ object QueriesCorpus {
        |FROM b GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin
   }
 
+  // --- q67: vocabulary coverage curve ----------------------------------------
+  // Tokenizer/vocab planning: corpus token frequencies ranked, with the
+  // cumulative share of corpus tokens covered by the top-k vocabulary
+  // entries (the curve that sizes a vocab). The global window runs over
+  // the AGGREGATED vocabulary — at most |vocab| rows regardless of corpus
+  // size (the q09 discipline: pre-aggregate first, then a window whose
+  // input is dimension-sized) — and the corpus-sized work is one
+  // map-side-combinable count. Coverage is integer basis points; the one
+  // division is the final presentation ratio.
+  private val VocabTopK = 20
+  private val q67: Q = (s, dir) => {
+    val counts = Tables.documents(s, dir)
+      .select(explode(expr(TextOps.tokensExpr("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total_toks"))
+    val w = Window.orderBy(desc("n"), col("tok"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_n",
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("rank") <= VocabTopK)
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("tok"), col("n"), col("cum_n"),
+        expr("cum_n * 10000 DIV total_toks").as("covered_bp"))
+      .orderBy(col("rank"))
+  }
+  private val q67Sql = {
+    val toks = TextOps.sql.tokens("text")
+    s"""WITH c AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY tok
+       |),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total_toks FROM c),
+       |r AS (
+       |  SELECT tok, n,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS INTEGER) AS rank,
+       |    CAST(SUM(n) OVER (ORDER BY n DESC, tok
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+       |  FROM c
+       |)
+       |SELECT rank, tok, n, cum_n, cum_n * 10000 // total_toks AS covered_bp
+       |FROM r, t WHERE rank <= $VocabTopK ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q67_vocab_coverage" -> q67,
     "q65_doc_chunking" -> q65,
     "q66_sequence_pack" -> q66,
     "q59_repetition_stats" -> q59,
@@ -472,6 +520,7 @@ object QueriesCorpus {
     "q64_semantic_dedup" -> q64)
 
   val oracleSql: Map[String, String] = Map(
+    "q67_vocab_coverage" -> q67Sql,
     "q65_doc_chunking" -> q65Sql,
     "q66_sequence_pack" -> q66Sql,
     "q59_repetition_stats" -> q59Sql,
