@@ -54,7 +54,10 @@ object QueriesCorpus {
         (expr("CAST(n_toks - n_distinct_toks AS DOUBLE)") / col("n_toks"))
           .as("dup_tok_frac"),
         col("top_bigram_n"),
-        (expr("CAST(2 * top_bigram_n AS DOUBLE)") / col("n_toks"))
+        // occurrence counting is overlap-naive (the published rule's own
+        // arithmetic), so 'a a a' would score 2·2/3 > 1 — cap at 1.0 to
+        // keep the score a usable [0,1] threshold quantity
+        least(lit(1.0), expr("CAST(2 * top_bigram_n AS DOUBLE)") / col("n_toks"))
           .as("top_bigram_frac"))
       .orderBy(col("doc_id"))
   }
@@ -81,7 +84,7 @@ object QueriesCorpus {
        |SELECT doc_id, n_toks, n_distinct_toks,
        |  CAST(n_toks - n_distinct_toks AS DOUBLE) / n_toks AS dup_tok_frac,
        |  top_bigram_n,
-       |  CAST(2 * top_bigram_n AS DOUBLE) / n_toks AS top_bigram_frac
+       |  LEAST(1.0, CAST(2 * top_bigram_n AS DOUBLE) / n_toks) AS top_bigram_frac
        |FROM base JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
@@ -207,16 +210,20 @@ object QueriesCorpus {
   // fixed term set, and exactly reproducible cross-engine (a float BM25
   // differs in ln() ulps between engines; the real formula is documented
   // here and drops in by replacing one expression). The term filter is
-  // pushed below the explode, so only matching postings materialize; the df
-  // side is ≤ |terms| rows → broadcast; top-k per term is a WindowGroupLimit
-  // window, never a global sort.
+  // applied to the token ARRAY before the explode (a predicate on a
+  // generator's output cannot be pushed below Generate, so filtering
+  // after would materialize one row per corpus token first) — only
+  // matching postings ever become rows; the df side is ≤ |terms| rows →
+  // broadcast; top-k per term is a WindowGroupLimit window, never a
+  // global sort.
   private val SearchTerms = Seq("spark", "join", "window")
   private val TopK = 10
   private val q62: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
+    val termList = SearchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
     val postings = d
-      .select(col("doc_id"), explode(expr(TextOps.tokensExpr("text"))).as("term"))
-      .filter(col("term").isin(SearchTerms: _*))
+      .select(col("doc_id"), explode(expr(
+        s"filter(${TextOps.tokensExpr("text")}, t -> t IN $termList)")).as("term"))
     val tf = postings.groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("dfq"))
@@ -234,11 +241,12 @@ object QueriesCorpus {
   private val q62Sql = {
     val terms = SearchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
     s"""WITH p AS (
-       |  SELECT doc_id, unnest(${TextOps.sql.tokens("text")}) AS term FROM documents
+       |  SELECT doc_id,
+       |    unnest(list_filter(${TextOps.sql.tokens("text")}, t -> t IN $terms)) AS term
+       |  FROM documents
        |),
        |tf AS (
-       |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM p
-       |  WHERE term IN $terms GROUP BY 1, 2
+       |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2
        |),
        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfq FROM tf GROUP BY term),
        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
@@ -370,11 +378,14 @@ object QueriesCorpus {
   // --- q65: document chunking (fixed token windows with overlap) -------------
   // Context-window preparation: each document becomes overlapping chunks of
   // ChunkToks tokens advancing by StrideToks (overlap = ChunkToks −
-  // StrideToks, kept so no boundary n-gram is lost). Pure per-row explode +
-  // array slicing — no shuffle at all before the presentation sort; chunk
-  // count per doc is ⌈n/stride⌉ so output scales linearly with corpus
-  // tokens, and the same plan serves million-token documents (slice is
-  // O(chunk), not O(doc), per output row).
+  // StrideToks, kept so no boundary n-gram is lost). The last chunk index
+  // is ⌈(n − ChunkToks)/Stride⌉ (floored at 0): every chunk after the
+  // first contributes at least one NEW token, so a short tail that the
+  // previous chunk already covers is never emitted as a duplicate. Pure
+  // per-row explode + array slicing — no shuffle at all before the
+  // presentation sort; output scales linearly with corpus tokens, and the
+  // same plan serves million-token documents (slice is O(chunk), not
+  // O(doc), per output row).
   private val ChunkToks  = 32
   private val StrideToks = 24
   private val q65: Q = (s, dir) => {
@@ -382,7 +393,9 @@ object QueriesCorpus {
       .withColumn("toks", expr(TextOps.tokensExpr("text")))
       .withColumn("n_toks", expr("CAST(size(toks) AS BIGINT)"))
     d.select(col("doc_id"), col("toks"), col("n_toks"),
-        explode(expr(s"sequence(0, CAST((n_toks - 1) DIV $StrideToks AS INT))"))
+        explode(expr(
+          s"""sequence(0, CAST(greatest(0, (n_toks - $ChunkToks + $StrideToks - 1)
+             |  DIV $StrideToks) AS INT))""".stripMargin))
           .as("chunk_idx"))
       .withColumn("chunk",
         expr(s"slice(toks, chunk_idx * $StrideToks + 1, $ChunkToks)"))
@@ -399,7 +412,8 @@ object QueriesCorpus {
        |),
        |c AS (
        |  SELECT doc_id, toks,
-       |    CAST(unnest(generate_series(0, (n_toks - 1) // $StrideToks)) AS INTEGER) AS chunk_idx
+       |    CAST(unnest(generate_series(0,
+       |      GREATEST(0, (n_toks - $ChunkToks + $StrideToks - 1) // $StrideToks))) AS INTEGER) AS chunk_idx
        |  FROM t
        |),
        |s2 AS (

@@ -107,12 +107,18 @@ object Pipeline {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
   }
 
-  /** Self-heal a fact store left mid-swap by a crashed [[compactFactStore]]:
+  /** Self-heal a fact store left mid-swap by a CRASHED [[compactFactStore]]:
     * restore a staged-out whole store or per-day backups whose replacement
     * never landed, and drop leftovers whose swap DID complete. Spark never
     * reads `_`-prefixed directories, so in-flight staging/backup dirs are
     * invisible to concurrent readers. Called on entry by both
-    * [[continuousRun]] and [[compactFactStore]]. */
+    * [[continuousRun]] and [[compactFactStore]].
+    *
+    * Like compaction itself, recovery assumes the single-writer contract:
+    * it must not run while another process is actively compacting (it
+    * would treat the live staging/backup dirs as crash leftovers). A
+    * deployment that cannot serialize writers needs a manifest/table
+    * format instead of rename-swaps — see the compaction scaladoc. */
   def recoverFactStore(factDir: String): Unit = {
     val root = new java.io.File(factDir)
     val wholeOld = new java.io.File(factDir + "_old")
@@ -150,10 +156,12 @@ object Pipeline {
     * compaction between `continuousRun` ticks, never concurrently with one
     * (the reference's cron loop gives the same serialization for free).
     * As a belt-and-braces guard against a violated contract, each per-day
-    * swap re-lists the partition just before renaming and SKIPS the swap
-    * if the file set changed since the staging copy was read — an appended
-    * tick file is then never staged out and lost; the partition simply
-    * compacts on the next call. The legacy whole-store migration has no
+    * swap (a) re-lists the partition just before renaming and SKIPS the
+    * swap if the file set changed since the staging copy was read, and
+    * (b) after the swap, moves any file found in the backup that was not
+    * in the staged snapshot back into the live partition — so a file
+    * appended even in the instant between re-list and rename is recovered,
+    * not deleted with the backup. The legacy whole-store migration has no
     * such guard (it predates the partitioned layout, so no tick can be
     * appending day partitions to it). */
   def compactFactStore(spark: SparkSession, factDir: String): Unit = {
@@ -204,6 +212,15 @@ object Pipeline {
             old.renameTo(d)
             sys.error(s"compaction swap failed for ${d.getPath}; partition restored")
           }
+          // a file appended in the instant between the re-list above and the
+          // renameTo travelled into the backup — move it into the live
+          // partition before dropping the backup, so even that window loses
+          // nothing (part-file names are unique, no collision possible)
+          Option(old.listFiles()).foreach(_.foreach { f =>
+            if (f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")
+                && !snapshot.contains(f.getName))
+              f.renameTo(new java.io.File(d, f.getName))
+          })
           rmTree(old)
         }
       }

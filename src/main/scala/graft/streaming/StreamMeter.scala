@@ -24,14 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object StreamMeter {
 
-  /** @param tokensOf per-row token-count expression over the text column
-    *                 (defaults to whitespace tokens, the corpus contract) */
+  /** @param sourceCol grouping column naming the ingest source
+    * @param tokensOf  per-row token-count expression over the text column
+    *                  (defaults to whitespace tokens, the corpus contract) */
   def tokenRates(docs: DataFrame, tsCol: String, windowDur: String,
-                 delay: String,
+                 delay: String, sourceCol: String = "source",
                  tokensOf: Column = expr("CAST(size(split(text, ' ')) AS BIGINT)"))
       : DataFrame =
     docs.withWatermark(tsCol, delay)
-      .groupBy(window(col(tsCol), windowDur), col("source"))
+      .groupBy(window(col(tsCol), windowDur), col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"), sum(tokensOf).as("n_toks"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),

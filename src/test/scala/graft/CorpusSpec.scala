@@ -22,7 +22,12 @@ class CorpusSpec extends SparkSpec {
       (11L, "the dog ran",         "en", "s1", 11L),
       (12L, "the owl saw",         "en", "s1", 11L),
       (13L, "the stop words here", "en", "s1", 19L),
-      (20L, "spark spark join the","en", "s2", 20L))
+      (20L, "spark spark join the","en", "s2", 20L),
+      // 40 tokens ('the' + 39 unique): two chunks — and under the pre-fix
+      // chunk count ((n−1) DIV stride) it would emit a THIRD, fully
+      // subsumed tail chunk
+      (30L, ("the" +: (1 to 39).map(i => f"w$i%02d")).mkString(" "),
+        "en", "s3", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$d/documents.parquet")
     val up    = Array.fill(64)(0.5f)
@@ -76,22 +81,25 @@ class CorpusSpec extends SparkSpec {
     assert(rows == Set(("spark", 1, 20L, 2L), ("join", 1, 20L, 1L)))
   }
 
-  test("q65: chunks advance by stride, overlap preserved, tail truncated") {
-    // doc 13 has 4 tokens < stride → exactly one chunk of 4
+  test("q65: chunks advance by stride; a subsumed tail chunk is never emitted") {
     val got = SparkEntry.queries("q65_doc_chunking")(spark, dir)
       .select("doc_id", "chunk_idx", "n_chunk_toks")
       .as[(Long, Int, Long)].collect().groupBy(_._1)
+    // short docs: exactly one (truncated) chunk
     assert(got(13L).toSeq == Seq((13L, 0, 4L)))
     assert(got(7L).toSeq == Seq((7L, 0, 7L)))
+    // 40 tokens: chunk 0 = 1..32, chunk 1 = 25..40 (adds 33..40) — and NO
+    // third chunk 49.. (start past the doc) or duplicate tail
+    assert(got(30L).toSeq.sortBy(_._2) == Seq((30L, 0, 32L), (30L, 1, 16L)))
   }
 
   test("q66: packing accounts every doc exactly once per source") {
     val rows = SparkEntry.queries("q66_sequence_pack")(spark, dir)
       .select("source", "n_docs", "toks_started")
       .as[(String, Long, Long)].collect()
-    // 6 docs across 3 sources; all sources are tiny → everything in seq 0
-    assert(rows.map(_._2).sum == 6L)
-    assert(rows.map(_._3).sum == 7L + 3 + 3 + 3 + 4 + 4)
+    // 7 docs across 4 sources; all sources are tiny → everything in seq 0
+    assert(rows.map(_._2).sum == 7L)
+    assert(rows.map(_._3).sum == 7L + 3 + 3 + 3 + 4 + 4 + 40)
   }
 
   test("q64: the near-identical pair in one cell drops exactly its higher id") {
