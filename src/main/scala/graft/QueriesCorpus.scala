@@ -522,7 +522,55 @@ object QueriesCorpus {
        |FROM r, t WHERE rank <= $VocabTopK ORDER BY rank""".stripMargin
   }
 
+  // --- q68: int8 embedding quantization --------------------------------------
+  // The storage op that makes a 100 TB embedding corpus 4× smaller: per
+  // vector, symmetric int8 quantization (scale = 127/max|x|, q_i =
+  // round-half-up(x_i·scale)) plus the quality audit a pipeline stores
+  // alongside (max reconstruction error). Everything is per-row HOF
+  // arithmetic — zero shuffles — and every step is IEEE-deterministic
+  // cross-engine: max over exact float→double casts, one division, an
+  // elementwise multiply, floor(·+0.5), and a SEQUENTIAL integer fold for
+  // the checksum (the [[graft.ops.VectorOps]] fold discipline).
+  private val q68: Q = (s, dir) => {
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
+      .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("scale", expr("CASE WHEN mx = 0.0D THEN 1.0D ELSE 127.0D / mx END"))
+      .withColumn("q", expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS BIGINT))"))
+      .select(col("vec_id"), col("scale"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x + 128) % 1000000007)")
+          .as("checksum"),
+        expr("array_max(zip_with(v, q, (x, qi) -> abs(x - qi / scale)))")
+          .as("max_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+  private val q68Sql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |),
+      |m AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e
+      |),
+      |sc AS (
+      |  SELECT vec_id, v,
+      |    CASE WHEN mx = 0.0 THEN 1.0 ELSE 127.0 / mx END AS scale
+      |  FROM m
+      |),
+      |qz AS (
+      |  SELECT vec_id, v, scale,
+      |    list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+      |  FROM sc
+      |)
+      |SELECT vec_id, scale,
+      |  list_reduce([CAST(0 AS BIGINT)] || q,
+      |    (acc, x) -> (acc * 31 + x + 128) % 1000000007) AS checksum,
+      |  list_max(list_transform(generate_series(1, len(v)),
+      |    i -> abs(v[i] - q[i] / scale))) AS max_abs_err
+      |FROM qz ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q68_embedding_quantize" -> q68,
     "q67_vocab_coverage" -> q67,
     "q65_doc_chunking" -> q65,
     "q66_sequence_pack" -> q66,
@@ -534,6 +582,7 @@ object QueriesCorpus {
     "q64_semantic_dedup" -> q64)
 
   val oracleSql: Map[String, String] = Map(
+    "q68_embedding_quantize" -> q68Sql,
     "q67_vocab_coverage" -> q67Sql,
     "q65_doc_chunking" -> q65Sql,
     "q66_sequence_pack" -> q66Sql,

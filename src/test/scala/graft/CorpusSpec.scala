@@ -102,6 +102,15 @@ class CorpusSpec extends SparkSpec {
     assert(rows.map(_._3).sum == 7L + 3 + 3 + 3 + 4 + 4 + 40)
   }
 
+  test("q68: quantization scale and reconstruction error are exact on planted vectors") {
+    val got = SparkEntry.queries("q68_embedding_quantize")(spark, dir)
+      .select("vec_id", "scale", "max_abs_err")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 127.0 / 0.5) // constant ±0.5 vectors: scale 254
+    // all planted components quantize exactly (x·scale lands on an integer)
+    assert(got.values.forall(_._3 == 0.0))
+  }
+
   test("q64: the near-identical pair in one cell drops exactly its higher id") {
     val rows = SparkEntry.queries("q64_semantic_dedup")(spark, dir)
       .select("n_vecs", "n_dropped", "n_kept").as[(Long, Long, Long)].collect()
