@@ -111,6 +111,57 @@ class CorpusSpec extends SparkSpec {
     assert(got.values.forall(_._3 == 0.0))
   }
 
+  // seeded-random corpus for the property tests (PropertySpec discipline)
+  private lazy val propDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_corpus_prop").toString
+    val rnd = new scala.util.Random(7)
+    (1 to 40).map { i =>
+      val n = 1 + rnd.nextInt(200)
+      (i.toLong, (1 to n).map(j => s"t$j").mkString(" "), "en", s"s${i % 3}", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    (1 to 40).map { i =>
+      val dim = 8 + rnd.nextInt(57)
+      (i.toLong, Array.fill(dim)((rnd.nextFloat() - 0.5f) * 4f), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("q65 property: chunks tile every doc — no gap, no subsumed chunk, exact cover") {
+    val n = Tables.documents(spark, propDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val chunks = SparkEntry.queries("q65_doc_chunking")(spark, propDir)
+      .select("doc_id", "chunk_idx", "n_chunk_toks")
+      .as[(Long, Int, Long)].collect().toSeq.groupBy(_._1)
+    assert(chunks.keySet == n.keySet)
+    chunks.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2) == (0 until sorted.size)) // consecutive idxs
+      val ends = sorted.map { case (_, i, len) => i.toLong * 24 + len }
+      assert(ends.last == n(id), s"doc $id: last chunk must end at the doc end")
+      // every chunk after the first extends coverage (never subsumed), and
+      // stride < chunk width means no position is skipped
+      ends.sliding(2).foreach {
+        case Seq(a, b) => assert(b > a, s"doc $id: subsumed chunk")
+        case _ =>
+      }
+      sorted.dropRight(1).foreach { case (_, _, len) => assert(len == 32L) }
+    }
+  }
+
+  test("q68 property: reconstruction error is bounded by half a quantization step") {
+    val rows = SparkEntry.queries("q68_embedding_quantize")(spark, propDir)
+      .select("vec_id", "scale", "max_abs_err")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.length == 40)
+    rows.foreach { case (id, scale, err) =>
+      assert(scale > 0.0)
+      assert(err <= 0.5 / scale * (1 + 1e-9), s"vec $id: err $err vs step ${1 / scale}")
+    }
+  }
+
   test("q64: the near-identical pair in one cell drops exactly its higher id") {
     val rows = SparkEntry.queries("q64_semantic_dedup")(spark, dir)
       .select("n_vecs", "n_dropped", "n_kept").as[(Long, Long, Long)].collect()
