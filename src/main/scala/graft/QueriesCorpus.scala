@@ -569,7 +569,30 @@ object QueriesCorpus {
       |    i -> abs(v[i] - q[i] / scale))) AS max_abs_err
       |FROM qz ORDER BY vec_id""".stripMargin
 
+  // --- q69: batched classifier-inference plumbing ----------------------------
+  // The model-scoring step (quality classifier over every document) via
+  // ops/Inference: partition-batched map-side iteration, stub scorer whose
+  // arithmetic the oracle reproduces — so the cross-engine check verifies
+  // the batching plumbing preserves every row exactly once, unreordered
+  // within (doc_id sort), undropped, unduplicated. Batch size 64 is the
+  // vectorization grain; InferenceSpec pins the slicing itself.
+  private val q69: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[graft.ops.Inference.DocIn]
+    graft.ops.Inference.scoreBatched(ds, 64, graft.ops.Inference.stubModel)
+      .toDF().orderBy(col("doc_id"))
+  }
+  private val q69Sql = {
+    val toks = TextOps.sql.tokens("text")
+    s"""SELECT doc_id,
+       |  CAST(2 * len(list_distinct($toks)) AS DOUBLE) / len($toks) AS score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q69_classifier_score" -> q69,
     "q68_embedding_quantize" -> q68,
     "q67_vocab_coverage" -> q67,
     "q65_doc_chunking" -> q65,
@@ -582,6 +605,7 @@ object QueriesCorpus {
     "q64_semantic_dedup" -> q64)
 
   val oracleSql: Map[String, String] = Map(
+    "q69_classifier_score" -> q69Sql,
     "q68_embedding_quantize" -> q68Sql,
     "q67_vocab_coverage" -> q67Sql,
     "q65_doc_chunking" -> q65Sql,
