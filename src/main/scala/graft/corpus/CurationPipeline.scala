@@ -1,0 +1,97 @@
+package graft.corpus
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ops.{Inference, NearDup, TextOps}
+
+/** The corpus-curation product loop — what `codstats.Pipeline` is for the
+  * match-stats product, this is for the training-data product: one call
+  * takes a raw document table through the standard curation ladder and
+  * returns the curated corpus plus the per-stage audit every data team
+  * publishes next to a dataset release.
+  *
+  * Stages (each delegating to its individually oracle-verified operator):
+  *   1. quality    — per-row rules: min tokens, max duplicate-token
+  *                   fraction (q59 arithmetic), then the batched
+  *                   classifier score ([[graft.ops.Inference]], q69)
+  *   2. exact      — one survivor per identical text (md5 groupBy, q26)
+  *   3. neardup    — MinHash+LSH pairs → TRANSITIVE survivors
+  *                   ([[graft.ops.NearDup]], q27/q51); docs shorter than
+  *                   the shingle minimum (13 chars) pass through unpaired
+  *   4. mixture    — per-source keep rate hitting a token budget,
+  *                   deterministic hash-bucket sampling (q63)
+  *
+  * The audit is O(stages) driver-side counts — each stage is cached
+  * before counting so the lineage executes once, and every count is an
+  * action the caller would otherwise pay in a separate metrics job.
+  * At 100 TB each stage is the operator's own documented shape: the
+  * quality/classifier stages are map-side, exact dedup shuffles once on
+  * the text hash, near-dup shuffles on LSH band keys, and the mixture
+  * stage broadcasts a per-source rate dim.
+  */
+object CurationPipeline {
+
+  case class Config(
+      minToks: Int = 10,
+      maxDupTokFrac: Double = 0.6,
+      minScore: Double = 0.5,
+      jaccardThreshold: Double = 0.5,
+      budgetToksPerSource: Long = 800L,
+      batchSize: Int = 64)
+
+  /** @return (curated corpus, audit of (stage, docs_after)) */
+  def run(docs: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = TextOps.tokensExpr("text")
+
+    // 1a. rule-based quality (per-row, map-side)
+    val ruled = docs
+      .withColumn("n_toks", expr(s"CAST(size($toks) AS BIGINT)"))
+      .withColumn("dup_frac",
+        expr(s"CAST(n_toks - size(array_distinct($toks)) AS DOUBLE) / n_toks"))
+      .filter(col("n_toks") >= cfg.minToks && col("dup_frac") <= cfg.maxDupTokFrac)
+      .drop("n_toks", "dup_frac")
+      .cache()
+    // 1b. classifier gate (batched inference, map-side)
+    val keepIds = Inference.scoreBatched(
+        ruled.select(col("doc_id"), col("text")).as[Inference.DocIn],
+        cfg.batchSize, Inference.stubModel)
+      .filter(col("score") >= cfg.minScore).select("doc_id")
+    val quality = ruled.join(keepIds, Seq("doc_id"), "left_semi").cache()
+
+    // 2. exact dedup: min doc_id per identical text
+    val firstPerText = quality.groupBy(md5(col("text")).as("th"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val exact = quality.join(firstPerText, Seq("doc_id"), "left_semi").cache()
+
+    // 3. transitive near-dup survivors over LSH pairs
+    val pairs = NearDup.pairs(
+      NearDup.shingleHashed(exact, "doc_id", "text"), cfg.jaccardThreshold)
+    val near = NearDup.transitiveSurvivors(exact, col("doc_id"), pairs).cache()
+
+    // 4. token-budget mixture (q63 discipline: integer rate, hash bucket)
+    val withToks = near.withColumn("n_toks", expr(s"CAST(size($toks) AS BIGINT)"))
+    val rates = withToks.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("total_toks"))
+      .withColumn("rate_pct",
+        least(lit(100L), expr(s"${cfg.budgetToksPerSource} * 100 DIV total_toks")))
+      .select("source", "rate_pct")
+    val bucket = s"pmod(${TextOps.hash60("CAST(doc_id AS STRING)")}, 100)"
+    val curated = withToks.join(broadcast(rates), Seq("source"))
+      .filter(expr(bucket) < col("rate_pct"))
+      .drop("n_toks", "rate_pct")
+      .cache()
+
+    val audit = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("input", docs.count()), Row("quality_rules", ruled.count()),
+        Row("quality_classifier", quality.count()), Row("exact_dedup", exact.count()),
+        Row("near_dedup", near.count()), Row("mixture_sample", curated.count()))),
+      StructType(Seq(StructField("stage", StringType, nullable = false),
+        StructField("docs_after", LongType, nullable = false))))
+    (curated, audit)
+  }
+}

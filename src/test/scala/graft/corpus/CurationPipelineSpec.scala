@@ -1,0 +1,55 @@
+package graft.corpus
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end curation ladder on a corpus planted so every stage drops
+  * exactly one known set: rules → classifier → exact dedup → transitive
+  * near-dedup → mixture. */
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val chainBase = "alpha beta gamma delta epsilon zeta eta theta iota " +
+    "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  test("each stage drops its planted set; audit counts the ladder") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"),
+      (3L, chainBase),                    // near-dup component {3,4,5}:
+      (4L, chainBase + " phi"),           //   transitive survivor = 3
+      (5L, chainBase + " phi chi"),
+      (6L, "a a a a"),                    // passes rules (dup 0.75 <= 0.9),
+                                          //   classifier score 0.5 < 1.0
+      (7L, "x y"))                        // under min tokens
+      .map { case (id, t) => (id, t, "en", s"s${id % 2}", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val (curated, audit) = CurationPipeline.run(docs, CurationPipeline.Config(
+      minToks = 3, maxDupTokFrac = 0.9, minScore = 1.0,
+      jaccardThreshold = 0.5, budgetToksPerSource = 1000000L))
+
+    assert(curated.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    val got = audit.as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "input" -> 7L, "quality_rules" -> 6L, "quality_classifier" -> 5L,
+      "exact_dedup" -> 4L, "near_dedup" -> 2L, "mixture_sample" -> 2L))
+    // schema passes through curation untouched
+    assert(curated.columns.toSeq ==
+      Seq("source", "doc_id", "text", "lang", "n_chars"))
+  }
+
+  test("the mixture stage downsamples against the token budget") {
+    val docs = (1L to 200L).map(i =>
+      (i, (1 to 20).map(j => s"w${i}_$j").mkString(" "), "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (curated, audit) = CurationPipeline.run(docs, CurationPipeline.Config(
+      minToks = 1, maxDupTokFrac = 1.0, minScore = 0.0,
+      budgetToksPerSource = 400L)) // 4000 corpus tokens → 10% rate
+    val n = curated.count()
+    val got = audit.as[(String, Long)].collect().toMap
+    assert(got("near_dedup") == 200L && got("mixture_sample") == n)
+    assert(n > 0L && n < 50L, s"10% hash-bucket rate should keep few docs, got $n")
+  }
+}
