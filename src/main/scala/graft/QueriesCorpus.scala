@@ -272,16 +272,10 @@ object QueriesCorpus {
   private val q63: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
       .withColumn("n_toks", expr(s"CAST(size(${TextOps.tokensExpr("text")}) AS BIGINT)"))
-    val totals = d.groupBy(col("source"))
-      .agg(sum(col("n_toks")).as("total_toks"))
-      // DIV, not `/`: Column./ is IEEE division (a 46.15 rate would keep
-      // bucket 46 while the oracle's floor-46 drops it) — the rate must be
-      // the same integer percentage in both engines
-      .withColumn("rate_pct",
-        least(lit(100L), expr(s"$BudgetToks * 100 DIV total_toks")))
-    val bucket = s"pmod(${TextOps.hash60("CAST(doc_id AS STRING)")}, 100)"
-    val kept = d.join(broadcast(totals), Seq("source"))
-      .filter(expr(bucket) < col("rate_pct"))
+    // rate arithmetic + hash-bucket sample live in ops/Mixture (integer
+    // DIV in both engines — Column./ is IEEE division, the q63 pitfall)
+    val totals = graft.ops.Mixture.tokenBudgetRates(d, "source", "n_toks", BudgetToks)
+    val kept = graft.ops.Mixture.sampleAtRates(d, "source", totals)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("toks_kept"))
     totals.join(kept, Seq("source"), "left")

@@ -330,7 +330,7 @@ object QueriesText {
   // cross-engine checking. 80/10/10 by doc_id.
   private val q44: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
-    val bucket = s"pmod(${TextOps.hash60("CAST(doc_id AS STRING)")}, 100)"
+    val bucket = TextOps.docBucketExpr()
     d.withColumn("split",
         expr(s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' ELSE 'test' END"))
       .groupBy(col("split"))
@@ -341,7 +341,7 @@ object QueriesText {
       .orderBy(col("split"))
   }
   private val q44Sql = {
-    val bucket = s"${TextOps.sql.hash60("CAST(doc_id AS VARCHAR)")} % 100"
+    val bucket = TextOps.sql.docBucket()
     s"""SELECT CASE WHEN $bucket < 80 THEN 'train'
        |            WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -390,7 +390,7 @@ object QueriesText {
     val d = Tables.documents(s, dir)
     import s.implicits._
     val rates = mixRates.toDF("source", "pct")
-    val bucket = s"pmod(${TextOps.hash60("CAST(doc_id AS STRING)")}, 100)"
+    val bucket = TextOps.docBucketExpr()
     d.join(broadcast(rates), Seq("source"), "left")
       .withColumn("pct", coalesce(col("pct"), lit(MixDefaultPct)))
       .filter(expr(bucket) < col("pct"))
@@ -400,7 +400,7 @@ object QueriesText {
   }
   private val q56Sql = {
     val values = mixRates.map { case (src, p) => s"('$src', $p)" }.mkString(", ")
-    val bucket = s"${TextOps.sql.hash60("CAST(doc_id AS VARCHAR)")} % 100"
+    val bucket = TextOps.sql.docBucket()
     s"""WITH rates AS (SELECT * FROM (VALUES $values) AS t(source, pct))
        |SELECT source, COALESCE(pct, $MixDefaultPct) AS pct,
        |  CAST(COUNT(*) AS BIGINT) AS n_kept, MIN(doc_id) AS min_doc_id

@@ -1,10 +1,9 @@
 package graft.corpus
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-import graft.ops.{Inference, NearDup, TextOps}
+import graft.ops.{Inference, Mixture, NearDup, TextOps}
 
 /** The corpus-curation product loop — what `codstats.Pipeline` is for the
   * match-stats product, this is for the training-data product: one call
@@ -67,31 +66,30 @@ object CurationPipeline {
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val exact = quality.join(firstPerText, Seq("doc_id"), "left_semi").cache()
 
-    // 3. transitive near-dup survivors over LSH pairs
-    val pairs = NearDup.pairs(
-      NearDup.shingleHashed(exact, "doc_id", "text"), cfg.jaccardThreshold)
+    // 3. transitive near-dup survivors over LSH pairs (shingleHashed's
+    // contract: the caller caches — pairs() references the hashed frame
+    // four times, and the shingle hashing is the dominant per-row cost)
+    val hashed = NearDup.shingleHashed(exact, "doc_id", "text").cache()
+    val pairs = NearDup.pairs(hashed, cfg.jaccardThreshold)
     val near = NearDup.transitiveSurvivors(exact, col("doc_id"), pairs).cache()
 
-    // 4. token-budget mixture (q63 discipline: integer rate, hash bucket)
+    // 4. token-budget mixture (ops/Mixture — the q63 operator)
     val withToks = near.withColumn("n_toks", expr(s"CAST(size($toks) AS BIGINT)"))
-    val rates = withToks.groupBy(col("source"))
-      .agg(sum(col("n_toks")).as("total_toks"))
-      .withColumn("rate_pct",
-        least(lit(100L), expr(s"${cfg.budgetToksPerSource} * 100 DIV total_toks")))
-      .select("source", "rate_pct")
-    val bucket = s"pmod(${TextOps.hash60("CAST(doc_id AS STRING)")}, 100)"
-    val curated = withToks.join(broadcast(rates), Seq("source"))
-      .filter(expr(bucket) < col("rate_pct"))
-      .drop("n_toks", "rate_pct")
+    val rates = Mixture.tokenBudgetRates(withToks, "source", "n_toks",
+      cfg.budgetToksPerSource)
+    val curated = Mixture.sampleAtRates(withToks, "source", rates)
+      .select(docs.columns.map(col): _*) // input column order, untouched
       .cache()
 
-    val audit = spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(
-        Row("input", docs.count()), Row("quality_rules", ruled.count()),
-        Row("quality_classifier", quality.count()), Row("exact_dedup", exact.count()),
-        Row("near_dedup", near.count()), Row("mixture_sample", curated.count()))),
-      StructType(Seq(StructField("stage", StringType, nullable = false),
-        StructField("docs_after", LongType, nullable = false))))
+    // audit counts drive one materialization of each cached stage; the
+    // intermediates are then released — only `curated` stays cached for
+    // the caller (unpersist it when done)
+    val audit = Seq(
+      ("input", docs.count()), ("quality_rules", ruled.count()),
+      ("quality_classifier", quality.count()), ("exact_dedup", exact.count()),
+      ("near_dedup", near.count()), ("mixture_sample", curated.count()))
+      .toDF("stage", "docs_after")
+    Seq(ruled, quality, exact, hashed, near).foreach(_.unpersist())
     (curated, audit)
   }
 }

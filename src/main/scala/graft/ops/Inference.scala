@@ -26,10 +26,15 @@ object Inference {
 
   /** Deterministic stub scorer: 2·distinct-tokens / tokens (integer
     * counts, one IEEE division — the [[graft.Exact]] discipline). A real
-    * deployment replaces this with a per-partition model session. */
+    * deployment replaces this with a per-partition model session.
+    *
+    * split with limit -1 KEEPS trailing empty tokens — the semantics of
+    * Spark's `split` and DuckDB's `string_split` (default Java split drops
+    * them, which would silently diverge from the SQL twins on text with a
+    * trailing space, and make "  " score NaN via 0/0). */
   val stubModel: Seq[String] => Seq[Double] = texts =>
     texts.map { t =>
-      val toks = t.split(' ')
+      val toks = t.split(" ", -1)
       (2.0 * toks.distinct.length) / toks.length
     }
 

@@ -48,6 +48,13 @@ object TextOps {
   /** Whitespace tokens (documents are single-space separated). */
   def tokensExpr(text: String): String = s"split($text, ' ')"
 
+  /** Deterministic percent bucket of a row id — THE sampling primitive
+    * shared by hash-split (q44), mixture sampling (q56/q63) and
+    * [[graft.corpus.CurationPipeline]]: stable across runs, engines and
+    * cluster sizes, unlike rand(). */
+  def docBucketExpr(idExpr: String = "CAST(doc_id AS STRING)"): String =
+    s"pmod(${hash60(idExpr)}, 100)"
+
   /** Distinct word k-shingle strings. Caller must guarantee
     * size(tokens) >= k (the documents table always has >> k tokens) —
     * `sequence(1, n)` with n < 1 would generate a DESCENDING sequence in
@@ -90,6 +97,9 @@ object TextOps {
       s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
     def tokens(text: String): String = s"string_split($text, ' ')"
+
+    def docBucket(idExpr: String = "CAST(doc_id AS VARCHAR)"): String =
+      s"${hash60(idExpr)} % 100"
 
     def shingle(text: String, k: Int): String = {
       val t = tokens(text)

@@ -35,9 +35,9 @@ class CurationPipelineSpec extends SparkSpec {
     assert(got == Map(
       "input" -> 7L, "quality_rules" -> 6L, "quality_classifier" -> 5L,
       "exact_dedup" -> 4L, "near_dedup" -> 2L, "mixture_sample" -> 2L))
-    // schema passes through curation untouched
+    // schema passes through curation untouched, in the input column order
     assert(curated.columns.toSeq ==
-      Seq("source", "doc_id", "text", "lang", "n_chars"))
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
   }
 
   test("the mixture stage downsamples against the token budget") {
