@@ -585,7 +585,48 @@ object QueriesCorpus {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // --- q70: BPE merge-candidate counting (tokenizer training, step 1) --------
+  // The first round of byte-pair-encoding training: count adjacent
+  // character pairs WEIGHTED BY WORD FREQUENCY (the standard formulation —
+  // count each distinct word once, multiply its pair occurrences by the
+  // word's corpus count) and rank the top merge candidates. Two
+  // map-side-combinable aggregates: corpus tokens → (word, freq), then
+  // per-word pair explode → weighted sum; the ranking is a global top-k
+  // over the pair vocabulary (dimension-sized, the q09/q67 discipline —
+  // TakeOrderedAndProject, not a full sort). Iterating this query with a
+  // merge applied per round IS BPE training; one round is the oracle-able
+  // unit.
+  private val BpeTopK = 20
+  private val q70: Q = (s, dir) => {
+    val words = Tables.documents(s, dir)
+      .select(explode(expr(TextOps.tokensExpr("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .filter(length(col("word")) >= 2)
+    words
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("n"))
+      .orderBy(desc("n"), col("pair")).limit(BpeTopK)
+  }
+  private val q70Sql = {
+    val toks = TextOps.sql.tokens("text")
+    s"""WITH w AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM (
+       |    SELECT unnest($toks) AS word FROM documents
+       |  ) GROUP BY word
+       |),
+       |p AS (
+       |  SELECT wf, unnest(list_transform(generate_series(1, length(word) - 1),
+       |    i -> substr(word, i, 2))) AS pair
+       |  FROM w WHERE length(word) >= 2
+       |)
+       |SELECT pair, CAST(SUM(wf) AS BIGINT) AS n FROM p
+       |GROUP BY pair ORDER BY n DESC, pair LIMIT $BpeTopK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q70_bpe_pairs" -> q70,
     "q69_classifier_score" -> q69,
     "q68_embedding_quantize" -> q68,
     "q67_vocab_coverage" -> q67,
@@ -599,6 +640,7 @@ object QueriesCorpus {
     "q64_semantic_dedup" -> q64)
 
   val oracleSql: Map[String, String] = Map(
+    "q70_bpe_pairs" -> q70Sql,
     "q69_classifier_score" -> q69Sql,
     "q68_embedding_quantize" -> q68Sql,
     "q67_vocab_coverage" -> q67Sql,

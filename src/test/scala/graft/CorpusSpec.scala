@@ -162,6 +162,15 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q70: pair counts are weighted by word frequency") {
+    val got = SparkEntry.queries("q70_bpe_pairs")(spark, dir)
+      .select("pair", "n").as[(String, Long)].collect().toMap
+    // 'the' occurs 6× in the fixture; 'th' comes only from it, while 'he'
+    // also gets one hit from 'here'
+    assert(got("th") == 6L)
+    assert(got("he") == 7L)
+  }
+
   test("q64: the near-identical pair in one cell drops exactly its higher id") {
     val rows = SparkEntry.queries("q64_semantic_dedup")(spark, dir)
       .select("n_vecs", "n_dropped", "n_kept").as[(Long, Long, Long)].collect()
