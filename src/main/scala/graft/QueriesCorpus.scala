@@ -625,7 +625,70 @@ object QueriesCorpus {
        |GROUP BY pair ORDER BY n DESC, pair LIMIT $BpeTopK""".stripMargin
   }
 
+  // --- q71: top-k search over the QUANTIZED vectors --------------------------
+  // What production does with q68's output: similarity search on int8
+  // codes. Scoring is the INTEGER dot product of the quantized arrays —
+  // no float enters the ranking at all (|q|≤127, dim 64 ⇒ |score| ≤
+  // 127²·64 < 2²⁰, overflow-proof), so ranks are exactly reproducible on
+  // any engine, any SIMD width, any reduction order. Same plan shape as
+  // the q31 exact baseline it approximates: broadcast query side,
+  // map-side scan of the corpus, per-query WindowGroupLimit top-k; q31
+  // over the same data measures the quantization recall.
+  private val QTopK = 10
+  private val QNQueries = 10
+  private val q71: Q = (s, dir) => {
+    val quantized = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
+      .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("scale", expr("CASE WHEN mx = 0.0D THEN 1.0D ELSE 127.0D / mx END"))
+      .withColumn("q", expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS BIGINT))"))
+      .select(col("vec_id"), col("q"))
+    val qs = quantized.filter(col("vec_id") < QNQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val corpus = quantized.filter(col("vec_id") >= QNQueries)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), col("vec_id"))
+    corpus.join(broadcast(qs))
+      .withColumn("score",
+        expr("aggregate(zip_with(qq, q, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= QTopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q71Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |qz AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> CAST(floor(x *
+       |      (CASE WHEN list_max(list_transform(v, y -> abs(y))) = 0.0 THEN 1.0
+       |            ELSE 127.0 / list_max(list_transform(v, y -> abs(y))) END)
+       |      + 0.5) AS BIGINT)) AS q
+       |  FROM e
+       |),
+       |s2 AS (
+       |  SELECT qs.vec_id AS query_id, c.vec_id,
+       |    list_reduce([CAST(0 AS BIGINT)] ||
+       |      list_transform(generate_series(1, len(qs.q)), i -> qs.q[i] * c.q[i]),
+       |      (acc, p) -> acc + p) AS score
+       |  FROM qz c, qz qs
+       |  WHERE qs.vec_id < $QNQueries AND c.vec_id >= $QNQueries
+       |),
+       |ranked AS (
+       |  SELECT query_id, vec_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+       |  FROM s2
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, score, rank FROM ranked
+       |WHERE rank <= $QTopK ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q71_quantized_topk" -> q71,
     "q70_bpe_pairs" -> q70,
     "q69_classifier_score" -> q69,
     "q68_embedding_quantize" -> q68,
@@ -640,6 +703,7 @@ object QueriesCorpus {
     "q64_semantic_dedup" -> q64)
 
   val oracleSql: Map[String, String] = Map(
+    "q71_quantized_topk" -> q71Sql,
     "q70_bpe_pairs" -> q70Sql,
     "q69_classifier_score" -> q69Sql,
     "q68_embedding_quantize" -> q68Sql,

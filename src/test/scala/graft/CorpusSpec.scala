@@ -171,6 +171,20 @@ class CorpusSpec extends SparkSpec {
     assert(got("he") == 7L)
   }
 
+  test("q71: int8 ranking preserves most of the exact float top-10 (recall)") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("q31_cosine_topk")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = SparkEntry.queries("q71_quantized_topk")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    // 0.78 measured on sf0.001: random uniform embeddings are the WORST
+    // case for int8 (cosines bunch into near-ties that one quantization
+    // step can flip); the floor guards against a real regression while
+    // tolerating that inherent tie noise
+    assert(recall >= 0.7, s"quantized recall@10 dropped to $recall")
+  }
+
   test("q64: the near-identical pair in one cell drops exactly its higher id") {
     val rows = SparkEntry.queries("q64_semantic_dedup")(spark, dir)
       .select("n_vecs", "n_dropped", "n_kept").as[(Long, Long, Long)].collect()
