@@ -92,4 +92,15 @@ object CurationPipeline {
     Seq(ruled, quality, exact, hashed, near).foreach(_.unpersist())
     (curated, audit)
   }
+
+  /** Materialize a curation run the way a dataset release ships: the
+    * curated corpus as source-partitioned JSONL (the same interchange
+    * format [[graft.sources.JsonlDocuments]] reads — a downstream consumer
+    * round-trips through the hardened reader) plus the audit document
+    * alongside. Source partitioning keeps per-source consumers pruning at
+    * the directory level; the audit is O(stages) rows → one file. */
+  def write(curated: DataFrame, audit: DataFrame, outDir: String): Unit = {
+    curated.write.mode("overwrite").partitionBy("source").json(s"$outDir/corpus")
+    audit.coalesce(1).write.mode("overwrite").json(s"$outDir/audit")
+  }
 }

@@ -40,6 +40,25 @@ class CurationPipelineSpec extends SparkSpec {
       Seq("doc_id", "text", "lang", "source", "n_chars"))
   }
 
+  test("write: the released corpus round-trips through the hardened JSONL reader") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten", "en", "s0", 0L),
+      (2L, "uno dos tres cuatro cinco seis siete ocho nueve diez", "es", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (curated, audit) = CurationPipeline.run(docs, CurationPipeline.Config(
+      minToks = 1, maxDupTokFrac = 1.0, minScore = 0.0,
+      budgetToksPerSource = 1000000L))
+    val out = java.nio.file.Files.createTempDirectory("graft_release").toString
+    CurationPipeline.write(curated, audit, out)
+    // source-partitioned tree, readable back through the hardened source
+    val (clean, quarantined) = graft.sources.JsonlDocuments.read(
+      spark, s"$out/corpus")
+    assert(clean.count() == 2L && quarantined.count() == 0L)
+    assert(spark.read.json(s"$out/audit")
+      .filter(col("stage") === "mixture_sample")
+      .select("docs_after").as[Long].head() == 2L)
+  }
+
   test("the mixture stage downsamples against the token budget") {
     val docs = (1L to 200L).map(i =>
       (i, (1 to 20).map(j => s"w${i}_$j").mkString(" "), "en", "s0", 0L))
