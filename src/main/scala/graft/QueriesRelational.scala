@@ -399,7 +399,68 @@ object QueriesRelational {
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- q72: interval-overlap join (session concurrency) ----------------------
+  // The interval×interval join shape ([[graft.ops.RangeJoin]] is
+  // point-in-interval; this is the other half): which user sessions ran
+  // CONCURRENTLY with sessions of other users. A naive encoding is an
+  // inequality join (quadratic); the scale form blocks each interval into
+  // the fixed time buckets it spans (sessions are gap-bounded so they span
+  // 1–2 day buckets), equi-joins on bucket, then verifies the exact
+  // overlap predicate — candidates are per-bucket local, never all-pairs.
+  // A pair straddling two buckets collides twice, so the (session, other
+  // user) projection is DISTINCT'd before counting. The DuckDB twin uses
+  // its native inequality join directly — same result through a
+  // structurally different plan, which is exactly what the oracle is for.
+  private val OverlapBucketUs = 86400000000L // 1 day
+  private val q72: Q = (s, dir) => {
+    val sess = graft.ops.Sessionize
+      .sessions(Tables.events(s, dir), col("user_id"), col("ts"),
+        col("event_id"), 7200L, Exact.cents(col("value")))
+      .select(col("user_id"), col("session_seq"), col("start_us"), col("end_us"))
+    val bucketed = sess.withColumn("bk",
+      explode(expr(s"sequence(start_us DIV ${OverlapBucketUs}L, end_us DIV ${OverlapBucketUs}L)")))
+    val a = bucketed.select(col("bk"), col("user_id").as("ua"),
+      col("session_seq").as("sa"), col("start_us").as("st_a"), col("end_us").as("en_a"))
+    val b = bucketed.select(col("bk"), col("user_id").as("ub"),
+      col("start_us").as("st_b"), col("end_us").as("en_b"))
+    a.as("a").join(b.as("b"),
+        col("a.bk") === col("b.bk") && col("a.ua") =!= col("b.ub") &&
+          col("a.st_a") <= col("b.en_b") && col("b.st_b") <= col("a.en_a"))
+      .select(col("a.ua").as("user_id"), col("a.sa").as("session_seq"),
+        col("b.ub").as("other_user"))
+      .distinct()
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_overlap_users"))
+      .orderBy(desc("n_overlap_users"), col("user_id"), col("session_seq"))
+      .limit(20)
+  }
+  private val q72Sql =
+    s"""WITH d AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= CAST(7200 AS BIGINT) * 1000000 THEN 1
+       |         ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), t AS (
+       |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       |  FROM d
+       |), sess AS (
+       |  SELECT user_id, session_seq,
+       |    MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+       |  FROM t GROUP BY user_id, session_seq
+       |)
+       |SELECT a.user_id, a.session_seq,
+       |  CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS n_overlap_users
+       |FROM sess a JOIN sess b
+       |  ON a.user_id != b.user_id
+       |  AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+       |GROUP BY a.user_id, a.session_seq
+       |ORDER BY n_overlap_users DESC, a.user_id, a.session_seq LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q72_interval_overlap" -> q72,
     "q57_asof_attribution" -> q57,
     "q50_quantile_buckets" -> q50,
     "q46_percentile_disc" -> q46,
@@ -418,6 +479,7 @@ object QueriesRelational {
     "q25_unknown_audit" -> q25)
 
   val oracleSql: Map[String, String] = Map(
+    "q72_interval_overlap" -> q72Sql,
     "q57_asof_attribution" -> q57Sql,
     "q50_quantile_buckets" -> q50Sql,
     "q46_percentile_disc" -> q46Sql,

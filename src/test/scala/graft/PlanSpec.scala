@@ -111,4 +111,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("q59_repetition_stats")
     assert(p.contains("partial_"), "bigram counts must map-side combine")
   }
+
+  test("q72 interval overlap blocks on time buckets — an equi-join, never all-pairs") {
+    val p = plan("q72_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the bucket equi-join")
+  }
 }
