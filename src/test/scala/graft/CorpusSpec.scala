@@ -162,6 +162,17 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("char-level ops are code-point-based on non-ASCII, matching DuckDB") {
+    // Spark SQL substring/length count CODE POINTS (not UTF-16 units) and
+    // md5 hashes UTF-8 bytes — verified identical to DuckDB's substr/
+    // length/md5, so q70's char pairs and every hash60 stay cross-engine
+    // exact on non-ASCII corpora too (a 🙂 is one char in both engines)
+    val r = spark.sql(
+      "SELECT substring('a🙂b', 2, 2) AS s, length('a🙂b') AS l, md5('🙂') AS h")
+      .as[(String, Int, String)].head()
+    assert(r == (("🙂b", 3, "5c8d6d302301d0e25c0e051418dff305")))
+  }
+
   test("q70: pair counts are weighted by word frequency") {
     val got = SparkEntry.queries("q70_bpe_pairs")(spark, dir)
       .select("pair", "n").as[(String, Long)].collect().toMap
