@@ -461,7 +461,10 @@ object QueriesCorpus {
        |  FROM d
        |),
        |b AS (
-       |  SELECT source, n_toks, start_off, start_off // $SeqLen AS seq_id,
+       |  -- CAST: SUM() OVER on BIGINT yields HUGEINT in DuckDB; seq_id must
+       |  -- land as BIGINT to hash-match Spark's int64 (r5 gate flagged this).
+       |  SELECT source, n_toks, start_off,
+       |    CAST(start_off // $SeqLen AS BIGINT) AS seq_id,
        |    CASE WHEN (start_off + n_toks - 1) // $SeqLen > start_off // $SeqLen
        |         THEN 1 ELSE 0 END AS crosses
        |  FROM o

@@ -95,7 +95,7 @@ object QueriesSimilarity {
     val X = VectorOps.sql
     s"""WITH e AS (
        |  SELECT vec_id, embedding AS v, ${X.norm("embedding")} AS nrm,
-       |    ${X.hyperplaneBucket("embedding", NPlanes, Dim)} AS bucket
+       |    CAST(${X.hyperplaneBucket("embedding", NPlanes, Dim)} AS BIGINT) AS bucket
        |  FROM embeddings
        |), scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,

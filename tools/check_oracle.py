@@ -55,6 +55,17 @@ def main() -> int:
             n_fail += 1
             print(f"  [FAIL] {name}: oracle SQL error: {e}")
             continue
+        # Type audit: the driver hash-compares rendered values, so a DuckDB
+        # HUGEINT (e.g. from SUM() OVER on BIGINT) vs Spark int64 mismatches
+        # there even though pandas coerces it here (bit us in round 5, q66).
+        duck_types = {r[0]: r[1]
+                      for r in con.execute("DESCRIBE " + oracle[name]).fetchall()}
+        huge = [c for c, t in duck_types.items() if t == "HUGEINT"]
+        if huge:
+            n_fail += 1
+            print(f"  [FAIL] {name}: oracle cols {huge} are HUGEINT — "
+                  f"CAST them (driver hash-compare will mismatch int64)")
+            continue
         g, w = canon(got), canon(want)
         if list(g.columns) != list(w.columns):
             n_fail += 1
