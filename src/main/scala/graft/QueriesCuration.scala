@@ -1,0 +1,318 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{TextOps, VectorOps}
+
+/** Round-6 curation operators: exact-substring dedup accounting (the
+  * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+  * Better" counting pass), normalization-aware dedup (Unicode NFC +
+  * casefold + whitespace collapse via the native `graft_nfc` Catalyst
+  * expression), quantized label-centroid assignment over the embeddings
+  * table, and per-document keyword extraction.
+  *
+  * The synthetic corpus is ASCII and duplicate-free, so q73/q74 inject
+  * deterministic fixtures FIRST (the q60 PII precedent: the injection is
+  * the test harness, the operator is everything after it) — boilerplate
+  * sentences shared across doc_ids for q73, case/spacing/accent variants
+  * for q74 — and the oracle reproduces the same injection, so the
+  * cross-engine check exercises the real dedup arithmetic on non-trivial
+  * collisions.
+  *
+  * Cross-engine rules as everywhere: integer counters, 60-bit md5 content
+  * hashes, at most one final IEEE division per double column.
+  */
+object QueriesCuration {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- q73: duplicated-n-gram coverage (exact-substring dedup accounting) ----
+  // Per document: how many of its token positions are covered by an 8-gram
+  // that occurs >= 2 times corpus-wide — the accounting pass of exact
+  // substring dedup. Plan shape at 100 TB: positional gram hashes are one
+  // cached per-row array expression; the duplicated-gram set is a
+  // map-side-combinable count keyed by gram hash; membership flows back as
+  // an equi-join on the hash (at real scale a bloom/semi-join — the
+  // candidate set is tiny relative to the gram stream); coverage is the
+  // 8x explode of MATCHED starts only, never of the full gram stream.
+  // The 16-token fixture boilerplate (doc_id % 9) plants 9 interior
+  // duplicated 8-grams per hit; grams straddling the splice stay unique.
+  private val DupK = 8
+  private val Boiler = "terms of service apply to every page served " +
+    "from this mirror archive retrieved content is cached"
+  private val q73: Q = (s, dir) => {
+    val fixture =
+      s"CASE WHEN doc_id % 9 = 0 THEN concat(text, ' ', '$Boiler') ELSE text END"
+    val mat = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(fixture).as("ftext"))
+      .repartition(Tables.shufflePartitions(s))
+      .withColumn("toks", expr(TextOps.tokensExpr("ftext")))
+      .select(col("doc_id"),
+        expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
+        expr(TextOps.posGramHashesExpr("toks", DupK)).as("ghs"))
+      .cache() // explode + base join re-read it; md5 hashing runs once
+    val grams = mat
+      .select(col("doc_id"), posexplode(col("ghs")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("start"), col("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val cov = grams.join(dup, Seq("h"))
+      .select(col("doc_id"), col("start"),
+        explode(sequence(col("start"), col("start") + lit(DupK - 1))).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("start")).as("n_dup_starts"),
+        countDistinct(col("pos")).as("covered_toks"))
+    mat.select(col("doc_id"), col("n_toks"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("covered_toks"), lit(0L)).as("covered_toks"))
+      .withColumn("covered_bp",
+        expr("covered_toks * 10000 DIV greatest(n_toks, 1)"))
+      .orderBy(col("doc_id"))
+  }
+  private val q73Sql = {
+    val toks = TextOps.sql.tokens("ftext")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 9 = 0 THEN concat(text, ' ', '$Boiler')
+       |         ELSE text END AS ftext
+       |  FROM documents
+       |),
+       |t AS (SELECT doc_id, $toks AS toks FROM f),
+       |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM t),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(1, len(toks) - ${DupK - 1})) AS start,
+       |    unnest(${TextOps.sql.posGramHashes("toks", DupK)}) AS h
+       |  FROM t WHERE len(toks) >= $DupK
+       |),
+       |dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+       |ds AS (SELECT doc_id, start FROM grams JOIN dup USING (h)),
+       |cov AS (
+       |  SELECT doc_id, CAST(COUNT(DISTINCT start) AS BIGINT) AS n_dup_starts,
+       |         CAST(COUNT(DISTINCT pos) AS BIGINT) AS covered_toks
+       |  FROM (SELECT doc_id, start,
+       |          unnest(generate_series(start, start + ${DupK - 1})) AS pos
+       |        FROM ds)
+       |  GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_toks,
+       |  COALESCE(n_dup_starts, 0) AS n_dup_starts,
+       |  COALESCE(covered_toks, 0) AS covered_toks,
+       |  COALESCE(covered_toks, 0) * 10000 // GREATEST(n_toks, 1) AS covered_bp
+       |FROM base LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  // --- q74: normalization-aware dedup ----------------------------------------
+  // Unicode NFC (native `graft_nfc` expression — Spark has no built-in
+  // normalizer) + casefold + whitespace collapse, then exact dedup on the
+  // normalized hash: catches duplicates that differ only in case, spacing,
+  // or composed-vs-decomposed accents, which raw-hash dedup (q26) misses.
+  // Fixtures: doc_id % 17 -> a spacing/case banner variant (creates real
+  // cross-doc normalized collisions, 3 groups), % 11 -> uppercased text,
+  // % 19 -> a decomposed-accent suffix (e + U+0301) that NFC composes.
+  // Everything per-row is codegen'd (graft_nfc included); the only
+  // shuffle is the window over norm_h — exactly the exact-dedup shuffle.
+  private val DecomposedCafe = "Café" // e + combining acute
+  private val q74: Q = (s, dir) => {
+    graft.functions.TextFunctions.register(s)
+    val fixture =
+      s"""CASE WHEN doc_id % 17 = 0
+         |       THEN concat('LEGAL   Disclaimer   rev ', CAST(doc_id % 3 AS STRING))
+         |     WHEN doc_id % 11 = 0 THEN upper(text)
+         |     WHEN doc_id % 19 = 0 THEN concat(text, ' $DecomposedCafe menu')
+         |     ELSE text END""".stripMargin
+    val w = Window.partitionBy(col("norm_h"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(fixture).as("ftext"))
+      .withColumn("norm",
+        expr("trim(regexp_replace(lower(graft_nfc(ftext)), ' +', ' '))"))
+      .select(col("doc_id"),
+        (col("norm") =!= col("ftext")).as("changed"),
+        expr("CAST(length(norm) AS BIGINT)").as("n_chars_norm"),
+        expr(TextOps.hash60("norm")).as("norm_h"))
+      .withColumn("group_n", count(lit(1)).over(w))
+      .withColumn("is_survivor", col("doc_id") === min(col("doc_id")).over(w))
+      .orderBy(col("doc_id"))
+  }
+  private val q74Sql =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 17 = 0
+       |           THEN concat('LEGAL   Disclaimer   rev ', CAST(doc_id % 3 AS VARCHAR))
+       |         WHEN doc_id % 11 = 0 THEN upper(text)
+       |         WHEN doc_id % 19 = 0 THEN concat(text, ' $DecomposedCafe menu')
+       |         ELSE text END AS ftext
+       |  FROM documents
+       |),
+       |n AS (
+       |  SELECT doc_id, ftext,
+       |    trim(regexp_replace(lower(nfc_normalize(ftext)), ' +', ' ', 'g')) AS norm
+       |  FROM f
+       |)
+       |SELECT doc_id, norm <> ftext AS changed,
+       |  CAST(length(norm) AS BIGINT) AS n_chars_norm,
+       |  ${TextOps.sql.hash60("norm")} AS norm_h,
+       |  COUNT(*) OVER (PARTITION BY ${TextOps.sql.hash60("norm")}) AS group_n,
+       |  doc_id = MIN(doc_id) OVER (PARTITION BY ${TextOps.sql.hash60("norm")})
+       |    AS is_survivor
+       |FROM n ORDER BY doc_id""".stripMargin
+
+  // --- q75: quantized label-centroid assignment ------------------------------
+  // Topic-bucketing / classifier-centroid assignment the way a curation
+  // pipeline slices a corpus: each embedding scored against every label
+  // centroid, argmax wins, output is the label-vs-predicted confusion
+  // matrix. All ranking inputs are exact integers — vectors are int8-
+  // quantized (q68's formula), centroids are per-(label, dim) INTEGER sums
+  // of the quantized codes (order-independent, so any shuffle/combine
+  // order gives identical results), dots are integer folds — and the only
+  // float is the final fixed-shape cosine (one multiply, one sqrt, one
+  // divide: identical doubles on both engines). Scale: the centroid table
+  // is (labels x dims) — broadcast; the corpus side is one cached pass +
+  // a per-row loop over L centroids; the confusion agg is map-side
+  // combinable. Summing per-vector-scaled codes is the documented
+  // approximation (exactness of the ARITHMETIC, not centroid fidelity,
+  // is what the oracle pins).
+  private val q75: Q = (s, dir) => {
+    val mat = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        expr(VectorOps.toDoubleExpr("embedding")).as("v"))
+      .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("scale",
+        expr("CASE WHEN mx = 0.0D THEN 1.0D ELSE 127.0D / mx END"))
+      .withColumn("q",
+        expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS BIGINT))"))
+      .select(col("vec_id"), col("label"), col("q"))
+      .repartition(Tables.shufflePartitions(s))
+      .cache() // read by the centroid agg AND the scoring pass
+    val cents = mat
+      .select(col("label"), posexplode(col("q")).as(Seq("d", "qv")))
+      .groupBy(col("label"), col("d")).agg(sum(col("qv")).as("cv"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(d, cv))), x -> x.cv)")
+        .as("carr"),
+        sum(expr("cv * cv")).as("n2c"))
+      .select(col("label").as("c_label"), col("carr"), col("n2c"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("score"), col("c_label"))
+    mat
+      .withColumn("n2v", expr(
+        "aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT), (acc, x2) -> acc + x2)"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(q, carr, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)"))
+      .withColumn("score", expr(
+        "CAST(dot AS DOUBLE) / sqrt(greatest(CAST(n2c AS DOUBLE) * CAST(n2v AS DOUBLE), 1.0D))"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("c_label"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("label"), col("c_label").as("pred_label"), col("n"))
+      .orderBy(col("label"), col("pred_label"))
+  }
+  private val q75Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |qz AS (
+       |  SELECT vec_id, label,
+       |    list_transform(v, x -> CAST(floor(x *
+       |      (CASE WHEN list_max(list_transform(v, y -> abs(y))) = 0.0 THEN 1.0
+       |            ELSE 127.0 / list_max(list_transform(v, y -> abs(y))) END)
+       |      + 0.5) AS BIGINT)) AS q
+       |  FROM e
+       |),
+       |ex AS (
+       |  SELECT label, unnest(generate_series(1, len(q))) AS d, unnest(q) AS qv
+       |  FROM qz
+       |),
+       |cs AS (
+       |  SELECT label, d, CAST(SUM(qv) AS BIGINT) AS cv FROM ex GROUP BY 1, 2
+       |),
+       |cents AS (
+       |  SELECT label AS c_label, list(cv ORDER BY d) AS carr,
+       |         CAST(SUM(cv * cv) AS BIGINT) AS n2c
+       |  FROM cs GROUP BY label
+       |),
+       |vv AS (
+       |  SELECT vec_id, label, q,
+       |    list_reduce([CAST(0 AS BIGINT)] || list_transform(q, x -> x * x),
+       |      (a, b) -> a + b) AS n2v
+       |  FROM qz
+       |),
+       |ranked AS (
+       |  SELECT vec_id, label, c_label,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+       |      CAST(list_reduce([CAST(0 AS BIGINT)] ||
+       |             list_transform(generate_series(1, len(q)), i -> q[i] * carr[i]),
+       |             (a, b) -> a + b) AS DOUBLE)
+       |        / sqrt(GREATEST(CAST(n2c AS DOUBLE) * CAST(n2v AS DOUBLE), 1.0)) DESC,
+       |      c_label) AS rn
+       |  FROM vv CROSS JOIN cents
+       |)
+       |SELECT label, c_label AS pred_label, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM ranked WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, pred_label""".stripMargin
+
+  // --- q76: per-document keyword extraction ----------------------------------
+  // Top-3 tokens per document by the integer tf*(N - df) relevance proxy
+  // (q62's inverted-index scoring turned around: doc -> keywords instead
+  // of query -> docs; integer because ln() differs in ulps cross-engine).
+  // Two map-side-combinable aggregates (tf keyed by (doc, tok), df keyed
+  // by tok — df is vocab-sized, broadcast at scale), then a per-doc
+  // WindowGroupLimit top-3, never a global sort of the tf stream.
+  private val KwTopK = 3
+  private val q76: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val tf = d.select(col("doc_id"),
+        explode(expr(TextOps.tokensExpr("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("tok"))
+    tf.join(df, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * (n_docs - df)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KwTopK)
+      .select(col("doc_id"), col("rank"), col("tok"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+  private val q76Sql = {
+    val toks = TextOps.sql.tokens("text")
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest($toks) AS tok FROM documents
+       |  ) GROUP BY 1, 2
+       |),
+       |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, tok, tf * (n_docs - df) AS score
+       |  FROM tf JOIN df USING (tok) CROSS JOIN n
+       |),
+       |ranked AS (
+       |  SELECT doc_id, tok, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, tok) AS INTEGER) AS rank
+       |  FROM scored
+       |)
+       |SELECT doc_id, rank, tok, score FROM ranked
+       |WHERE rank <= $KwTopK ORDER BY doc_id, rank""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q73_dup_ngram_coverage" -> q73,
+    "q74_normalize_dedup" -> q74,
+    "q75_centroid_assign" -> q75,
+    "q76_doc_keywords" -> q76)
+
+  val oracleSql: Map[String, String] = Map(
+    "q73_dup_ngram_coverage" -> q73Sql,
+    "q74_normalize_dedup" -> q74Sql,
+    "q75_centroid_assign" -> q75Sql,
+    "q76_doc_keywords" -> q76Sql)
+}

@@ -19,10 +19,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesRelational.queries ++
       QueriesDedup.queries ++ QueriesSimilarity.queries ++ QueriesText.queries ++
-      QueriesCorpus.queries
+      QueriesCorpus.queries ++ QueriesCuration.queries
 
   def oracleSql: Map[String, String] =
     QueriesCore.oracleSql ++ QueriesRelational.oracleSql ++
       QueriesDedup.oracleSql ++ QueriesSimilarity.oracleSql ++ QueriesText.oracleSql ++
-      QueriesCorpus.oracleSql
+      QueriesCorpus.oracleSql ++ QueriesCuration.oracleSql
 }

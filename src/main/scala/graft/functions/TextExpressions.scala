@@ -157,6 +157,45 @@ case class MinhashBandKeys(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization — Spark has no built-in normalizer, and a
+  * Scala UDF would box every row and block codegen. This stays inside
+  * whole-stage codegen via a static helper call; the fast path
+  * (`Normalizer.isNormalized`, true for virtually all real text) returns
+  * the input `UTF8String` without any allocation.
+  *
+  * DuckDB oracle twin: `nfc_normalize(s)` (both implement Unicode NFC;
+  * parity on the composed/decomposed forms is oracle-checked by q74).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputCheck.result(InputCheck.string(child, prettyName, 1))
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  import java.text.Normalizer
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}
+
 object TextFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -168,6 +207,8 @@ object TextFunctions {
       (c: Seq[Expression]) => ShingleHashes(c(0), 3), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow_7_4",
       (c: Seq[Expression]) => WinnowFingerprints(c(0), 7, 4), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      (c: Seq[Expression]) => NfcNormalize(c(0)), "built-in")
   }
 }
 

@@ -66,6 +66,21 @@ object TextOps {
        |  i -> concat_ws(' ', $parts)))""".stripMargin
   }
 
+  /** POSITIONAL (non-distinct) 60-bit hashes of the word k-grams of an
+    * already-split token array column: element i (1-based) is the hash of
+    * the k-gram starting at token i. Empty (typed) array when the document
+    * is shorter than k — the guard lives HERE because `sequence(1, n)`
+    * with n < 1 generates a descending sequence. Used by exact-substring
+    * dedup accounting (q73), where position identity matters — unlike
+    * [[shingleHashesExpr]], duplicates and order are preserved. */
+  def posGramHashesExpr(toks: String, k: Int): String = {
+    val parts = (0 until k).map(j => s"element_at($toks, i + $j)").mkString(", ")
+    s"""CASE WHEN size($toks) >= $k
+       |  THEN transform(sequence(1, size($toks) - ${k - 1}),
+       |         i -> ${hash60(s"concat_ws(' ', $parts)")})
+       |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+  }
+
   /** SORTED distinct 60-bit hashes of the word k-shingles of `text`.
     * Sorted so intersection sizes can use the two-pointer
     * [[graft.functions.SortedIntersectCount]]; sorting never changes set
@@ -109,6 +124,15 @@ object TextOps {
 
     def shingleHashes(text: String, k: Int): String =
       s"list_distinct(list_transform(${shingle(text, k)}, s2 -> ${hash60("s2")}))"
+
+    /** Twin of [[TextOps.posGramHashesExpr]]; callers filter len >= k
+      * upstream (DuckDB generate_series(1, n<1) is empty, not descending,
+      * but the filter keeps both engines' row sets aligned). */
+    def posGramHashes(toks: String, k: Int): String = {
+      val parts = (0 until k).map(j => s"($toks)[i + $j]").mkString(", ")
+      s"""list_transform(generate_series(1, len($toks) - ${k - 1}),
+         |  i -> ${hash60(s"concat_ws(' ', $parts)")})""".stripMargin
+    }
 
     def minhash(hs: String): Seq[String] =
       (0 until NumPerm).map { i =>
