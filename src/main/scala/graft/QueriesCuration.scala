@@ -271,6 +271,8 @@ object QueriesCuration {
     val tf = d.select(col("doc_id"),
         explode(expr(TextOps.tokensExpr("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .cache() // feeds both the df rollup and the scoring join — one
+               // tokenize pass; (doc, tok, count) is far smaller than text
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("tok"))
