@@ -36,5 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_winnow_7_4"),
       info("graft_winnow_7_4", "winnowing fingerprints (7-gram hashes, window-4 minima)"),
       (c: Seq[Expression]) => WinnowFingerprints(c(0), 7, 4)))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "Unicode NFC normalization of a STRING"),
+      (c: Seq[Expression]) => NfcNormalize(c(0))))
+    // Optimizer rule: push element-only filter predicates under explode()
+    // (runs in the operator-optimization batch; see the rule's scaladoc).
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterIntoExplode)
   }
 }
