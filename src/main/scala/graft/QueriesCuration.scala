@@ -306,15 +306,121 @@ object QueriesCuration {
        |WHERE rank <= $KwTopK ORDER BY doc_id, rank""".stripMargin
   }
 
+  // --- q77: BPE merge application (tokenizer training, step 2) ---------------
+  // The iterative step q70 stops short of: APPLY the learned top-1 merge
+  // to every distinct word and recount adjacent pairs — one round of the
+  // BPE training loop, with the merged symbol carried as a single
+  // placeholder char (U+0001, absent from the corpus alphabet) so the
+  // post-merge pair scan stays the same 2-char slide as q70. SQL
+  // `replace` IS the greedy left-to-right non-overlapping merge on both
+  // engines ('aaa' with merge 'aa' -> [aa]a, never a[aa]). The learned
+  // pair is a 1-row broadcast; pair counting stays two map-side-
+  // combinable aggregates over the distinct-word table (vocab-sized, not
+  // corpus-sized). Output renders the placeholder as (pair) for
+  // readability and stable cross-engine ordering.
+  private val q77: Q = (s, dir) => {
+    val words = Tables.documents(s, dir)
+      .select(explode(expr(TextOps.tokensExpr("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .filter(length(col("word")) >= 2)
+    val top1 = words
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("n"))
+      .orderBy(desc("n"), col("pair")).limit(1)
+      .select(col("pair").as("top_pair"))
+    words.crossJoin(broadcast(top1))
+      .withColumn("w2", expr("replace(word, top_pair, char(1))"))
+      .filter(length(col("w2")) >= 2)
+      .select(col("wf"), col("top_pair"), explode(expr(
+        "transform(sequence(1, length(w2) - 1), i -> substring(w2, i, 2))"))
+        .as("pair"))
+      .withColumn("pair_display",
+        expr("replace(pair, char(1), concat('(', top_pair, ')'))"))
+      .groupBy(col("pair_display")).agg(sum(col("wf")).as("n"))
+      .orderBy(desc("n"), col("pair_display")).limit(BpeApplyTopK)
+  }
+  private val BpeApplyTopK = 20
+  private val q77Sql = {
+    val toks = TextOps.sql.tokens("text")
+    s"""WITH w AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM (
+       |    SELECT unnest($toks) AS word FROM documents
+       |  ) GROUP BY word HAVING length(word) >= 2
+       |),
+       |p1 AS (
+       |  SELECT wf, unnest(list_transform(generate_series(1, length(word) - 1),
+       |    i -> substr(word, i, 2))) AS pair
+       |  FROM w
+       |),
+       |top1 AS (
+       |  SELECT pair AS top_pair FROM (
+       |    SELECT pair, CAST(SUM(wf) AS BIGINT) AS n FROM p1 GROUP BY pair
+       |    ORDER BY n DESC, pair LIMIT 1
+       |  )
+       |),
+       |m AS (
+       |  SELECT wf, top_pair, replace(word, top_pair, chr(1)) AS w2
+       |  FROM w CROSS JOIN top1
+       |),
+       |p2 AS (
+       |  SELECT wf, top_pair,
+       |    unnest(list_transform(generate_series(1, length(w2) - 1),
+       |      i -> substr(w2, i, 2))) AS pair
+       |  FROM m WHERE length(w2) >= 2
+       |)
+       |SELECT replace(pair, chr(1), concat('(', top_pair, ')')) AS pair_display,
+       |  CAST(SUM(wf) AS BIGINT) AS n
+       |FROM p2 GROUP BY 1 ORDER BY n DESC, pair_display LIMIT $BpeApplyTopK""".stripMargin
+  }
+
+  // --- q78: deterministic fixed-k evaluation holdout per source --------------
+  // Carving a fixed-size eval/holdout set per source the scale-safe way:
+  // rank by a CONTENT hash (never rand() — reproducible across runs,
+  // engines, cluster sizes, and appends that don't touch the sampled ids)
+  // and keep the k smallest per source. One shuffle (the per-source
+  // window), WindowGroupLimit caps it at k rows per partition before the
+  // sort; the q44/q55 bucket samplers are rate-based — this is the
+  // count-based complement an eval harness wants.
+  private val HoldoutK = 5
+  private val q78: Q = (s, dir) => {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr("CAST(n_chars AS BIGINT)").as("n_chars"),
+        expr(TextOps.hash60("CAST(doc_id AS STRING)")).as("h"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HoldoutK)
+      .select(col("source"), col("rank"), col("doc_id"), col("lang"),
+        col("n_chars"))
+      .orderBy(col("source"), col("rank"))
+  }
+  private val q78Sql = {
+    val h = TextOps.sql.hash60("CAST(doc_id AS VARCHAR)")
+    s"""SELECT source, rank, doc_id, lang, n_chars FROM (
+       |  SELECT source, doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY $h, doc_id) AS INTEGER) AS rank
+       |  FROM documents
+       |)
+       |WHERE rank <= $HoldoutK ORDER BY source, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q73_dup_ngram_coverage" -> q73,
     "q74_normalize_dedup" -> q74,
     "q75_centroid_assign" -> q75,
-    "q76_doc_keywords" -> q76)
+    "q76_doc_keywords" -> q76,
+    "q77_bpe_merge_round2" -> q77,
+    "q78_eval_holdout" -> q78)
 
   val oracleSql: Map[String, String] = Map(
     "q73_dup_ngram_coverage" -> q73Sql,
     "q74_normalize_dedup" -> q74Sql,
     "q75_centroid_assign" -> q75Sql,
-    "q76_doc_keywords" -> q76Sql)
+    "q76_doc_keywords" -> q76Sql,
+    "q77_bpe_merge_round2" -> q77Sql,
+    "q78_eval_holdout" -> q78Sql)
 }

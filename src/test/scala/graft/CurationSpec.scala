@@ -89,6 +89,37 @@ class CurationSpec extends SparkSpec {
     assert(got.filter(_._1 == 3L) == Set((3L, 1, "the", 0L)))
   }
 
+  test("q77: the learned merge is applied greedily and recounted") {
+    val dir = docsDir(
+      1L -> "abab abab", // abab wf 3: round-1 pairs ab(x2), ba — 'ab' wins
+      2L -> "abab cdcd")
+    val got = SparkEntry.queries("q77_bpe_merge_round2")(spark, dir)
+      .as[(String, Long)].collect().toSet
+    // abab -> [ab][ab]: one pair of merged symbols, weight 3; cdcd unchanged
+    assert(got == Set(("(ab)(ab)", 3L), ("cd", 2L), ("dc", 1L)))
+  }
+
+  test("q78: per-source k-holdout is deterministic and append-stable") {
+    def write(dir: String, rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, src) => (id, s"text $id", "en", src, 10L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    val d1 = java.nio.file.Files.createTempDirectory("graft_hold").toString
+    write(d1, (1L to 7L).map(_ -> "src0"))
+    val first = SparkEntry.queries("q78_eval_holdout")(spark, d1)
+      .select("source", "rank", "doc_id")
+      .as[(String, Int, Long)].collect().toSeq
+    assert(first.map(_._2) == (1 to 5)) // k=5 of 7, ranks dense
+    // appending docs to a DIFFERENT source must not disturb src0's sample
+    val d2 = java.nio.file.Files.createTempDirectory("graft_hold").toString
+    write(d2, (1L to 7L).map(_ -> "src0") ++ (101L to 103L).map(_ -> "src1"))
+    val second = SparkEntry.queries("q78_eval_holdout")(spark, d2)
+      .select("source", "rank", "doc_id")
+      .as[(String, Int, Long)].collect().toSeq
+    assert(second.filter(_._1 == "src0") == first)
+    assert(second.count(_._1 == "src1") == 3) // fewer than k: all kept
+  }
+
   test("graft_nfc: composes decomposed forms, preserves normalized input") {
     graft.functions.TextFunctions.register(spark)
     val r = spark.sql(
