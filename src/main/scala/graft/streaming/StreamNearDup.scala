@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
+  TTLConfig, ValueState}
+
+/** Streaming NEAR-duplicate candidate detection — the Structured
+  * Streaming twin of the batch MinHash+LSH pipeline (q27,
+  * [[graft.ops.NearDup]]): as documents arrive, each is checked against
+  * the corpus seen SO FAR, without ever holding the corpus itself.
+  *
+  * Shape: per document, the same 8 LSH band keys the batch path derives
+  * (native `graft_shingle_hashes3` → `graft_minhash_bands`, identical
+  * constants, so batch and stream agree on what "candidate" means), one
+  * row per band. State is keyed by BAND KEY and holds only that band's
+  * FIRST-seen document (id + sorted shingle-hash set); every later
+  * arrival in the band emits a candidate pair against the anchor with
+  * the EXACT Jaccard computed in-processor (two-pointer over the sorted
+  * arrays — the [[graft.functions.SortedIntersectCount]] loop). Keeping
+  * one anchor per band is the streaming form of the batch survivor rule:
+  * a newcomer is a duplicate iff SOME band pairs it with an earlier doc
+  * at j ≥ τ; the caller filters on `jaccard` and drops the newcomer.
+  *
+  * At-least-once output: a pair sharing k bands is emitted up to k times
+  * (and re-deliveries re-emit) — candidates are idempotent facts keyed by
+  * (first_doc_id, doc_id), so downstream dedup is a `dropDuplicates`,
+  * matching the batch path's fixed-width candidate DISTINCT.
+  *
+  * Scale: one shuffle (groupByKey on band key — the same key the batch
+  * equi-join shuffles on); state is O(bands) = O(corpus) entries of
+  * (id + one shingle set), NOT O(corpus²); a production deployment sets a
+  * TTL so anchors age out with the dedup horizon — wired here via
+  * [[candidates]]' `ttl` parameter (TTLConfig.NONE keeps anchors forever,
+  * the exact-corpus semantics the spec pins).
+  *
+  * Docs with fewer than 3 tokens have no 3-shingles: `graft_minhash_bands`
+  * returns NULL and the explode drops them — they never dedup, matching
+  * the batch path's size guard.
+  */
+object StreamNearDup {
+
+  case class Doc(doc_id: Long, text: String)
+
+  /** One row per (document, LSH band). */
+  case class BandDoc(doc_id: Long, band_key: Long, hs: Seq[Long])
+
+  /** `first_doc_id` is the band's anchor (earliest arrival). */
+  case class Candidate(first_doc_id: Long, doc_id: Long, jaccard: Double)
+
+  private case class Anchor(doc_id: Long, hs: Seq[Long])
+
+  /** Exact Jaccard of two SORTED distinct hash arrays. */
+  private[streaming] def jaccard(a: Seq[Long], b: Seq[Long]): Double = {
+    val x = a.toArray; val y = b.toArray
+    var i = 0; var j = 0; var c = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) < y(j)) i += 1
+      else if (x(i) > y(j)) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    val union = x.length + y.length - c
+    if (union == 0) 0.0 else c.toDouble / union
+  }
+
+  private class AnchorProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, BandDoc, Candidate] {
+
+    @transient private var anchor: ValueState[Anchor] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      anchor = getHandle.getValueState[Anchor]("anchor",
+        Encoders.product[Anchor], ttl)
+
+    override def handleInputRows(bandKey: Long, rows: Iterator[BandDoc],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Candidate] = {
+      // arrival order within a micro-batch is partition-order —
+      // anchor by doc_id for run-independent determinism
+      val sorted = rows.toArray.sortBy(_.doc_id)
+      val out = Seq.newBuilder[Candidate]
+      var a = if (anchor.exists()) anchor.get() else null
+      sorted.foreach { r =>
+        if (a == null) a = Anchor(r.doc_id, r.hs)
+        else if (r.doc_id != a.doc_id)
+          out += Candidate(a.doc_id, r.doc_id, jaccard(a.hs, r.hs))
+      }
+      if (a != null) anchor.update(a)
+      out.result().iterator
+    }
+  }
+
+  /** Near-dup candidates of a document stream against all earlier
+    * arrivals. Apply `.filter($"jaccard" >= tau).dropDuplicates(
+    * "first_doc_id", "doc_id")` downstream for the dedup decision. */
+  def candidates(docs: Dataset[Doc],
+                 ttl: TTLConfig = TTLConfig.NONE): Dataset[Candidate] = {
+    val spark = docs.sparkSession
+    graft.functions.TextFunctions.register(spark)
+    implicit val be = Encoders.product[BandDoc]
+    implicit val ce = Encoders.product[Candidate]
+    implicit val le = Encoders.scalaLong
+    docs.toDF()
+      .withColumn("hs", expr("graft_shingle_hashes3(text)"))
+      .select(col("doc_id"),
+        explode(expr("graft_minhash_bands(hs)")).as("band_key"), col("hs"))
+      .as[BandDoc]
+      .groupByKey(_.band_key)
+      .transformWithState(new AnchorProcessor(ttl),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

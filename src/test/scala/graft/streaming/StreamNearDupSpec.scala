@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import StreamNearDup._
+
+/** Streaming near-dup candidates over MemoryStream (transformWithState,
+  * RocksDB state store) + the exact-Jaccard helper. */
+class StreamNearDupSpec extends SparkSpec {
+
+  // two 30-token texts differing in one token: J(3-shingles) ≈ 26/32,
+  // so ≥1 of the 8 LSH bands collides with probability ~1 - 2e-6
+  private val baseText = (1 to 30).map(i => s"tok$i").mkString(" ")
+  private val editText = ((1 to 15).map(i => s"tok$i") ++ Seq("CHANGED") ++
+    (17 to 30).map(i => s"tok$i")).mkString(" ")
+  private val otherText = (1 to 30).map(i => s"zzz$i").mkString(" ")
+
+  test("jaccard: exact two-pointer intersection over union") {
+    assert(jaccard(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)) == 2.0 / 4.0)
+    assert(jaccard(Seq(1L), Seq(2L)) == 0.0)
+    assert(jaccard(Seq(1L, 2L), Seq(1L, 2L)) == 1.0)
+  }
+
+  test("e2e: a later near-duplicate pairs with the earlier anchor only") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Doc]
+    val q = candidates(mem.toDS())
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc(1L, baseText), Doc(2L, otherText))
+      q.processAllAvailable()
+      mem.addData(Doc(3L, editText)) // near-dup of doc 1, later batch
+      q.processAllAvailable()
+      val pairs = spark.sql(
+        "SELECT first_doc_id, doc_id, max(jaccard) FROM neardup_stream " +
+          "GROUP BY 1, 2 ORDER BY 1, 2")
+        .as[(Long, Long, Double)].collect().toSeq
+      val strong = pairs.filter(_._3 >= 0.5)
+      assert(strong.map(p => (p._1, p._2)) == Seq((1L, 3L)))
+      assert(strong.head._3 > 0.7 && strong.head._3 < 1.0)
+      // the unrelated doc never pairs at threshold
+      assert(!pairs.exists(p => (p._1 == 2L || p._2 == 2L) && p._3 >= 0.5))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("e2e: re-delivery of the anchor emits no self-pair") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Doc]
+    val q = candidates(mem.toDS())
+      .writeStream.format("memory").queryName("neardup_redeliver")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc(1L, baseText))
+      q.processAllAvailable()
+      mem.addData(Doc(1L, baseText)) // at-least-once source re-delivers
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM neardup_redeliver")
+        .as[Long].head() == 0L)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+}
