@@ -29,13 +29,10 @@ object Bench {
       SparkEntry.queries("q10_latest_per_user")(spark, sfDir).count()
     } catch { case _: Throwable => () }
 
-    // Optional comma/space-separated name-substring filter for local
-    // iteration (unset = all); a query runs if it matches any substring.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split("[,\\s]+").filter(_.nonEmpty).toSeq)
-      .filter(_.nonEmpty)
+    // Optional SPARK_GRAFT_ONLY name filter for local iteration.
+    val onlySelected = QueryFilter.fromEnv()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+      .filter { case (n, _) => onlySelected(n) }
     // Best-of-2 per query: the host shows 2-3x run-to-run noise (shared
     // VM), and min-of-repetitions is the standard way to measure the
     // query rather than the machine's mood. A query that throws is

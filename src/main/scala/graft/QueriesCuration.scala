@@ -128,6 +128,9 @@ object QueriesCuration {
     val w = Window.partitionBy(col("norm_h"))
     Tables.documents(s, dir)
       .select(col("doc_id"), expr(fixture).as("ftext"))
+      // testdata parquet is single-row-group → 1-partition scan; spread
+      // BEFORE the per-row normalize+hash work (the q73/q75 discipline)
+      .repartition(Tables.shufflePartitions(s))
       .withColumn("norm",
         expr("trim(regexp_replace(lower(graft_nfc(ftext)), ' +', ' '))"))
       .select(col("doc_id"),
@@ -188,13 +191,19 @@ object QueriesCuration {
       .select(col("vec_id"), col("label"), col("q"))
       .repartition(Tables.shufflePartitions(s))
       .cache() // read by the centroid agg AND the scoring pass
+    // n2c accumulates in DECIMAL(38,0): cv <= 127·N, so cv² overflows
+    // int64 at ~24M vectors per label — far below target scale. The
+    // decimal sum is exact (like DuckDB's HUGEINT twin); the ONE cast to
+    // DOUBLE happens in the score expression. cos(v, Σ) = cos(v, mean),
+    // so using sums never changes the ranking.
     val cents = mat
       .select(col("label"), posexplode(col("q")).as(Seq("d", "qv")))
       .groupBy(col("label"), col("d")).agg(sum(col("qv")).as("cv"))
       .groupBy(col("label"))
       .agg(expr("transform(sort_array(collect_list(struct(d, cv))), x -> x.cv)")
         .as("carr"),
-        sum(expr("cv * cv")).as("n2c"))
+        sum(expr("CAST(cv AS DECIMAL(19,0)) * CAST(cv AS DECIMAL(19,0))"))
+          .as("n2c"))
       .select(col("label").as("c_label"), col("carr"), col("n2c"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(desc("score"), col("c_label"))
@@ -235,8 +244,11 @@ object QueriesCuration {
        |  SELECT label, d, CAST(SUM(qv) AS BIGINT) AS cv FROM ex GROUP BY 1, 2
        |),
        |cents AS (
+       |  -- HUGEINT accumulation: cv² overflows int64 at ~24M vectors per
+       |  -- label (the Spark side sums DECIMAL(38,0) for the same reason);
+       |  -- consumed only through CAST(... AS DOUBLE) in the score
        |  SELECT label AS c_label, list(cv ORDER BY d) AS carr,
-       |         CAST(SUM(cv * cv) AS BIGINT) AS n2c
+       |         SUM(CAST(cv AS HUGEINT) * cv) AS n2c
        |  FROM cs GROUP BY label
        |),
        |vv AS (

@@ -17,12 +17,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // local-iteration filter (driver leaves it unset → all queries)
-    // Comma/space-separated substrings; a query runs if it matches any.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split("[,\\s]+").filter(_.nonEmpty).toSeq)
-      .filter(_.nonEmpty)
+    val selected = QueryFilter.fromEnv()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .filter { case (name, _) => selected(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

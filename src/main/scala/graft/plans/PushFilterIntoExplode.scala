@@ -33,6 +33,18 @@ import org.apache.spark.sql.types.ArrayType
   *  - map explode (two output attrs) and multi-attr generators;
   *  - non-deterministic conjuncts and subquery predicates.
   *
+  * Cost tradeoff (why there is an off switch): `ArrayFilter` is a
+  * higher-order function, i.e. CodegenFallback — the pushed predicate
+  * runs interpreted per ELEMENT, while the Filter it replaces ran
+  * whole-stage-codegen'd per generated ROW. What the rewrite buys is
+  * never materializing the discarded rows through the Generate and the
+  * operators above it; what it pays is the interpreted lambda. For
+  * selective predicates (the q62 token-IN shape) the balance is clearly
+  * positive; for a cheap predicate that keeps nearly everything it can be
+  * a small loss. `spark.graft.explodePushdown=false` disables the rule
+  * per session (it cannot inspect selectivity — Catalyst carries no
+  * element-level stats).
+  *
   * Injected via [[graft.functions.GraftExtensions]] (the
   * `spark.sql.extensions` deployment path) into the operator-optimization
   * batch; `spark.experimental.extraOptimizations` is the imperative twin
@@ -46,7 +58,13 @@ object PushFilterIntoExplode extends Rule[LogicalPlan] with PredicateHelper {
       cond.references.size == 1 && cond.references.head.semanticEquals(el) &&
       !cond.exists(_.isInstanceOf[PlanExpression[_]])
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.explodePushdown", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan else applyEnabled(plan)
+
+  private def applyEnabled(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond,
         g @ Generate(Explode(arr), _, false, _, Seq(el), _))
         if arr.dataType.isInstanceOf[ArrayType] =>

@@ -80,12 +80,17 @@ object StreamNearDup {
       val sorted = rows.toArray.sortBy(_.doc_id)
       val out = Seq.newBuilder[Candidate]
       var a = if (anchor.exists()) anchor.get() else null
+      var installed = false
       sorted.foreach { r =>
-        if (a == null) a = Anchor(r.doc_id, r.hs)
+        if (a == null) { a = Anchor(r.doc_id, r.hs); installed = true }
         else if (r.doc_id != a.doc_id)
           out += Candidate(a.doc_id, r.doc_id, jaccard(a.hs, r.hs))
       }
-      if (a != null) anchor.update(a)
+      // write state only when a NEW anchor was installed this batch:
+      // rewriting the unchanged anchor would cost a state-store write per
+      // touched band AND refresh its TTL, so anchors in hot bands would
+      // never age out with the documented dedup horizon
+      if (installed) anchor.update(a)
       out.result().iterator
     }
   }

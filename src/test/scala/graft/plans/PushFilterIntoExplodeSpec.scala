@@ -92,6 +92,19 @@ class PushFilterIntoExplodeSpec extends SparkSpec {
     }
   }
 
+  test("spark.graft.explodePushdown=false disables the rewrite") {
+    def q = base.select(col("id"), explode(col("arr")).as("el"))
+      .filter(col("el") > 3)
+    withRule {
+      spark.conf.set("spark.graft.explodePushdown", "false")
+      try {
+        assert(!hasArrayFilterUnderExplode(q))
+        assert(q.as[(Long, Int)].collect().toSet == Set((1L, 5), (1L, 7)))
+      } finally spark.conf.unset("spark.graft.explodePushdown")
+      assert(hasArrayFilterUnderExplode(q)) // back on by default
+    }
+  }
+
   test("the q62 shape: token IN-list filter plans as an array filter") {
     def q = Seq((1L, "spark join scan the a"), (2L, "the a of"))
       .toDF("doc_id", "text")
