@@ -387,6 +387,85 @@ object QueriesCuration {
        |FROM p2 GROUP BY 1 ORDER BY n DESC, pair_display LIMIT $BpeApplyTopK""".stripMargin
   }
 
+  // --- q79: exact-substring dedup SCRUB (the removal pass) -------------------
+  // q73 counts; this removes. Every token position covered by a corpus-
+  // duplicated 8-gram is dropped (the aggressive C4-style variant: all
+  // copies scrubbed) and the survivors reassemble in order. Plan shape:
+  // q73's dup machinery verbatim, then per-doc covered positions collect
+  // into ONE array (collect_set — positions per doc, never corpus-wide
+  // token explode) and a per-row index filter rebuilds the text; the
+  // doc_id join of dup positions back to the cached token arrays is the
+  // only extra shuffle.
+  private val q79: Q = (s, dir) => {
+    val fixture =
+      s"CASE WHEN doc_id % 9 = 0 THEN concat(text, ' ', '$Boiler') ELSE text END"
+    val mat = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(fixture).as("ftext"))
+      .repartition(Tables.shufflePartitions(s))
+      .withColumn("toks", expr(TextOps.tokensExpr("ftext")))
+      .select(col("doc_id"), col("toks"),
+        expr(TextOps.posGramHashesExpr("toks", DupK)).as("ghs"))
+      .cache()
+    val grams = mat
+      .select(col("doc_id"), posexplode(col("ghs")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("start"), col("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val dpos = grams.join(dup, Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(DupK - 1))).as("pos"))
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("dpos"))
+    mat.join(dpos, Seq("doc_id"), "left")
+      .withColumn("dpos", coalesce(col("dpos"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("kept", expr(
+        """transform(filter(sequence(1, size(toks)), i -> NOT array_contains(dpos, i)),
+          |  i -> element_at(toks, i))""".stripMargin))
+      .select(col("doc_id"),
+        expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
+        expr("CAST(size(toks) - size(kept) AS BIGINT)").as("n_removed"),
+        expr(TextOps.hash60("concat_ws(' ', kept)")).as("clean_h"))
+      .orderBy(col("doc_id"))
+  }
+  private val q79Sql = {
+    val toks = TextOps.sql.tokens("ftext")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 9 = 0 THEN concat(text, ' ', '$Boiler')
+       |         ELSE text END AS ftext
+       |  FROM documents
+       |),
+       |t AS (SELECT doc_id, $toks AS toks FROM f),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(1, len(toks) - ${DupK - 1})) AS start,
+       |    unnest(${TextOps.sql.posGramHashes("toks", DupK)}) AS h
+       |  FROM t WHERE len(toks) >= $DupK
+       |),
+       |dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+       |dp AS (
+       |  SELECT doc_id, list(DISTINCT pos) AS dpos FROM (
+       |    SELECT doc_id, unnest(generate_series(start, start + ${DupK - 1})) AS pos
+       |    FROM grams JOIN dup USING (h)
+       |  ) GROUP BY doc_id
+       |),
+       |c AS (
+       |  SELECT t.doc_id, toks, COALESCE(dpos, []) AS dpos
+       |  FROM t LEFT JOIN dp USING (doc_id)
+       |),
+       |o AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |    list_transform(list_filter(generate_series(1, len(toks)),
+       |      i -> NOT list_contains(dpos, i)), i -> toks[i]) AS kept
+       |  FROM c
+       |)
+       |SELECT doc_id, n_toks,
+       |  n_toks - CAST(len(kept) AS BIGINT) AS n_removed,
+       |  -- COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws
+       |  -- is '' — fully-scrubbed docs must hash the empty string alike
+       |  ${TextOps.sql.hash60("COALESCE(array_to_string(kept, ' '), '')")} AS clean_h
+       |FROM o ORDER BY doc_id""".stripMargin
+  }
+
   // --- q78: deterministic fixed-k evaluation holdout per source --------------
   // Carving a fixed-size eval/holdout set per source the scale-safe way:
   // rank by a CONTENT hash (never rand() — reproducible across runs,
@@ -426,7 +505,8 @@ object QueriesCuration {
     "q75_centroid_assign" -> q75,
     "q76_doc_keywords" -> q76,
     "q77_bpe_merge_round2" -> q77,
-    "q78_eval_holdout" -> q78)
+    "q78_eval_holdout" -> q78,
+    "q79_dedup_scrub" -> q79)
 
   val oracleSql: Map[String, String] = Map(
     "q73_dup_ngram_coverage" -> q73Sql,
@@ -434,5 +514,6 @@ object QueriesCuration {
     "q75_centroid_assign" -> q75Sql,
     "q76_doc_keywords" -> q76Sql,
     "q77_bpe_merge_round2" -> q77Sql,
-    "q78_eval_holdout" -> q78Sql)
+    "q78_eval_holdout" -> q78Sql,
+    "q79_dedup_scrub" -> q79Sql)
 }

@@ -40,6 +40,28 @@ class CurationSpec extends SparkSpec {
     assert(got(4L) == ((4L, 16L, 2L, 16L, 10000L)))
   }
 
+  test("q79: covered positions scrub out, survivors reassemble in order") {
+    val c8 = (1 to 8).map(i => s"c$i").mkString(" ")
+    val dir = docsDir(
+      1L -> s"p1 p2 $c8",  // scrub 3..10 → "p1 p2" survives
+      2L -> s"$c8 z1 z2",  // scrub 1..8  → "z1 z2" survives
+      3L -> (1 to 10).map(i => s"u$i").mkString(" "), // untouched
+      4L -> s"$c8 $c8")    // fully covered → empty text
+    val hash = (s0: String) => hash60Of(s0)
+    val got = SparkEntry.queries("q79_dedup_scrub")(spark, dir)
+      .select("doc_id", "n_toks", "n_removed", "clean_h")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 10L, 8L, hash("p1 p2"))))
+    assert(got(2L) == ((2L, 10L, 8L, hash("z1 z2"))))
+    assert(got(3L) == ((3L, 10L, 0L,
+      hash((1 to 10).map(i => s"u$i").mkString(" ")))))
+    assert(got(4L) == ((4L, 16L, 16L, hash(""))))
+  }
+
+  private def hash60Of(s0: String): Long =
+    spark.sql(s"SELECT CAST(conv(substring(md5('$s0'), 1, 15), 16, 10) AS BIGINT)")
+      .as[Long].head()
+
   test("q74: case/whitespace variants and NFC-composed accents collapse") {
     val dir = docsDir(
       1L -> "Hello   World", // normalizes to doc 2's text
