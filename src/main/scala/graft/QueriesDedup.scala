@@ -159,8 +159,12 @@ object QueriesDedup {
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-      .distinct() // a pair may collide in several bands
+      // Filter BEFORE the distinct: hamming is functionally dependent on the
+      // pair, so the order is semantics-preserving, and at scale the band
+      // collision set (template-heavy buckets) is far larger than the
+      // surviving <=3-bit set — the dedup shuffle should only carry keepers.
       .filter(col("hamming") <= SimMaxHam)
+      .distinct() // a pair may collide in several bands
       .orderBy(col("doc_a"), col("doc_b"))
   }
   private val q54Sql = {

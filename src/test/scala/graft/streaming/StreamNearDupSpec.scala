@@ -52,6 +52,48 @@ class StreamNearDupSpec extends SparkSpec {
     }
   }
 
+  test("e2e: non-anchor near-dup pair is caught (bounded anchor list)") {
+    // The single-anchor miss case the recall contract pins: doc 1 arrives
+    // first and anchors every band all three share; doc 3 is a near-dup
+    // of doc 2 (one edit apart, J ≈ 25/31) and a weaker dup of doc 1
+    // (two edits, J ≈ 22/34). With one anchor per band the 2–3 pair is
+    // only found if 2 anchors some band 1 missed — NOT guaranteed. With
+    // maxAnchors ≥ 2, doc 2 is the second anchor in the shared bands, so
+    // 3 pairs against BOTH 1 and 2 deterministically (fixed hashes).
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val chainText = ((1 to 15).map(i => s"tok$i") ++ Seq("CHANGED") ++
+      (17 to 24).map(i => s"tok$i") ++ Seq("ALTERED") ++
+      (26 to 30).map(i => s"tok$i")).mkString(" ")
+    val mem = MemoryStream[Doc]
+    val q = candidates(mem.toDS())
+      .writeStream.format("memory").queryName("neardup_chain")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc(1L, baseText))
+      q.processAllAvailable()
+      mem.addData(Doc(2L, editText)) // dup of 1
+      q.processAllAvailable()
+      mem.addData(Doc(3L, chainText)) // strong dup of 2, weaker dup of 1
+      q.processAllAvailable()
+      val strong = spark.sql(
+        "SELECT DISTINCT first_doc_id, doc_id FROM neardup_chain " +
+          "WHERE jaccard >= 0.5 ORDER BY 1, 2")
+        .as[(Long, Long)].collect().toSet
+      // the pair a single-anchor design could miss:
+      assert(strong.contains((2L, 3L)))
+      assert(strong.contains((1L, 2L)))
+      // anchors always precede newcomers — no inverted pairs
+      assert(strong.forall(p => p._1 < p._2))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("e2e: re-delivery of the anchor emits no self-pair") {
     val spark2 = spark
     import spark2.implicits._
