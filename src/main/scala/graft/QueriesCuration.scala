@@ -131,8 +131,7 @@ object QueriesCuration {
       // testdata parquet is single-row-group → 1-partition scan; spread
       // BEFORE the per-row normalize+hash work (the q73/q75 discipline)
       .repartition(Tables.shufflePartitions(s))
-      .withColumn("norm",
-        expr("trim(regexp_replace(lower(graft_nfc(ftext)), ' +', ' '))"))
+      .withColumn("norm", expr(TextOps.normalizeExpr("ftext")))
       .select(col("doc_id"),
         (col("norm") =!= col("ftext")).as("changed"),
         expr("CAST(length(norm) AS BIGINT)").as("n_chars_norm"),
@@ -152,8 +151,7 @@ object QueriesCuration {
        |  FROM documents
        |),
        |n AS (
-       |  SELECT doc_id, ftext,
-       |    trim(regexp_replace(lower(nfc_normalize(ftext)), ' +', ' ', 'g')) AS norm
+       |  SELECT doc_id, ftext, ${TextOps.sql.normalize("ftext")} AS norm
        |  FROM f
        |)
        |SELECT doc_id, norm <> ftext AS changed,
@@ -399,31 +397,18 @@ object QueriesCuration {
   private val q79: Q = (s, dir) => {
     val fixture =
       s"CASE WHEN doc_id % 9 = 0 THEN concat(text, ' ', '$Boiler') ELSE text END"
-    val mat = Tables.documents(s, dir)
-      .select(col("doc_id"), expr(fixture).as("ftext"))
-      .repartition(Tables.shufflePartitions(s))
-      .withColumn("toks", expr(TextOps.tokensExpr("ftext")))
-      .select(col("doc_id"), col("toks"),
-        expr(TextOps.posGramHashesExpr("toks", DupK)).as("ghs"))
-      .cache()
-    val grams = mat
-      .select(col("doc_id"), posexplode(col("ghs")).as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).as("start"), col("h"))
-    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select(col("h"))
-    val dpos = grams.join(dup, Seq("h"))
+    // delegates to ops/CurationDedup — the same scrub the product
+    // pipeline runs, oracle-verified here
+    val hashed = graft.ops.CurationDedup.gramHashed(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), expr(fixture).as("ftext"))
+        .repartition(Tables.shufflePartitions(s)),
+      "ftext", DupK).cache()
+    graft.ops.CurationDedup.scrubbed(hashed, "doc_id", "ftext", DupK)
       .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + lit(DupK - 1))).as("pos"))
-      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("dpos"))
-    mat.join(dpos, Seq("doc_id"), "left")
-      .withColumn("dpos", coalesce(col("dpos"), expr("CAST(array() AS ARRAY<INT>)")))
-      .withColumn("kept", expr(
-        """transform(filter(sequence(1, size(toks)), i -> NOT array_contains(dpos, i)),
-          |  i -> element_at(toks, i))""".stripMargin))
-      .select(col("doc_id"),
-        expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
-        expr("CAST(size(toks) - size(kept) AS BIGINT)").as("n_removed"),
-        expr(TextOps.hash60("concat_ws(' ', kept)")).as("clean_h"))
+        col("n_toks_orig").as("n_toks"),
+        col("n_removed_toks").as("n_removed"),
+        expr(TextOps.hash60("ftext")).as("clean_h"))
       .orderBy(col("doc_id"))
   }
   private val q79Sql = {

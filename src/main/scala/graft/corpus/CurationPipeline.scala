@@ -3,7 +3,7 @@ package graft.corpus
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Inference, Mixture, NearDup, TextOps}
+import graft.ops.{CurationDedup, Inference, Mixture, NearDup, TextOps}
 
 /** The corpus-curation product loop — what `codstats.Pipeline` is for the
   * match-stats product, this is for the training-data product: one call
@@ -16,11 +16,34 @@ import graft.ops.{Inference, Mixture, NearDup, TextOps}
   *                   fraction (q59 arithmetic), then the batched
   *                   classifier score ([[graft.ops.Inference]], q69)
   *   2. exact      — one survivor per identical text (md5 groupBy, q26)
-  *   3. neardup    — MinHash+LSH pairs → TRANSITIVE survivors
+  *   3. normalize  — one survivor per NFC+casefold+whitespace-normalized
+  *                   text ([[graft.ops.CurationDedup.normalizedSurvivors]],
+  *                   q74): catches case/spacing/accent variants exact
+  *                   dedup misses
+  *   4. neardup    — MinHash+LSH pairs → TRANSITIVE survivors
   *                   ([[graft.ops.NearDup]], q27/q51); docs shorter than
   *                   the shingle minimum (13 chars) pass through unpaired
-  *   4. mixture    — per-source keep rate hitting a token budget,
+  *   5. scrub      — exact-substring dedup removal pass
+  *                   ([[graft.ops.CurationDedup.scrubbed]], q79): token
+  *                   runs covered by a corpus-duplicated 8-gram drop,
+  *                   and docs scrubbed below `minToks` drop entirely
+  *   6. mixture    — per-source keep rate hitting a token budget,
   *                   deterministic hash-bucket sampling (q63)
+  *
+  * Stage order: document-level dedups run cheapest-first (exact, then
+  * normalized — same shuffle key discipline, raw hash cheaper than NFC
+  * — then banded near-dup over the smallest survivor set). The
+  * exact-substring scrub runs AFTER document-level dedup, deliberately:
+  * it removes ALL copies of a duplicated gram run (q79's verified
+  * all-copies semantics), so running it first would mutually annihilate
+  * byte-identical or near-dup docs — every one of their grams is
+  * corpus-duplicated — destroying content the dedups exist to keep one
+  * copy of. After dedup, a still-duplicated 8-gram across the distinct
+  * survivors is genuine cross-doc boilerplate, exactly what the removal
+  * pass is for (the published composite-pipeline order: fuzzy
+  * document dedup first, then exact-substring removal). The mixture
+  * budget then counts post-scrub tokens — the tokens a training run
+  * would actually see.
   *
   * The audit is O(stages) driver-side counts — each stage is cached
   * before counting so the lineage executes once, and every count is an
@@ -36,6 +59,8 @@ object CurationPipeline {
       minToks: Int = 10,
       maxDupTokFrac: Double = 0.6,
       minScore: Double = 0.5,
+      scrubGramK: Int = 8,
+      scrubMinCount: Int = 2,
       jaccardThreshold: Double = 0.5,
       budgetToksPerSource: Long = 800L,
       batchSize: Int = 64)
@@ -66,15 +91,34 @@ object CurationPipeline {
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val exact = quality.join(firstPerText, Seq("doc_id"), "left_semi").cache()
 
-    // 3. transitive near-dup survivors over LSH pairs (shingleHashed's
+    // 3. normalization-aware dedup: case/spacing/accent variants collapse
+    graft.functions.TextFunctions.register(spark)
+    val norm = CurationDedup.normalizedSurvivors(exact, "doc_id", "text")
+      .cache()
+
+    // 4. transitive near-dup survivors over LSH pairs (shingleHashed's
     // contract: the caller caches — pairs() references the hashed frame
     // four times, and the shingle hashing is the dominant per-row cost)
-    val hashed = NearDup.shingleHashed(exact, "doc_id", "text").cache()
+    val hashed = NearDup.shingleHashed(norm, "doc_id", "text").cache()
     val pairs = NearDup.pairs(hashed, cfg.jaccardThreshold)
-    val near = NearDup.transitiveSurvivors(exact, col("doc_id"), pairs).cache()
+    val near = NearDup.transitiveSurvivors(norm, col("doc_id"), pairs).cache()
 
-    // 4. token-budget mixture (ops/Mixture — the q63 operator)
-    val withToks = near.withColumn("n_toks", expr(s"CAST(size($toks) AS BIGINT)"))
+    // 5. exact-substring scrub over the dedup survivors: residual
+    // corpus-duplicated 8-gram runs are cross-doc boilerplate — drop the
+    // covered tokens; docs scrubbed below the quality floor drop
+    // entirely (a doc that was pure boilerplate has nothing left to
+    // train on)
+    val gramHashed = CurationDedup.gramHashed(
+      near, "text", cfg.scrubGramK).cache()
+    val scrub = CurationDedup.scrubbed(gramHashed, "doc_id", "text",
+        cfg.scrubGramK, cfg.scrubMinCount)
+      .filter(expr(s"size($toks)") >= cfg.minToks)
+      .drop("n_toks_orig", "n_removed_toks")
+      .cache()
+
+    // 6. token-budget mixture (ops/Mixture — the q63 operator) over
+    // post-scrub token counts — the tokens a training run would see
+    val withToks = scrub.withColumn("n_toks", expr(s"CAST(size($toks) AS BIGINT)"))
     val rates = Mixture.tokenBudgetRates(withToks, "source", "n_toks",
       cfg.budgetToksPerSource)
     val curated = Mixture.sampleAtRates(withToks, "source", rates)
@@ -87,9 +131,12 @@ object CurationPipeline {
     val audit = Seq(
       ("input", docs.count()), ("quality_rules", ruled.count()),
       ("quality_classifier", quality.count()), ("exact_dedup", exact.count()),
-      ("near_dedup", near.count()), ("mixture_sample", curated.count()))
+      ("normalized_dedup", norm.count()), ("near_dedup", near.count()),
+      ("substring_scrub", scrub.count()),
+      ("mixture_sample", curated.count()))
       .toDF("stage", "docs_after")
-    Seq(ruled, quality, exact, hashed, near).foreach(_.unpersist())
+    Seq(ruled, quality, exact, norm, hashed, near, gramHashed, scrub)
+      .foreach(_.unpersist())
     (curated, audit)
   }
 

@@ -48,6 +48,13 @@ object TextOps {
   /** Whitespace tokens (documents are single-space separated). */
   def tokensExpr(text: String): String = s"split($text, ' ')"
 
+  /** Normalized text for normalization-aware dedup (q74 and the curation
+    * pipeline): Unicode NFC (native `graft_nfc` — register
+    * [[graft.functions.TextFunctions]] first) + casefold + whitespace
+    * collapse. Twin: [[sql.normalize]]. */
+  def normalizeExpr(text: String): String =
+    s"trim(regexp_replace(lower(graft_nfc($text)), ' +', ' '))"
+
   /** Deterministic percent bucket of a row id — THE sampling primitive
     * shared by hash-split (q44), mixture sampling (q56/q63) and
     * [[graft.corpus.CurationPipeline]]: stable across runs, engines and
@@ -112,6 +119,9 @@ object TextOps {
       s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
     def tokens(text: String): String = s"string_split($text, ' ')"
+
+    def normalize(text: String): String =
+      s"trim(regexp_replace(lower(nfc_normalize($text)), ' +', ' ', 'g'))"
 
     def docBucket(idExpr: String = "CAST(doc_id AS VARCHAR)"): String =
       s"${hash60(idExpr)} % 100"

@@ -5,13 +5,17 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** End-to-end curation ladder on a corpus planted so every stage drops
-  * exactly one known set: rules → classifier → exact dedup → transitive
-  * near-dedup → mixture. */
+  * exactly one known set: rules → classifier → exact dedup → normalized
+  * dedup → transitive near-dedup → exact-substring scrub → mixture. */
 class CurationPipelineSpec extends SparkSpec {
   import spark.implicits._
 
   private val chainBase = "alpha beta gamma delta epsilon zeta eta theta iota " +
     "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+  // shared 8-token boilerplate: exactly one duplicated 8-gram per carrier
+  private val boiler = "subscribe to our newsletter for updates and offers"
+  private val unique9 = (1 to 12).map(i => s"story$i").mkString(" ")
+  private val unique10 = (1 to 12).map(i => s"report$i").mkString(" ")
 
   test("each stage drops its planted set; audit counts the ladder") {
     val docs = Seq(
@@ -22,7 +26,13 @@ class CurationPipelineSpec extends SparkSpec {
       (5L, chainBase + " phi chi"),
       (6L, "a a a a"),                    // passes rules (dup 0.75 <= 0.9),
                                           //   classifier score 0.5 < 1.0
-      (7L, "x y"))                        // under min tokens
+      (7L, "x y"),                        // under min tokens
+      (8L, "ONE two three four five six  seven eight nine ten eleven twelve"),
+                                          // case+spacing variant of doc 1 —
+                                          //   only NORMALIZED dedup sees it
+      (9L, s"$unique9 $boiler"),          // boilerplate carriers {9,10,11}:
+      (10L, s"$unique10 $boiler"),        //   scrub strips the shared 8-gram
+      (11L, boiler))                      //   pure boilerplate → scrubbed empty
       .map { case (id, t) => (id, t, "en", s"s${id % 2}", 0L) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
@@ -30,11 +40,17 @@ class CurationPipelineSpec extends SparkSpec {
       minToks = 3, maxDupTokFrac = 0.9, minScore = 1.0,
       jaccardThreshold = 0.5, budgetToksPerSource = 1000000L))
 
-    assert(curated.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(curated.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 3L, 9L, 10L))
     val got = audit.as[(String, Long)].collect().toMap
     assert(got == Map(
-      "input" -> 7L, "quality_rules" -> 6L, "quality_classifier" -> 5L,
-      "exact_dedup" -> 4L, "near_dedup" -> 2L, "mixture_sample" -> 2L))
+      "input" -> 11L, "quality_rules" -> 10L, "quality_classifier" -> 9L,
+      "exact_dedup" -> 8L, "normalized_dedup" -> 7L, "near_dedup" -> 5L,
+      "substring_scrub" -> 4L, "mixture_sample" -> 4L))
+    // the carriers survive with the boilerplate run scrubbed out
+    val texts = curated.filter(col("doc_id").isin(9L, 10L))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(texts(9L) == unique9 && texts(10L) == unique10)
     // schema passes through curation untouched, in the input column order
     assert(curated.columns.toSeq ==
       Seq("doc_id", "text", "lang", "source", "n_chars"))
