@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Bpe, TextOps}
+
+/** Round-7 tokenizer-training queries: the iterative BPE trainer
+  * ([[graft.ops.Bpe]]) exercised through its oracle-able unit — q80 runs
+  * the first two learned merges through the REAL trainer ops (vocab →
+  * top-pair → merge fold, twice) and emits the round-3 merge-candidate
+  * table, the direct continuation of q70 (round 1) and q77 (round 2).
+  *
+  * Cross-engine notes: the DuckDB twin carries merged symbols as
+  * placeholder chars (chr(1)/chr(2), q77's trick — every symbol stays 1
+  * char so the pair scan is a 2-char slide) and reconstructs the real
+  * symbol strings only for output and TIE-BREAKS — argmax ties must
+  * break on reconstructed symbols on both engines, or engines can learn
+  * different (equal-count) merges. All counts are integers.
+  */
+object QueriesTokenizer {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val BpeTopK = 20
+
+  // --- q80: BPE merge round 3 (the trainer loop, two rounds deep) ------------
+  private val q80: Q = (s, dir) => {
+    val v0 = Bpe.vocab(
+      Tables.documents(s, dir).select(col("text")), "text").cache()
+    val (l1, r1, _) = Bpe.topPair(v0).get
+    val v1 = Bpe.applyMerge(v0, l1, r1).cache()
+    val (l2, r2, _) = Bpe.topPair(v1).get
+    val v2 = Bpe.applyMerge(v1, l2, r2)
+    Bpe.pairCounts(v2)
+      .select(col("left").as("left_sym"), col("right").as("right_sym"), col("n"))
+      .orderBy(desc("n"), col("left_sym"), col("right_sym")).limit(BpeTopK)
+  }
+  private val q80Sql = {
+    val toks = TextOps.sql.tokens("text")
+    s"""WITH w AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM (
+       |    SELECT unnest($toks) AS word FROM documents
+       |  ) GROUP BY word HAVING length(word) >= 2
+       |),
+       |p1 AS (
+       |  SELECT wf, unnest(list_transform(generate_series(1, length(word) - 1),
+       |    i -> substr(word, i, 2))) AS pair
+       |  FROM w
+       |),
+       |t1 AS (
+       |  SELECT pair AS m1 FROM (
+       |    SELECT pair, CAST(SUM(wf) AS BIGINT) AS n FROM p1 GROUP BY pair
+       |    ORDER BY n DESC, pair LIMIT 1
+       |  )
+       |),
+       |w2t AS (SELECT wf, m1, replace(word, m1, chr(1)) AS w2
+       |        FROM w CROSS JOIN t1),
+       |p2 AS (
+       |  SELECT wf, m1, unnest(list_transform(generate_series(1, length(w2) - 1),
+       |    i -> substr(w2, i, 2))) AS pair
+       |  FROM w2t WHERE length(w2) >= 2
+       |),
+       |t2 AS (
+       |  SELECT pair AS m2k,
+       |         replace(substr(pair, 1, 1), chr(1), m1) ||
+       |         replace(substr(pair, 2, 1), chr(1), m1) AS m2 FROM (
+       |    SELECT pair, m1, CAST(SUM(wf) AS BIGINT) AS n
+       |    FROM p2 GROUP BY pair, m1
+       |    ORDER BY n DESC, replace(substr(pair, 1, 1), chr(1), m1),
+       |             replace(substr(pair, 2, 1), chr(1), m1) LIMIT 1
+       |  )
+       |),
+       |w3t AS (SELECT wf, m1, m2, replace(w2, m2k, chr(2)) AS w3
+       |        FROM w2t CROSS JOIN t2),
+       |p3 AS (
+       |  SELECT wf,
+       |    replace(replace(substr(pair, 1, 1), chr(2), m2), chr(1), m1)
+       |      AS left_sym,
+       |    replace(replace(substr(pair, 2, 1), chr(2), m2), chr(1), m1)
+       |      AS right_sym
+       |  FROM (
+       |    SELECT wf, m1, m2,
+       |      unnest(list_transform(generate_series(1, length(w3) - 1),
+       |        i -> substr(w3, i, 2))) AS pair
+       |    FROM w3t WHERE length(w3) >= 2
+       |  )
+       |)
+       |SELECT left_sym, right_sym, CAST(SUM(wf) AS BIGINT) AS n
+       |FROM p3 GROUP BY left_sym, right_sym
+       |ORDER BY n DESC, left_sym, right_sym LIMIT $BpeTopK""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q80_bpe_merge_round3" -> q80)
+
+  val oracleSql: Map[String, String] = Map(
+    "q80_bpe_merge_round3" -> q80Sql)
+}

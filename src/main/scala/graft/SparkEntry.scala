@@ -19,10 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesRelational.queries ++
       QueriesDedup.queries ++ QueriesSimilarity.queries ++ QueriesText.queries ++
-      QueriesCorpus.queries ++ QueriesCuration.queries
+      QueriesCorpus.queries ++ QueriesCuration.queries ++
+      QueriesTokenizer.queries
 
   def oracleSql: Map[String, String] =
     QueriesCore.oracleSql ++ QueriesRelational.oracleSql ++
       QueriesDedup.oracleSql ++ QueriesSimilarity.oracleSql ++ QueriesText.oracleSql ++
-      QueriesCorpus.oracleSql ++ QueriesCuration.oracleSql
+      QueriesCorpus.oracleSql ++ QueriesCuration.oracleSql ++
+      QueriesTokenizer.oracleSql
 }
