@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{TextOps, VectorOps}
+import graft.ops.{KMeans, TextOps, VectorOps}
 
 /** Corpus-curation operators for an LLM training-data pipeline — the
   * round-5 extension family beyond SURVEY.md §2: repetition-based quality
@@ -307,24 +307,28 @@ object QueriesCorpus {
 
   // --- q64: SemDeDup-style semantic dedup ------------------------------------
   // Semantic dedup via clustering (Abbas et al., "SemDeDup"): assign each
-  // embedding to its nearest centroid cell (the q41 IVF cells — offline
-  // k-means in a real deployment), enumerate WITHIN-CELL pairs above a
-  // cosine threshold, and drop the higher-id member of each pair (the
-  // paper keeps one arbitrary representative per duplicate neighborhood;
-  // q51's transitive components are the principled alternative when chains
-  // matter). The pairwise step is quadratic ONLY within a cell — the cell
-  // id is the self-join equi-key and, at 100 TB, the table partition key,
-  // so each cluster dedups independently; cells are sized by k (offline
-  // choice), never by corpus growth. Output: per-cell audit counts.
+  // embedding to its nearest centroid cell (the q41 IVF cells — REAL
+  // offline k-means, [[graft.ops.KMeans]] via the shared trained-centroid
+  // memo; q83 oracle-verifies the training), enumerate WITHIN-CELL pairs
+  // above a cosine threshold, and drop the higher-id member of each pair
+  // (the paper keeps one arbitrary representative per duplicate
+  // neighborhood; q51's transitive components are the principled
+  // alternative when chains matter). The pairwise step is quadratic ONLY
+  // within a cell — the cell id is the self-join equi-key and, at 100 TB,
+  // the table partition key, so each cluster dedups independently; cells
+  // are sized by k (offline choice), never by corpus growth. Output:
+  // per-cell audit counts.
   private val SemCells = 8
-  private val SemDim   = 64
   private val SemTau   = 0.3
   private val q64: Q = (s, dir) => {
     graft.functions.GraftFunctions.register(s)
+    val cents = QueriesSimilarity.trainedCents(s, dir, SemCells)
     val em = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
       .withColumn("nrm", expr(VectorOps.normExpr("v")))
-    val scoreCols = VectorOps.centroidScoreExprs("v", SemCells, SemDim)
+      .withColumn("cd",
+        expr(s"transform(${KMeans.codesExpr("v")}, x -> CAST(x AS DOUBLE))"))
+    val scoreCols = KMeans.scoreExprs("cd", cents)
       .zipWithIndex.map { case (e, i) => expr(e).as(s"s$i") }
     val cellv = em.select(col("vec_id") +: col("v") +: col("nrm") +: scoreCols: _*)
       .withColumn("cell", expr(VectorOps.argmaxCase(SemCells)))
@@ -346,12 +350,13 @@ object QueriesCorpus {
   }
   private val q64Sql = {
     val X = VectorOps.sql
-    val scores = X.centroidScores("v", SemCells, SemDim)
+    val scores = KMeans.sql.cellScores("q", SemCells)
       .zipWithIndex.map { case (e, i) => s"$e AS s$i" }.mkString(",\n    ")
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding AS v, ${X.norm("embedding")} AS nrm,
+    s"""WITH ${KMeans.sql.embeddingTrainingCtes(SemCells, QueriesSimilarity.KmIters)},
+       |e AS (
+       |  SELECT vec_id, v, ${X.norm("v")} AS nrm,
        |    $scores
-       |  FROM embeddings
+       |  FROM qkm CROSS JOIN cl
        |),
        |c AS (
        |  SELECT vec_id, v, nrm, ${VectorOps.argmaxCase(SemCells)} AS cell FROM e

