@@ -260,6 +260,38 @@ object QueriesText {
       |  CAST(checksum % 10 AS INTEGER) AS fake_label
       |FROM b ORDER BY doc_id""".stripMargin
 
+  // --- q82: REAL PNG decode (javax.imageio round trip) -----------------------
+  // q37's plumbing with an actual codec: a deterministic RGB image per
+  // doc is synthesized and ENCODED to real PNG bytes, then DECODED back
+  // through javax.imageio (container parse + zlib inflate) and reduced
+  // to header dims, channel count and exact per-channel pixel sums. The
+  // oracle cannot decode PNG — it predicts the same stats analytically
+  // from the generator formula, so a codec bug (wrong dims, channel
+  // order, row stride) hash-mismatches. Scale shape: per-row encode+
+  // decode inside one mapPartitions (codec init amortizes per
+  // partition), integer outputs, zero shuffles.
+  private val q82: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Multimodal.pngFeatures(ids).toDF().orderBy(col("doc_id"))
+  }
+  private val q82Sql = {
+    def chanSum(pix: String) =
+      s"""CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+         |    list_transform(generate_series(0, w - 1), x -> $pix)))) AS BIGINT)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  3 AS channels,
+       |  ${chanSum("(doc_id * 31 + x * 7 + y) % 256")} AS sum_r,
+       |  ${chanSum("(x * 13 + y * 5) % 256")} AS sum_g,
+       |  ${chanSum("(doc_id + x + y * 3) % 256")} AS sum_b
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   // --- q38: tie-aware records (T5) -------------------------------------------
   // Reference: keep ALL tied record holders, first record per player
   // (index.js:408-418). Here: per event_type, every user hitting the max
@@ -475,6 +507,7 @@ object QueriesText {
     "q35_token_stats" -> q35,
     "q36_fingerprint" -> q36,
     "q37_multimodal_decode" -> q37,
+    "q82_image_decode" -> q82,
     "q38_tie_records" -> q38,
     "q39_token_explode" -> q39)
 
@@ -490,6 +523,7 @@ object QueriesText {
     "q35_token_stats" -> q35Sql,
     "q36_fingerprint" -> q36Sql,
     "q37_multimodal_decode" -> q37Sql,
+    "q82_image_decode" -> q82Sql,
     "q38_tie_records" -> q38Sql,
     "q39_token_explode" -> q39Sql)
 }

@@ -102,4 +102,69 @@ object Multimodal {
 
   def resize(ds: Dataset[MediaRecord], factor: Int): Dataset[Resized] =
     ds.mapPartitions(_.map(resizeStub(_, factor)))(Encoders.product[Resized])
+
+  // ------------------------------------------------------------- real PNG
+
+  /** Decoded-image features: header dims + color channel count + EXACT
+    * per-channel pixel sums (integers — cross-engine-hashable). */
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                           channels: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic synthetic RGB image for a doc id, REALLY encoded as
+    * PNG bytes via `javax.imageio` (the JDK's built-in codec — no
+    * external dependency). Dimensions and every pixel derive from the id
+    * alone, so an oracle can predict the decoded stats analytically:
+    * w = 8 + id%9, h = 8 + (id/9)%9,
+    * pixel(x,y) = ((id·31+x·7+y)%256, (x·13+y·5)%256, (id+x+y·3)%256). */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + (id / 9) % 9).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y) % 256).toInt
+        val g = ((x * 13 + y * 5) % 256).toInt
+        val b = ((id + x + y * 3) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode — `javax.imageio` parses the PNG container and
+    * inflates the pixel data (PNG is lossless, so decoded pixels are
+    * exact). Fail-fast on undecodable bytes, like the inference op. */
+  def decodePng(docId: Long, payload: Array[Byte]): ImageFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"undecodable image payload for doc $docId")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    ImageFeatures(docId, img.getWidth, img.getHeight,
+      img.getColorModel.getNumColorComponents, sr, sg, sb)
+  }
+
+  /** Partition-batched synthesize→encode→DECODE round trip over doc ids:
+    * the real-codec path of [[decode]]'s plumbing (same mapPartitions
+    * shape — a heavier codec would init once per partition here). */
+  def pngFeatures(ids: Dataset[Long]): Dataset[ImageFeatures] =
+    ids.mapPartitions(_.map { id =>
+      decodePng(id, syntheticPng(id))
+    })(Encoders.product[ImageFeatures])
 }

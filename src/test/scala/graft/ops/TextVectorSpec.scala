@@ -153,6 +153,29 @@ class MultimodalSpec extends SparkSpec {
     assert(got.length == 2)
     assert(got(1).first_byte == -1) // empty payload sentinel
   }
+
+  test("PNG round trip: real javax.imageio decode recovers exact pixels") {
+    val id = 13L
+    val bytes = Multimodal.syntheticPng(id)
+    // a real PNG container: magic bytes \x89PNG
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte)
+    val f = Multimodal.decodePng(id, bytes)
+    val (w, h) = ((8 + id % 9).toInt, (8 + (id / 9) % 9).toInt)
+    assert(f.width == w && f.height == h && f.channels == 3)
+    val expR = (for (y <- 0 until h; x <- 0 until w)
+      yield (id * 31 + x * 7 + y) % 256).sum
+    val expG = (for (y <- 0 until h; x <- 0 until w)
+      yield (x * 13L + y * 5) % 256).sum
+    val expB = (for (y <- 0 until h; x <- 0 until w)
+      yield (id + x + y * 3) % 256).sum
+    assert(f.sum_r == expR && f.sum_g == expG && f.sum_b == expB)
+  }
+
+  test("PNG decode fails fast on garbage bytes") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng(1L, Array[Byte](1, 2, 3, 4))
+    }
+  }
 }
 
 class ExactSpec extends SparkSpec {
