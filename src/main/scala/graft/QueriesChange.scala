@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** Round-7 change-data / table-maintenance queries — the operations a
+  * pipeline that RE-ingests evolving upstream data needs, extending the
+  * reference's idempotent-insert surface (`parse_matches.sh:580-596`
+  * re-ingests the same match dumps without duplicating rows; these
+  * queries answer "what actually changed between two ingests"):
+  *
+  *  - q84: set-operator completeness (INTERSECT / EXCEPT cohorts).
+  *  - q85: snapshot diff — classify every key as added / removed /
+  *    changed / same between two table versions (the audit a CDC merge
+  *    emits).
+  *  - q86: SCD2 history build — collapse an event log into
+  *    validity-interval versions per key (change detection + interval
+  *    assembly), the standard dimension-history shape.
+  *
+  * Scale notes: q84 is two distinct-aggregates + hash set-ops on the key
+  * column only (never the payload); q85 is ONE full-outer sort-merge join
+  * keyed on the primary key with the row payload pre-hashed to a 60-bit
+  * value per side, so the join carries (key, hash) pairs — at 100 TB the
+  * shuffle moves 16 bytes/row/side regardless of row width; q86 is two
+  * window passes over the same (user_id, ts) ordering — one shuffle,
+  * both windows reuse the partitioning.
+  */
+object QueriesChange {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- q84: INTERSECT / EXCEPT cohort analysis -------------------------------
+  // Customers ordering in both 1996 and 1997, only 1996, only 1997.
+  // Spark's INTERSECT/EXCEPT plan as left-semi/left-anti joins over
+  // distinct aggregates — set semantics, key column only.
+  private val q84: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val a = yr(1996)
+    val b = yr(1997)
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionByName(a.except(b).withColumn("tag", lit("only_1996")))
+      .unionByName(b.except(a).withColumn("tag", lit("only_1997")))
+      .select(col("tag"), col("o_custkey"))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+  private val q84Sql =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE year(o_orderdate) = 1996),
+      |     b AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE year(o_orderdate) = 1997)
+      |SELECT 'both' AS tag, o_custkey
+      |FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+      |UNION ALL
+      |SELECT 'only_1996' AS tag, o_custkey
+      |FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+      |UNION ALL
+      |SELECT 'only_1997' AS tag, o_custkey
+      |FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  // --- q85: snapshot diff (CDC audit) -----------------------------------------
+  // Two deterministic "versions" of orders: version A = orders placed
+  // before 1999; version B = orders before 2000 (rows APPEAR), minus
+  // keys ≡ 0 (mod 101) (rows DISAPPEAR), with o_orderstatus rewritten to
+  // 'X' on keys ≡ 0 (mod 97) (rows CHANGE). The diff hashes each row's
+  // payload to 60 bits per side BEFORE the full-outer join, then
+  // classifies by null/hash pattern. Payload doubles enter the hash as
+  // exact integer cents — never engine-formatted float strings.
+  private val DiffCutA = "1999-01-01"
+  private val DiffCutB = "2000-01-01"
+  private def diffPayloadHash(status: String): String =
+    TextOps.hash60(
+      s"concat_ws('|', $status, CAST(round(o_totalprice * 100) AS BIGINT))")
+  private val q85: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val va = o.filter(col("o_orderdate") < lit(DiffCutA).cast("timestamp"))
+      .select(col("o_orderkey").as("k"),
+        expr(diffPayloadHash("o_orderstatus")).as("ha"))
+    val vb = o.filter(col("o_orderdate") < lit(DiffCutB).cast("timestamp"))
+      .filter(col("o_orderkey") % 101 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        expr(diffPayloadHash(
+          "CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END"))
+          .as("hb"))
+    va.join(vb, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "removed")
+          .when(col("ha") =!= col("hb"), "changed")
+          .otherwise("same").as("cls"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"),
+        sum(expr(s"pmod(${TextOps.hash60("CAST(k AS STRING)")}, 1000000000)"))
+          .as("key_sig"))
+      .orderBy(col("cls"))
+  }
+  private val q85Sql = {
+    def h(status: String) = TextOps.sql.hash60(
+      s"concat_ws('|', $status, CAST(round(o_totalprice * 100) AS BIGINT))")
+    s"""WITH va AS (
+       |  SELECT o_orderkey AS k, ${h("o_orderstatus")} AS ha
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '$DiffCutA'
+       |),
+       |vb AS (
+       |  SELECT o_orderkey AS k,
+       |    ${h("CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END")}
+       |      AS hb
+       |  FROM orders
+       |  WHERE o_orderdate < TIMESTAMP '$DiffCutB' AND o_orderkey % 101 <> 0
+       |),
+       |d AS (
+       |  SELECT COALESCE(va.k, vb.k) AS k,
+       |    CASE WHEN ha IS NULL THEN 'added'
+       |         WHEN hb IS NULL THEN 'removed'
+       |         WHEN ha <> hb THEN 'changed'
+       |         ELSE 'same' END AS cls
+       |  FROM va FULL OUTER JOIN vb ON va.k = vb.k
+       |)
+       |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(k) AS min_key, MAX(k) AS max_key,
+       |  CAST(SUM(${TextOps.sql.hash60("CAST(k AS VARCHAR)")} % 1000000000)
+       |    AS BIGINT) AS key_sig
+       |FROM d GROUP BY cls ORDER BY cls""".stripMargin
+  }
+
+  // --- q86: SCD2 dimension-history build --------------------------------------
+  // Collapse the event log into per-user validity intervals of
+  // event_type: a version opens where the type CHANGES (lag-detect) and
+  // closes at the next version's open (lead; NULL = still current).
+  // Output is the per-user history digest — version count, first/last
+  // opens, total closed duration, and an order-exact hash of the full
+  // (open_us, type) version chain.
+  private val q86: Q = (s, dir) => {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val versions = e
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byTime))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))))
+    versions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_versions"),
+        min(col("ts_us")).as("first_from_us"),
+        max(col("ts_us")).as("last_from_us"),
+        sum(when(col("valid_to_us").isNotNull,
+          col("valid_to_us") - col("ts_us")).otherwise(lit(0L)))
+          .as("closed_dur_us"),
+        expr(TextOps.hash60(
+          """array_join(transform(
+            |  array_sort(collect_list(struct(ts_us, event_id, event_type))),
+            |  x -> concat(CAST(x.ts_us AS STRING), ':', x.event_type)), ',')"""
+            .stripMargin)).as("hist_h"))
+      .orderBy(col("user_id"))
+  }
+  private val q86Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+       |  FROM events
+       |),
+       |chg AS (
+       |  SELECT *, LAG(event_type) OVER w AS prev_type
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |),
+       |versions AS (
+       |  SELECT user_id, event_id, ts_us, event_type,
+       |    LEAD(ts_us) OVER w AS valid_to_us
+       |  FROM chg
+       |  WHERE prev_type IS NULL OR prev_type <> event_type
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_versions,
+       |  MIN(ts_us) AS first_from_us, MAX(ts_us) AS last_from_us,
+       |  CAST(COALESCE(SUM(CASE WHEN valid_to_us IS NOT NULL
+       |    THEN valid_to_us - ts_us END), 0) AS BIGINT) AS closed_dur_us,
+       |  ${TextOps.sql.hash60(
+            "string_agg(ts_us || ':' || event_type, ',' ORDER BY ts_us, event_id)")}
+       |    AS hist_h
+       |FROM versions GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q84_set_ops"       -> q84,
+    "q85_snapshot_diff" -> q85,
+    "q86_scd2_history"  -> q86)
+
+  val oracleSql: Map[String, String] = Map(
+    "q84_set_ops"       -> q84Sql,
+    "q85_snapshot_diff" -> q85Sql,
+    "q86_scd2_history"  -> q86Sql)
+}

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** Round-7 exact-statistics + corpus-shaping queries:
+  *
+  *  - q87: distribution moments with INTEGER-EXACT arithmetic — the
+  *    variance is carried as the exact rational (n·Σx² − (Σx)², n·(n−1))
+  *    so the cross-engine compare never touches a float accumulation
+  *    order (stddev_samp differs in summation order between engines;
+  *    this doesn't).
+  *  - q88: corpus length histogram — fixed-width buckets with integer
+  *    per-mille shares, the "what does my corpus look like" first query
+  *    of every curation run.
+  *  - q89: temperature-scaled source mixture (α = 0.5) — the data-mixing
+  *    step that up-samples small sources relative to large ones by
+  *    keeping each source at a rate ∝ √mass, normalized to the LARGEST
+  *    source (max is order-independent, so the only floats involved are
+  *    one sqrt and one division — both correctly-rounded IEEE ops that
+  *    agree bit-for-bit across engines). The keep decision reuses the
+  *    deterministic content-hash bucket primitive (q44/q56/q63).
+  *
+  * Scale notes: q87/q88 are single map-side-combinable HashAggregates;
+  * q89 aggregates per-source mass (|sources| rows), broadcasts the rate
+  * table back onto the corpus, and filters map-side — the corpus itself
+  * never shuffles to be sampled.
+  */
+object QueriesStats {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- q87: integer-exact moments per group -----------------------------------
+  private val q87: Q = (s, dir) => {
+    val q = col("qty")
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).as("sum_q"),
+        sum(q * q).as("sum_q2"),
+        min(q).as("min_q"), max(q).as("max_q"))
+      .select(col("l_returnflag"), col("n"), col("sum_q"), col("sum_q2"),
+        col("min_q"), col("max_q"),
+        (col("n") * col("sum_q2") - col("sum_q") * col("sum_q")).as("var_num"),
+        (col("n") * (col("n") - 1)).as("var_den"),
+        expr("(100 * sum_q) DIV n").as("mean_c"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val q87Sql =
+    """WITH g AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+      |      AS BIGINT) AS sum_q2,
+      |    MIN(CAST(l_quantity AS BIGINT)) AS min_q,
+      |    MAX(CAST(l_quantity AS BIGINT)) AS max_q
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, n, sum_q, sum_q2, min_q, max_q,
+      |  n * sum_q2 - sum_q * sum_q AS var_num,
+      |  n * (n - 1) AS var_den,
+      |  (100 * sum_q) // n AS mean_c
+      |FROM g ORDER BY l_returnflag""".stripMargin
+
+  // --- q88: corpus length histogram --------------------------------------------
+  private val HistWidth = 50
+  private val HistCap   = 11
+  private val q88: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(expr(s"least(CAST(n_chars AS BIGINT) DIV $HistWidth, " +
+        s"CAST($HistCap AS BIGINT))").as("bucket"), col("n_chars"))
+    val total = d.select(count(lit(1)).as("total"))
+    d.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .crossJoin(total)
+      .select(col("bucket"), col("n"), col("min_chars"), col("max_chars"),
+        expr("(1000 * n) DIV total").as("share_pm"))
+      .orderBy(col("bucket"))
+  }
+  private val q88Sql =
+    s"""WITH b AS (
+       |  SELECT LEAST(CAST(n_chars AS BIGINT) // $HistWidth, $HistCap)
+       |    AS bucket, n_chars
+       |  FROM documents
+       |),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents)
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       |  (1000 * CAST(COUNT(*) AS BIGINT)) // total AS share_pm
+       |FROM b, t GROUP BY bucket, total ORDER BY bucket""".stripMargin
+
+  // --- q89: temperature-scaled source mixture (α = 0.5) ------------------------
+  private val TempScale = 10000L
+  private val q89: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val mass = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("mass"))
+    val maxMass = mass.select(max(col("mass")).as("max_mass"))
+    // |sources| rows; cached so the two uses below (broadcast side of the
+    // keep filter + left side of the report join) don't each re-aggregate
+    // the corpus — one mass scan, one filter scan, nothing else
+    val rates = mass.crossJoin(maxMass)
+      .select(col("source"), col("n_docs"), col("mass"),
+        floor(lit(TempScale.toDouble) *
+          sqrt(col("mass").cast("double")) /
+          sqrt(col("max_mass").cast("double"))).as("keep_rate"))
+      .cache()
+    val kept = d.join(broadcast(rates.select(col("source"), col("keep_rate"))),
+        Seq("source"))
+      .filter(expr(s"pmod(${TextOps.hash60("CAST(doc_id AS STRING)")}, " +
+        s"$TempScale) < keep_rate"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_n"),
+        sum(expr(
+          s"pmod(${TextOps.hash60("CAST(doc_id AS STRING)")}, 1000000000)"))
+          .as("kept_sig"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("mass"), col("keep_rate"),
+        coalesce(col("kept_n"), lit(0L)).as("kept_n"),
+        coalesce(col("kept_sig"), lit(0L)).as("kept_sig"))
+      .orderBy(col("source"))
+  }
+  private val q89Sql = {
+    val h = TextOps.sql.hash60("CAST(doc_id AS VARCHAR)")
+    s"""WITH mass AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS mass
+       |  FROM documents GROUP BY source
+       |),
+       |m AS (SELECT MAX(mass) AS max_mass FROM mass),
+       |rates AS (
+       |  SELECT source, n_docs, mass,
+       |    CAST(FLOOR($TempScale * SQRT(CAST(mass AS DOUBLE)) /
+       |      SQRT(CAST(max_mass AS DOUBLE))) AS BIGINT) AS keep_rate
+       |  FROM mass, m
+       |),
+       |kept AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_n,
+       |    CAST(SUM($h % 1000000000) AS BIGINT) AS kept_sig
+       |  FROM documents d JOIN rates USING (source)
+       |  WHERE $h % $TempScale < keep_rate
+       |  GROUP BY source
+       |)
+       |SELECT source, n_docs, mass, keep_rate,
+       |  COALESCE(kept_n, CAST(0 AS BIGINT)) AS kept_n,
+       |  COALESCE(kept_sig, CAST(0 AS BIGINT)) AS kept_sig
+       |FROM rates LEFT JOIN kept USING (source) ORDER BY source""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q87_exact_moments"     -> q87,
+    "q88_length_histogram"  -> q88,
+    "q89_temperature_mixture" -> q89)
+
+  val oracleSql: Map[String, String] = Map(
+    "q87_exact_moments"     -> q87Sql,
+    "q88_length_histogram"  -> q88Sql,
+    "q89_temperature_mixture" -> q89Sql)
+}

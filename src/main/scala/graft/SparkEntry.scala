@@ -20,11 +20,13 @@ object SparkEntry {
     QueriesCore.queries ++ QueriesRelational.queries ++
       QueriesDedup.queries ++ QueriesSimilarity.queries ++ QueriesText.queries ++
       QueriesCorpus.queries ++ QueriesCuration.queries ++
-      QueriesTokenizer.queries ++ QueriesSearch.queries
+      QueriesTokenizer.queries ++ QueriesSearch.queries ++
+      QueriesChange.queries ++ QueriesStats.queries
 
   def oracleSql: Map[String, String] =
     QueriesCore.oracleSql ++ QueriesRelational.oracleSql ++
       QueriesDedup.oracleSql ++ QueriesSimilarity.oracleSql ++ QueriesText.oracleSql ++
       QueriesCorpus.oracleSql ++ QueriesCuration.oracleSql ++
-      QueriesTokenizer.oracleSql ++ QueriesSearch.oracleSql
+      QueriesTokenizer.oracleSql ++ QueriesSearch.oracleSql ++
+      QueriesChange.oracleSql ++ QueriesStats.oracleSql
 }

@@ -1,0 +1,137 @@
+package graft
+
+import java.sql.Timestamp
+
+/** Round-7 change-data (q84–q86) and exact-stats (q87–q89) families on
+  * planted fixtures small enough to verify by hand. (Cross-engine value
+  * equality is the oracle gate's job; these pin the SEMANTICS.) */
+class ChangeStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s0: String): Timestamp = Timestamp.valueOf(s0)
+
+  private def ordersDir(rows: (Long, Long, String, Double, String)*): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_change").toString
+    rows.toSeq
+      .map { case (k, c, st, p, dt) => (k, c, st, p, ts(dt)) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+      .write.parquet(s"$d/orders.parquet")
+    d
+  }
+
+  test("q84: intersect/except cohorts are set-semantic and disjoint") {
+    // cust 1 orders in both years (twice in 1996 — set semantics must
+    // collapse it), cust 2 only 1996, cust 3 only 1997, cust 4 neither.
+    val dir = ordersDir(
+      (1L, 1L, "O", 10.0, "1996-02-01 00:00:00"),
+      (2L, 1L, "O", 10.0, "1996-03-01 00:00:00"),
+      (3L, 1L, "O", 10.0, "1997-02-01 00:00:00"),
+      (4L, 2L, "O", 10.0, "1996-05-01 00:00:00"),
+      (5L, 3L, "O", 10.0, "1997-05-01 00:00:00"),
+      (6L, 4L, "O", 10.0, "1995-05-01 00:00:00"))
+    val got = SparkEntry.queries("q84_set_ops")(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq("both" -> 1L, "only_1996" -> 2L, "only_1997" -> 3L))
+  }
+
+  test("q85: snapshot diff classifies added/removed/changed/same") {
+    // key 5: in both versions, untouched        → same
+    // key 7: dated between the cuts             → added (B only)
+    // key 202 = 2·101: scrubbed from version B  → removed
+    // key 97: status rewritten to 'X' in B      → changed
+    val dir = ordersDir(
+      (5L,   1L, "F", 11.0, "1998-01-01 00:00:00"),
+      (7L,   1L, "O", 12.0, "1999-06-01 00:00:00"),
+      (202L, 2L, "F", 13.0, "1998-02-01 00:00:00"),
+      (97L,  3L, "F", 14.0, "1998-03-01 00:00:00"))
+    val got = SparkEntry.queries("q85_snapshot_diff")(spark, dir)
+      .select("cls", "n", "min_key", "max_key")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("added", 1L, 7L, 7L),
+      ("changed", 1L, 97L, 97L),
+      ("removed", 1L, 202L, 202L),
+      ("same", 1L, 5L, 5L)))
+  }
+
+  private def eventsDir(rows: (Long, String, Long, String)*): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_change").toString
+    rows.toSeq
+      .map { case (id, t, u, typ) => (id, ts(t), u, typ, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("q86: SCD2 collapses runs; closed durations exclude the open version") {
+    // user 1: A A B B A → versions open at t1(A), t3(B), t5(A);
+    // closed span = (t3−t1) + (t5−t3) = t5−t1 = 4 h; version 3 stays open.
+    // user 2: single event → one open version, zero closed duration.
+    val dir = eventsDir(
+      (1L, "2024-01-01 00:00:00", 1L, "A"),
+      (2L, "2024-01-01 01:00:00", 1L, "A"),
+      (3L, "2024-01-01 02:00:00", 1L, "B"),
+      (4L, "2024-01-01 03:00:00", 1L, "B"),
+      (5L, "2024-01-01 04:00:00", 1L, "A"),
+      (6L, "2024-01-01 00:00:00", 2L, "C"))
+    val got = SparkEntry.queries("q86_scd2_history")(spark, dir)
+      .select("user_id", "n_versions", "closed_dur_us")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 4L * 3600L * 1000000L), (2L, 1L, 0L)))
+  }
+
+  private def lineitemDir(rows: (String, Double)*): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_change").toString
+    rows.toSeq.zipWithIndex
+      .map { case ((f, q), i) =>
+        (i.toLong + 1L, f, q, ts("1995-01-01 00:00:00")) }
+      .toDF("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("q87: variance numerator/denominator are exact integers") {
+    // flag A: {2, 4, 6} → n=3, Σ=12, Σ²=56, var_num = 3·56 − 144 = 24,
+    // var_den = 6 (sample variance 4 exactly), mean_c = 400.
+    val dir = lineitemDir(("A", 2.0), ("A", 4.0), ("A", 6.0), ("B", 5.0))
+    val got = SparkEntry.queries("q87_exact_moments")(spark, dir)
+      .select("l_returnflag", "n", "var_num", "var_den", "mean_c")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 3L, 24L, 6L, 400L), ("B", 1L, 0L, 0L, 500L)))
+  }
+
+  private def docsDir(rows: (Long, String, Long)*): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_change").toString
+    rows.toSeq
+      .map { case (id, src, nc) => (id, "t", "en", src, nc) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q88: histogram buckets are fixed-width with a capped tail") {
+    val dir = docsDir(
+      (1L, "s0", 10L), (2L, "s0", 49L),  // bucket 0
+      (3L, "s0", 50L),                   // bucket 1
+      (4L, "s0", 9999L))                 // DIV gives 199 → capped to 11
+    val got = SparkEntry.queries("q88_length_histogram")(spark, dir)
+      .select("bucket", "n", "share_pm")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 500L), (1L, 1L, 250L), (11L, 1L, 250L)))
+  }
+
+  test("q89: the heaviest source keeps everything; lighter sources thin") {
+    // mass(s0)=400, mass(s1)=100 → keep_rate(s0)=10000 (every bucket
+    // passes), keep_rate(s1)=floor(10000·√(1/4))=5000.
+    val dir = docsDir(
+      (1L, "s0", 100L), (2L, "s0", 100L), (3L, "s0", 100L), (4L, "s0", 100L),
+      (5L, "s1", 25L), (6L, "s1", 25L), (7L, "s1", 25L), (8L, "s1", 25L))
+    val got = SparkEntry.queries("q89_temperature_mixture")(spark, dir)
+      .select("source", "n_docs", "keep_rate", "kept_n")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("s0") == (("s0", 4L, 10000L, 4L)))
+    assert(got("s1")._3 == 5000L)
+    assert(got("s1")._4 <= 4L)
+  }
+}
