@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** Round-7 behavioral-analytics queries over the event stream — the two
+  * product-analytics staples every engine with an events table gets asked
+  * for (the reference's session/streak reports are the same shape one
+  * level down: ordered per-user event analysis):
+  *
+  *  - q90: ordered conversion funnel (view → click → purchase, each step
+  *    strictly AFTER the previous step's first completion).
+  *  - q91: weekly retention cohorts (users active k weeks after their
+  *    first-ever week, the classic retention triangle).
+  *
+  * Scale notes: q90 is three user-keyed aggregates where every join is
+  * on user_id — the partitioning is established once and reused; step
+  * tables only ever shrink (funnel monotonicity). q91 reduces the event
+  * stream to distinct (user, week) pairs FIRST (the only corpus-sized
+  * shuffle), then joins the per-user cohort week on the same user key;
+  * week indices are absolute integer epoch-week numbers, so no calendar
+  * arithmetic enters the cross-engine compare.
+  */
+object QueriesBehavior {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  private def userSig = expr(
+    s"pmod(${TextOps.hash60("CAST(user_id AS STRING)")}, 1000000000)")
+
+  // --- q90: ordered conversion funnel -----------------------------------------
+  private val q90: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+    def firstAfter(typ: String, prev: DataFrame, prevT: String, t: String) =
+      e.filter(col("event_type") === typ)
+        .join(prev.select(col("user_id"), col(prevT)), Seq("user_id"))
+        .filter(col("ts_us") > col(prevT))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as(t))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val s2 = firstAfter("click", s1, "t1", "t2")
+    val s3 = firstAfter("purchase", s2, "t2", "t3")
+    def stage(df: DataFrame, name: String) = df
+      .agg(count(lit(1)).as("n_users"), sum(userSig).as("user_sig"))
+      .select(lit(name).as("stage"), col("n_users"),
+        coalesce(col("user_sig"), lit(0L)).as("user_sig"))
+    stage(s1, "1_view")
+      .unionByName(stage(s2, "2_click"))
+      .unionByName(stage(s3, "3_purchase"))
+      .orderBy(col("stage"))
+  }
+  private val q90Sql = {
+    val sig = s"${TextOps.sql.hash60("CAST(user_id AS VARCHAR)")} % 1000000000"
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+       |),
+       |s1 AS (
+       |  SELECT user_id, MIN(ts_us) AS t1 FROM e
+       |  WHERE event_type = 'view' GROUP BY user_id
+       |),
+       |s2 AS (
+       |  SELECT e.user_id, MIN(ts_us) AS t2
+       |  FROM e JOIN s1 USING (user_id)
+       |  WHERE event_type = 'click' AND ts_us > t1 GROUP BY e.user_id
+       |),
+       |s3 AS (
+       |  SELECT e.user_id, MIN(ts_us) AS t3
+       |  FROM e JOIN s2 USING (user_id)
+       |  WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY e.user_id
+       |)
+       |SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |  CAST(COALESCE(SUM($sig), 0) AS BIGINT) AS user_sig FROM s1
+       |UNION ALL
+       |SELECT '2_click', CAST(COUNT(*) AS BIGINT),
+       |  CAST(COALESCE(SUM($sig), 0) AS BIGINT) FROM s2
+       |UNION ALL
+       |SELECT '3_purchase', CAST(COUNT(*) AS BIGINT),
+       |  CAST(COALESCE(SUM($sig), 0) AS BIGINT) FROM s3
+       |ORDER BY stage""".stripMargin
+  }
+
+  // --- q91: weekly retention cohorts ------------------------------------------
+  private val q91: Q = (s, dir) => {
+    val weeks = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) DIV $WeekUs").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("offset_w"))
+      .agg(count(lit(1)).as("n_users"), sum(userSig).as("user_sig"))
+      .orderBy(col("cohort_week"), col("offset_w"))
+  }
+  private val q91Sql = {
+    val sig = s"${TextOps.sql.hash60("CAST(user_id AS VARCHAR)")} % 1000000000"
+    s"""WITH weeks AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS week FROM events
+       |),
+       |cohorts AS (
+       |  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+       |)
+       |SELECT cohort_week, week - cohort_week AS offset_w,
+       |  CAST(COUNT(*) AS BIGINT) AS n_users,
+       |  CAST(SUM($sig) AS BIGINT) AS user_sig
+       |FROM weeks JOIN cohorts USING (user_id)
+       |GROUP BY cohort_week, offset_w
+       |ORDER BY cohort_week, offset_w""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q90_funnel"    -> q90,
+    "q91_retention" -> q91)
+
+  val oracleSql: Map[String, String] = Map(
+    "q90_funnel"    -> q90Sql,
+    "q91_retention" -> q91Sql)
+}

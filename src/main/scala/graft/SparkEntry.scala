@@ -21,12 +21,14 @@ object SparkEntry {
       QueriesDedup.queries ++ QueriesSimilarity.queries ++ QueriesText.queries ++
       QueriesCorpus.queries ++ QueriesCuration.queries ++
       QueriesTokenizer.queries ++ QueriesSearch.queries ++
-      QueriesChange.queries ++ QueriesStats.queries
+      QueriesChange.queries ++ QueriesStats.queries ++
+      QueriesBehavior.queries
 
   def oracleSql: Map[String, String] =
     QueriesCore.oracleSql ++ QueriesRelational.oracleSql ++
       QueriesDedup.oracleSql ++ QueriesSimilarity.oracleSql ++ QueriesText.oracleSql ++
       QueriesCorpus.oracleSql ++ QueriesCuration.oracleSql ++
       QueriesTokenizer.oracleSql ++ QueriesSearch.oracleSql ++
-      QueriesChange.oracleSql ++ QueriesStats.oracleSql
+      QueriesChange.oracleSql ++ QueriesStats.oracleSql ++
+      QueriesBehavior.oracleSql
 }

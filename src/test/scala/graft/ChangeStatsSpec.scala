@@ -121,6 +121,43 @@ class ChangeStatsSpec extends SparkSpec {
     assert(got == Seq((0L, 2L, 500L), (1L, 1L, 250L), (11L, 1L, 250L)))
   }
 
+  test("q90: funnel steps must complete strictly in order") {
+    // user 1 converts fully in order; user 2 clicked BEFORE viewing (the
+    // click must not count) and never purchases; user 3 purchases before
+    // clicking (stage 3 requires a post-click purchase — none exists).
+    val dir = eventsDir(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 01:00:00", 1L, "click"),
+      (3L, "2024-01-01 02:00:00", 1L, "purchase"),
+      (4L, "2024-01-01 00:00:00", 2L, "click"),
+      (5L, "2024-01-01 01:00:00", 2L, "view"),
+      (6L, "2024-01-01 00:00:00", 3L, "view"),
+      (7L, "2024-01-01 01:00:00", 3L, "purchase"),
+      (8L, "2024-01-01 02:00:00", 3L, "click"))
+    val got = SparkEntry.queries("q90_funnel")(spark, dir)
+      .select("stage", "n_users")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq("1_view" -> 3L, "2_click" -> 2L, "3_purchase" -> 1L))
+  }
+
+  test("q91: retention counts users per (cohort week, offset)") {
+    // Weeks are absolute epoch-week indices; 2024-01-04 and 2024-01-11
+    // land in consecutive epoch weeks (Thursday boundary). User 1 active
+    // both weeks, user 2 only the first, user 3 starts in the second.
+    val dir = eventsDir(
+      (1L, "2024-01-04 12:00:00", 1L, "view"),
+      (2L, "2024-01-11 12:00:00", 1L, "view"),
+      (3L, "2024-01-04 12:00:00", 2L, "view"),
+      (4L, "2024-01-11 12:00:00", 3L, "view"))
+    val got = SparkEntry.queries("q91_retention")(spark, dir)
+      .select("offset_w", "n_users")
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(identity).map { case (k, v) => (k, v.size) } // (offset,n)→count
+    // cohort week W: offset 0 has 2 users (1, 2), offset 1 has 1 (user 1);
+    // cohort week W+1: offset 0 has 1 user (user 3)
+    assert(got == Map((0L, 2L) -> 1, (1L, 1L) -> 1, (0L, 1L) -> 1))
+  }
+
   test("q89: the heaviest source keeps everything; lighter sources thin") {
     // mass(s0)=400, mass(s1)=100 → keep_rate(s0)=10000 (every bucket
     // passes), keep_rate(s1)=floor(10000·√(1/4))=5000.
