@@ -27,8 +27,10 @@ import graft.ops.{CurationDedup, Inference, Mixture, NearDup, TextOps}
   *                   ([[graft.ops.CurationDedup.scrubbed]], q79): token
   *                   runs covered by a corpus-duplicated 8-gram drop,
   *                   and docs scrubbed below `minToks` drop entirely
-  *   6. mixture    — per-source keep rate hitting a token budget,
-  *                   deterministic hash-bucket sampling (q63)
+  *   6. mixture    — per-source keep rate, deterministic hash-bucket
+  *                   sampling: token-budget policy (q63) by default, or
+  *                   temperature-scaled ∝ mass^α (q89) via
+  *                   [[Config.temperatureAlpha]]
   *
   * Stage order: document-level dedups run cheapest-first (exact, then
   * normalized — same shuffle key discipline, raw hash cheaper than NFC
@@ -63,7 +65,12 @@ object CurationPipeline {
       scrubMinCount: Int = 2,
       jaccardThreshold: Double = 0.5,
       budgetToksPerSource: Long = 800L,
-      batchSize: Int = 64)
+      batchSize: Int = 64,
+      // Some(α) switches the mixture stage from the fixed token budget
+      // to temperature-scaled rates ∝ mass^α (q89's policy): flatten
+      // source imbalance rather than cap each source — the knob a
+      // pretraining mix uses when small sources should survive
+      temperatureAlpha: Option[Double] = None)
 
   /** @return (curated corpus, audit of (stage, docs_after)) */
   def run(docs: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
@@ -116,11 +123,15 @@ object CurationPipeline {
       .drop("n_toks_orig", "n_removed_toks")
       .cache()
 
-    // 6. token-budget mixture (ops/Mixture — the q63 operator) over
-    // post-scrub token counts — the tokens a training run would see
+    // 6. mixture over post-scrub token counts — the tokens a training
+    // run would see; policy: fixed token budget (q63) by default, or
+    // temperature-scaled rates (q89) when cfg.temperatureAlpha is set
     val withToks = scrub.withColumn("n_toks", expr(s"CAST(size($toks) AS BIGINT)"))
-    val rates = Mixture.tokenBudgetRates(withToks, "source", "n_toks",
-      cfg.budgetToksPerSource)
+    val rates = cfg.temperatureAlpha match {
+      case Some(a) => Mixture.temperatureRates(withToks, "source", "n_toks", a)
+      case None    => Mixture.tokenBudgetRates(withToks, "source", "n_toks",
+        cfg.budgetToksPerSource)
+    }
     val curated = Mixture.sampleAtRates(withToks, "source", rates)
       .select(docs.columns.map(col): _*) // input column order, untouched
       .cache()

@@ -87,4 +87,21 @@ class CurationPipelineSpec extends SparkSpec {
     assert(got("near_dedup") == 200L && got("mixture_sample") == n)
     assert(n > 0L && n < 50L, s"10% hash-bucket rate should keep few docs, got $n")
   }
+
+  test("temperature mixture keeps the heaviest source whole and thins the rest") {
+    // s_big: 160 docs × 20 tokens; s_small: 40 docs × 20 tokens.
+    // α = 0.5 → rate(s_big) = 100%, rate(s_small) = floor(100·√(1/4)) = 50%.
+    val docs = (1L to 200L).map { i =>
+      val src = if (i <= 160L) "s_big" else "s_small"
+      (i, (1 to 20).map(j => s"w${i}_$j").mkString(" "), "en", src, 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (curated, _) = CurationPipeline.run(docs, CurationPipeline.Config(
+      minToks = 1, maxDupTokFrac = 1.0, minScore = 0.0,
+      temperatureAlpha = Some(0.5)))
+    val bySrc = curated.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc("s_big") == 160L, "heaviest source must keep every doc")
+    assert(bySrc("s_small") < 40L && bySrc("s_small") > 0L,
+      s"lighter source should thin to ~50%, got ${bySrc("s_small")}")
+  }
 }
