@@ -79,24 +79,31 @@ object KMeans {
       if (i < seed.length) Centroid(i, seed(i).getSeq[Long](0).toIndexedSeq, 1L)
       else Centroid(i, IndexedSeq.fill(dim0)(0L), 1L)
     }
+    // cached: every iteration re-reads these 2 columns, and the codes
+    // transform should run once, not once per iteration per action
     val withCd = em.select(col(codesCol).as("_q"))
       .withColumn("_cd", expr("transform(_q, x -> CAST(x AS DOUBLE))"))
+      .cache()
     for (_ <- 1 to iters) {
       val scores = scoreExprs("_cd", cents)
         .zipWithIndex.map { case (e, i) => expr(e).as(s"s$i") }
       val assigned = withCd
         .select(col("_q") +: scores: _*)
         .withColumn("_cell", expr(VectorOps.argmaxCase(cents.length)))
-      val sums = assigned
+      // ONE action per iteration: the (cell, dim) sums carry the member
+      // count for free — every vector contributes exactly one row per
+      // dim, so count at dim 0 IS the cell's membership
+      val rows = assigned
         .select(col("_cell"), posexplode(col("_q")).as(Seq("_d", "_x")))
-        .groupBy(col("_cell"), col("_d")).agg(sum(col("_x")).as("_s"))
+        .groupBy(col("_cell"), col("_d"))
+        .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_c"))
         .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cell, rows) =>
-          cell -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).map(_._2).toIndexedSeq
+      val sums = rows.groupBy(_.getInt(0))
+        .map { case (cell, rs) =>
+          cell -> rs.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).map(_._2).toIndexedSeq
         }
-      val cnts = assigned.groupBy(col("_cell")).agg(count(lit(1)).as("_c"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val cnts = rows.filter(_.getInt(1) == 0)
+        .map(r => r.getInt(0) -> r.getLong(3)).toMap
       cents = cents.map { c => // an emptied cell keeps its previous centroid
         (sums.get(c.cell), cnts.get(c.cell)) match {
           case (Some(s), Some(n)) => Centroid(c.cell, s, n)
@@ -104,6 +111,7 @@ object KMeans {
         }
       }
     }
+    withCd.unpersist()
     cents
   }
 
