@@ -115,11 +115,101 @@ object QueriesBehavior {
        |ORDER BY cohort_week, offset_w""".stripMargin
   }
 
+  // --- q92: event-type transition matrix --------------------------------------
+  // First-order Markov transition counts over each user's time-ordered
+  // event stream, with integer per-mille shares per origin type — the
+  // "where do users go next" matrix. One user-keyed window pass, then a
+  // (from, to)-keyed aggregate over |types|² ≪ corpus rows.
+  private val q92: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val byTime = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val trans = e
+      .withColumn("from_type", lag(col("event_type"), 1).over(byTime))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("from_total"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(1000 * n) DIV from_total").as("share_pm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+  private val q92Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      |  FROM events
+      |),
+      |seq AS (
+      |  SELECT event_type AS to_type, LAG(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS from_type
+      |  FROM e
+      |),
+      |trans AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM seq WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+      |),
+      |totals AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS from_total
+      |  FROM trans GROUP BY from_type
+      |)
+      |SELECT from_type, to_type, n, (1000 * n) // from_total AS share_pm
+      |FROM trans JOIN totals USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
+  // --- q93: week-over-week revenue deltas --------------------------------------
+  // Weekly order revenue in exact integer cents, with the delta and
+  // integer per-mille change vs the previous week (NULL on the first
+  // week). The corpus-sized work is one week-keyed aggregate; the lag
+  // window runs over the weeks table (|weeks| rows).
+  private val q93: Q = (s, dir) => {
+    val weekly = Tables.orders(s, dir)
+      .select(expr(s"unix_micros(o_orderdate) DIV $WeekUs").as("week"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("week"))
+      .agg(sum(col("cents")).as("revenue_c"), count(lit(1)).as("n_orders"))
+    val byWeek = org.apache.spark.sql.expressions.Window.orderBy(col("week"))
+    // change_pm divides a NON-NEGATIVE magnitude and applies the sign
+    // separately: Spark's DIV truncates toward zero but DuckDB's //
+    // floors, so a negative numerator would differ by one between
+    // engines — on |x| the two agree
+    weekly
+      .withColumn("prev_c", lag(col("revenue_c"), 1).over(byWeek))
+      .select(col("week"), col("revenue_c"), col("n_orders"),
+        (col("revenue_c") - col("prev_c")).as("delta_c"),
+        expr("""CAST(sign(revenue_c - prev_c) AS BIGINT) *
+               |((1000 * abs(revenue_c - prev_c)) DIV prev_c)"""
+          .stripMargin).as("change_pm"))
+      .orderBy(col("week"))
+  }
+  private val q93Sql =
+    s"""WITH weekly AS (
+       |  SELECT epoch_us(o_orderdate) // $WeekUs AS week,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS revenue_c,
+       |    CAST(COUNT(*) AS BIGINT) AS n_orders
+       |  FROM orders GROUP BY week
+       |)
+       |SELECT week, revenue_c, n_orders,
+       |  revenue_c - LAG(revenue_c) OVER w AS delta_c,
+       |  CAST(SIGN(revenue_c - LAG(revenue_c) OVER w) AS BIGINT) *
+       |    ((1000 * ABS(revenue_c - LAG(revenue_c) OVER w))
+       |      // LAG(revenue_c) OVER w) AS change_pm
+       |FROM weekly WINDOW w AS (ORDER BY week)
+       |ORDER BY week""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q90_funnel"    -> q90,
-    "q91_retention" -> q91)
+    "q90_funnel"      -> q90,
+    "q91_retention"   -> q91,
+    "q92_transitions" -> q92,
+    "q93_weekly_delta" -> q93)
 
   val oracleSql: Map[String, String] = Map(
-    "q90_funnel"    -> q90Sql,
-    "q91_retention" -> q91Sql)
+    "q90_funnel"      -> q90Sql,
+    "q91_retention"   -> q91Sql,
+    "q92_transitions" -> q92Sql,
+    "q93_weekly_delta" -> q93Sql)
 }

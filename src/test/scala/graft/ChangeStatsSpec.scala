@@ -158,6 +158,36 @@ class ChangeStatsSpec extends SparkSpec {
     assert(got == Map((0L, 2L) -> 1, (1L, 1L) -> 1, (0L, 1L) -> 1))
   }
 
+  test("q92: transition matrix counts ordered pairs per user") {
+    // user 1: A→B→A gives A→B, B→A; user 2: A→B gives A→B.
+    val dir = eventsDir(
+      (1L, "2024-01-01 00:00:00", 1L, "A"),
+      (2L, "2024-01-01 01:00:00", 1L, "B"),
+      (3L, "2024-01-01 02:00:00", 1L, "A"),
+      (4L, "2024-01-01 00:00:00", 2L, "A"),
+      (5L, "2024-01-01 01:00:00", 2L, "B"))
+    val got = SparkEntry.queries("q92_transitions")(spark, dir)
+      .select("from_type", "to_type", "n", "share_pm")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", "B", 2L, 1000L), ("B", "A", 1L, 1000L)))
+  }
+
+  test("q93: negative week-over-week change truncates like the positive side") {
+    // weeks: 100c → 50c → 150c; the -500pm row is the Spark-DIV vs
+    // DuckDB-floor trap this query's sign/abs discipline exists for.
+    val dir = ordersDir(
+      (1L, 1L, "O", 1.00, "2024-01-01 00:00:00"),
+      (2L, 1L, "O", 0.50, "2024-01-08 00:00:00"),
+      (3L, 1L, "O", 1.50, "2024-01-15 00:00:00"))
+    val got = SparkEntry.queries("q93_weekly_delta")(spark, dir)
+      .select("revenue_c", "delta_c", "change_pm")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (100L, None, None),
+      (50L, Some(-50L), Some(-500L)),
+      (150L, Some(100L), Some(2000L))))
+  }
+
   test("q89: the heaviest source keeps everything; lighter sources thin") {
     // mass(s0)=400, mass(s1)=100 → keep_rate(s0)=10000 (every bucket
     // passes), keep_rate(s1)=floor(10000·√(1/4))=5000.
