@@ -29,6 +29,15 @@ object QueriesBehavior {
 
   private val WeekUs = 7L * 86400L * 1000000L
 
+  /** FLOOR week index of an epoch-micros expression. Spark's DIV
+    * truncates toward zero while DuckDB's `//` floors — identical for
+    * the post-1970 data here, but a pre-1970 timestamp would land one
+    * week apart between engines without the negative-remainder
+    * correction. */
+  private def weekOf(usExpr: String): String =
+    s"(($usExpr) DIV $WeekUs + " +
+      s"(CASE WHEN ($usExpr) % $WeekUs < 0 THEN -1 ELSE 0 END))"
+
   private def userSig = expr(
     s"pmod(${TextOps.hash60("CAST(user_id AS STRING)")}, 1000000000)")
 
@@ -88,8 +97,7 @@ object QueriesBehavior {
   // --- q91: weekly retention cohorts ------------------------------------------
   private val q91: Q = (s, dir) => {
     val weeks = Tables.events(s, dir)
-      .select(col("user_id"),
-        expr(s"unix_micros(ts) DIV $WeekUs").as("week"))
+      .select(col("user_id"), expr(weekOf("unix_micros(ts)")).as("week"))
       .distinct()
     val cohorts = weeks.groupBy(col("user_id"))
       .agg(min(col("week")).as("cohort_week"))
@@ -167,7 +175,7 @@ object QueriesBehavior {
   // window runs over the weeks table (|weeks| rows).
   private val q93: Q = (s, dir) => {
     val weekly = Tables.orders(s, dir)
-      .select(expr(s"unix_micros(o_orderdate) DIV $WeekUs").as("week"),
+      .select(expr(weekOf("unix_micros(o_orderdate)")).as("week"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
       .groupBy(col("week"))
       .agg(sum(col("cents")).as("revenue_c"), count(lit(1)).as("n_orders"))

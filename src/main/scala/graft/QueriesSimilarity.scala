@@ -34,7 +34,11 @@ object QueriesSimilarity {
 
   /** Trained IVF centroids, memoized per (sf dir, k) so q41/q64/q83 and
     * repeated bench runs train once. Training is deterministic, so the
-    * memo is a pure cache. */
+    * memo is a pure cache — PROVIDED the parquet at `dir` is immutable
+    * for the JVM's lifetime (true of the read-only driver testdata this
+    * contract targets). A caller regenerating data in place at the same
+    * path must restart the JVM (or this memo would serve centroids
+    * trained on the old bytes). */
   private val centCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), IndexedSeq[KMeans.Centroid]]
   private[graft] def trainedCents(s: SparkSession, dir: String,
@@ -203,7 +207,10 @@ object QueriesSimilarity {
   private val q83: Q = (s, dir) => {
     val spark = s
     import spark.implicits._
-    val cents = trainedCents(s, dir, NCells)
+    // padded (unseeded) cells are excluded: they exist only so q41/q64's
+    // fixed-arity argmax expressions analyze on tiny corpora — the
+    // DuckDB twin's LIMIT-k seed never materializes them
+    val cents = trainedCents(s, dir, NCells).filter(_.seeded)
     cents.flatMap(c => c.sums.zipWithIndex.map { case (sv, d) =>
       (c.cell, d + 1, sv, c.cnt)
     }).toDF("cell", "d", "s", "cnt").orderBy(col("cell"), col("d"))

@@ -96,20 +96,24 @@ object QueriesStats {
   // --- q89: temperature-scaled source mixture (α = 0.5) ------------------------
   private val TempScale = 10000L
   private val q89: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
     val d = Tables.documents(s, dir)
-    val mass = d.groupBy(col("source"))
+    // ≤ |sources| rows → the dimension-collect discipline: one corpus
+    // aggregation, rates come back as a LOCAL relation so the two uses
+    // below (broadcast side of the keep filter + left side of the report
+    // join) neither re-scan the corpus nor pin a cache entry. The float
+    // work (sqrt, divide, floor) runs driver-side on the same IEEE
+    // doubles both engines would compute — bit-identical either way.
+    val massRows = d.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars").cast("long")).as("mass"))
-    val maxMass = mass.select(max(col("mass")).as("max_mass"))
-    // |sources| rows; cached so the two uses below (broadcast side of the
-    // keep filter + left side of the report join) don't each re-aggregate
-    // the corpus — one mass scan, one filter scan, nothing else
-    val rates = mass.crossJoin(maxMass)
-      .select(col("source"), col("n_docs"), col("mass"),
-        floor(lit(TempScale.toDouble) *
-          sqrt(col("mass").cast("double")) /
-          sqrt(col("max_mass").cast("double"))).as("keep_rate"))
-      .cache()
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val maxMass = if (massRows.isEmpty) 1L else massRows.map(_._3).max
+    val rates = massRows.map { case (src, n, m) =>
+      (src, n, m, math.floor(TempScale.toDouble * math.sqrt(m.toDouble) /
+        math.sqrt(maxMass.toDouble)).toLong)
+    }.toDF("source", "n_docs", "mass", "keep_rate")
     val kept = d.join(broadcast(rates.select(col("source"), col("keep_rate"))),
         Seq("source"))
       .filter(expr(s"pmod(${TextOps.hash60("CAST(doc_id AS STRING)")}, " +

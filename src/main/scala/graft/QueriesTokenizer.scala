@@ -32,17 +32,25 @@ object QueriesTokenizer {
     val v0 = Bpe.vocab(
       Tables.documents(s, dir).select(col("text")), "text").cache()
     // a corpus that runs out of pairs early (or is empty) short-circuits
-    // to its current — possibly empty — pair table, same schema
-    Bpe.topPair(v0) match {
+    // to its current — possibly empty — pair table, same schema.
+    // The caches serve the topPair actions INSIDE this builder; both are
+    // released before returning, so repeated runs in one JVM don't
+    // accumulate InMemoryRelations (the returned frame recomputes its
+    // vocab-sized lineage once when executed — bounded, leak-free).
+    val result = Bpe.topPair(v0) match {
       case None => shaped(Bpe.pairCounts(v0))
       case Some((l1, r1, _)) =>
         val v1 = Bpe.applyMerge(v0, l1, r1).cache()
-        Bpe.topPair(v1) match {
+        val r = Bpe.topPair(v1) match {
           case None => shaped(Bpe.pairCounts(v1))
           case Some((l2, r2, _)) =>
             shaped(Bpe.pairCounts(Bpe.applyMerge(v1, l2, r2)))
         }
+        v1.unpersist()
+        r
     }
+    v0.unpersist()
+    result
   }
   private val q80Sql = {
     val toks = TextOps.sql.tokens("text")

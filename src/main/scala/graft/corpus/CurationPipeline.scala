@@ -117,9 +117,12 @@ object CurationPipeline {
     // train on)
     val gramHashed = CurationDedup.gramHashed(
       near, "text", cfg.scrubGramK).cache()
+    // the explicit text != '' guard matters at minToks = 1: splitting an
+    // empty string yields ONE empty token, so a fully-scrubbed doc would
+    // otherwise pass the size() floor with a phantom token
     val scrub = CurationDedup.scrubbed(gramHashed, "doc_id", "text",
         cfg.scrubGramK, cfg.scrubMinCount)
-      .filter(expr(s"size($toks)") >= cfg.minToks)
+      .filter(col("text") =!= "" && expr(s"size($toks)") >= cfg.minToks)
       .drop("n_toks_orig", "n_removed_toks")
       .cache()
 
@@ -127,13 +130,16 @@ object CurationPipeline {
     // run would see; policy: fixed token budget (q63) by default, or
     // temperature-scaled rates (q89) when cfg.temperatureAlpha is set
     val withToks = scrub.withColumn("n_toks", expr(s"CAST(size($toks) AS BIGINT)"))
-    val rates = cfg.temperatureAlpha match {
-      case Some(a) => Mixture.temperatureRates(withToks, "source", "n_toks", a)
-      case None    => Mixture.tokenBudgetRates(withToks, "source", "n_toks",
-        cfg.budgetToksPerSource)
-    }
-    val curated = Mixture.sampleAtRates(withToks, "source", rates)
-      .select(docs.columns.map(col): _*) // input column order, untouched
+    val curated = (cfg.temperatureAlpha match {
+      case Some(a) =>
+        val rates = Mixture.temperatureRates(withToks, "source", "n_toks", a)
+        Mixture.sampleAtRates(withToks, "source", rates,
+          rateCol = "rate_pm10k", scale = Mixture.TemperatureScale)
+      case None =>
+        val rates = Mixture.tokenBudgetRates(withToks, "source", "n_toks",
+          cfg.budgetToksPerSource)
+        Mixture.sampleAtRates(withToks, "source", rates)
+    }).select(docs.columns.map(col): _*) // input column order, untouched
       .cache()
 
     // audit counts drive one materialization of each cached stage; the

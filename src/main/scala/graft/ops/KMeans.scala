@@ -34,8 +34,13 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Centroid state: mean(d) = sums(d) / cnt. */
-  case class Centroid(cell: Int, sums: IndexedSeq[Long], cnt: Long) {
+  /** Centroid state: mean(d) = sums(d) / cnt. `seeded` = false marks a
+    * pad cell invented because the corpus had fewer than k vectors —
+    * kept so fixed-arity argmax expressions still analyze, but excluded
+    * from any cross-engine state dump (the DuckDB twin's LIMIT-k seed
+    * carries only real cells). */
+  case class Centroid(cell: Int, sums: IndexedSeq[Long], cnt: Long,
+                      seeded: Boolean = true) {
     def means: IndexedSeq[Double] = sums.map(_.toDouble / cnt.toDouble)
   }
 
@@ -72,12 +77,13 @@ object KMeans {
       .select(col(codesCol)).collect()
     // a corpus smaller than k pads the unseeded cells with zero
     // centroids (deterministic, and k stays fixed so downstream
-    // argmax-over-k expressions always analyze; on an empty corpus every
-    // query output is empty anyway)
+    // argmax-over-k expressions always analyze); pads carry
+    // seeded = false so state dumps can exclude them — the DuckDB twin
+    // never invents them
     val dim0 = if (seed.nonEmpty) seed.head.getSeq[Long](0).length else 1
     var cents: IndexedSeq[Centroid] = (0 until k).map { i =>
       if (i < seed.length) Centroid(i, seed(i).getSeq[Long](0).toIndexedSeq, 1L)
-      else Centroid(i, IndexedSeq.fill(dim0)(0L), 1L)
+      else Centroid(i, IndexedSeq.fill(dim0)(0L), 1L, seeded = false)
     }
     // cached: every iteration re-reads these 2 columns, and the codes
     // transform should run once, not once per iteration per action
@@ -106,7 +112,7 @@ object KMeans {
         .map(r => r.getInt(0) -> r.getLong(3)).toMap
       cents = cents.map { c => // an emptied cell keeps its previous centroid
         (sums.get(c.cell), cnts.get(c.cell)) match {
-          case (Some(s), Some(n)) => Centroid(c.cell, s, n)
+          case (Some(s), Some(n)) => Centroid(c.cell, s, n, c.seeded)
           case _                  => c
         }
       }

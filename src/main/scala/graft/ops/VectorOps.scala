@@ -62,29 +62,6 @@ object VectorOps {
     bits.mkString("(", " + ", ")")
   }
 
-  /** Deterministic pseudo-centroids for the IVF-style index (distinct LCG
-    * from the hyperplanes'). Real deployments replace these with k-means
-    * centroids computed offline; determinism here is what makes the
-    * DuckDB oracle possible. */
-  def centroids(k: Int, dim: Int): IndexedSeq[IndexedSeq[Double]] =
-    (0 until k).map { c =>
-      (0 until dim).map { d =>
-        (((c * dim + d + 1) * 48271L) % 65537L).toDouble / 65537.0 - 0.5
-      }
-    }
-
-  /** Per-centroid affinity scores dot(v, c_k)/|c_k| — argmax equals
-    * cosine-argmax (|v| is a common positive factor). Literal inverse
-    * norms are computed once in Scala and embedded in both engines. */
-  def centroidScoreExprs(v: String, k: Int, dim: Int): Seq[String] = {
-    val cs = centroids(k, dim)
-    cs.map { c =>
-      val inv = 1.0 / math.sqrt(c.map(x => x * x).sum)
-      val arr = c.map(x => s"${lit(x)}D").mkString("array(", ", ", ")")
-      s"(${fastDot(v, arr)} * ${lit(inv)}D)"
-    }
-  }
-
   /** Lowest-index argmax over named score columns s0..s{k-1} (deterministic
     * tie-break) — same text works in Spark SQL and DuckDB. */
   def argmaxCase(k: Int, exclude: Option[String] = None): String = {
@@ -122,15 +99,6 @@ object VectorOps {
         s"(CASE WHEN ${dot(v, arr)} > 0.0 THEN ${1L << p} ELSE 0 END)"
       }
       bits.mkString("(", " + ", ")")
-    }
-
-    def centroidScores(v: String, k: Int, dim: Int): Seq[String] = {
-      val cs = centroids(k, dim)
-      cs.map { c =>
-        val inv = 1.0 / math.sqrt(c.map(x => x * x).sum)
-        val arr = c.map(lit).mkString("[", ", ", "]")
-        s"(${dot(v, arr)} * ${lit(inv)})"
-      }
     }
   }
 }

@@ -29,6 +29,13 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
   * band's first `maxAnchors` arrivals (B is the 2nd here, so it is).
   * The caller filters on `jaccard` and drops the newcomer.
   *
+  * STATE-SCHEMA NOTE: the anchor-list widening renamed the state
+  * variable (single anchor → bounded list), which is NOT restartable
+  * from a checkpoint written by the earlier single-anchor build —
+  * pre-restart anchors would be absent and their near-dups missed.
+  * Restart such streams from a fresh checkpoint (re-reading the source
+  * from the start re-derives the anchors deterministically).
+  *
   * At-least-once output: a pair sharing k bands is emitted up to k times
   * (and re-deliveries re-emit) — candidates are idempotent facts keyed by
   * (first_doc_id, doc_id), so downstream dedup is a `dropDuplicates`,

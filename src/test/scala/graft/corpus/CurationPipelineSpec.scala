@@ -88,6 +88,23 @@ class CurationPipelineSpec extends SparkSpec {
     assert(n > 0L && n < 50L, s"10% hash-bucket rate should keep few docs, got $n")
   }
 
+  test("a doc scrubbed to nothing drops even at minToks = 1") {
+    // splitting an empty string yields ONE empty token, so without the
+    // explicit text-nonempty guard the fully-scrubbed doc 1 would pass a
+    // size() >= 1 floor on its phantom token
+    val docs = Seq(
+      (1L, boiler, "en", "s0", 0L),                    // pure boilerplate
+      (2L, unique9 + " " + boiler, "en", "s0", 0L),    // carrier
+      (3L, unique10, "en", "s0", 0L))                  // untouched
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (curated, _) = CurationPipeline.run(docs, CurationPipeline.Config(
+      minToks = 1, maxDupTokFrac = 1.0, minScore = 0.0,
+      budgetToksPerSource = 10000L))
+    val ids = curated.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(1L), "fully-scrubbed doc must drop at minToks = 1")
+    assert(ids.contains(2L) && ids.contains(3L))
+  }
+
   test("temperature mixture keeps the heaviest source whole and thins the rest") {
     // s_big: 160 docs × 20 tokens; s_small: 40 docs × 20 tokens.
     // α = 0.5 → rate(s_big) = 100%, rate(s_small) = floor(100·√(1/4)) = 50%.
