@@ -31,26 +31,27 @@ object QueriesTokenizer {
       .orderBy(desc("n"), col("left_sym"), col("right_sym")).limit(BpeTopK)
     val v0 = Bpe.vocab(
       Tables.documents(s, dir).select(col("text")), "text").cache()
+    var caches: List[org.apache.spark.sql.DataFrame] = List(v0)
     // a corpus that runs out of pairs early (or is empty) short-circuits
-    // to its current — possibly empty — pair table, same schema.
-    // The caches serve the topPair actions INSIDE this builder; both are
-    // released before returning, so repeated runs in one JVM don't
-    // accumulate InMemoryRelations (the returned frame recomputes its
-    // vocab-sized lineage once when executed — bounded, leak-free).
-    val result = Bpe.topPair(v0) match {
+    // to its current — possibly empty — pair table, same schema
+    val out = Bpe.topPair(v0) match {
       case None => shaped(Bpe.pairCounts(v0))
       case Some((l1, r1, _)) =>
         val v1 = Bpe.applyMerge(v0, l1, r1).cache()
-        val r = Bpe.topPair(v1) match {
+        caches ::= v1
+        Bpe.topPair(v1) match {
           case None => shaped(Bpe.pairCounts(v1))
           case Some((l2, r2, _)) =>
             shaped(Bpe.pairCounts(Bpe.applyMerge(v1, l2, r2)))
         }
-        v1.unpersist()
-        r
     }
-    v0.unpersist()
-    result
+    // ≤ BpeTopK rows: materialize while the vocab caches are live, then
+    // release them and hand back a local relation — repeated runs in one
+    // JVM accumulate no InMemoryRelations, and re-executing the returned
+    // frame never re-walks the merge lineage uncached
+    val rows = out.collect()
+    caches.foreach(_.unpersist())
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
   private val q80Sql = {
     val toks = TextOps.sql.tokens("text")
