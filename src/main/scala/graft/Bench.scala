@@ -46,6 +46,11 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
       }
+      // drop cache residue BETWEEN queries (not between the two reps):
+      // a query that caches internally keeps its best-of-2 semantics,
+      // but its InMemoryRelations never age the session for later
+      // queries — the '93rd query measured in a tired JVM' effect
+      spark.catalog.clearCache()
       name -> times.minOption.getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
