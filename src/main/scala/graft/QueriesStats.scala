@@ -156,13 +156,93 @@ object QueriesStats {
        |FROM rates LEFT JOIN kept USING (source) ORDER BY source""".stripMargin
   }
 
+  // --- q94: CUBE marginals -----------------------------------------------------
+  // Completes the grouping-sets family next to q42's ROLLUP: CUBE also
+  // emits the (segment=all, priority=p) cross-marginals a ROLLUP never
+  // produces. NULL cube keys coalesce to a sentinel on both engines (the
+  // data has no real NULL segments/priorities). One shuffle; Spark
+  // plans CUBE as an Expand + single HashAggregate, partial+final.
+  private val q94: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(Exact.sumMoney(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("revenue"), col("n_orders"))
+      .orderBy(col("segment"), col("priority"))
+  }
+  private val q94Sql =
+    s"""SELECT COALESCE(c_mktsegment, '(all)') AS segment,
+       |  COALESCE(o_orderpriority, '(all)') AS priority,
+       |  ${Exact.sql.sumMoney("o_totalprice")} AS revenue,
+       |  CAST(COUNT(*) AS BIGINT) AS n_orders
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+       |ORDER BY segment, priority""".stripMargin
+
+  // --- q95: above-group-average membership (decorrelated, float-free) ---------
+  // Customers whose order count exceeds their nation's per-customer
+  // average — the correlated-subquery classic, decorrelated into one
+  // grouped join and compared by INTEGER cross-multiplication
+  // (n_orders · nat_custs > nat_orders), so no engine's average
+  // arithmetic enters the result. Customers with zero orders count in
+  // the denominator (the honest average) via the left join + coalesce.
+  private val q95: Q = (s, dir) => {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("n_name").as("nation"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    val natStats = cust.groupBy(col("nation"))
+      .agg(sum(col("n_orders")).as("nat_orders"),
+        count(lit(1)).as("nat_custs"))
+    cust.join(broadcast(natStats), Seq("nation"))
+      .filter(col("n_orders") * col("nat_custs") > col("nat_orders"))
+      .select(col("nation"), col("c_custkey"), col("n_orders"),
+        col("nat_orders"), col("nat_custs"))
+      .orderBy(col("nation"), col("c_custkey"))
+  }
+  private val q95Sql =
+    """WITH per_cust AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY o_custkey
+      |),
+      |cust AS (
+      |  SELECT c_custkey, n_name AS nation,
+      |    COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders
+      |  FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  LEFT JOIN per_cust ON c_custkey = o_custkey
+      |),
+      |nat AS (
+      |  SELECT nation, CAST(SUM(n_orders) AS BIGINT) AS nat_orders,
+      |    CAST(COUNT(*) AS BIGINT) AS nat_custs
+      |  FROM cust GROUP BY nation
+      |)
+      |SELECT nation, c_custkey, n_orders, nat_orders, nat_custs
+      |FROM cust JOIN nat USING (nation)
+      |WHERE n_orders * nat_custs > nat_orders
+      |ORDER BY nation, c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q87_exact_moments"     -> q87,
     "q88_length_histogram"  -> q88,
-    "q89_temperature_mixture" -> q89)
+    "q89_temperature_mixture" -> q89,
+    "q94_cube_marginals"    -> q94,
+    "q95_above_nation_avg"  -> q95)
 
   val oracleSql: Map[String, String] = Map(
     "q87_exact_moments"     -> q87Sql,
     "q88_length_histogram"  -> q88Sql,
-    "q89_temperature_mixture" -> q89Sql)
+    "q89_temperature_mixture" -> q89Sql,
+    "q94_cube_marginals"    -> q94Sql,
+    "q95_above_nation_avg"  -> q95Sql)
 }

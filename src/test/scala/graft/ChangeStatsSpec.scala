@@ -188,6 +188,57 @@ class ChangeStatsSpec extends SparkSpec {
       (150L, Some(100L), Some(2000L))))
   }
 
+  private def custDir(base: String,
+                      rows: (Long, Long)*): String = {
+    // (c_custkey, c_nationkey) + a single-nation nation table, written
+    // next to an existing orders fixture dir
+    rows.toSeq.map { case (ck, nk) => (ck, nk, "SEG") }
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .write.parquet(s"$base/customer.parquet")
+    Seq((0L, "N0"), (1L, "N1"))
+      .toDF("n_nationkey", "n_name")
+      .write.parquet(s"$base/nation.parquet")
+    base
+  }
+
+  test("q94: CUBE emits the cross-marginals ROLLUP lacks") {
+    val base = ordersDir(
+      (1L, 1L, "O", 1.00, "1996-02-01 00:00:00"),
+      (2L, 1L, "O", 2.00, "1996-03-01 00:00:00"),
+      (3L, 2L, "O", 4.00, "1996-04-01 00:00:00"))
+    // priorities default absent from ordersDir — add them via overwrite
+    Seq((1L, 1L, "O", 1.00, ts("1996-02-01 00:00:00"), "1-URGENT"),
+        (2L, 1L, "O", 2.00, ts("1996-03-01 00:00:00"), "2-HIGH"),
+        (3L, 2L, "O", 4.00, ts("1996-04-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$base/orders.parquet")
+    custDir(base, (1L, 0L), (2L, 0L))
+    val got = SparkEntry.queries("q94_cube_marginals")(spark, base)
+      .select("segment", "priority", "n_orders")
+      .as[(String, String, Long)].collect().toSeq
+    // 2 dims × (detail, marginal) = 4 grouping sets; the (all, priority)
+    // rows are the CUBE-only cross-marginals
+    assert(got.contains(("(all)", "1-URGENT", 2L)))
+    assert(got.contains(("(all)", "2-HIGH", 1L)))
+    assert(got.contains(("(all)", "(all)", 3L)))
+    assert(got.contains(("SEG", "(all)", 3L)))
+  }
+
+  test("q95: membership is exact integer cross-multiplication") {
+    // nation N0: customers 1 (3 orders), 2 (0 orders) → avg 1.5;
+    // only customer 1 exceeds it (3·2 > 3; 0·2 > 3 is false).
+    val base = ordersDir(
+      (1L, 1L, "O", 1.00, "1996-02-01 00:00:00"),
+      (2L, 1L, "O", 1.00, "1996-03-01 00:00:00"),
+      (3L, 1L, "O", 1.00, "1996-04-01 00:00:00"))
+    custDir(base, (1L, 0L), (2L, 0L))
+    val got = SparkEntry.queries("q95_above_nation_avg")(spark, base)
+      .select("c_custkey", "n_orders", "nat_orders", "nat_custs")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 3L, 2L)))
+  }
+
   test("q89: the heaviest source keeps everything; lighter sources thin") {
     // mass(s0)=400, mass(s1)=100 → keep_rate(s0)=10000 (every bucket
     // passes), keep_rate(s1)=floor(10000·√(1/4))=5000.
