@@ -239,6 +239,72 @@ class ChangeStatsSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 3L, 2L)))
   }
 
+  test("random cross-check: behavioral queries match naive per-user folds") {
+    // 400 seeded-random events over 20 users × 5 types: the distributed
+    // funnel/SCD2/retention/transition queries must agree with direct
+    // Scala folds over each user's (ts, event_id)-ordered sequence.
+    val rnd = new scala.util.Random(42)
+    val types = Vector("view", "click", "purchase", "signup", "error")
+    val events = (1 to 400).map { i =>
+      (i.toLong,
+        f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00",
+        1L + rnd.nextInt(20), types(rnd.nextInt(5)))
+    }
+    val dir = eventsDir(events: _*)
+    def us(e: (Long, String, Long, String)): Long = ts(e._2).getTime * 1000L
+    val byUser = events.groupBy(_._3).map { case (u, es) =>
+      u -> es.toSeq.sortBy(e => (us(e), e._1))
+    }
+
+    // funnel: first view, first click strictly after it, first purchase after that
+    val naiveFunnel = byUser.values.map { seq =>
+      def first(typ: String, after: Long): Option[Long] =
+        seq.collectFirst { case e if e._4 == typ && us(e) > after => us(e) }
+      first("view", Long.MinValue).map { t1 =>
+        (1, first("click", t1).map(t2 =>
+          (1, first("purchase", t2).map(_ => 1).getOrElse(0))).getOrElse((0, 0)))
+      }.map { case (v, (c, p)) => (v, c, p) }.getOrElse((0, 0, 0))
+    }.toSeq
+    val expFunnel = Seq(naiveFunnel.map(_._1).sum.toLong,
+      naiveFunnel.map(_._2).sum.toLong, naiveFunnel.map(_._3).sum.toLong)
+    val gotFunnel = SparkEntry.queries("q90_funnel")(spark, dir)
+      .select("n_users").as[Long].collect().toSeq
+    assert(gotFunnel == expFunnel)
+    assert(expFunnel(0) >= expFunnel(1) && expFunnel(1) >= expFunnel(2))
+
+    // SCD2: versions = runs of equal consecutive types
+    val expVersions = byUser.map { case (u, seq) =>
+      u -> (1L + seq.map(_._4).sliding(2).count {
+        case Seq(a, b) => a != b; case _ => false })
+    }
+    val gotVersions = SparkEntry.queries("q86_scd2_history")(spark, dir)
+      .select("user_id", "n_versions").as[(Long, Long)].collect().toMap
+    assert(gotVersions == expVersions)
+
+    // retention: per (min-week cohort, offset) distinct users
+    val WeekUs = 7L * 86400L * 1000000L
+    val expRet = byUser.toSeq.flatMap { case (u, seq) =>
+      val weeks = seq.map(e => us(e) / WeekUs).distinct
+      val cohort = weeks.min
+      weeks.map(w => ((cohort, w - cohort), u))
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size.toLong }
+    val gotRet = SparkEntry.queries("q91_retention")(spark, dir)
+      .select("cohort_week", "offset_w", "n_users")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(gotRet == expRet)
+
+    // transitions: consecutive (from, to) pair counts
+    val expTrans = byUser.values.flatMap { seq =>
+      seq.map(_._4).sliding(2).collect { case Seq(a, b) => (a, b) }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val gotTrans = SparkEntry.queries("q92_transitions")(spark, dir)
+      .select("from_type", "to_type", "n")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(gotTrans == expTrans)
+  }
+
   test("q89: the heaviest source keeps everything; lighter sources thin") {
     // mass(s0)=400, mass(s1)=100 → keep_rate(s0)=10000 (every bucket
     // passes), keep_rate(s1)=floor(10000·√(1/4))=5000.
