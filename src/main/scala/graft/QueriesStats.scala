@@ -94,7 +94,9 @@ object QueriesStats {
        |FROM b, t GROUP BY bucket, total ORDER BY bucket""".stripMargin
 
   // --- q89: temperature-scaled source mixture (α = 0.5) ------------------------
-  private val TempScale = 10000L
+  // THE temperature-policy scale constant — shared with the pipeline's
+  // operator form so the two can't drift
+  private val TempScale = graft.ops.Mixture.TemperatureScale
   private val q89: Q = (s, dir) => {
     val spark = s
     import spark.implicits._
@@ -105,10 +107,13 @@ object QueriesStats {
     // join) neither re-scan the corpus nor pin a cache entry. The float
     // work (sqrt, divide, floor) runs driver-side on the same IEEE
     // doubles both engines would compute — bit-identical either way.
+    // no driver-side sort: source is NULLABLE in the wire schema (the
+    // hardened readers admit NULL-source rows) and the rows only feed
+    // toDF + a join — ordering is the final orderBy's job
     val massRows = d.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars").cast("long")).as("mass"))
-      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      .as[(String, Long, Long)].collect().toSeq
     val maxMass = if (massRows.isEmpty) 1L else massRows.map(_._3).max
     val rates = massRows.map { case (src, n, m) =>
       (src, n, m, math.floor(TempScale.toDouble * math.sqrt(m.toDouble) /
@@ -175,6 +180,10 @@ object QueriesStats {
         col("revenue"), col("n_orders"))
       .orderBy(col("segment"), col("priority"))
   }
+  // HAVING COUNT(*) > 0 pins the EMPTY-input behavior to Spark's: DuckDB's
+  // CUBE emits the () grand-total row even over zero rows, Spark's
+  // Expand+HashAggregate emits nothing; on any non-empty group set the
+  // clause never fires (every emitted group has >= 1 row)
   private val q94Sql =
     s"""SELECT COALESCE(c_mktsegment, '(all)') AS segment,
        |  COALESCE(o_orderpriority, '(all)') AS priority,
@@ -182,6 +191,7 @@ object QueriesStats {
        |  CAST(COUNT(*) AS BIGINT) AS n_orders
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+       |HAVING COUNT(*) > 0
        |ORDER BY segment, priority""".stripMargin
 
   // --- q95: above-group-average membership (decorrelated, float-free) ---------

@@ -67,6 +67,6 @@ object Mixture {
                     scale: Long = 100L): DataFrame =
     df.join(broadcast(rates.select(col(sourceCol), col(rateCol))),
         Seq(sourceCol))
-      .filter(expr(s"pmod(${TextOps.hash60(idExpr)}, $scale)") < col(rateCol))
+      .filter(expr(TextOps.docBucketExpr(idExpr, scale)) < col(rateCol))
       .drop(rateCol)
 }

@@ -55,12 +55,14 @@ object TextOps {
   def normalizeExpr(text: String): String =
     s"trim(regexp_replace(lower(graft_nfc($text)), ' +', ' '))"
 
-  /** Deterministic percent bucket of a row id — THE sampling primitive
-    * shared by hash-split (q44), mixture sampling (q56/q63) and
+  /** Deterministic hash bucket of a row id — THE sampling primitive
+    * shared by hash-split (q44), mixture sampling (q56/q63/q89) and
     * [[graft.corpus.CurationPipeline]]: stable across runs, engines and
-    * cluster sizes, unlike rand(). */
-  def docBucketExpr(idExpr: String = "CAST(doc_id AS STRING)"): String =
-    s"pmod(${hash60(idExpr)}, 100)"
+    * cluster sizes, unlike rand(). `scale` = bucket count (percent by
+    * default; the temperature policy passes 10000 for finer rates). */
+  def docBucketExpr(idExpr: String = "CAST(doc_id AS STRING)",
+                    scale: Long = 100L): String =
+    s"pmod(${hash60(idExpr)}, $scale)"
 
   /** Distinct word k-shingle strings. Caller must guarantee
     * size(tokens) >= k (the documents table always has >> k tokens) —

@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** CSV document source — the other interchange format corpus drops
   * arrive in, hardened exactly like [[JsonlDocuments]]:
@@ -17,27 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object CsvDocuments {
 
-  /** @return (clean documents with recomputed n_chars, quarantined lines) */
-  def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val parsed = spark.read
+  /** @return (clean documents with recomputed n_chars, quarantined lines).
+    * The split (and its JSON quarantine serialization — unambiguous,
+    * unlike a positional CSV reconstruction that loses NULL fields) is
+    * [[JsonlDocuments.split]], shared so a hardening change applies to
+    * every reader at once. */
+  def read(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    JsonlDocuments.split(spark.read
       .schema(JsonlDocuments.schema.add("_corrupt_record", "string"))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("header", "true")
       .option("multiLine", "false")
       .csv(path)
-      .cache()
-    val clean = parsed
-      .filter(col("_corrupt_record").isNull && col("doc_id").isNotNull
-        && col("text").isNotNull)
-      .drop("_corrupt_record")
-      .withColumn("n_chars", length(col("text")).cast("long"))
-    val quarantined = parsed
-      .filter(col("_corrupt_record").isNotNull ||
-        col("doc_id").isNull || col("text").isNull)
-      .select(coalesce(col("_corrupt_record"),
-        concat_ws(",", col("doc_id"), col("text"), col("lang"), col("source")))
-        .as("raw_line"))
-    (clean, quarantined)
-  }
+      .cache())
 }

@@ -30,14 +30,14 @@ object JsonlDocuments {
     StructField("lang", StringType, nullable = true),
     StructField("source", StringType, nullable = true)))
 
-  /** @return (clean documents with recomputed n_chars, quarantined lines) */
-  def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val parsed = spark.read
-      .schema(schema.add(StructField("_corrupt_record", StringType, nullable = true)))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
-      .cache()
+  /** The admit-and-audit split shared by every hardened reader
+    * ([[JsonlDocuments]], [[CsvDocuments]]): clean = parsed AND required
+    * fields present, with n_chars recomputed; quarantine = the raw
+    * corrupt line when the parser kept it, else the row re-serialized AS
+    * JSON — field names preserved and nulls explicit, so a repair pass
+    * can always re-parse the quarantine unambiguously (a positional CSV
+    * reconstruction could not). */
+  private[sources] def split(parsed: DataFrame): (DataFrame, DataFrame) = {
     val clean = parsed
       .filter(col("_corrupt_record").isNull && col("doc_id").isNotNull
         && col("text").isNotNull)
@@ -51,4 +51,13 @@ object JsonlDocuments {
         .as("raw_line"))
     (clean, quarantined)
   }
+
+  /** @return (clean documents with recomputed n_chars, quarantined lines) */
+  def read(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    split(spark.read
+      .schema(schema.add(StructField("_corrupt_record", StringType, nullable = true)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache())
 }
