@@ -209,15 +209,122 @@ object QueriesBehavior {
        |FROM weekly WINDOW w AS (ORDER BY week)
        |ORDER BY week""".stripMargin
 
+  // --- q96: weekly churn -------------------------------------------------------
+  // The retention triangle's complement: users active in week w with no
+  // activity in w+1, per week, with an integer per-mille churn rate. The
+  // corpus reduces to distinct (user, week) once; the churn test is a
+  // LEFT ANTI self-join against the same tiny relation shifted one week
+  // — never a window over raw events. The final (incomplete) week is
+  // excluded: churn there is not yet assessable.
+  private val q96: Q = (s, dir) => {
+    val weeks = Tables.events(s, dir)
+      .select(col("user_id"), expr(weekOf("unix_micros(ts)")).as("week"))
+      .distinct()
+    val active = weeks.groupBy(col("week")).agg(count(lit(1)).as("n_active"))
+    val churned = weeks
+      .join(weeks.select(col("user_id"), (col("week") - 1).as("week")),
+        Seq("user_id", "week"), "left_anti")
+      .groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
+    val maxWeek = weeks.agg(max(col("week")).as("max_week"))
+    active.join(churned, Seq("week"), "left")
+      .crossJoin(maxWeek)
+      .filter(col("week") < col("max_week"))
+      .select(col("week"), col("n_active"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("churn_pm", expr("(1000 * n_churned) DIV n_active"))
+      .orderBy(col("week"))
+  }
+  private val q96Sql =
+    s"""WITH weeks AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS week FROM events
+       |),
+       |active AS (
+       |  SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active
+       |  FROM weeks GROUP BY week
+       |),
+       |churned AS (
+       |  SELECT w.week, CAST(COUNT(*) AS BIGINT) AS n_churned
+       |  FROM weeks w
+       |  WHERE NOT EXISTS (SELECT 1 FROM weeks n
+       |                    WHERE n.user_id = w.user_id
+       |                      AND n.week = w.week + 1)
+       |  GROUP BY w.week
+       |),
+       |m AS (SELECT MAX(week) AS max_week FROM weeks)
+       |SELECT week, n_active,
+       |  COALESCE(n_churned, CAST(0 AS BIGINT)) AS n_churned,
+       |  (1000 * COALESCE(n_churned, CAST(0 AS BIGINT))) // n_active
+       |    AS churn_pm
+       |FROM active LEFT JOIN churned USING (week), m
+       |WHERE week < max_week
+       |ORDER BY week""".stripMargin
+
+  // --- q97: funnel conversion latency ------------------------------------------
+  // Time from first view to the funnel-completing purchase, for users who
+  // complete the q90 funnel — summarized with exact DISCRETE percentiles
+  // (percentile_disc picks an actual element, q46's cross-engine rule;
+  // latencies are integer micros, so every statistic is exact).
+  private val q97: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id")).filter(col("ts_us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id")).filter(col("ts_us") > col("t2"))
+      .groupBy(col("user_id"))
+      .agg((min(col("ts_us")) - min(col("t1"))).as("latency_us"))
+    s3.agg(count(lit(1)).as("n_converted"),
+        min(col("latency_us")).as("min_us"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_us) AS BIGINT)")
+          .as("p50_us"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_us) AS BIGINT)")
+          .as("p90_us"),
+        max(col("latency_us")).as("max_us"))
+  }
+  private val q97Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+      |),
+      |s1 AS (
+      |  SELECT user_id, MIN(ts_us) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(ts_us) AS t2, MIN(t1) AS t1
+      |  FROM e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND ts_us > t1 GROUP BY e.user_id
+      |),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(ts_us) - MIN(t1) AS latency_us
+      |  FROM e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY e.user_id
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+      |  MIN(latency_us) AS min_us,
+      |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_us)
+      |    AS BIGINT) AS p50_us,
+      |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_us)
+      |    AS BIGINT) AS p90_us,
+      |  MAX(latency_us) AS max_us
+      |FROM s3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q90_funnel"      -> q90,
     "q91_retention"   -> q91,
     "q92_transitions" -> q92,
-    "q93_weekly_delta" -> q93)
+    "q93_weekly_delta" -> q93,
+    "q96_weekly_churn" -> q96,
+    "q97_conversion_latency" -> q97)
 
   val oracleSql: Map[String, String] = Map(
     "q90_funnel"      -> q90Sql,
     "q91_retention"   -> q91Sql,
     "q92_transitions" -> q92Sql,
-    "q93_weekly_delta" -> q93Sql)
+    "q93_weekly_delta" -> q93Sql,
+    "q96_weekly_churn" -> q96Sql,
+    "q97_conversion_latency" -> q97Sql)
 }

@@ -305,6 +305,41 @@ class ChangeStatsSpec extends SparkSpec {
     assert(gotTrans == expTrans)
   }
 
+  test("q96: churn counts users absent the following week; last week excluded") {
+    // weeks W, W+1, W+2: user 1 active all three (never churns in W..W+1),
+    // user 2 active only W (churns at W), user 3 active W+1 only (churns
+    // at W+1). W+2 is the final week — not assessable, excluded.
+    val dir = eventsDir(
+      (1L, "2024-01-04 12:00:00", 1L, "view"),
+      (2L, "2024-01-11 12:00:00", 1L, "view"),
+      (3L, "2024-01-18 12:00:00", 1L, "view"),
+      (4L, "2024-01-04 12:00:00", 2L, "view"),
+      (5L, "2024-01-11 12:00:00", 3L, "view"))
+    val got = SparkEntry.queries("q96_weekly_churn")(spark, dir)
+      .select("n_active", "n_churned", "churn_pm")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L, 500L), (2L, 1L, 500L)))
+  }
+
+  test("q97: latency percentiles are actual elements from completers only") {
+    // user 1 converts with latency 2h; user 2 converts with latency 4h;
+    // user 3 clicks but never purchases — excluded.
+    val dir = eventsDir(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 01:00:00", 1L, "click"),
+      (3L, "2024-01-01 02:00:00", 1L, "purchase"),
+      (4L, "2024-01-01 00:00:00", 2L, "view"),
+      (5L, "2024-01-01 01:00:00", 2L, "click"),
+      (6L, "2024-01-01 04:00:00", 2L, "purchase"),
+      (7L, "2024-01-01 00:00:00", 3L, "view"),
+      (8L, "2024-01-01 01:00:00", 3L, "click"))
+    val h = 3600L * 1000000L
+    val got = SparkEntry.queries("q97_conversion_latency")(spark, dir)
+      .select("n_converted", "min_us", "p50_us", "p90_us", "max_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L * h, 2L * h, 4L * h, 4L * h)))
+  }
+
   test("q89: the heaviest source keeps everything; lighter sources thin") {
     // mass(s0)=400, mass(s1)=100 → keep_rate(s0)=10000 (every bucket
     // passes), keep_rate(s1)=floor(10000·√(1/4))=5000.
