@@ -186,13 +186,94 @@ object QueriesChange {
        |    AS hist_h
        |FROM versions GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --- q98: UNPIVOT / melt -----------------------------------------------------
+  // The inverse of q13's pivot: wide per-group measure columns melted to
+  // (group, measure, value) rows via stack() — the reshape every BI
+  // export needs. Measures are exact integer cents; the melt itself is a
+  // zero-shuffle Expand over the already-aggregated (tiny) frame.
+  private val q98: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("price_c"),
+        sum(expr("CAST(round(l_discount * 100) AS BIGINT)")).as("discount_c"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .select(col("l_returnflag"), expr(
+        """stack(3, 'price_c', price_c, 'discount_c', discount_c,
+          |'qty', qty) AS (measure, value)""".stripMargin))
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+  private val q98Sql =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS price_c,
+      |    CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+      |      AS discount_c,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, measure, value FROM (
+      |  SELECT l_returnflag, 'price_c' AS measure, price_c AS value FROM w
+      |  UNION ALL
+      |  SELECT l_returnflag, 'discount_c', discount_c FROM w
+      |  UNION ALL
+      |  SELECT l_returnflag, 'qty', qty FROM w
+      |)
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  // --- q99: calendar gap-fill (sparse → dense series) --------------------------
+  // Every (priority, day) cell over the full order-date range, zero-filled
+  // where no order exists — the densification a time-series consumer
+  // (charting, forecasting, window math over REGULAR steps) requires.
+  // The day spine is sequence() over the 1-row min/max bounds crossed
+  // with the tiny priority dim — dimension-sized work; the corpus
+  // contributes one sparse aggregate, then a left join fills gaps.
+  private val q99: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+    val sparse = o.groupBy(col("priority"), col("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val bounds = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .crossJoin(o.select(col("priority")).distinct())
+    spine.join(sparse, Seq("priority", "day"), "left")
+      .select(col("priority"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("priority"), col("day"))
+  }
+  private val q99Sql =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day
+      |  FROM orders
+      |),
+      |sparse AS (
+      |  SELECT priority, day, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM o GROUP BY priority, day
+      |),
+      |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM o),
+      |spine AS (
+      |  SELECT p.priority, CAST(unnest(generate_series(d0, d1,
+      |    INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds, (SELECT DISTINCT priority FROM o) p
+      |)
+      |SELECT priority, strftime(day, '%Y-%m-%d') AS day,
+      |  COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders
+      |FROM spine LEFT JOIN sparse USING (priority, day)
+      |ORDER BY priority, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q84_set_ops"       -> q84,
     "q85_snapshot_diff" -> q85,
-    "q86_scd2_history"  -> q86)
+    "q86_scd2_history"  -> q86,
+    "q98_unpivot"       -> q98,
+    "q99_gap_fill"      -> q99)
 
   val oracleSql: Map[String, String] = Map(
     "q84_set_ops"       -> q84Sql,
     "q85_snapshot_diff" -> q85Sql,
-    "q86_scd2_history"  -> q86Sql)
+    "q86_scd2_history"  -> q86Sql,
+    "q98_unpivot"       -> q98Sql,
+    "q99_gap_fill"      -> q99Sql)
 }

@@ -340,6 +340,34 @@ class ChangeStatsSpec extends SparkSpec {
     assert(got == Seq((2L, 2L * h, 2L * h, 4L * h, 4L * h)))
   }
 
+  test("q98: melt emits one row per (group, measure) with exact cents") {
+    val base = ordersDir() // unused orders fixture dir for the lineitem write
+    Seq((1L, "A", 2.0, ts("1995-01-01 00:00:00"), 10.00, 0.05),
+        (2L, "A", 3.0, ts("1995-01-02 00:00:00"), 20.00, 0.10))
+      .toDF("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate",
+        "l_extendedprice", "l_discount")
+      .write.parquet(s"$base/lineitem.parquet")
+    val got = SparkEntry.queries("q98_unpivot")(spark, base)
+      .select("measure", "value").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("discount_c", 15L), ("price_c", 3000L), ("qty", 5L)))
+  }
+
+  test("q99: the dense spine zero-fills days with no orders") {
+    val dir = ordersDir(
+      (1L, 1L, "O", 1.00, "1996-02-01 00:00:00"),
+      (2L, 1L, "O", 1.00, "1996-02-03 00:00:00"))
+    // ordersDir lacks o_orderpriority — rewrite with it
+    Seq((1L, 1L, "O", 1.00, ts("1996-02-01 00:00:00"), "1-URGENT"),
+        (2L, 1L, "O", 1.00, ts("1996-02-03 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q99_gap_fill")(spark, dir)
+      .select("day", "n_orders").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("1996-02-01", 1L), ("1996-02-02", 0L),
+      ("1996-02-03", 1L)))
+  }
+
   test("q89: the heaviest source keeps everything; lighter sources thin") {
     // mass(s0)=400, mass(s1)=100 → keep_rate(s0)=10000 (every bucket
     // passes), keep_rate(s1)=floor(10000·√(1/4))=5000.
