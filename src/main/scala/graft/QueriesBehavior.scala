@@ -312,13 +312,78 @@ object QueriesBehavior {
       |  MAX(latency_us) AS max_us
       |FROM s3""".stripMargin
 
+  // --- q103: top session entry paths -------------------------------------------
+  // The most common first-k event-type sequences per session — "how do
+  // sessions start", the path-analysis staple next to q92's one-step
+  // transition matrix. Sessions are the reference's own 2h-gap rule
+  // (ops/Sessionize, one user-keyed window). The in-session rank window
+  // and the per-session aggregate both cluster by (user_id, session_seq),
+  // which the sessionize pass's hash(user_id) already satisfies — Spark
+  // adds sorts but NO further exchange until the final path rollup, which
+  // is path-vocabulary-sized. Ordering ties on equal ts break by
+  // event_id on both engines, so the path strings match exactly.
+  private val PathGapS = 7200L
+  private val PathLen  = 3
+  private val q103: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val sess = graft.ops.Sessionize.assign(
+      e, col("user_id"), col("ts"), col("event_id"), PathGapS)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    sess.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PathLen)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        p => p.getField("event_type"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(20)
+  }
+  private val q103Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+       |  FROM events
+       |),
+       |lagd AS (
+       |  SELECT *, LAG(ts_us) OVER (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id) AS prev_us
+       |  FROM e
+       |),
+       |sess AS (
+       |  SELECT *, SUM(CASE WHEN prev_us IS NULL
+       |      OR ts_us - prev_us >= ${PathGapS * 1000000L} THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |          ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM lagd
+       |),
+       |rn AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+       |    ORDER BY ts_us, event_id) AS rn
+       |  FROM sess
+       |),
+       |p AS (
+       |  SELECT user_id, session_seq,
+       |    string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM rn WHERE rn <= $PathLen GROUP BY user_id, session_seq
+       |)
+       |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM p GROUP BY path
+       |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q90_funnel"      -> q90,
     "q91_retention"   -> q91,
     "q92_transitions" -> q92,
     "q93_weekly_delta" -> q93,
     "q96_weekly_churn" -> q96,
-    "q97_conversion_latency" -> q97)
+    "q97_conversion_latency" -> q97,
+    "q103_session_paths" -> q103)
 
   val oracleSql: Map[String, String] = Map(
     "q90_funnel"      -> q90Sql,
@@ -326,5 +391,6 @@ object QueriesBehavior {
     "q92_transitions" -> q92Sql,
     "q93_weekly_delta" -> q93Sql,
     "q96_weekly_churn" -> q96Sql,
-    "q97_conversion_latency" -> q97Sql)
+    "q97_conversion_latency" -> q97Sql,
+    "q103_session_paths" -> q103Sql)
 }

@@ -484,6 +484,54 @@ object QueriesCuration {
        |WHERE rank <= $HoldoutK ORDER BY source, rank""".stripMargin
   }
 
+  // --- q102: bigram-LM fluency score (CCNet-style quality proxy) -------------
+  // Per document: the average corpus frequency of its word bigrams — the
+  // engine-side stand-in for the CCNet/Wikipedia-LM perplexity filter
+  // (docs whose n-grams are corpus-common read as fluent; rare-bigram
+  // soup reads as garbage). Everything stays integer: a doc's score is
+  // (1000 · Σ corpus-count(bigram_i)) DIV n_bigrams — no log-probs, so
+  // the cross-engine compare is exact. Plan at 100 TB: positional 2-gram
+  // hashes are one per-row array expression; the corpus count table is a
+  // map-side-combinable HashAggregate keyed by the 60-bit hash; scoring
+  // re-explodes the doc grams and equi-joins the count table on the hash
+  // (bigram vocab ≪ gram stream — broadcast- or shuffle-join, AQE's
+  // call); the per-doc sum reuses the doc_id grouping. Never O(n²), no
+  // window over the gram stream.
+  private val q102: Q = (s, dir) => {
+    val mat = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(TextOps.tokensExpr("text")).as("toks"))
+      .filter(expr("size(toks) >= 2"))
+      .repartition(Tables.shufflePartitions(s))
+      .select(col("doc_id"),
+        expr(TextOps.posGramHashesExpr("toks", 2)).as("ghs"))
+      .cache() // count pass + scoring join both explode it; md5 runs once
+    val grams = mat.select(col("doc_id"), explode(col("ghs")).as("h"))
+    val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    grams.join(counts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("total_freq"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_freq"),
+        expr("(1000 * total_freq) DIV n_bigrams").as("fluency_pm"))
+      .orderBy(col("doc_id"))
+  }
+  private val q102Sql = {
+    val t = TextOps.sql.tokens("text")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $t AS toks FROM documents WHERE len($t) >= 2
+       |),
+       |bi AS (
+       |  SELECT doc_id, unnest(${TextOps.sql.posGramHashes("toks", 2)}) AS h
+       |  FROM toks
+       |),
+       |cnt AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY h)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(c) AS BIGINT) AS total_freq,
+       |  (1000 * CAST(SUM(c) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+       |    AS fluency_pm
+       |FROM bi JOIN cnt USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q73_dup_ngram_coverage" -> q73,
     "q74_normalize_dedup" -> q74,
@@ -491,7 +539,8 @@ object QueriesCuration {
     "q76_doc_keywords" -> q76,
     "q77_bpe_merge_round2" -> q77,
     "q78_eval_holdout" -> q78,
-    "q79_dedup_scrub" -> q79)
+    "q79_dedup_scrub" -> q79,
+    "q102_bigram_fluency" -> q102)
 
   val oracleSql: Map[String, String] = Map(
     "q73_dup_ngram_coverage" -> q73Sql,
@@ -500,5 +549,6 @@ object QueriesCuration {
     "q76_doc_keywords" -> q76Sql,
     "q77_bpe_merge_round2" -> q77Sql,
     "q78_eval_holdout" -> q78Sql,
-    "q79_dedup_scrub" -> q79Sql)
+    "q79_dedup_scrub" -> q79Sql,
+    "q102_bigram_fluency" -> q102Sql)
 }

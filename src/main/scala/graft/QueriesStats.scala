@@ -242,17 +242,137 @@ object QueriesStats {
       |WHERE n_orders * nat_custs > nat_orders
       |ORDER BY nation, c_custkey""".stripMargin
 
+  // --- q100: exact Pearson correlation (integer numerators) --------------------
+  // Correlation between quantity and discount basis points per return
+  // flag. All three centered second moments are carried as EXACT integer
+  // numerators (n·Σxy − Σx·Σy etc.) — float accumulation order never
+  // enters the compare, unlike corr(). The only floats are the final
+  // sqrt/divide/floor over those exact integers: correctly-rounded IEEE
+  // ops written in the SAME shape on both engines, so the per-million
+  // correlation is bit-identical too. Bounds (sf0.1, x <= 50,
+  // y <= 1000, group n <= 6e5): n·Σxy <= 2e16, n·Σy² <= 6e17 — all
+  // inside int64; one map-side-combinable HashAggregate total.
+  private val corrPpm =
+    """CASE WHEN var_x_num > 0 AND var_y_num > 0
+      |  THEN (CASE WHEN cov_num < 0 THEN -1 ELSE 1 END) *
+      |    CAST(FLOOR(1000000.0 * CAST(abs(cov_num) AS DOUBLE) /
+      |      (SQRT(CAST(var_x_num AS DOUBLE)) *
+      |       SQRT(CAST(var_y_num AS DOUBLE)))) AS BIGINT)
+      |  ELSE CAST(0 AS BIGINT) END""".stripMargin
+  private val q100: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        expr("CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+          .as("y"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_num"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("var_y_num"))
+      .withColumn("corr_ppm", expr(corrPpm))
+      .orderBy(col("l_returnflag"))
+  }
+  private val q100Sql =
+    s"""WITH g AS (
+       |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM (
+       |    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+       |      CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+       |    FROM lineitem
+       |  ) GROUP BY l_returnflag
+       |),
+       |m AS (
+       |  SELECT l_returnflag, n,
+       |    n * sxy - sx * sy AS cov_num,
+       |    n * sxx - sx * sx AS var_x_num,
+       |    n * syy - sy * sy AS var_y_num
+       |  FROM g
+       |)
+       |SELECT l_returnflag, n, cov_num, var_x_num, var_y_num,
+       |  ${corrPpm.replace("\n", "\n ")} AS corr_ppm
+       |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // --- q101: statistical outlier days (integer-exact z-test) -------------------
+  // Days whose revenue deviates from the all-days mean by more than
+  // 2 sample standard deviations — the daily-anomaly alert every
+  // reporting pipeline grows. The z² > k² test is evaluated WITHOUT ever
+  // forming mean or stddev: dev_i = n·x_i − Σx and var_num = n·Σx² − (Σx)²
+  // are exact integers, and z² > k² ⟺ dev²·(n−1) > k²·n·var_num, computed
+  // in doubles CONVERTED FROM those exact integers with the same
+  // expression shape on both engines (conversions and each IEEE op are
+  // correctly rounded — deterministic cross-engine even above 2^53).
+  // Daily revenue is bucketed to THOUSAND-dollar units so every integer
+  // moment stays in int64 (daily cents ~2.3e9 at sf0.1 would push
+  // n·Σx² past 2^63 in dollar units; at larger corpora move these two
+  // columns to DECIMAL(38,0)/HUGEINT). Plan: one day-keyed HashAggregate
+  // (map-side combinable), a 1-row stats table broadcast back (the
+  // intended BNLJ), map-side flag filter.
+  private val OutlierK = 2
+  private val q101: Q = (s, dir) => {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("day_cents"))
+      .select(col("day"), expr("day_cents DIV 100000").as("x"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"))
+      .select(col("n"), col("sx"),
+        (col("n") * col("sx2") - col("sx") * col("sx")).as("var_num"))
+    daily.crossJoin(stats)
+      .withColumn("dev", col("n") * col("x") - col("sx"))
+      .filter(expr(
+        s"""CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE) *
+           |  CAST(n - 1 AS DOUBLE) >
+           |  ${OutlierK * OutlierK}.0 * CAST(n AS DOUBLE) *
+           |  CAST(var_num AS DOUBLE)""".stripMargin))
+      .select(col("day"), col("x").as("rev_kusd"), col("dev"),
+        col("n"), col("var_num"))
+      .orderBy(col("day"))
+  }
+  private val q101Sql =
+    s"""WITH daily AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+       |    CAST(SUM(${Exact.sql.cents("o_totalprice")}) AS BIGINT) // 100000
+       |      AS x
+       |  FROM orders GROUP BY day
+       |),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(COUNT(*) AS BIGINT) * CAST(SUM(x * x) AS BIGINT) -
+       |      CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT) AS var_num
+       |  FROM daily
+       |)
+       |SELECT day, x AS rev_kusd, n * x - sx AS dev, n, var_num
+       |FROM daily, stats
+       |WHERE CAST(n * x - sx AS DOUBLE) * CAST(n * x - sx AS DOUBLE) *
+       |    CAST(n - 1 AS DOUBLE) >
+       |  ${OutlierK * OutlierK}.0 * CAST(n AS DOUBLE) * CAST(var_num AS DOUBLE)
+       |ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q87_exact_moments"     -> q87,
     "q88_length_histogram"  -> q88,
     "q89_temperature_mixture" -> q89,
     "q94_cube_marginals"    -> q94,
-    "q95_above_nation_avg"  -> q95)
+    "q95_above_nation_avg"  -> q95,
+    "q100_exact_corr"       -> q100,
+    "q101_outlier_days"     -> q101)
 
   val oracleSql: Map[String, String] = Map(
     "q87_exact_moments"     -> q87Sql,
     "q88_length_histogram"  -> q88Sql,
     "q89_temperature_mixture" -> q89Sql,
     "q94_cube_marginals"    -> q94Sql,
-    "q95_above_nation_avg"  -> q95Sql)
+    "q95_above_nation_avg"  -> q95Sql,
+    "q100_exact_corr"       -> q100Sql,
+    "q101_outlier_days"     -> q101Sql)
 }

@@ -368,6 +368,87 @@ class ChangeStatsSpec extends SparkSpec {
       ("1996-02-03", 1L)))
   }
 
+  private def lineitemXYDir(rows: (String, Double, Double)*): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_change").toString
+    rows.toSeq.zipWithIndex
+      .map { case ((f, q, disc), i) =>
+        (i.toLong + 1L, f, q, disc, ts("1995-01-01 00:00:00")) }
+      .toDF("l_orderkey", "l_returnflag", "l_quantity", "l_discount",
+        "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("q100: correlation numerators are exact; perfect lines hit ±1e6 ppm") {
+    // A: y = 100·x exactly → corr_ppm = +1000000. B: reversed → −1000000.
+    // C: constant x → var_x_num = 0 → corr_ppm = 0, not a NaN/div-by-zero.
+    val dir = lineitemXYDir(
+      ("A", 1.0, 0.01), ("A", 2.0, 0.02), ("A", 3.0, 0.03),
+      ("B", 1.0, 0.03), ("B", 2.0, 0.02), ("B", 3.0, 0.01),
+      ("C", 5.0, 0.01), ("C", 5.0, 0.02))
+    val got = SparkEntry.queries("q100_exact_corr")(spark, dir)
+      .select("l_returnflag", "cov_num", "var_x_num", "var_y_num", "corr_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 600L, 6L, 60000L, 1000000L),
+      ("B", -600L, 6L, 60000L, -1000000L),
+      ("C", 0L, 0L, 10000L, 0L)))
+  }
+
+  test("q101: only the spike day crosses the 2-sigma integer test") {
+    // 11 quiet days at $1,000 (x = 1 k$) and one at $100,000 (x = 100):
+    // dev_spike = 12·100 − 111 = 1089; dev²·11 ≈ 1.30e7 >
+    // 4·12·var_num ≈ 5.17e6 — flagged; quiet days (dev = −99,
+    // dev²·11 ≈ 1.1e5) are not.
+    val quiet = (1 to 11).map(i =>
+      (i.toLong, i.toLong, "O", 1000.0, f"1995-01-$i%02d 00:00:00"))
+    val dir = ordersDir(quiet :+
+      ((12L, 12L, "O", 100000.0, "1995-01-12 00:00:00")): _*)
+    val got = SparkEntry.queries("q101_outlier_days")(spark, dir)
+      .select("day", "rev_kusd", "dev")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("1995-01-12", 100L, 1089L)))
+  }
+
+  private def textDocsDir(rows: (Long, String)*): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_change").toString
+    rows.toSeq
+      .map { case (id, text) => (id, text, "en", "s0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q102: fluency averages corpus bigram counts; 1-token docs drop") {
+    // Corpus bigram counts: "a b" → 2, "b c" → 1, "b d" → 1, "x y" → 1.
+    // Docs 1/2 score (1000·(2+1)) DIV 2 = 1500; doc 3 scores 1000;
+    // doc 4 has no bigram and must vanish, not divide by zero.
+    val dir = textDocsDir(
+      (1L, "a b c"), (2L, "a b d"), (3L, "x y"), (4L, "z"))
+    val got = SparkEntry.queries("q102_bigram_fluency")(spark, dir)
+      .select("doc_id", "n_bigrams", "total_freq", "fluency_pm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 3L, 1500L), (2L, 2L, 3L, 1500L), (3L, 1L, 1L, 1000L)))
+  }
+
+  test("q103: paths take the first 3 events per 2h-gap session") {
+    // u1 session 1 has FOUR events — the path stops at 3; 3h later a
+    // fresh session opens with a lone view. u2 contributes another lone
+    // view, so path 'view' counts 2 sessions across 2 users.
+    val dir = eventsDir(
+      (1L, "1995-01-01 10:00:00", 1L, "view"),
+      (2L, "1995-01-01 10:01:00", 1L, "click"),
+      (3L, "1995-01-01 10:02:00", 1L, "purchase"),
+      (4L, "1995-01-01 10:03:00", 1L, "click"),
+      (5L, "1995-01-01 14:00:00", 1L, "view"),
+      (6L, "1995-01-01 09:00:00", 2L, "view"))
+    val got = SparkEntry.queries("q103_session_paths")(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("view", 2L, 2L), ("view>click>purchase", 1L, 1L)))
+  }
+
   test("q89: the heaviest source keeps everything; lighter sources thin") {
     // mass(s0)=400, mass(s1)=100 → keep_rate(s0)=10000 (every bucket
     // passes), keep_rate(s1)=floor(10000·√(1/4))=5000.
