@@ -93,11 +93,12 @@ object QueriesCorpus {
   // no PII, so a deterministic fixture suffix is injected for a subset of
   // docs FIRST (doc_id mod 7 → email+IP, mod 5 → email only) — clearly a
   // test harness step, not part of the operator; the operator itself is the
-  // regexp_count + regexp_replace pass. Patterns use only syntax Java regex
-  // and RE2 (DuckDB) agree on: literal classes, {m,n}, \d, \b. Everything
-  // is per-row codegen'd — zero shuffles beyond the final presentation sort.
-  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-  private val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  // regexp_count + regexp_replace pass, whose single source (shared with
+  // the curation pipeline's redaction stage) is [[graft.ops.PiiRedact]].
+  // Everything is per-row codegen'd — zero shuffles beyond the final
+  // presentation sort.
+  private val EmailRe = graft.ops.PiiRedact.EmailRe
+  private val Ipv4Re  = graft.ops.PiiRedact.Ipv4Re
   private val q60: Q = (s, dir) => {
     val pii =
       """CASE WHEN doc_id % 7 = 0 THEN concat(text, ' reach user',
@@ -108,13 +109,10 @@ object QueriesCorpus {
         |     ELSE text END""".stripMargin
     Tables.documents(s, dir)
       .withColumn("pii_text", expr(pii))
-      .withColumn("clean", regexp_replace(
-        regexp_replace(col("pii_text"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"))
+      .withColumn("clean", graft.ops.PiiRedact.redact(col("pii_text")))
       .select(col("doc_id"),
-        expr(s"CAST(regexp_count(pii_text, '${EmailRe.replace("\\", "\\\\")}') AS BIGINT)")
-          .as("n_emails"),
-        expr(s"CAST(regexp_count(pii_text, '${Ipv4Re.replace("\\", "\\\\")}') AS BIGINT)")
-          .as("n_ips"),
+        expr(graft.ops.PiiRedact.countExpr("pii_text", EmailRe)).as("n_emails"),
+        expr(graft.ops.PiiRedact.countExpr("pii_text", Ipv4Re)).as("n_ips"),
         expr("CAST(length(clean) AS BIGINT)").as("clean_len"),
         expr(TextOps.hash60("clean")).as("clean_h"))
       .orderBy(col("doc_id"))
@@ -132,13 +130,12 @@ object QueriesCorpus {
        |),
        |c AS (
        |  SELECT doc_id, pii_text,
-       |    regexp_replace(regexp_replace(pii_text, '$EmailRe', '<EMAIL>', 'g'),
-       |                   '$Ipv4Re', '<IP>', 'g') AS clean
+       |    ${graft.ops.PiiRedact.sql.redact("pii_text")} AS clean
        |  FROM p
        |)
        |SELECT doc_id,
-       |  CAST(len(regexp_extract_all(pii_text, '$EmailRe')) AS BIGINT) AS n_emails,
-       |  CAST(len(regexp_extract_all(pii_text, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |  ${graft.ops.PiiRedact.sql.count("pii_text", EmailRe)} AS n_emails,
+       |  ${graft.ops.PiiRedact.sql.count("pii_text", Ipv4Re)} AS n_ips,
        |  CAST(length(clean) AS BIGINT) AS clean_len,
        |  ${TextOps.sql.hash60("clean")} AS clean_h
        |FROM c ORDER BY doc_id""".stripMargin

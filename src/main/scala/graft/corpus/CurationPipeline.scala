@@ -27,7 +27,9 @@ import graft.ops.{CurationDedup, Inference, Mixture, NearDup, TextOps}
   *                   ([[graft.ops.CurationDedup.scrubbed]], q79): token
   *                   runs covered by a corpus-duplicated 8-gram drop,
   *                   and docs scrubbed below `minToks` drop entirely
-  *   6. mixture    — per-source keep rate, deterministic hash-bucket
+  *   6. pii        — email/IPv4 redaction to fixed placeholder tags
+  *                   ([[graft.ops.PiiRedact]], q60); never drops a doc
+  *   7. mixture    — per-source keep rate, deterministic hash-bucket
   *                   sampling: token-budget policy (q63) by default, or
   *                   temperature-scaled ∝ mass^α (q89) via
   *                   [[Config.temperatureAlpha]]
@@ -126,10 +128,20 @@ object CurationPipeline {
       .drop("n_toks_orig", "n_removed_toks")
       .cache()
 
-    // 6. mixture over post-scrub token counts — the tokens a training
+    // 6. PII redaction (q60's pass via graft.ops.PiiRedact, map-side).
+    // AFTER the scrub, deliberately: redaction placeholders are identical
+    // across documents, so redacting first could mint new duplicated
+    // 8-grams out of distinct PII contexts and make the scrub eat the
+    // genuine text around them. Counts never drop here — the audit row
+    // pins that invariant.
+    val redacted = scrub
+      .withColumn("text", graft.ops.PiiRedact.redact(col("text")))
+      .cache()
+
+    // 7. mixture over post-scrub token counts — the tokens a training
     // run would see; policy: fixed token budget (q63) by default, or
     // temperature-scaled rates (q89) when cfg.temperatureAlpha is set
-    val withToks = scrub.withColumn("n_toks", expr(s"CAST(size($toks) AS BIGINT)"))
+    val withToks = redacted.withColumn("n_toks", expr(s"CAST(size($toks) AS BIGINT)"))
     val curated = (cfg.temperatureAlpha match {
       case Some(a) =>
         val rates = Mixture.temperatureRates(withToks, "source", "n_toks", a)
@@ -150,9 +162,10 @@ object CurationPipeline {
       ("quality_classifier", quality.count()), ("exact_dedup", exact.count()),
       ("normalized_dedup", norm.count()), ("near_dedup", near.count()),
       ("substring_scrub", scrub.count()),
+      ("pii_redact", redacted.count()),
       ("mixture_sample", curated.count()))
       .toDF("stage", "docs_after")
-    Seq(ruled, quality, exact, norm, hashed, near, gramHashed, scrub)
+    Seq(ruled, quality, exact, norm, hashed, near, gramHashed, scrub, redacted)
       .foreach(_.unpersist())
     (curated, audit)
   }

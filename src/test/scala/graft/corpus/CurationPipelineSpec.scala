@@ -6,7 +6,8 @@ import graft.SparkSpec
 
 /** End-to-end curation ladder on a corpus planted so every stage drops
   * exactly one known set: rules → classifier → exact dedup → normalized
-  * dedup → transitive near-dedup → exact-substring scrub → mixture. */
+  * dedup → transitive near-dedup → exact-substring scrub → PII redaction
+  * (rewrites, never drops) → mixture. */
 class CurationPipelineSpec extends SparkSpec {
   import spark.implicits._
 
@@ -32,7 +33,9 @@ class CurationPipelineSpec extends SparkSpec {
                                           //   only NORMALIZED dedup sees it
       (9L, s"$unique9 $boiler"),          // boilerplate carriers {9,10,11}:
       (10L, s"$unique10 $boiler"),        //   scrub strips the shared 8-gram
-      (11L, boiler))                      //   pure boilerplate → scrubbed empty
+      (11L, boiler),                      //   pure boilerplate → scrubbed empty
+      (12L, "contact ada@example.org or ping 10.0.0.1 about delivery " +
+        "windows tonight"))               // PII carrier — survives, redacted
       .map { case (id, t) => (id, t, "en", s"s${id % 2}", 0L) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
@@ -41,16 +44,19 @@ class CurationPipelineSpec extends SparkSpec {
       jaccardThreshold = 0.5, budgetToksPerSource = 1000000L))
 
     assert(curated.select("doc_id").as[Long].collect().toSet ==
-      Set(1L, 3L, 9L, 10L))
+      Set(1L, 3L, 9L, 10L, 12L))
     val got = audit.as[(String, Long)].collect().toMap
     assert(got == Map(
-      "input" -> 11L, "quality_rules" -> 10L, "quality_classifier" -> 9L,
-      "exact_dedup" -> 8L, "normalized_dedup" -> 7L, "near_dedup" -> 5L,
-      "substring_scrub" -> 4L, "mixture_sample" -> 4L))
+      "input" -> 12L, "quality_rules" -> 11L, "quality_classifier" -> 10L,
+      "exact_dedup" -> 9L, "normalized_dedup" -> 8L, "near_dedup" -> 6L,
+      "substring_scrub" -> 5L, "pii_redact" -> 5L, "mixture_sample" -> 5L))
     // the carriers survive with the boilerplate run scrubbed out
-    val texts = curated.filter(col("doc_id").isin(9L, 10L))
+    val texts = curated.filter(col("doc_id").isin(9L, 10L, 12L))
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(texts(9L) == unique9 && texts(10L) == unique10)
+    // the PII carrier survives with its email and IP masked
+    assert(texts(12L) == "contact <EMAIL> or ping <IP> about delivery " +
+      "windows tonight")
     // schema passes through curation untouched, in the input column order
     assert(curated.columns.toSeq ==
       Seq("doc_id", "text", "lang", "source", "n_chars"))
