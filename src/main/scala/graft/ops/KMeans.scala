@@ -47,11 +47,19 @@ object KMeans {
   private def dlit(x: Double): String = java.lang.Double.toString(x)
 
   /** Spark: int8 codes of a double-array column (q68's formula —
-    * per-row max-abs scale, round-half-up). */
+    * per-row max-abs scale, round-half-up).
+    *
+    * The scale is computed ONCE per row by pinning it into a 1-element
+    * array the lambda zips against — SQL lambdas have no let-binding,
+    * and inlining the `array_max` scale inside the per-element lambda
+    * would re-reduce the whole vector for every element (O(dim²)
+    * interpreted work per row; measured ~2s of the q41 runtime at
+    * sf0.1 before this shape). */
   def codesExpr(v: String): String = {
     val scale = s"(CASE WHEN array_max(transform($v, x -> abs(x))) = 0.0D THEN 1.0D " +
       s"ELSE 127.0D / array_max(transform($v, x -> abs(x))) END)"
-    s"transform($v, x -> CAST(floor(x * $scale + 0.5D) AS BIGINT))"
+    s"""zip_with($v, array_repeat($scale, size($v)),
+       |  (x, sc) -> CAST(floor(x * sc + 0.5D) AS BIGINT))""".stripMargin
   }
 
   /** Per-cell assignment scores over literal-embedded centroids:
