@@ -63,23 +63,29 @@ object Bpe {
       .collect().headOption
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
 
+  /** The greedy left-to-right non-overlapping merge of (left, right) as
+    * an expression over a symbol-array column — [[applyMerge]]'s fold,
+    * reusable where extra columns must survive the projection (the q104
+    * corpus encoder keeps the word string alongside). */
+  def applyMergeExpr(symsCol: String, left: String, right: String): String = {
+    val a = sqlLit(left); val b = sqlLit(right); val m = sqlLit(left + right)
+    s"""aggregate(sequence(1, size($symsCol)),
+       |  named_struct('acc', CAST(array() AS ARRAY<STRING>), 'skip', false),
+       |  (st, i) -> CASE
+       |    WHEN st.skip THEN named_struct('acc', st.acc, 'skip', false)
+       |    WHEN i < size($symsCol) AND element_at($symsCol, i) = $a
+       |         AND element_at($symsCol, i + 1) = $b
+       |      THEN named_struct('acc', concat(st.acc, array($m)), 'skip', true)
+       |    ELSE named_struct('acc', concat(st.acc, array(element_at($symsCol, i))),
+       |                      'skip', false)
+       |  END,
+       |  st -> st.acc)""".stripMargin
+  }
+
   /** Fuse every greedy left-to-right non-overlapping (left, right)
     * adjacency into one symbol. Per-row fold, no shuffle. */
-  def applyMerge(vocab: DataFrame, left: String, right: String): DataFrame = {
-    val a = sqlLit(left); val b = sqlLit(right); val m = sqlLit(left + right)
-    vocab.select(expr(
-      s"""aggregate(sequence(1, size(syms)),
-         |  named_struct('acc', CAST(array() AS ARRAY<STRING>), 'skip', false),
-         |  (st, i) -> CASE
-         |    WHEN st.skip THEN named_struct('acc', st.acc, 'skip', false)
-         |    WHEN i < size(syms) AND element_at(syms, i) = $a
-         |         AND element_at(syms, i + 1) = $b
-         |      THEN named_struct('acc', concat(st.acc, array($m)), 'skip', true)
-         |    ELSE named_struct('acc', concat(st.acc, array(element_at(syms, i))),
-         |                      'skip', false)
-         |  END,
-         |  st -> st.acc)""".stripMargin).as("syms"), col("wf"))
-  }
+  def applyMerge(vocab: DataFrame, left: String, right: String): DataFrame =
+    vocab.select(expr(applyMergeExpr("syms", left, right)).as("syms"), col("wf"))
 
   /** Train `nMerges` rounds over `docs(textCol)`; returns the ordered
     * merge table. Stops early when the vocab runs out of pairs. Each

@@ -84,4 +84,23 @@ class BpeSpec extends SparkSpec {
     assert(got.map(m => (m.left, m.right, m.freq)) ==
       Seq(("a", "b", 2L), ("c", "d", 1L)))
   }
+
+  test("q104: corpus encode under 3 learned merges, hand-computed") {
+    // Distinct words: "abab" wf=3, "cd" wf=3.
+    // Round 1 pairs: (a,b) 6, (b,a) 3, (c,d) 3 → merge (a,b).
+    // Round 2: (ab,ab) 3 ties (c,d) 3 → "ab" < "c" → merge (ab,ab).
+    // Round 3: only (c,d) 3 left → merge (c,d).
+    // Encoded: "abab" → [abab] = 1 token, "cd" → [cd] = 1 token.
+    val d = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Seq((1L, "abab abab cd", "en", "s0", 12L),
+        (2L, "abab cd cd", "en", "s1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = graft.SparkEntry.queries("q104_bpe_encode")(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // s0: 3 words, 10 chars, 3 tokens → 300 tokens per 1000 chars
+      ("s0", 1L, 3L, 10L, 3L, 300L),
+      ("s1", 1L, 3L, 8L, 3L, 375L)))
+  }
 }
