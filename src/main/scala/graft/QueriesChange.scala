@@ -263,17 +263,82 @@ object QueriesChange {
       |FROM spine LEFT JOIN sparse USING (priority, day)
       |ORDER BY priority, day""".stripMargin
 
+  // --- q107: incremental aggregate maintenance (merge ≡ recompute) -----------
+  // The materialized-view maintenance step every reporting pipeline at
+  // 100 TB needs: a per-month aggregate maintained as BASE (history,
+  // aggregated once and stored) merged with DELTA (the new partition)
+  // via a full-outer coalesce-sum — and proved identical to the direct
+  // full recompute by emitting both side by side (the oracle hash IS the
+  // equivalence proof). Only sums/counts (and exact means derived from
+  // them at read time) merge this way — ALGEBRAIC aggregates; a median
+  // would force the recompute. At scale the base scan disappears
+  // entirely (the stored aggregate is months-sized), so each refresh
+  // costs O(delta), the same economics as the reference's incremental
+  // ingest (parse_matches.sh:580-596) lifted from rows to aggregates.
+  private val Cutoff = "1999-01-01"
+  private val q107: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderdate"), Exact.cents(col("o_totalprice")).as("cents"))
+    def agg(df: DataFrame) = df.groupBy(col("month"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("c"))
+    val base  = agg(o.filter(col("o_orderdate") <  lit(Cutoff).cast("timestamp")))
+    val delta = agg(o.filter(col("o_orderdate") >= lit(Cutoff).cast("timestamp")))
+    val merged = base.select(col("month"), col("cnt").as("b_cnt"), col("c").as("b_c"))
+      .join(delta.select(col("month"), col("cnt").as("d_cnt"), col("c").as("d_c")),
+        Seq("month"), "full_outer")
+      .select(col("month"),
+        (coalesce(col("b_cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("m_cnt"),
+        (coalesce(col("b_c"), lit(0L)) + coalesce(col("d_c"), lit(0L))).as("m_cents"))
+    val direct = agg(o).select(col("month"),
+      col("cnt").as("r_cnt"), col("c").as("r_cents"))
+    merged.join(direct, Seq("month"))
+      .withColumn("mean_c", expr("m_cents DIV m_cnt"))
+      .select(col("month"), col("m_cnt"), col("m_cents"),
+        col("r_cnt"), col("r_cents"), col("mean_c"))
+      .orderBy(col("month"))
+  }
+  private val q107Sql =
+    s"""WITH o AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderdate,
+       |    ${Exact.sql.cents("o_totalprice")} AS cents
+       |  FROM orders
+       |), base AS (
+       |  SELECT month, CAST(COUNT(*) AS BIGINT) AS b_cnt,
+       |    CAST(SUM(cents) AS BIGINT) AS b_c
+       |  FROM o WHERE o_orderdate < TIMESTAMP '$Cutoff' GROUP BY month
+       |), delta AS (
+       |  SELECT month, CAST(COUNT(*) AS BIGINT) AS d_cnt,
+       |    CAST(SUM(cents) AS BIGINT) AS d_c
+       |  FROM o WHERE o_orderdate >= TIMESTAMP '$Cutoff' GROUP BY month
+       |), merged AS (
+       |  SELECT COALESCE(base.month, delta.month) AS month,
+       |    COALESCE(b_cnt, 0) + COALESCE(d_cnt, 0) AS m_cnt,
+       |    COALESCE(b_c, 0) + COALESCE(d_c, 0) AS m_cents
+       |  FROM base FULL OUTER JOIN delta ON base.month = delta.month
+       |), direct AS (
+       |  SELECT month, CAST(COUNT(*) AS BIGINT) AS r_cnt,
+       |    CAST(SUM(cents) AS BIGINT) AS r_cents
+       |  FROM o GROUP BY month
+       |)
+       |SELECT month, m_cnt, m_cents, r_cnt, r_cents,
+       |  m_cents // m_cnt AS mean_c
+       |FROM merged JOIN direct USING (month)
+       |ORDER BY month""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q84_set_ops"       -> q84,
     "q85_snapshot_diff" -> q85,
     "q86_scd2_history"  -> q86,
     "q98_unpivot"       -> q98,
-    "q99_gap_fill"      -> q99)
+    "q99_gap_fill"      -> q99,
+    "q107_incremental_agg" -> q107)
 
   val oracleSql: Map[String, String] = Map(
     "q84_set_ops"       -> q84Sql,
     "q85_snapshot_diff" -> q85Sql,
     "q86_scd2_history"  -> q86Sql,
     "q98_unpivot"       -> q98Sql,
-    "q99_gap_fill"      -> q99Sql)
+    "q99_gap_fill"      -> q99Sql,
+    "q107_incremental_agg" -> q107Sql)
 }

@@ -358,6 +358,102 @@ object QueriesStats {
        |  ${OutlierK * OutlierK}.0 * CAST(n AS DOUBLE) * CAST(var_num AS DOUBLE)
        |ORDER BY day""".stripMargin
 
+  // --- q105: balanced shard planning (boustrophedon packing) -----------------
+  // Dataset-release shard assignment that targets equal byte mass per
+  // shard WITHOUT a greedy bin-packing loop: within each source, docs are
+  // ranked by size (desc, doc_id tiebreak) and dealt to k shards in a
+  // snake pattern (block 0 deals shards 0..k−1, block 1 deals k−1..0, …)
+  // — each consecutive block pairs the largest remainder with the
+  // smallest, so monotone size runs cancel (a strictly decreasing size
+  // sequence lands PERFECTLY balanced; hash-sharding would be ±√n). The
+  // rank window is per-SOURCE (never a global sort): at 100 TB each
+  // source ranks independently in its own partitions, and the audit
+  // aggregate is k-sized. Writing is then `partitionBy(shard)` — this
+  // query IS the plan plus its balance audit (mass per-mille per shard).
+  private val NShards = 8
+  private val q105: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(desc("n_chars"), col("doc_id"))
+    val assigned = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("r", (row_number().over(w) - 1).cast("long"))
+      .withColumn("shard", expr(
+        s"CASE WHEN (r DIV $NShards) % 2 = 0 THEN r % $NShards " +
+        s"ELSE ${NShards - 1} - (r % $NShards) END"))
+    val perShard = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    val total = perShard.agg(sum(col("chars")).as("t"))
+    perShard.crossJoin(broadcast(total))
+      .withColumn("mass_pm", expr("(1000 * chars) DIV t"))
+      .select(col("shard"), col("n_docs"), col("chars"), col("mass_pm"))
+      .orderBy(col("shard"))
+  }
+  private val q105Sql =
+    s"""WITH a AS (
+       |  SELECT n_chars,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS r
+       |  FROM documents
+       |), b AS (
+       |  SELECT n_chars,
+       |    CASE WHEN (r // $NShards) % 2 = 0 THEN r % $NShards
+       |         ELSE ${NShards - 1} - (r % $NShards) END AS shard
+       |  FROM a
+       |), ps AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS chars
+       |  FROM b GROUP BY shard
+       |), t AS (SELECT CAST(SUM(chars) AS BIGINT) AS t FROM ps)
+       |SELECT shard, n_docs, chars, (1000 * chars) // t AS mass_pm
+       |FROM ps, t ORDER BY shard""".stripMargin
+
+  // --- q106: robust outlier days (median / MAD) --------------------------------
+  // The robust complement of q101's 2σ z-test: a day is anomalous when
+  // its revenue deviates from the MEDIAN by more than k × MAD (median
+  // absolute deviation). Mean/stddev move with the outliers they're
+  // meant to flag; median/MAD have a 50% breakdown point, so one crazy
+  // day can't hide another. Everything is exact integers — daily cents,
+  // the two DISCRETE medians (element selection, the q46 rule — both
+  // engines pick the same element), the absolute deviations, and the
+  // k·MAD threshold — so the compare involves no float arithmetic at
+  // all. Plan: one day-keyed HashAggregate (dimension-sized output),
+  // two 1-row percentile aggregates broadcast back (the intended BNLJ),
+  // map-side flag filter.
+  private val MadK = 3
+  private val q106: Q = (s, dir) => {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("cents"))
+    val med = daily.agg(
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)")
+        .as("med"))
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("adev", abs(col("cents") - col("med")))
+    val mad = dev.agg(
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS BIGINT)")
+        .as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .filter(col("adev") > lit(MadK) * col("mad"))
+      .select(col("day"), col("cents"), col("med"), col("adev"), col("mad"))
+      .orderBy(col("day"))
+  }
+  private val q106Sql =
+    s"""WITH daily AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+       |    CAST(SUM(${Exact.sql.cents("o_totalprice")}) AS BIGINT) AS cents
+       |  FROM orders GROUP BY day
+       |), m AS (
+       |  SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+       |    AS BIGINT) AS med FROM daily
+       |), d AS (
+       |  SELECT day, cents, med, abs(cents - med) AS adev FROM daily, m
+       |), md AS (
+       |  SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)
+       |    AS BIGINT) AS mad FROM d
+       |)
+       |SELECT day, cents, med, adev, mad FROM d, md
+       |WHERE adev > $MadK * mad ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q87_exact_moments"     -> q87,
     "q88_length_histogram"  -> q88,
@@ -365,7 +461,9 @@ object QueriesStats {
     "q94_cube_marginals"    -> q94,
     "q95_above_nation_avg"  -> q95,
     "q100_exact_corr"       -> q100,
-    "q101_outlier_days"     -> q101)
+    "q101_outlier_days"     -> q101,
+    "q105_shard_plan"       -> q105,
+    "q106_mad_outliers"     -> q106)
 
   val oracleSql: Map[String, String] = Map(
     "q87_exact_moments"     -> q87Sql,
@@ -374,5 +472,7 @@ object QueriesStats {
     "q94_cube_marginals"    -> q94Sql,
     "q95_above_nation_avg"  -> q95Sql,
     "q100_exact_corr"       -> q100Sql,
-    "q101_outlier_days"     -> q101Sql)
+    "q101_outlier_days"     -> q101Sql,
+    "q105_shard_plan"       -> q105Sql,
+    "q106_mad_outliers"     -> q106Sql)
 }

@@ -410,6 +410,61 @@ class ChangeStatsSpec extends SparkSpec {
     assert(got == Seq(("1995-01-12", 100L, 1089L)))
   }
 
+  test("q105: snake packing balances a strictly decreasing size run perfectly") {
+    // One source, 16 docs sized 16..1, k = 8 shards: block 0 deals
+    // 16..9 to shards 0..7, block 1 snakes 8..1 back to shards 7..0 —
+    // every shard gets size (17 − s) + s pairing = 17 chars exactly.
+    val dir = docsDir((1L to 16L).map(i => (i, "s0", 17L - i)): _*)
+    val got = SparkEntry.queries("q105_shard_plan")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == (0L to 7L).map(sh => (sh, 2L, 17L, 125L)))
+  }
+
+  test("q105: sources rank independently (no global sort)") {
+    // s0 has 2 docs (sizes 9, 5 → shards 0, 1); s1 has 3 docs
+    // (sizes 8, 7, 2 → shards 0, 1, 2). Shard masses: 17, 12, 2.
+    val dir = docsDir(
+      (1L, "s0", 9L), (2L, "s0", 5L),
+      (3L, "s1", 8L), (4L, "s1", 7L), (5L, "s1", 2L))
+    val got = SparkEntry.queries("q105_shard_plan")(spark, dir)
+      .select("shard", "n_docs", "chars")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 17L), (1L, 2L, 12L), (2L, 1L, 2L)))
+  }
+
+  test("q106: only deviations beyond 3x the MAD flag; medians are elements") {
+    // Days at $10, $11, $12, $13, $100 (cents 1000..1300, 10000).
+    // Sorted daily cents: [1000,1100,1200,1300,10000] → med = 1200
+    // (disc: element at ceil(0.5·5) = 3rd). adev = [200,100,0,100,8800]
+    // → sorted [0,100,100,200,8800] → MAD = 100. Threshold 300:
+    // only the $100 day (adev 8800) flags.
+    val dir = ordersDir(
+      (1L, 1L, "O", 10.0, "1995-01-01 00:00:00"),
+      (2L, 2L, "O", 11.0, "1995-01-02 00:00:00"),
+      (3L, 3L, "O", 12.0, "1995-01-03 00:00:00"),
+      (4L, 4L, "O", 13.0, "1995-01-04 00:00:00"),
+      (5L, 5L, "O", 100.0, "1995-01-05 00:00:00"))
+    val got = SparkEntry.queries("q106_mad_outliers")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("1995-01-05", 10000L, 1200L, 8800L, 100L)))
+  }
+
+  test("q107: merged base+delta aggregates equal the direct recompute") {
+    // Months straddling the 1999-01-01 cutoff, one month on each side
+    // plus one with rows in NEITHER split beyond its own (the merge's
+    // full-outer legs): base-only 1998-05, delta-only 1999-03, and a
+    // month is never split (orders carry one date each).
+    val dir = ordersDir(
+      (1L, 1L, "O", 10.0, "1998-05-01 00:00:00"),
+      (2L, 2L, "O", 20.0, "1998-05-15 00:00:00"),
+      (3L, 3L, "O", 40.0, "1999-03-02 00:00:00"))
+    val got = SparkEntry.queries("q107_incremental_agg")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("1998-05", 2L, 3000L, 2L, 3000L, 1500L),
+      ("1999-03", 1L, 4000L, 1L, 4000L, 4000L)))
+  }
+
   private def textDocsDir(rows: (Long, String)*): String = {
     val d = java.nio.file.Files.createTempDirectory("graft_change").toString
     rows.toSeq
