@@ -222,15 +222,106 @@ object QueriesSimilarity {
        |CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS d)
        |ORDER BY cell, d""".stripMargin
 
+  // --- q108: exact-integer power iteration (dominant spectral direction) -----
+  // The top eigenvector direction of the embedding set's UNCENTERED
+  // second-moment (Gram) matrix by fixed-count power iteration — the
+  // one-component PCA a curation pipeline uses to spot a degenerate
+  // embedding space (a dominant direction everything projects onto).
+  // Float power iteration can't cross-engine-hash (each iteration
+  // compounds summation-order differences), so this one never leaves
+  // int64: vectors are the int8 codes (q68 formula), v₀ is the
+  // lowest-id vector's codes, and each round computes
+  //   s_i = qᵢ·v   (per-row integer dot, v broadcast as a literal)
+  //   w_d = Σᵢ qᵢd·s_i  (posexplode + one 64-row combinable aggregate)
+  // then RESCALES v back into int8 range with sign-split integer
+  // division — sign(w)·(|w| DIV (max|w| DIV 127 + 1)) — so magnitudes
+  // stay bounded (|w| ≤ n·127²·64·127 ≈ 1.3e18 even at n = 10¹⁰
+  // vectors) and truncation direction agrees across engines (Spark DIV
+  // truncates toward zero, DuckDB // floors; they only agree on
+  // non-negatives — the q93 discipline). Per iteration: ONE scan of the
+  // cached codes, a 64-row shuffle, a 64-long driver collect (the
+  // dimension-sized collect discipline, exactly KMeans.train's loop).
+  private val PowerIters = 3
+  private val q108: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val codes = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
+      .select(col("vec_id"), expr(KMeans.codesExpr("v")).as("q"))
+      .cache()
+    val seedRows = codes.orderBy(col("vec_id")).limit(1).select(col("q")).collect()
+    val out: Seq[(Long, Long)] = if (seedRows.isEmpty) Seq.empty
+    else {
+      var v: IndexedSeq[Long] = seedRows(0).getSeq[Long](0).toIndexedSeq
+      for (_ <- 1 to PowerIters) {
+        val vlit = v.map(x => s"${x}L").mkString("array(", ", ", ")")
+        val w = codes
+          .withColumn("s", expr(
+            s"""aggregate(zip_with(q, $vlit, (x, y) -> x * y),
+               |  CAST(0 AS BIGINT), (acc, p) -> acc + p)""".stripMargin))
+          .select(posexplode(col("q")).as(Seq("d", "c")), col("s"))
+          .groupBy(col("d")).agg(sum(col("c") * col("s")).as("w"))
+          .orderBy(col("d"))
+          .collect().map(_.getLong(1)).toIndexedSeq
+        val qdiv = w.map(math.abs).max / 127L + 1L
+        v = w.map(x => math.signum(x) * (math.abs(x) / qdiv))
+      }
+      v.zipWithIndex.map { case (x, i) => ((i + 1).toLong, x) }
+    }
+    codes.unpersist()
+    out.toDF("d", "val").orderBy(col("d"))
+  }
+  private val q108Sql = {
+    def iter(k: Int): String = {
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""s$k AS (
+         |  SELECT cr.vec_id, CAST(SUM(cr.c * $prev.val) AS BIGINT) AS s
+         |  FROM cr JOIN $prev ON cr.d = $prev.d GROUP BY cr.vec_id
+         |),
+         |w$k AS (
+         |  SELECT cr.d, CAST(SUM(cr.c * s$k.s) AS BIGINT) AS w
+         |  FROM cr JOIN s$k ON cr.vec_id = s$k.vec_id GROUP BY cr.d
+         |),
+         |m$k AS (SELECT MAX(abs(w)) // 127 + 1 AS qd FROM w$k),
+         |v$k AS (
+         |  SELECT d, (CASE WHEN w < 0 THEN -1 WHEN w > 0 THEN 1 ELSE 0 END)
+         |    * (abs(w) // qd) AS val
+         |  FROM w$k, m$k
+         |)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |qz AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> CAST(floor(x *
+       |      (CASE WHEN list_max(list_transform(v, y -> abs(y))) = 0.0 THEN 1.0
+       |            ELSE 127.0 / list_max(list_transform(v, y -> abs(y))) END)
+       |      + 0.5) AS BIGINT)) AS q
+       |  FROM e
+       |),
+       |dims AS (SELECT unnest(generate_series(1, $Dim)) AS d),
+       |cr AS (SELECT vec_id, d, q[d] AS c FROM qz CROSS JOIN dims),
+       |v0 AS (
+       |  SELECT d, q[d] AS val
+       |  FROM (SELECT q FROM qz ORDER BY vec_id LIMIT 1) CROSS JOIN dims
+       |),
+       |${(1 to PowerIters).map(iter).mkString(",\n")}
+       |SELECT CAST(d AS BIGINT) AS d, val FROM v$PowerIters ORDER BY d""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_cosine_topk" -> q31,
     "q32_ann_lsh_bucket" -> q32,
     "q41_ann_ivf_probe" -> q41,
-    "q83_kmeans_train" -> q83)
+    "q83_kmeans_train" -> q83,
+    "q108_power_iteration" -> q108)
 
   val oracleSql: Map[String, String] = Map(
     "q31_cosine_topk" -> q31Sql,
     "q32_ann_lsh_bucket" -> q32Sql,
     "q41_ann_ivf_probe" -> q41Sql,
-    "q83_kmeans_train" -> q83Sql)
+    "q83_kmeans_train" -> q83Sql,
+    "q108_power_iteration" -> q108Sql)
 }

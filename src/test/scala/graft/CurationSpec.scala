@@ -79,6 +79,26 @@ class CurationSpec extends SparkSpec {
     assert(got(5L) == ((5L, false, 4L, 2L, false)))
   }
 
+  test("q108: power iteration locks onto a planted dominant axis") {
+    val d = java.nio.file.Files.createTempDirectory("graft_curation").toString
+    val e1 = Array.tabulate(64)(i => if (i == 0) 0.5f else 0.0f)
+    val e2 = Array.tabulate(64)(i => if (i == 1) 0.25f else 0.0f)
+    // 3 vectors on axis 1, 1 on axis 2 → the Gram matrix's top
+    // eigendirection is axis 1. Codes: (127,0,…)×3 and (0,127,0,…).
+    // v₀ = vec 1's codes = 127·e1; every iteration keeps w ∝ e1 and the
+    // int8 rescale pins the component at 126 (the `max DIV 127 + 1`
+    // divisor overshoots by a hair — magnitude is arbitrary anyway,
+    // the DIRECTION is the result).
+    Seq((1L, e1, 0), (2L, e1, 0), (3L, e1, 0), (4L, e2, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val got = SparkEntry.queries("q108_power_iteration")(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.head == (1L, 126L))
+    assert(got.tail.forall(_._2 == 0L))
+    assert(got.map(_._1) == (1L to 64L))
+  }
+
   test("q75: identical-direction vectors share a centroid, argmax is exact") {
     val d = java.nio.file.Files.createTempDirectory("graft_curation").toString
     val up    = Array.fill(64)(0.5f)
