@@ -454,6 +454,64 @@ object QueriesStats {
        |SELECT day, cents, med, adev, mad FROM d, md
        |WHERE adev > $MadK * mad ORDER BY day""".stripMargin
 
+  // --- q109: Z-order (Morton) layout plan + skipping audit --------------------
+  // The multi-dimensional data-layout operator: interleave the bits of
+  // two range-bucketed dimensions (customer key × order day) into one
+  // Morton key, so data sorted by that ONE key clusters BOTH dims — the
+  // layout that makes parquet row-group min/max skip for range
+  // predicates on either dimension (a single-column sort gives perfect
+  // skipping on that column and none on the other). At scale the write
+  // is `repartitionByRange(z).sortWithinPartitions(z)`; this query IS
+  // the layout plan plus its proof: blocks of the z-range (top 3 bits
+  // of each dim) must confine BOTH raw dims to ≤ 1/8 of their span.
+  // The bit interleave is plain integer div/mod/multiply — identical
+  // operator semantics on both engines for non-negative inputs; bucket
+  // bounds come from one 1-row aggregate broadcast back (intended BNLJ).
+  private val ZBits = 8
+  private val DayUs = 86400L * 1000000L
+  private def zInterleave(x: String, y: String, div: String): String =
+    (0 until ZBits).map { b =>
+      val p = 1L << b; val q4 = 1L << (2 * b)
+      s"((($x) $div $p) % 2) * $q4 + ((($y) $div $p) % 2) * ${2 * q4}"
+    }.mkString("(", " + ", ")")
+  private val q109: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey").as("ck"),
+        expr(s"unix_micros(o_orderdate) DIV $DayUs").as("dy"))
+    val bounds = o.agg(min(col("ck")).as("ck0"), max(col("ck")).as("ck1"),
+      min(col("dy")).as("dy0"), max(col("dy")).as("dy1"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("x", expr("((ck - ck0) * 256) DIV (ck1 - ck0 + 1)"))
+      .withColumn("y", expr("((dy - dy0) * 256) DIV (dy1 - dy0 + 1)"))
+      .withColumn("z", expr(zInterleave("x", "y", "DIV")))
+      .withColumn("block", expr("z DIV 1024"))
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
+        min(col("dy")).as("min_dy"), max(col("dy")).as("max_dy"))
+      .withColumn("ck_span", col("max_ck") - col("min_ck"))
+      .withColumn("dy_span", col("max_dy") - col("min_dy"))
+      .orderBy(col("block"))
+  }
+  private val q109Sql =
+    s"""WITH o AS (
+       |  SELECT o_custkey AS ck, epoch_us(o_orderdate) // $DayUs AS dy
+       |  FROM orders
+       |), bounds AS (
+       |  SELECT MIN(ck) AS ck0, MAX(ck) AS ck1,
+       |         MIN(dy) AS dy0, MAX(dy) AS dy1 FROM o
+       |), zed AS (
+       |  SELECT ck, dy,
+       |    ${zInterleave("((ck - ck0) * 256) // (ck1 - ck0 + 1)",
+                          "((dy - dy0) * 256) // (dy1 - dy0 + 1)", "//")} AS z
+       |  FROM o, bounds
+       |)
+       |SELECT z // 1024 AS block, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+       |  MIN(dy) AS min_dy, MAX(dy) AS max_dy,
+       |  MAX(ck) - MIN(ck) AS ck_span, MAX(dy) - MIN(dy) AS dy_span
+       |FROM zed GROUP BY block ORDER BY block""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q87_exact_moments"     -> q87,
     "q88_length_histogram"  -> q88,
@@ -463,7 +521,8 @@ object QueriesStats {
     "q100_exact_corr"       -> q100,
     "q101_outlier_days"     -> q101,
     "q105_shard_plan"       -> q105,
-    "q106_mad_outliers"     -> q106)
+    "q106_mad_outliers"     -> q106,
+    "q109_zorder_layout"    -> q109)
 
   val oracleSql: Map[String, String] = Map(
     "q87_exact_moments"     -> q87Sql,
@@ -474,5 +533,6 @@ object QueriesStats {
     "q100_exact_corr"       -> q100Sql,
     "q101_outlier_days"     -> q101Sql,
     "q105_shard_plan"       -> q105Sql,
-    "q106_mad_outliers"     -> q106Sql)
+    "q106_mad_outliers"     -> q106Sql,
+    "q109_zorder_layout"    -> q109Sql)
 }

@@ -465,6 +465,24 @@ class ChangeStatsSpec extends SparkSpec {
       ("1999-03", 1L, 4000L, 1L, 4000L, 4000L)))
   }
 
+  test("q109: every z-block confines BOTH dims to <= 1/8 of their span") {
+    // 64 custkeys x 64 days, one order per cell. A z-range block fixes
+    // the top 3 bits of each bucketed dim, so raw spans stay <= 8 cells
+    // per dim — the both-dims skipping bound a single-column sort can't
+    // give (its blocks span the full other dim).
+    val d0 = java.time.LocalDate.parse("1995-01-01")
+    val rows = for (ck <- 1L to 64L; d <- 0 to 63) yield
+      (ck * 1000 + d, ck, "O", 1.0, s"${d0.plusDays(d)} 00:00:00")
+    val dir = ordersDir(rows: _*)
+    val got = SparkEntry.queries("q109_zorder_layout")(spark, dir)
+      .select("n", "ck_span", "dy_span")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.map(_._1).sum == 64L * 64L)
+    assert(got.forall { case (_, ckSpan, _) => ckSpan <= 8L })
+    assert(got.forall { case (_, _, dySpan) => dySpan <= 8L })
+  }
+
   private def textDocsDir(rows: (Long, String)*): String = {
     val d = java.nio.file.Files.createTempDirectory("graft_change").toString
     rows.toSeq
