@@ -50,9 +50,87 @@ object QueriesSearch {
        |)
        |ORDER BY rank""".stripMargin
 
+  // --- q110: trigram-Jaccard fuzzy search -------------------------------------
+  // The set-similarity complement of q81's edit distance — the pg_trgm
+  // model: score = Jaccard of the words' distinct character-trigram
+  // sets, as an integer per-mille. Edit distance must SCAN the
+  // dictionary (a distance, not a key); trigram search inverts it — the
+  // query's trigrams are literals, the dictionary explodes its grams
+  // once, and the match is an equi-semi-join on the gram, so at scale
+  // this is the classic inverted trigram index: candidates with zero
+  // shared grams are never scored (they're unreachable through the
+  // index — exactly how a real trigram index behaves; q81 covers the
+  // scan-everything semantics). Words shorter than 3 chars have no
+  // trigrams and stay out by construction (also dodging Spark's
+  // descending sequence(1, 0) trap).
+  private val TrigramQuery = "widgt" // "widget" with the 'e' dropped
+  private val TrigramK     = 10
+  private def trigrams(w: String): Seq[String] =
+    (0 to w.length - 3).map(i => w.substring(i, i + 3)).distinct
+  private val q110: Q = (s, dir) => {
+    val qg = trigrams(TrigramQuery)
+    val nq = qg.size
+    val inList = qg.map(g => s"'$g'").mkString("(", ", ", ")")
+    val words = Tables.part(s, dir)
+      .select(explode(split(col("p_name"), " ")).as("word"), col("p_partkey"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_parts"))
+      .filter(length(col("word")) >= 3)
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(1, length(word) - 2), " +
+        "i -> substr(word, i, 3)))"))
+      .withColumn("ng", size(col("grams")).cast("long"))
+    val scored = words
+      .select(col("word"), col("n_parts"), col("ng"),
+        explode(col("grams")).as("gram"))
+      .filter(expr(s"gram IN $inList"))
+      .groupBy(col("word"), col("n_parts"), col("ng"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("score_pm", expr(s"(1000 * inter) DIV (ng + $nq - inter)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score_pm"), col("word"))
+    scored.orderBy(desc("score_pm"), col("word")).limit(TrigramK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("word"), col("score_pm"),
+        col("inter"), col("ng"), col("n_parts"))
+      .orderBy(col("rank"))
+  }
+  private val q110Sql = {
+    val qg = trigrams(TrigramQuery)
+    val nq = qg.size
+    val inList = qg.map(g => s"'$g'").mkString("(", ", ", ")")
+    s"""WITH words AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_parts
+       |  FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+       |  GROUP BY word HAVING length(word) >= 3
+       |), g AS (
+       |  SELECT word, n_parts,
+       |    CAST(len(list_distinct(list_transform(
+       |      generate_series(1, length(word) - 2),
+       |      i -> substr(word, i, 3)))) AS BIGINT) AS ng,
+       |    unnest(list_distinct(list_transform(
+       |      generate_series(1, length(word) - 2),
+       |      i -> substr(word, i, 3)))) AS gram
+       |  FROM words
+       |), scored AS (
+       |  SELECT word, n_parts, ng, CAST(COUNT(*) AS BIGINT) AS inter,
+       |    (1000 * CAST(COUNT(*) AS BIGINT)) // (ng + $nq - CAST(COUNT(*) AS BIGINT))
+       |      AS score_pm
+       |  FROM g WHERE gram IN $inList
+       |  GROUP BY word, n_parts, ng
+       |)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_pm DESC, word) AS INTEGER)
+       |    AS rank,
+       |  word, score_pm, inter, ng, n_parts
+       |FROM (SELECT * FROM scored ORDER BY score_pm DESC, word LIMIT $TrigramK)
+       |ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "q81_fuzzy_search" -> q81)
+    "q81_fuzzy_search" -> q81,
+    "q110_trigram_search" -> q110)
 
   val oracleSql: Map[String, String] = Map(
-    "q81_fuzzy_search" -> q81Sql)
+    "q81_fuzzy_search" -> q81Sql,
+    "q110_trigram_search" -> q110Sql)
 }

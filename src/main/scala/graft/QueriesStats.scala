@@ -512,6 +512,62 @@ object QueriesStats {
        |  MAX(ck) - MIN(ck) AS ck_span, MAX(dy) - MIN(dy) AS dy_span
        |FROM zed GROUP BY block ORDER BY block""".stripMargin
 
+  // --- q111: chi-square independence audit (exact-integer core) --------------
+  // Is order priority independent of customer nation? The contingency
+  // audit every segmentation claim needs. Per cell the deviation
+  // carries as the EXACT integer num = O·N − R·C (the χ² cell term is
+  // num²/(N·R·C)); num² would overflow int64 at sf0.1, so the term
+  // itself is evaluated in doubles CONVERTED FROM those exact integers
+  // with the same expression shape on both engines (the q101
+  // discipline) and floored to integer micro-units — per-cell results
+  // are exact cross-engine, and a consumer summing term_micro gets an
+  // order-independent integer total. Plan: one corpus-sized cell
+  // aggregate (orders ⨝ broadcast customer→nation), then marginals as
+  // window sums over the |nations|×|priorities| cell table.
+  private val q111: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("o"))
+    cells
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("n_name"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("priority"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("num", col("o") * col("n") - col("r") * col("c"))
+      .withColumn("term_micro", expr(
+        """CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+          |  (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+          |  * 1000000.0D) AS BIGINT)""".stripMargin))
+      .select(col("n_name"), col("priority"), col("o"), col("r"), col("c"),
+        col("num"), col("term_micro"))
+      .orderBy(col("n_name"), col("priority"))
+  }
+  private val q111Sql =
+    """WITH cells AS (
+      |  SELECT n_name, o_orderpriority AS priority,
+      |    CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, o_orderpriority
+      |), m AS (
+      |  SELECT n_name, priority, o,
+      |    CAST(SUM(o) OVER (PARTITION BY n_name) AS BIGINT) AS r,
+      |    CAST(SUM(o) OVER (PARTITION BY priority) AS BIGINT) AS c,
+      |    CAST(SUM(o) OVER () AS BIGINT) AS n
+      |  FROM cells
+      |)
+      |SELECT n_name, priority, o, r, c, CAST(o * n - r * c AS BIGINT) AS num,
+      |  CAST(floor(CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE) /
+      |    (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+      |    * 1000000.0) AS BIGINT) AS term_micro
+      |FROM m ORDER BY n_name, priority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q87_exact_moments"     -> q87,
     "q88_length_histogram"  -> q88,
@@ -522,7 +578,8 @@ object QueriesStats {
     "q101_outlier_days"     -> q101,
     "q105_shard_plan"       -> q105,
     "q106_mad_outliers"     -> q106,
-    "q109_zorder_layout"    -> q109)
+    "q109_zorder_layout"    -> q109,
+    "q111_chisq_audit"      -> q111)
 
   val oracleSql: Map[String, String] = Map(
     "q87_exact_moments"     -> q87Sql,
@@ -534,5 +591,6 @@ object QueriesStats {
     "q101_outlier_days"     -> q101Sql,
     "q105_shard_plan"       -> q105Sql,
     "q106_mad_outliers"     -> q106Sql,
-    "q109_zorder_layout"    -> q109Sql)
+    "q109_zorder_layout"    -> q109Sql,
+    "q111_chisq_audit"      -> q111Sql)
 }

@@ -483,6 +483,44 @@ class ChangeStatsSpec extends SparkSpec {
     assert(got.forall { case (_, _, dySpan) => dySpan <= 8L })
   }
 
+  test("q110: trigram search reaches only words sharing a gram; Jaccard exact") {
+    // query "widgt" → grams {wid, idg, dgt}. "widget" shares {wid, idg}
+    // → 2/(4+3−2) = 400 pm. "red"/"gear"/"blue" share none → unreachable
+    // through the gram index, exactly like a real trigram index.
+    val d = java.nio.file.Files.createTempDirectory("graft_search").toString
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1L, "red widget"), (2L, "blue widget"), (3L, "red gear"))
+      .toDF("p_partkey", "p_name")
+      .write.parquet(s"$d/part.parquet")
+    val got = SparkEntry.queries("q110_trigram_search")(spark, d)
+      .as[(Int, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1, "widget", 400L, 2L, 4L, 2L)))
+  }
+
+  test("q111: chi-square cell terms from a hand-computed 2x2 table") {
+    // A/P=3, A/Q=1, B/P=1, B/Q=3 → N=8, all marginals 4.
+    // num = O·N − R·C = ±8; term = 64/(8·4·4) = 0.5 → 500000 micro.
+    val d = java.nio.file.Files.createTempDirectory("graft_chisq").toString
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((0L, "A"), (1L, "B")).toDF("n_nationkey", "n_name")
+      .write.parquet(s"$d/nation.parquet")
+    Seq((1L, 0L), (2L, 1L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$d/customer.parquet")
+    val orders = Seq.tabulate(3)(i => (10L + i, 1L, "P")) ++ Seq((13L, 1L, "Q")) ++
+      Seq((14L, 2L, "P")) ++ Seq.tabulate(3)(i => (15L + i, 2L, "Q"))
+    orders.map { case (k, c, p) => (k, c, p, ts("1995-01-01 00:00:00")) }
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
+      .write.parquet(s"$d/orders.parquet")
+    val got = SparkEntry.queries("q111_chisq_audit")(spark, d)
+      .select("n_name", "priority", "o", "num", "term_micro")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", "P", 3L, 8L, 500000L), ("A", "Q", 1L, -8L, 500000L),
+      ("B", "P", 1L, -8L, 500000L), ("B", "Q", 3L, 8L, 500000L)))
+  }
+
   private def textDocsDir(rows: (Long, String)*): String = {
     val d = java.nio.file.Files.createTempDirectory("graft_change").toString
     rows.toSeq
