@@ -326,13 +326,77 @@ object QueriesChange {
        |FROM merged JOIN direct USING (month)
        |ORDER BY month""".stripMargin
 
+  // --- q113: SCD2 point-in-time lookup (dimension version as-of fact time) ---
+  // The consumption side of q86's history build — THE classic warehouse
+  // join: each fact row picks the dimension version valid AT ITS OWN
+  // event time, never today's version (joining the current version
+  // back-dates attributes and leaks the future into training data —
+  // the point-in-time-correctness rule feature stores enforce). Facts
+  // are purchase events; the dimension is the user's change-detected
+  // non-purchase activity state. The lookup is ops/AsofJoin (union +
+  // one window pass — one user_id shuffle, never an inequality join);
+  // the DuckDB twin runs its native ASOF LEFT JOIN with the right side
+  // deduped to max(ver_id) per (user, ts) — AsofJoin's documented tie
+  // rule. Purchases before any state version keep an explicit sentinel
+  // (left-join semantics made hash-comparable).
+  private val q113: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val versions = e.filter(col("event_type") =!= "purchase")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byTime))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("ver_id"), col("event_type").as("state"))
+    val facts = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    graft.ops.AsofJoin.latestAtOrBefore(facts, versions, "user_id", "ts",
+        Seq("state", "ver_id"), "ver_id")
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        coalesce(col("asof_state"), lit("none")).as("state"),
+        coalesce(col("asof_ver_id"), lit(-1L)).as("ver_id"))
+      .orderBy(col("purchase_id"))
+  }
+  private val q113Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, event_type FROM events
+      |),
+      |chg AS (
+      |  SELECT *, LAG(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM e WHERE event_type <> 'purchase'
+      |),
+      |v0 AS (
+      |  SELECT user_id, ts, event_id AS ver_id, event_type AS state
+      |  FROM chg WHERE prev_type IS NULL OR prev_type <> event_type
+      |),
+      |v AS (
+      |  SELECT user_id, ts, MAX(ver_id) AS ver_id,
+      |    arg_max(state, ver_id) AS state
+      |  FROM v0 GROUP BY user_id, ts
+      |),
+      |p AS (
+      |  SELECT user_id, ts, event_id AS purchase_id FROM e
+      |  WHERE event_type = 'purchase'
+      |)
+      |SELECT p.purchase_id, p.user_id, epoch_us(p.ts) AS ts_us,
+      |  COALESCE(v.state, 'none') AS state,
+      |  COALESCE(v.ver_id, -1) AS ver_id
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q84_set_ops"       -> q84,
     "q85_snapshot_diff" -> q85,
     "q86_scd2_history"  -> q86,
     "q98_unpivot"       -> q98,
     "q99_gap_fill"      -> q99,
-    "q107_incremental_agg" -> q107)
+    "q107_incremental_agg" -> q107,
+    "q113_scd2_lookup"  -> q113)
 
   val oracleSql: Map[String, String] = Map(
     "q84_set_ops"       -> q84Sql,
@@ -340,5 +404,6 @@ object QueriesChange {
     "q86_scd2_history"  -> q86Sql,
     "q98_unpivot"       -> q98Sql,
     "q99_gap_fill"      -> q99Sql,
-    "q107_incremental_agg" -> q107Sql)
+    "q107_incremental_agg" -> q107Sql,
+    "q113_scd2_lookup"  -> q113Sql)
 }

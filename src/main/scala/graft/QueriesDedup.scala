@@ -362,6 +362,72 @@ object QueriesDedup {
        |SELECT id AS doc_id, MIN(r) AS component
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // --- q114: near-dup cluster-size histogram (the dedup AUDIT) ---------------
+  // What q51's components look like in aggregate — the question a
+  // curation run actually asks: is duplication pairwise noise (clusters
+  // of 2-3) or template spam (a few giant clusters holding most of the
+  // duplicated mass)? Singleton docs (no near-dup edge) are counted as
+  // size-1 clusters via the total-docs complement, NOT by materializing
+  // them. Three dimension-sized aggregates over q51's component table;
+  // the corpus-sized work is the same banded LSH join q51 already pays.
+  private val q114: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val hashed = NearDup
+      .shingleHashed(d.repartition(Tables.shufflePartitions(s)), "doc_id", "text")
+      .cache()
+    val comp = Components.minLabel(NearDup.pairs(hashed, 0.5), "doc_a", "doc_b")
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("csize"))
+    val hist = sizes.groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("docs_in", col("csize") * col("n_clusters"))
+    val totals = d.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(
+        hist.agg(coalesce(sum(col("docs_in")), lit(0L)).as("clustered"))))
+      .select((col("n_docs") - col("clustered")).as("n_singletons"))
+    hist.select(col("csize"), col("n_clusters"), col("docs_in"))
+      .unionByName(totals.select(lit(1L).as("csize"),
+        col("n_singletons").as("n_clusters"),
+        col("n_singletons").as("docs_in")))
+      .groupBy(col("csize"))
+      .agg(sum(col("n_clusters")).as("n_clusters"),
+        sum(col("docs_in")).as("docs_in"))
+      .orderBy(col("csize"))
+  }
+  private val q114Sql =
+    s"""WITH RECURSIVE $lshScoredCtes,
+       |p AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION SELECT doc_b, doc_a FROM p
+       |), reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.id
+       |), comp AS (
+       |  SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+       |), sizes AS (
+       |  SELECT component, CAST(COUNT(*) AS BIGINT) AS csize FROM comp
+       |  GROUP BY component
+       |), hist AS (
+       |  SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |    csize * CAST(COUNT(*) AS BIGINT) AS docs_in
+       |  FROM sizes GROUP BY csize
+       |), singles AS (
+       |  SELECT CAST(1 AS BIGINT) AS csize,
+       |    (SELECT COUNT(*) FROM documents) -
+       |      COALESCE((SELECT SUM(docs_in) FROM hist), 0) AS n_clusters
+       |)
+       |SELECT csize,
+       |  CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+       |  CAST(SUM(csize * n_clusters) AS BIGINT) AS docs_in
+       |FROM (
+       |  SELECT csize, n_clusters FROM hist
+       |  UNION ALL
+       |  SELECT csize, CAST(n_clusters AS BIGINT) FROM singles
+       |)
+       |GROUP BY csize ORDER BY csize""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q54_simhash_neardup" -> q54,
     "q52_embedding_neardup_bucketed" -> q52,
@@ -370,7 +436,8 @@ object QueriesDedup {
     "q27_minhash_lsh" -> q27,
     "q28_simhash" -> q28,
     "q29_ngram_jaccard" -> q29,
-    "q30_embedding_neardup" -> q30)
+    "q30_embedding_neardup" -> q30,
+    "q114_dup_cluster_histogram" -> q114)
 
   val oracleSql: Map[String, String] = Map(
     "q54_simhash_neardup" -> q54Sql,
@@ -380,5 +447,6 @@ object QueriesDedup {
     "q27_minhash_lsh" -> q27Sql,
     "q28_simhash" -> q28Sql,
     "q29_ngram_jaccard" -> q29Sql,
-    "q30_embedding_neardup" -> q30Sql)
+    "q30_embedding_neardup" -> q30Sql,
+    "q114_dup_cluster_histogram" -> q114Sql)
 }

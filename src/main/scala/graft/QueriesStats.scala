@@ -568,6 +568,75 @@ object QueriesStats {
       |    * 1000000.0) AS BIGINT) AS term_micro
       |FROM m ORDER BY n_name, priority""".stripMargin
 
+  // --- q112: revenue concentration (Pareto / Lorenz audit) -------------------
+  // How top-heavy is the customer base? Customers bucket into revenue
+  // deciles by VALUE (percentile_disc cut points, the q50 scale
+  // discipline — no global row_number over the customer dimension),
+  // then each decile reports its exact-cents mass, per-mille share and
+  // cumulative (Lorenz) share. Ties at a cut collapse into the lower
+  // decile — value-deterministic, the property that makes the bucketing
+  // engine-portable and cluster-size-independent. Plan: one corpus
+  // aggregate to customer grain, a 1-row cut table broadcast back, a
+  // 10-row decile aggregate, windows over those 10 rows.
+  private val q112: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("rev"))
+    val cutCols = (1 to 9).map(i =>
+      expr(s"CAST(percentile_disc(0.$i) WITHIN GROUP (ORDER BY rev) AS BIGINT)")
+        .as(s"c$i"))
+    val cuts = cust.agg(cutCols.head, cutCols.tail: _*)
+    val decile = (1 to 9).foldRight(lit(10): org.apache.spark.sql.Column) {
+      (i, rest) => when(col("rev") <= col(s"c$i"), i).otherwise(rest)
+    }
+    val per = cust.crossJoin(broadcast(cuts))
+      .withColumn("decile", decile.cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("cents"))
+    per
+      .withColumn("cum_cents", sum(col("cents")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cents")).over(Window.partitionBy()))
+      .select(col("decile"), col("n_cust"), col("cents"),
+        expr("(1000 * cents) DIV total").as("share_pm"),
+        expr("(1000 * cum_cents) DIV total").as("cum_share_pm"))
+      .orderBy(col("decile"))
+  }
+  private val q112Sql = {
+    val cutSelects = (1 to 9).map(i =>
+      s"CAST(percentile_disc(0.$i) WITHIN GROUP (ORDER BY rev) AS BIGINT) AS c$i")
+      .mkString(",\n    ")
+    val caseExpr = (1 to 9).map(i => s"WHEN rev <= c$i THEN $i")
+      .mkString("CASE ", " ", " ELSE 10 END")
+    s"""WITH cust AS (
+       |  SELECT o_custkey, CAST(SUM(${Exact.sql.cents("o_totalprice")})
+       |    AS BIGINT) AS rev
+       |  FROM orders GROUP BY o_custkey
+       |), cuts AS (
+       |  SELECT
+       |    $cutSelects
+       |  FROM cust
+       |), per AS (
+       |  SELECT CAST($caseExpr AS BIGINT) AS decile,
+       |    CAST(COUNT(*) AS BIGINT) AS n_cust,
+       |    CAST(SUM(rev) AS BIGINT) AS cents
+       |  FROM cust, cuts GROUP BY 1
+       |), w AS (
+       |  SELECT decile, n_cust, cents,
+       |    CAST(SUM(cents) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_cents,
+       |    CAST(SUM(cents) OVER () AS BIGINT) AS total
+       |  FROM per
+       |)
+       |SELECT decile, n_cust, cents,
+       |  (1000 * cents) // total AS share_pm,
+       |  (1000 * cum_cents) // total AS cum_share_pm
+       |FROM w ORDER BY decile""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q87_exact_moments"     -> q87,
     "q88_length_histogram"  -> q88,
@@ -579,7 +648,8 @@ object QueriesStats {
     "q105_shard_plan"       -> q105,
     "q106_mad_outliers"     -> q106,
     "q109_zorder_layout"    -> q109,
-    "q111_chisq_audit"      -> q111)
+    "q111_chisq_audit"      -> q111,
+    "q112_revenue_concentration" -> q112)
 
   val oracleSql: Map[String, String] = Map(
     "q87_exact_moments"     -> q87Sql,
@@ -592,5 +662,6 @@ object QueriesStats {
     "q105_shard_plan"       -> q105Sql,
     "q106_mad_outliers"     -> q106Sql,
     "q109_zorder_layout"    -> q109Sql,
-    "q111_chisq_audit"      -> q111Sql)
+    "q111_chisq_audit"      -> q111Sql,
+    "q112_revenue_concentration" -> q112Sql)
 }

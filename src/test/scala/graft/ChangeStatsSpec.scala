@@ -521,6 +521,54 @@ class ChangeStatsSpec extends SparkSpec {
       ("B", "P", 1L, -8L, 500000L), ("B", "Q", 3L, 8L, 500000L)))
   }
 
+  test("q112: decile shares and the Lorenz cumulative are exact integers") {
+    // 10 customers, revenues 1.00..10.00 → each value-decile holds one
+    // customer; total 5500 cents.
+    val dir = ordersDir((1L to 10L).map(i =>
+      (i, i, "O", i.toDouble, "1995-01-01 00:00:00")): _*)
+    val got = SparkEntry.queries("q112_revenue_concentration")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val cum = Seq(100L, 300L, 600L, 1000L, 1500L, 2100L, 2800L, 3600L, 4500L, 5500L)
+    val expected = (1 to 10).map { d =>
+      (d.toLong, 1L, d * 100L, (1000L * d * 100L) / 5500L, (1000L * cum(d - 1)) / 5500L)
+    }
+    assert(got == expected)
+  }
+
+  test("q113: each purchase sees the dimension version valid at ITS time") {
+    val dir = eventsDir(
+      (1L, "1995-01-01 00:00:01", 1L, "browse"),
+      (2L, "1995-01-01 00:00:02", 1L, "purchase"),  // state = browse
+      (3L, "1995-01-01 00:00:03", 1L, "view"),
+      (4L, "1995-01-01 00:00:04", 1L, "purchase"),  // state = view (not today's!)
+      (5L, "1995-01-01 00:00:00", 2L, "purchase"))  // no prior version
+    val got = SparkEntry.queries("q113_scd2_lookup")(spark, dir)
+      .select("purchase_id", "state", "ver_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (2L, "browse", 1L), (4L, "view", 3L), (5L, "none", -1L)))
+  }
+
+  test("q114: histogram counts clusters by size; singletons via complement") {
+    val dup = "the exact same duplicated template text appears here verbatim"
+    val dir = docsTextDir(
+      (1L, dup), (2L, dup), (3L, dup),
+      (4L, "a completely different document about ships and harbors"),
+      (5L, "unrelated prose concerning mountain weather patterns today"))
+    val got = SparkEntry.queries("q114_dup_cluster_histogram")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L), (3L, 1L, 3L)))
+  }
+
+  private def docsTextDir(rows: (Long, String)*): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_change").toString
+    rows.toSeq
+      .map { case (id, text) => (id, text, "en", "s0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
   private def textDocsDir(rows: (Long, String)*): String = {
     val d = java.nio.file.Files.createTempDirectory("graft_change").toString
     rows.toSeq
