@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.TextOps
@@ -376,6 +377,130 @@ object QueriesBehavior {
        |FROM p GROUP BY path
        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
 
+  // --- q115: multi-touch linear attribution ------------------------------------
+  // Every click within the hour before a purchase shares the purchase's
+  // credit equally — the batch twin of streaming/StreamJoin's interval
+  // pairing, finished into an attribution model (q57 is the
+  // last-touch-only counterpart). The interval join is SCALE-HONEST:
+  // clicks explode into their horizon bucket and the next (ts DIV
+  // horizon, +1), purchases join their own bucket — an EQUI-join on
+  // (user, bucket) (q72's blocking trick; a click matches through
+  // exactly one of its two emitted buckets, so no pair dedup is
+  // needed), then the exact range filter. Credit is integer per-mille,
+  // 1000 DIV n per click, remainder to the EARLIEST click (ts, then
+  // click_id — fully deterministic); per-purchase credit always sums
+  // to exactly 1000. The DuckDB twin runs the plain inequality join —
+  // same rows through a structurally different plan (the q72
+  // precedent).
+  private val AttrHorizonUs = 3600L * 1000000L
+  private val q115: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("click_us"))
+      .select(col("user_id"), col("click_id"), col("click_us"),
+        explode(array(expr(s"click_us DIV $AttrHorizonUs"),
+          expr(s"click_us DIV $AttrHorizonUs + 1"))).as("bucket"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_us"), expr(s"ts_us DIV $AttrHorizonUs").as("bucket"))
+    val pairs = purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("click_us") <= col("p_us") &&
+        col("click_us") > col("p_us") - AttrHorizonUs)
+    val byPurchase = Window.partitionBy(col("purchase_id"))
+    val ordered = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("click_us"), col("click_id"))
+    pairs
+      .withColumn("n", count(lit(1)).over(byPurchase))
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("credit_pm", expr(
+        "1000 DIV n + CASE WHEN rn = 1 THEN 1000 % n ELSE 0 END"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (col("p_us") - col("click_us")).as("gap_us"), col("n"), col("credit_pm"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+  private val q115Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+       |  FROM events
+       |), c AS (
+       |  SELECT user_id, event_id AS click_id, ts_us AS click_us FROM e
+       |  WHERE event_type = 'click'
+       |), p AS (
+       |  SELECT user_id, event_id AS purchase_id, ts_us AS p_us FROM e
+       |  WHERE event_type = 'purchase'
+       |), pairs AS (
+       |  SELECT p.purchase_id, p.user_id, c.click_id, p.p_us, c.click_us
+       |  FROM p JOIN c ON p.user_id = c.user_id
+       |   AND c.click_us <= p.p_us AND c.click_us > p.p_us - $AttrHorizonUs
+       |), w AS (
+       |  SELECT *, CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n,
+       |    ROW_NUMBER() OVER (PARTITION BY purchase_id
+       |      ORDER BY click_us, click_id) AS rn
+       |  FROM pairs
+       |)
+       |SELECT purchase_id, user_id, click_id, p_us - click_us AS gap_us, n,
+       |  1000 // n + CASE WHEN rn = 1 THEN 1000 % n ELSE 0 END AS credit_pm
+       |FROM w ORDER BY purchase_id, click_id""".stripMargin
+
+  // --- q116: time-weighted average (TWAP) ---------------------------------------
+  // The mean of a signal SAMPLED AT IRREGULAR EVENTS, each observation
+  // weighted by how long it was in force (until the user's next event)
+  // — the correct aggregate for anything carried between events
+  // (price, queue depth, session quality); the unweighted AVG
+  // over-counts bursts. Values floor to integer milli-units, durations
+  // to whole seconds, so the weighted sum and the final division are
+  // exact integers (weights in SECONDS keep worst-case value×duration
+  // ≈ 1e6·2e8 = 2e14 per term — int64-safe at any event density). The
+  // last observation per user has no successor and drops from BOTH
+  // numerator and denominator. One (user_id, ts) window = one shuffle.
+  private val q116: Q = (s, dir) => {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(floor(value * 1000.0D) AS BIGINT)").as("mval"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(byTime))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur_s", expr("(next_us - ts_us) DIV 1000000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_s")).as("dur_s"),
+        sum(col("mval") * col("dur_s")).as("wsum"))
+      .filter(col("dur_s") > 0)
+      // sign-split division (q93): engines disagree on negative integer
+      // division direction; value here is non-negative but the operator
+      // must not silently depend on that
+      .withColumn("twap_milli", expr(
+        "CASE WHEN wsum < 0 THEN -1 ELSE 1 END * (abs(wsum) DIV dur_s)"))
+      .select(col("user_id"), col("n_intervals"), col("dur_s"), col("twap_milli"))
+      .orderBy(col("user_id"))
+  }
+  private val q116Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CAST(floor(value * 1000.0) AS BIGINT) AS mval
+      |  FROM events
+      |), nxt AS (
+      |  SELECT *, LEAD(ts_us) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_us
+      |  FROM e
+      |), iv AS (
+      |  SELECT user_id, mval, (next_us - ts_us) // 1000000 AS dur_s
+      |  FROM nxt WHERE next_us IS NOT NULL
+      |), g AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |    CAST(SUM(dur_s) AS BIGINT) AS dur_s,
+      |    CAST(SUM(mval * dur_s) AS BIGINT) AS wsum
+      |  FROM iv GROUP BY user_id
+      |)
+      |SELECT user_id, n_intervals, dur_s,
+      |  (CASE WHEN wsum < 0 THEN -1 ELSE 1 END) * (abs(wsum) // dur_s)
+      |    AS twap_milli
+      |FROM g WHERE dur_s > 0 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q90_funnel"      -> q90,
     "q91_retention"   -> q91,
@@ -383,7 +508,9 @@ object QueriesBehavior {
     "q93_weekly_delta" -> q93,
     "q96_weekly_churn" -> q96,
     "q97_conversion_latency" -> q97,
-    "q103_session_paths" -> q103)
+    "q103_session_paths" -> q103,
+    "q115_linear_attribution" -> q115,
+    "q116_twap" -> q116)
 
   val oracleSql: Map[String, String] = Map(
     "q90_funnel"      -> q90Sql,
@@ -392,5 +519,7 @@ object QueriesBehavior {
     "q93_weekly_delta" -> q93Sql,
     "q96_weekly_churn" -> q96Sql,
     "q97_conversion_latency" -> q97Sql,
-    "q103_session_paths" -> q103Sql)
+    "q103_session_paths" -> q103Sql,
+    "q115_linear_attribution" -> q115Sql,
+    "q116_twap" -> q116Sql)
 }

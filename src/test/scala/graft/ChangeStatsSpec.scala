@@ -560,6 +560,52 @@ class ChangeStatsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L), (3L, 1L, 3L)))
   }
 
+  test("q115: credit splits per-mille, remainder to the earliest click") {
+    val dir = eventsDir(
+      // user 1: two clicks in the hour → 500/500
+      (1L, "1995-01-01 10:00:00", 1L, "click"),
+      (2L, "1995-01-01 10:30:00", 1L, "click"),
+      (3L, "1995-01-01 10:59:00", 1L, "purchase"),
+      // user 2: one click outside the hour, three inside → 334/333/333
+      (4L, "1995-01-01 09:00:00", 2L, "click"),
+      (5L, "1995-01-01 10:20:00", 2L, "click"),
+      (6L, "1995-01-01 10:40:00", 2L, "click"),
+      (7L, "1995-01-01 10:50:00", 2L, "click"),
+      (8L, "1995-01-01 10:55:00", 2L, "purchase"),
+      // user 4: a click EXACTLY one hour before is out (strict >), one
+      // at the purchase instant is in (inclusive <=)
+      (9L, "1995-01-01 10:00:00", 4L, "click"),
+      (11L, "1995-01-01 11:00:00", 4L, "click"),
+      (10L, "1995-01-01 11:00:00", 4L, "purchase"))
+    val got = SparkEntry.queries("q115_linear_attribution")(spark, dir)
+      .select("purchase_id", "click_id", "gap_us", "n", "credit_pm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (3L, 1L, 3540L * 1000000, 2L, 500L),
+      (3L, 2L, 1740L * 1000000, 2L, 500L),
+      (8L, 5L, 2100L * 1000000, 3L, 334L),
+      (8L, 6L, 900L * 1000000, 3L, 333L),
+      (8L, 7L, 300L * 1000000, 3L, 333L),
+      (10L, 11L, 0L, 1L, 1000L)))
+    assert(got.groupBy(_._1).values.forall(_.map(_._5).sum == 1000L))
+  }
+
+  test("q116: each observation weighs by its duration; the open tail drops") {
+    val d = java.nio.file.Files.createTempDirectory("graft_twap").toString
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1L, "1995-01-01 00:00:00", 1L, "view", 1.0),
+        (2L, "1995-01-01 00:00:10", 1L, "view", 3.0),
+        (3L, "1995-01-01 00:00:30", 1L, "view", 99.0)) // open tail — dropped
+      .map { case (id, t, u, typ, v) => (id, ts(t), u, typ, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q116_twap")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // wsum = 1000·10 + 3000·20 = 70000 over 30 s → 2333 milli-units
+    assert(got == Seq((1L, 2L, 30L, 2333L)))
+  }
+
   private def docsTextDir(rows: (Long, String)*): String = {
     val d = java.nio.file.Files.createTempDirectory("graft_change").toString
     rows.toSeq
