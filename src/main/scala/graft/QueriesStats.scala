@@ -372,20 +372,11 @@ object QueriesStats {
   // query IS the plan plus its balance audit (mass per-mille per shard).
   private val NShards = 8
   private val q105: Q = (s, dir) => {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(desc("n_chars"), col("doc_id"))
-    val assigned = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("r", (row_number().over(w) - 1).cast("long"))
-      .withColumn("shard", expr(
-        s"CASE WHEN (r DIV $NShards) % 2 = 0 THEN r % $NShards " +
-        s"ELSE ${NShards - 1} - (r % $NShards) END"))
-    val perShard = assigned.groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
-    val total = perShard.agg(sum(col("chars")).as("t"))
-    perShard.crossJoin(broadcast(total))
-      .withColumn("mass_pm", expr("(1000 * chars) DIV t"))
-      .select(col("shard"), col("n_docs"), col("chars"), col("mass_pm"))
+    val assigned = graft.ops.ShardPlan.assign(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+      "n_chars", "doc_id", Seq("source"), NShards)
+    graft.ops.ShardPlan.audit(assigned, "n_chars")
+      .select(col("shard"), col("n_docs"), col("mass").as("chars"), col("mass_pm"))
       .orderBy(col("shard"))
   }
   private val q105Sql =

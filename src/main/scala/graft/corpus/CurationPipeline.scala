@@ -175,9 +175,25 @@ object CurationPipeline {
     * format [[graft.sources.JsonlDocuments]] reads — a downstream consumer
     * round-trips through the hardened reader) plus the audit document
     * alongside. Source partitioning keeps per-source consumers pruning at
-    * the directory level; the audit is O(stages) rows → one file. */
-  def write(curated: DataFrame, audit: DataFrame, outDir: String): Unit = {
-    curated.write.mode("overwrite").partitionBy("source").json(s"$outDir/corpus")
+    * the directory level; the audit is O(stages) rows → one file.
+    *
+    * `shards = Some(k)` additionally deals each source's docs into k
+    * near-equal-byte shards ([[graft.ops.ShardPlan]] — the snake packing
+    * q105 oracle-verifies) and partitions the layout by (source, shard):
+    * the release shape a downstream loader reads shard-parallel with
+    * balanced task sizes instead of one skewed file per source. */
+  def write(curated: DataFrame, audit: DataFrame, outDir: String,
+            shards: Option[Int] = None): Unit = {
+    shards match {
+      case Some(k) =>
+        val sized = curated.withColumn("_mass", length(col("text")).cast("long"))
+        graft.ops.ShardPlan.assign(sized, "_mass", "doc_id", Seq("source"), k)
+          .drop("_mass")
+          .write.mode("overwrite").partitionBy("source", "shard")
+          .json(s"$outDir/corpus")
+      case None =>
+        curated.write.mode("overwrite").partitionBy("source").json(s"$outDir/corpus")
+    }
     audit.coalesce(1).write.mode("overwrite").json(s"$outDir/audit")
   }
 }

@@ -81,6 +81,31 @@ class CurationPipelineSpec extends SparkSpec {
       .select("docs_after").as[Long].head() == 2L)
   }
 
+  test("write with shards: balanced (source, shard) layout, still readable") {
+    // 4 docs per source, snake-dealt into 2 shards per source; every
+    // doc survives (permissive config) so each source splits 2/2.
+    val docs = (1L to 8L).map { i =>
+      val words = (1 to (4 + i.toInt)).map(w => s"w${i}_$w").mkString(" ")
+      (i, words, "en", s"s${i % 2}", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (curated, audit) = CurationPipeline.run(docs, CurationPipeline.Config(
+      minToks = 1, maxDupTokFrac = 1.0, minScore = 0.0,
+      budgetToksPerSource = 1000000L))
+    val out = java.nio.file.Files.createTempDirectory("graft_release").toString
+    CurationPipeline.write(curated, audit, out, shards = Some(2))
+    val dirs = new java.io.File(s"$out/corpus").listFiles()
+      .filter(_.isDirectory).flatMap(src =>
+        src.listFiles().filter(_.isDirectory).map(sh => s"${src.getName}/${sh.getName}"))
+      .toSet
+    assert(dirs == Set("source=s0/shard=0", "source=s0/shard=1",
+      "source=s1/shard=0", "source=s1/shard=1"))
+    // each (source, shard) leaf holds exactly 2 of that source's 4 docs
+    val back = spark.read.json(s"$out/corpus")
+    assert(back.count() == 8L)
+    assert(back.groupBy("source", "shard").count()
+      .select("count").as[Long].collect().toSeq.forall(_ == 2L))
+  }
+
   test("the mixture stage downsamples against the token budget") {
     val docs = (1L to 200L).map(i =>
       (i, (1 to 20).map(j => s"w${i}_$j").mkString(" "), "en", "s0", 0L))
