@@ -161,10 +161,15 @@ object QueriesTokenizer {
        |  FROM w
        |),
        |t1 AS (
-       |  SELECT pair AS m1 FROM (
-       |    SELECT pair, CAST(SUM(wf) AS BIGINT) AS n FROM p1 GROUP BY pair
-       |    ORDER BY n DESC, pair LIMIT 1
-       |  )
+       |  -- early-stop tolerance (Bpe.train stops when pairs run out):
+       |  -- an exhausted round coalesces to a chr(0) sentinel pair that
+       |  -- can never occur in the corpus, making its replace a no-op —
+       |  -- the twin then applies exactly the merges Spark learned
+       |  SELECT COALESCE((
+       |    SELECT pair FROM (
+       |      SELECT pair, CAST(SUM(wf) AS BIGINT) AS n FROM p1 GROUP BY pair
+       |      ORDER BY n DESC, pair LIMIT 1
+       |    )), chr(0) || chr(0)) AS m1
        |),
        |w2t AS (SELECT wf, m1, replace(word, m1, chr(1)) AS w2
        |        FROM w CROSS JOIN t1),
@@ -174,14 +179,16 @@ object QueriesTokenizer {
        |  FROM w2t WHERE length(w2) >= 2
        |),
        |t2 AS (
-       |  SELECT pair AS m2k,
-       |         replace(substr(pair, 1, 1), chr(1), m1) ||
-       |         replace(substr(pair, 2, 1), chr(1), m1) AS m2 FROM (
-       |    SELECT pair, m1, CAST(SUM(wf) AS BIGINT) AS n
-       |    FROM p2 GROUP BY pair, m1
-       |    ORDER BY n DESC, replace(substr(pair, 1, 1), chr(1), m1),
-       |             replace(substr(pair, 2, 1), chr(1), m1) LIMIT 1
-       |  )
+       |  SELECT m2k,
+       |         replace(substr(m2k, 1, 1), chr(1), m1) ||
+       |         replace(substr(m2k, 2, 1), chr(1), m1) AS m2
+       |  FROM (SELECT COALESCE((
+       |    SELECT pair FROM (
+       |      SELECT pair, CAST(SUM(wf) AS BIGINT) AS n
+       |      FROM p2 GROUP BY pair, m1
+       |      ORDER BY n DESC, replace(substr(pair, 1, 1), chr(1), m1),
+       |               replace(substr(pair, 2, 1), chr(1), m1) LIMIT 1
+       |    )), chr(0) || chr(0)) AS m2k) CROSS JOIN t1
        |),
        |w3t AS (SELECT wf, m1, m2, m2k, replace(w2, m2k, chr(2)) AS w3
        |        FROM w2t CROSS JOIN t2),
@@ -192,13 +199,14 @@ object QueriesTokenizer {
        |  FROM w3t WHERE length(w3) >= 2
        |),
        |t3 AS (
-       |  SELECT pair AS m3k FROM (
-       |    SELECT pair, CAST(SUM(wf) AS BIGINT) AS n,
-       |      replace(replace(substr(pair, 1, 1), chr(2), m2), chr(1), m1) AS l3,
-       |      replace(replace(substr(pair, 2, 1), chr(2), m2), chr(1), m1) AS r3
-       |    FROM p3 GROUP BY pair, m1, m2
-       |    ORDER BY n DESC, l3, r3 LIMIT 1
-       |  )
+       |  SELECT COALESCE((
+       |    SELECT pair FROM (
+       |      SELECT pair, CAST(SUM(wf) AS BIGINT) AS n,
+       |        replace(replace(substr(pair, 1, 1), chr(2), m2), chr(1), m1) AS l3,
+       |        replace(replace(substr(pair, 2, 1), chr(2), m2), chr(1), m1) AS r3
+       |      FROM p3 GROUP BY pair, m1, m2
+       |      ORDER BY n DESC, l3, r3 LIMIT 1
+       |    )), chr(0) || chr(0)) AS m3k
        |),
        |enc AS (
        |  SELECT word, CAST(length(

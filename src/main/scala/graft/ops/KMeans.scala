@@ -49,12 +49,13 @@ object KMeans {
   /** Spark: int8 codes of a double-array column (q68's formula —
     * per-row max-abs scale, round-half-up).
     *
-    * The scale is computed ONCE per row by pinning it into a 1-element
-    * array the lambda zips against — SQL lambdas have no let-binding,
-    * and inlining the `array_max` scale inside the per-element lambda
-    * would re-reduce the whole vector for every element (O(dim²)
-    * interpreted work per row; measured ~2s of the q41 runtime at
-    * sf0.1 before this shape). */
+    * The scale is evaluated ONCE per row and repeated to the vector's
+    * length (`array_repeat(scale, size(v))` — zip_with needs
+    * equal-length sides) so the lambda reads it as a plain element.
+    * SQL lambdas have no let-binding, and inlining the `array_max`
+    * scale inside the per-element lambda would re-reduce the whole
+    * vector for every element (O(dim²) interpreted work per row;
+    * measured ~2s of the q41 runtime at sf0.1 before this shape). */
   def codesExpr(v: String): String = {
     val scale = s"(CASE WHEN array_max(transform($v, x -> abs(x))) = 0.0D THEN 1.0D " +
       s"ELSE 127.0D / array_max(transform($v, x -> abs(x))) END)"

@@ -22,13 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object OrcDocuments {
 
-  /** @return (clean documents with recomputed n_chars, quarantined rows) */
+  /** @return (clean documents with recomputed n_chars, quarantined rows).
+    * A column the drop lacks entirely is admitted as typed nulls — the
+    * same thing the JSONL reader does for an absent field — so a
+    * missing nullable `lang`/`source` ingests cleanly and a missing
+    * REQUIRED `doc_id`/`text` quarantines every row instead of killing
+    * the job with an unresolved-column error. */
   def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val raw = spark.read.orc(path)
-    val projected = JsonlDocuments.schema.fields.foldLeft(
-      raw.select(JsonlDocuments.schema.fieldNames.map(col): _*)) {
-      (df, f) => df.withColumn(f.name, col(f.name).cast(f.dataType))
-    }
+    val present = raw.columns.toSet
+    val projected = raw.select(JsonlDocuments.schema.fields.map { f =>
+      val c = if (present.contains(f.name)) col(f.name)
+              else lit(null)
+      c.cast(f.dataType).as(f.name)
+    }: _*)
     JsonlDocuments.split(
       projected.withColumn("_corrupt_record", lit(null).cast("string")).cache())
   }

@@ -551,7 +551,7 @@ class ChangeStatsSpec extends SparkSpec {
 
   test("q114: histogram counts clusters by size; singletons via complement") {
     val dup = "the exact same duplicated template text appears here verbatim"
-    val dir = docsTextDir(
+    val dir = textDocsDir(
       (1L, dup), (2L, dup), (3L, dup),
       (4L, "a completely different document about ships and harbors"),
       (5L, "unrelated prose concerning mountain weather patterns today"))
@@ -604,15 +604,6 @@ class ChangeStatsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     // wsum = 1000·10 + 3000·20 = 70000 over 30 s → 2333 milli-units
     assert(got == Seq((1L, 2L, 30L, 2333L)))
-  }
-
-  private def docsTextDir(rows: (Long, String)*): String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_change").toString
-    rows.toSeq
-      .map { case (id, text) => (id, text, "en", "s0", text.length.toLong) }
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.parquet(s"$d/documents.parquet")
-    d
   }
 
   private def textDocsDir(rows: (Long, String)*): String = {

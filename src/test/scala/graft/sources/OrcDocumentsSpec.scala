@@ -31,6 +31,23 @@ class OrcDocumentsSpec extends SparkSpec {
     assert(quar.exists(_.contains("orphan text")))
   }
 
+  test("a drop missing a nullable column admits with nulls; a missing " +
+       "required column quarantines rows instead of killing the read") {
+    val dir = Files.createTempDirectory("graft_orc_miss").toString
+    Seq((1L, "no lang column here", "s0"))
+      .toDF("doc_id", "text", "source")
+      .write.orc(s"$dir/nolang")
+    val (clean, quarantined) = OrcDocuments.read(spark, s"$dir/nolang")
+    assert(quarantined.count() == 0L)
+    assert(clean.select("doc_id", "lang").as[(Long, Option[String])]
+      .collect().toSeq == Seq((1L, None)))
+
+    Seq((2L, "en", "s0")).toDF("doc_id", "lang", "source")
+      .write.orc(s"$dir/notext") // REQUIRED text column absent entirely
+    val (clean2, quarantined2) = OrcDocuments.read(spark, s"$dir/notext")
+    assert(clean2.count() == 0L && quarantined2.count() == 1L)
+  }
+
   test("an int-typed doc_id column casts up to the wire schema's long") {
     val dir = Files.createTempDirectory("graft_orc_cast").toString
     Seq((7, "typed narrow", "en", "s0"))
