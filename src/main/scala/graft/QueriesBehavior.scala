@@ -501,6 +501,69 @@ object QueriesBehavior {
       |    AS twap_milli
       |FROM g WHERE dur_s > 0 ORDER BY user_id""".stripMargin
 
+  // --- q117: session quality stats (bounce rate + exact median duration) -----
+  // The product-analytics view of the 2h-gap sessionization operator
+  // (ops/Sessionize — the reference's own session model): per day of
+  // session start, how many sessions, how many BOUNCED (single event),
+  // and the exact DISCRETE median duration in whole seconds (element
+  // selection, the q46 rule — no interpolation, no floats). Plan: one
+  // (user, ts) window pass, one (user, session) rollup reusing that
+  // partitioning, then a days-sized aggregate carrying the per-day
+  // percentile sort.
+  private val SessGapS = 7200L
+  private val q117: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val sess = graft.ops.Sessionize.assign(
+        e, col("user_id"), col("ts"), col("event_id"), SessGapS)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("dur_us"))
+      .select(date_format(col("start_ts"), "yyyy-MM-dd").as("day"),
+        col("n_events"), expr("dur_us DIV 1000000").as("dur_s"))
+    sess.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("bounces"),
+        sum(col("n_events")).as("n_events"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dur_s) AS BIGINT)")
+          .as("p50_dur_s"))
+      .withColumn("bounce_pm", expr("(1000 * bounces) DIV n_sessions"))
+      .orderBy(col("day"))
+  }
+  private val q117Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, ts, epoch_us(ts) AS ts_us, event_id FROM events
+       |),
+       |lagd AS (
+       |  SELECT *, LAG(ts_us) OVER (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id) AS prev_us
+       |  FROM e
+       |),
+       |sess AS (
+       |  SELECT *, SUM(CASE WHEN prev_us IS NULL
+       |      OR ts_us - prev_us >= ${SessGapS * 1000000L} THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |          ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM lagd
+       |),
+       |per AS (
+       |  SELECT strftime(MIN(ts), '%Y-%m-%d') AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events,
+       |    (MAX(ts_us) - MIN(ts_us)) // 1000000 AS dur_s
+       |  FROM sess GROUP BY user_id, session_seq
+       |)
+       |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS bounces,
+       |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+       |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dur_s) AS BIGINT)
+       |    AS p50_dur_s,
+       |  (1000 * CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT))
+       |    // CAST(COUNT(*) AS BIGINT) AS bounce_pm
+       |FROM per GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q90_funnel"      -> q90,
     "q91_retention"   -> q91,
@@ -510,7 +573,8 @@ object QueriesBehavior {
     "q97_conversion_latency" -> q97,
     "q103_session_paths" -> q103,
     "q115_linear_attribution" -> q115,
-    "q116_twap" -> q116)
+    "q116_twap" -> q116,
+    "q117_session_stats" -> q117)
 
   val oracleSql: Map[String, String] = Map(
     "q90_funnel"      -> q90Sql,
@@ -521,5 +585,6 @@ object QueriesBehavior {
     "q97_conversion_latency" -> q97Sql,
     "q103_session_paths" -> q103Sql,
     "q115_linear_attribution" -> q115Sql,
-    "q116_twap" -> q116Sql)
+    "q116_twap" -> q116Sql,
+    "q117_session_stats" -> q117Sql)
 }

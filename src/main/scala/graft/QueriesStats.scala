@@ -628,6 +628,47 @@ object QueriesStats {
        |FROM w ORDER BY decile""".stripMargin
   }
 
+  // --- q118: market-basket co-occurrence (pairwise frequent itemsets) --------
+  // Which parts sell together: support counts for unordered part pairs
+  // within an order, top-20. The pair explosion is bounded by basket
+  // size BY CONSTRUCTION — baskets above BasketCap items are excluded
+  // up front (the standard market-basket guard: one pathological
+  // 10⁶-item basket would otherwise mint 5·10¹¹ pairs), so the
+  // self-join on l_orderkey is an equi-join whose per-key fan-out is
+  // ≤ cap² — skew-proof at any corpus size. Items are DISTINCT per
+  // order first (a reordered line of the same part is not a
+  // co-occurrence), pairs are canonical (a < b).
+  private val BasketCap = 50
+  private val q118: Q = (s, dir) => {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val small = items.groupBy(col("ok")).agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") <= BasketCap)
+      .select("ok")
+    val inCap = items.join(small, Seq("ok"))
+    val pairs = inCap.select(col("ok"), col("pk").as("part_a"))
+      .join(inCap.select(col("ok"), col("pk").as("part_b")), Seq("ok"))
+      .filter(col("part_a") < col("part_b"))
+    pairs.groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(desc("support"), col("part_a"), col("part_b"))
+      .limit(20)
+  }
+  private val q118Sql =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), small AS (
+       |  SELECT ok FROM items GROUP BY ok HAVING COUNT(*) <= $BasketCap
+       |), incap AS (
+       |  SELECT items.ok, pk FROM items JOIN small USING (ok)
+       |)
+       |SELECT a.pk AS part_a, b.pk AS part_b,
+       |  CAST(COUNT(*) AS BIGINT) AS support
+       |FROM incap a JOIN incap b ON a.ok = b.ok AND a.pk < b.pk
+       |GROUP BY part_a, part_b
+       |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q87_exact_moments"     -> q87,
     "q88_length_histogram"  -> q88,
@@ -640,7 +681,8 @@ object QueriesStats {
     "q106_mad_outliers"     -> q106,
     "q109_zorder_layout"    -> q109,
     "q111_chisq_audit"      -> q111,
-    "q112_revenue_concentration" -> q112)
+    "q112_revenue_concentration" -> q112,
+    "q118_copurchase" -> q118)
 
   val oracleSql: Map[String, String] = Map(
     "q87_exact_moments"     -> q87Sql,
@@ -654,5 +696,6 @@ object QueriesStats {
     "q106_mad_outliers"     -> q106Sql,
     "q109_zorder_layout"    -> q109Sql,
     "q111_chisq_audit"      -> q111Sql,
-    "q112_revenue_concentration" -> q112Sql)
+    "q112_revenue_concentration" -> q112Sql,
+    "q118_copurchase" -> q118Sql)
 }

@@ -606,6 +606,38 @@ class ChangeStatsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 30L, 2333L)))
   }
 
+  test("q117: bounces are single-event sessions; median duration is discrete") {
+    val dir = eventsDir(
+      // user 1, day 1: a 2-event session (30 min) then a bounce 10h later
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 00:30:00", 1L, "click"),
+      (3L, "2024-01-01 10:30:00", 1L, "view"),
+      // user 2, day 2: one bounce
+      (4L, "2024-01-02 09:00:00", 2L, "view"))
+    val got = SparkEntry.queries("q117_session_stats")(spark, dir)
+      .select("day", "n_sessions", "bounces", "n_events", "p50_dur_s", "bounce_pm")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // day 1 durations {1800, 0} → disc median picks the 1st element (0)
+    assert(got == Seq(
+      ("2024-01-01", 2L, 1L, 3L, 0L, 500L),
+      ("2024-01-02", 1L, 1L, 1L, 0L, 1000L)))
+  }
+
+  test("q118: co-purchase pairs are distinct-per-order and canonical") {
+    val d = java.nio.file.Files.createTempDirectory("graft_basket").toString
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1L, 1L), (1L, 2L), (1L, 3L),
+        (2L, 2L), (2L, 1L),       // reversed arrival — pair stays (1,2)
+        (3L, 5L), (3L, 5L))       // duplicate line: no self-pair
+      .map { case (ok, pk) => (ok, pk, ts("1995-01-01 00:00:00")) }
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = SparkEntry.queries("q118_copurchase")(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
   private def textDocsDir(rows: (Long, String)*): String = {
     val d = java.nio.file.Files.createTempDirectory("graft_change").toString
     rows.toSeq
