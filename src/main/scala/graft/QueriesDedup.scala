@@ -428,7 +428,65 @@ object QueriesDedup {
        |)
        |GROUP BY csize ORDER BY csize""".stripMargin
 
+  // --- q119: cross-source similarity via aggregated MinHash sketches ---------
+  // Which sources overlap in CONTENT (shared boilerplate, mirrored
+  // sites, cross-posted text) — the source-level question the per-doc
+  // near-dup family doesn't answer. MinHash algebra makes it one
+  // aggregate: the elementwise min of per-doc signatures IS the
+  // signature of the source's UNION of shingles, so the native
+  // `graft_array_min_agg` ([[graft.functions.ArrayMinAgg]] — combinable,
+  // one 16-long array per partition per group in the shuffle) folds each
+  // source to a 16-perm sketch, and pairwise agreement/16 estimates the
+  // Jaccard of the sources' shingle sets. Sources-sized join, broadcast.
+  // The DuckDB twin computes the same minima relationally (unnest ×
+  // perm VALUES table) — same constants, hash-identical sketches.
+  private val q119: Q = (s, dir) => {
+    graft.functions.TextFunctions.register(s)
+    val sigExpr = "array(" + TextOps.minhashExprs("hs").mkString(", ") + ")"
+    val sigs = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 13)
+      .select(col("source"), expr("graft_shingle_hashes3(text)").as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .select(col("source"), expr(sigExpr).as("sig"))
+      .groupBy(col("source"))
+      .agg(expr("graft_array_min_agg(sig)").as("sig"))
+    sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
+      .join(broadcast(
+        sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))),
+        col("source_a") < col("source_b"))
+      .withColumn("agree", expr(
+        """aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1L, 0L)),
+          |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      .select(col("source_a"), col("source_b"), col("agree"),
+        expr(s"(1000 * agree) DIV ${TextOps.NumPerm}").as("sim_pm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+  private val q119Sql = {
+    val permRows = (0 until TextOps.NumPerm)
+      .map(i => s"(${i}, ${TextOps.permA(i)}, ${TextOps.permB(i)})")
+      .mkString(", ")
+    s"""WITH d AS (
+       |  SELECT source, ${TextOps.sql.shingleHashes("text", 3)} AS hs
+       |  FROM documents WHERE length(text) >= 13
+       |),
+       |h AS (SELECT source, unnest(hs) AS h FROM d WHERE len(hs) >= 1),
+       |perms(i, a, b) AS (VALUES $permRows),
+       |sig AS (
+       |  SELECT source, i,
+       |    MIN((a * (h % ${TextOps.P}) + b) % ${TextOps.P}) AS m
+       |  FROM h CROSS JOIN perms GROUP BY source, i
+       |)
+       |SELECT sa.source AS source_a, sb.source AS source_b,
+       |  CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+       |  (1000 * CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT))
+       |    // ${TextOps.NumPerm} AS sim_pm
+       |FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.source < sb.source
+       |GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q119_source_similarity" -> q119,
     "q54_simhash_neardup" -> q54,
     "q52_embedding_neardup_bucketed" -> q52,
     "q51_dedup_components" -> q51,
@@ -440,6 +498,7 @@ object QueriesDedup {
     "q114_dup_cluster_histogram" -> q114)
 
   val oracleSql: Map[String, String] = Map(
+    "q119_source_similarity" -> q119Sql,
     "q54_simhash_neardup" -> q54Sql,
     "q52_embedding_neardup_bucketed" -> q52Sql,
     "q51_dedup_components" -> q51Sql,

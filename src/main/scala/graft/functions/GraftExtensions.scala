@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "Unicode NFC normalization of a STRING"),
       (c: Seq[Expression]) => NfcNormalize(c(0))))
+    ext.injectFunction((FunctionIdentifier("graft_array_min_agg"),
+      info("graft_array_min_agg", "elementwise min aggregate over ARRAY<BIGINT> rows"),
+      (c: Seq[Expression]) => ArrayMinAgg(c(0))))
     // Optimizer rule: push element-only filter predicates under explode()
     // (runs in the operator-optimization batch; see the rule's scaladoc).
     ext.injectOptimizerRule(_ => graft.plans.PushFilterIntoExplode)

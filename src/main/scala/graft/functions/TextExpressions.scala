@@ -209,6 +209,8 @@ object TextFunctions {
       (c: Seq[Expression]) => WinnowFingerprints(c(0), 7, 4), "built-in")
     reg.createOrReplaceTempFunction("graft_nfc",
       (c: Seq[Expression]) => NfcNormalize(c(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_array_min_agg",
+      (c: Seq[Expression]) => ArrayMinAgg(c(0)), "built-in")
   }
 }
 
