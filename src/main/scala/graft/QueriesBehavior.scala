@@ -564,6 +564,67 @@ object QueriesBehavior {
        |    // CAST(COUNT(*) AS BIGINT) AS bounce_pm
        |FROM per GROUP BY day ORDER BY day""".stripMargin
 
+  // --- q121: duration-weighted median --------------------------------------
+  // q116's robust sibling: the median of a signal where each observation
+  // counts proportionally to how long it was in force — the 50%
+  // breakdown point q116's weighted MEAN lacks. Discrete selection rule
+  // in integers: order observations by (value, event_id) per event type,
+  // take the first whose doubled cumulative weight reaches the total
+  // (2·cum ≥ total — the lower weighted median, and exactly the q46
+  // element-selection discipline with weights). Open tails drop like
+  // q116. One (type, value) window sort per group, then a types-sized
+  // argmin.
+  private val q121: Q = (s, dir) => {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val iv = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(floor(value * 1000.0D) AS BIGINT)").as("mval"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(byTime))
+      .filter(col("next_us").isNotNull)
+      .withColumn("w", expr("(next_us - ts_us) DIV 1000000"))
+      .filter(col("w") > 0)
+    val byVal = Window.partitionBy(col("event_type"))
+      .orderBy(col("mval"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("event_type"))
+    // qualification (2·cum ≥ total) is monotone in the cum order, so the
+    // first qualifying row's value is simply the min value among
+    // qualifying rows
+    iv.withColumn("cum", sum(col("w")).over(byVal))
+      .withColumn("total", sum(col("w")).over(tot))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy(col("event_type"))
+      .agg(min(col("mval")).as("wmedian_milli"), max(col("total")).as("total_w"))
+      .orderBy(col("event_type"))
+  }
+  private val q121Sql =
+    """WITH nxt AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |    CAST(floor(value * 1000.0) AS BIGINT) AS mval,
+      |    LEAD(epoch_us(ts)) OVER
+      |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_us
+      |  FROM events
+      |), iv AS (
+      |  SELECT event_type, event_id, mval,
+      |    (next_us - ts_us) // 1000000 AS w
+      |  FROM nxt WHERE next_us IS NOT NULL
+      |    AND (next_us - ts_us) // 1000000 > 0
+      |), c AS (
+      |  SELECT *, CAST(SUM(w) OVER (PARTITION BY event_type
+      |      ORDER BY mval, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(SUM(w) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      |  FROM iv
+      |)
+      |SELECT event_type,
+      |  MIN(mval) AS wmedian_milli,
+      |  CAST(MAX(total) AS BIGINT) AS total_w
+      |FROM c WHERE cum * 2 >= total
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q90_funnel"      -> q90,
     "q91_retention"   -> q91,
@@ -574,7 +635,8 @@ object QueriesBehavior {
     "q103_session_paths" -> q103,
     "q115_linear_attribution" -> q115,
     "q116_twap" -> q116,
-    "q117_session_stats" -> q117)
+    "q117_session_stats" -> q117,
+    "q121_weighted_median" -> q121)
 
   val oracleSql: Map[String, String] = Map(
     "q90_funnel"      -> q90Sql,
@@ -586,5 +648,6 @@ object QueriesBehavior {
     "q103_session_paths" -> q103Sql,
     "q115_linear_attribution" -> q115Sql,
     "q116_twap" -> q116Sql,
-    "q117_session_stats" -> q117Sql)
+    "q117_session_stats" -> q117Sql,
+    "q121_weighted_median" -> q121Sql)
 }

@@ -669,6 +669,60 @@ object QueriesStats {
        |GROUP BY part_a, part_b
        |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  // --- q120: group-wise OLS trend (exact rational slope) ---------------------
+  // Does price scale with quantity, per supplier nation — the simplest
+  // regression every BI layer asks for, carried the q87/q100 way: the
+  // slope is the exact rational (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), both
+  // sides exact int64 (quantity ≤ 50, price in cents — products stay
+  // under ~3e17 at sf0.1; DECIMAL(38) is the >sf1 path, the q101 note).
+  // The readable slope_milli is evaluated in doubles CONVERTED FROM
+  // those integers with the same expression shape on both engines
+  // (1000·num would overflow int64, so the scaling happens in the
+  // double domain — q111's rule). One broadcast dim join + one
+  // map-side-combinable HashAggregate.
+  private val q120: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_quantity").cast("long").as("x"),
+        Exact.cents(col("l_extendedprice")).as("y"))
+    val supNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    li.join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sx2"))
+      .select(col("n_name"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sx2") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("slope_milli", expr(
+        """CAST(floor(1000.0D * CAST(slope_num AS DOUBLE) /
+          |  CAST(slope_den AS DOUBLE)) AS BIGINT)""".stripMargin))
+      .orderBy(col("n_name"))
+  }
+  private val q120Sql =
+    s"""WITH li AS (
+       |  SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS x,
+       |    ${Exact.sql.cents("l_extendedprice")} AS y
+       |  FROM lineitem
+       |), g AS (
+       |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sx2
+       |  FROM li
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  GROUP BY n_name
+       |)
+       |SELECT n_name, n,
+       |  n * sxy - sx * sy AS slope_num,
+       |  n * sx2 - sx * sx AS slope_den,
+       |  CAST(floor(1000.0 * CAST(n * sxy - sx * sy AS DOUBLE) /
+       |    CAST(n * sx2 - sx * sx AS DOUBLE)) AS BIGINT) AS slope_milli
+       |FROM g ORDER BY n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q87_exact_moments"     -> q87,
     "q88_length_histogram"  -> q88,
@@ -682,7 +736,8 @@ object QueriesStats {
     "q109_zorder_layout"    -> q109,
     "q111_chisq_audit"      -> q111,
     "q112_revenue_concentration" -> q112,
-    "q118_copurchase" -> q118)
+    "q118_copurchase" -> q118,
+    "q120_group_trend" -> q120)
 
   val oracleSql: Map[String, String] = Map(
     "q87_exact_moments"     -> q87Sql,
@@ -697,5 +752,6 @@ object QueriesStats {
     "q109_zorder_layout"    -> q109Sql,
     "q111_chisq_audit"      -> q111Sql,
     "q112_revenue_concentration" -> q112Sql,
-    "q118_copurchase" -> q118Sql)
+    "q118_copurchase" -> q118Sql,
+    "q120_group_trend" -> q120Sql)
 }

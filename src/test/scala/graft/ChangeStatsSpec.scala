@@ -638,6 +638,45 @@ class ChangeStatsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
 
+  test("q120: slope numerator/denominator are exact; a perfect line is exact") {
+    // One supplier in nation A, points (x, y cents): (1, 200), (2, 400),
+    // (3, 600) — slope exactly 200 cents/unit.
+    // num = 3·2800 − 6·1200 = 1200; den = 3·14 − 36 = 6 → 200.0 → 200000 milli.
+    val d = java.nio.file.Files.createTempDirectory("graft_trend").toString
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((0L, "A")).toDF("n_nationkey", "n_name")
+      .write.parquet(s"$d/nation.parquet")
+    Seq((1L, 0L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$d/supplier.parquet")
+    Seq((1L, 1.0, 2.0), (1L, 2.0, 4.0), (1L, 3.0, 6.0))
+      .map { case (sk, q, p) => (sk, q, p, ts("1995-01-01 00:00:00")) }
+      .toDF("l_suppkey", "l_quantity", "l_extendedprice", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = SparkEntry.queries("q120_group_trend")(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 3L, 1200L, 6L, 200000L)))
+  }
+
+  test("q121: the weighted median picks by duration mass, not row count") {
+    // user 1 intervals: value 1.0 held 100 s, then value 9.0 held 1 s,
+    // then 9.0 again 1 s (open tail after). Row-median of {1,9,9} is 9,
+    // but 100 of 102 weight-seconds sit on 1.0 → weighted median 1000.
+    val d = java.nio.file.Files.createTempDirectory("graft_wmed").toString
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1L, "1995-01-01 00:00:00", 1.0),
+        (2L, "1995-01-01 00:01:40", 9.0),
+        (3L, "1995-01-01 00:01:41", 9.0),
+        (4L, "1995-01-01 00:01:42", 5.0)) // open tail — dropped
+      .map { case (id, t, v) => (id, ts(t), 1L, "view", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q121_weighted_median")(spark, d)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("view", 1000L, 102L)))
+  }
+
   private def textDocsDir(rows: (Long, String)*): String = {
     val d = java.nio.file.Files.createTempDirectory("graft_change").toString
     rows.toSeq
