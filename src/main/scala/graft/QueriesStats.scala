@@ -640,17 +640,24 @@ object QueriesStats {
   // co-occurrence), pairs are canonical (a < b).
   private val BasketCap = 50
   private val q118: Q = (s, dir) => {
-    val items = Tables.lineitem(s, dir)
+    // one corpus shuffle total: baskets assemble as a sorted distinct
+    // array per order (collect_set → sort), the cap applies to the
+    // array, and pair GENERATION is a map-side nested-sequence explode
+    // over it (≤ cap²/2 structs per order by construction) — no
+    // self-join, so the per-key fan-out never touches the shuffle. The
+    // sorted array makes every emitted pair canonical (a < b) for free.
+    val baskets = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val small = items.groupBy(col("ok")).agg(count(lit(1)).as("n_items"))
-      .filter(col("n_items") <= BasketCap)
-      .select("ok")
-    val inCap = items.join(small, Seq("ok"))
-    val pairs = inCap.select(col("ok"), col("pk").as("part_a"))
-      .join(inCap.select(col("ok"), col("pk").as("part_b")), Seq("ok"))
-      .filter(col("part_a") < col("part_b"))
-    pairs.groupBy(col("part_a"), col("part_b"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .filter(size(col("ps")).between(2, BasketCap))
+    baskets
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ps) - 1),
+          |  i -> transform(sequence(i + 1, size(ps)),
+          |    j -> struct(element_at(ps, i) AS a, element_at(ps, j) AS b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
       .agg(count(lit(1)).as("support"))
       .orderBy(desc("support"), col("part_a"), col("part_b"))
       .limit(20)
