@@ -730,6 +730,58 @@ object QueriesStats {
        |    CAST(n * sx2 - sx * sx AS DOUBLE)) AS BIGINT) AS slope_milli
        |FROM g ORDER BY n_name""".stripMargin
 
+  // --- q122: weighted systematic sampling -------------------------------------
+  // Samples documents with probability PROPORTIONAL TO TOKEN MASS — the
+  // sampler class the uniform hash-bucket family (q44/q56/q63/q89)
+  // can't express: a 10k-token doc should be 100× likelier in a
+  // token-budget sample than a 100-token doc. Classic weighted sampling
+  // (A-Chao, exponential keys) needs per-row randomness and floats;
+  // systematic sampling by cumulative weight is the deterministic
+  // integer form: order docs per source by content hash (the corpus's
+  // own shuffle-stable order), run a cumulative token sum, and keep
+  // every row whose cumulative interval [cum − w, cum) crosses a
+  // multiple of `step` — exactly one pick per step tokens, inclusion
+  // probability w/step, zero floats, reproducible on any engine or
+  // cluster size. The window is per-SOURCE (never a global sort).
+  private val SampleStep = 4000L
+  private val q122: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokensExpr("text")
+    val h = TextOps.hash60("CAST(doc_id AS STRING)")
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr(s"CAST(size($toks) AS BIGINT)").as("w"),
+        expr(h).as("hkey"))
+    val byHash = Window.partitionBy(col("source"))
+      .orderBy(col("hkey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked = d.withColumn("cum", sum(col("w")).over(byHash))
+      .filter(expr(s"cum DIV $SampleStep > (cum - w) DIV $SampleStep"))
+    picked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_picked"), sum(col("w")).as("picked_toks"),
+        sum(expr("pmod(hkey, 1000000000)")).as("pick_sig"))
+      .orderBy(col("source"))
+  }
+  private val q122Sql = {
+    val toks = TextOps.sql.tokens("text")
+    val h = TextOps.sql.hash60("CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS w,
+       |    $h AS hkey
+       |  FROM documents
+       |), c AS (
+       |  SELECT *, CAST(SUM(w) OVER (PARTITION BY source
+       |    ORDER BY hkey, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM d
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_picked,
+       |  CAST(SUM(w) AS BIGINT) AS picked_toks,
+       |  CAST(SUM(hkey % 1000000000) AS BIGINT) AS pick_sig
+       |FROM c WHERE cum // $SampleStep > (cum - w) // $SampleStep
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q87_exact_moments"     -> q87,
     "q88_length_histogram"  -> q88,
@@ -744,7 +796,8 @@ object QueriesStats {
     "q111_chisq_audit"      -> q111,
     "q112_revenue_concentration" -> q112,
     "q118_copurchase" -> q118,
-    "q120_group_trend" -> q120)
+    "q120_group_trend" -> q120,
+    "q122_systematic_sample" -> q122)
 
   val oracleSql: Map[String, String] = Map(
     "q87_exact_moments"     -> q87Sql,
@@ -760,5 +813,6 @@ object QueriesStats {
     "q111_chisq_audit"      -> q111Sql,
     "q112_revenue_concentration" -> q112Sql,
     "q118_copurchase" -> q118Sql,
-    "q120_group_trend" -> q120Sql)
+    "q120_group_trend" -> q120Sql,
+    "q122_systematic_sample" -> q122Sql)
 }

@@ -677,6 +677,33 @@ class ChangeStatsSpec extends SparkSpec {
     assert(got == Seq(("view", 1000L, 102L)))
   }
 
+  test("q122: systematic sampling picks exactly total DIV step per source") {
+    // The cumulative intervals partition (0, total], so the pick count
+    // is exactly the number of step-multiples in it — order-independent
+    // even though WHICH docs are picked follows the hash order.
+    val d = java.nio.file.Files.createTempDirectory("graft_sys").toString
+    val spark2 = spark
+    import spark2.implicits._
+    // s0: 9 docs x 1000 tokens = 9000 -> 9000 DIV 4000 = 2 picks;
+    // s1: 3 docs x 700 tokens = 2100 -> 0 picks.
+    val rows =
+      (1L to 9L).map(i => (i, (1 to 1000).map(_ => "w").mkString(" "), "s0")) ++
+      (10L to 12L).map(i => (i, (1 to 700).map(_ => "w").mkString(" "), "s1"))
+    rows.map { case (id, t, src) => (id, t, "en", src, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q122_systematic_sample")(spark, d)
+      .select("source", "n_picked")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("s0", 2L)))
+    // determinism: a second run picks the identical docs
+    val sig1 = SparkEntry.queries("q122_systematic_sample")(spark, d)
+      .select("pick_sig").as[Long].collect().toSeq
+    val sig2 = SparkEntry.queries("q122_systematic_sample")(spark, d)
+      .select("pick_sig").as[Long].collect().toSeq
+    assert(sig1 == sig2)
+  }
+
   private def textDocsDir(rows: (Long, String)*): String = {
     val d = java.nio.file.Files.createTempDirectory("graft_change").toString
     rows.toSeq
