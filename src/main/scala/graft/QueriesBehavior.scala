@@ -625,6 +625,88 @@ object QueriesBehavior {
       |FROM c WHERE cum * 2 >= total
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- q123: sliding-window active users (WAU) -------------------------------
+  // Distinct users active in the trailing 7 days, per day — the classic
+  // engagement series. Distinct counts DON'T sum across days, so the
+  // day-level rollup can't slide with a window frame; the scale-honest
+  // exact form is the offset explode: each distinct (user, day) activity
+  // projects onto the 7 report days it supports (a bounded 7× map-side
+  // blowup), then one distinct-count per report day — never an
+  // inequality join, never a user×day bitmap on the driver. Report days
+  // cover only the observed activity range (no spine padding; days with
+  // no activity in range still appear through later activity's
+  // projection window only if observed — absent days mean zero and are
+  // simply not emitted, matching the twin).
+  private val WauDays = 7
+  private val DayUs2 = 86400L * 1000000L
+  private val q123: Q = (s, dir) => {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $DayUs2").as("day"))
+      .distinct()
+    val bounds = act.agg(max(col("day")).as("max_day"))
+    act.select(col("user_id"), col("day"),
+        explode(expr(s"sequence(day, day + ${WauDays - 1})")).as("report_day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("report_day") <= col("max_day"))
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy(col("report_day"))
+  }
+  private val q123Sql =
+    s"""WITH act AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs2 AS day FROM events
+       |),
+       |b AS (SELECT MAX(day) AS max_day FROM act),
+       |proj AS (
+       |  SELECT user_id,
+       |    unnest(generate_series(day, day + ${WauDays - 1})) AS report_day
+       |  FROM act
+       |)
+       |SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+       |FROM proj, b WHERE report_day <= max_day
+       |GROUP BY report_day ORDER BY report_day""".stripMargin
+
+  // --- q124: half-life decayed engagement score -------------------------------
+  // Recency-weighted engagement WITHOUT floats: exponential decay with a
+  // one-week half-life, quantized to integer halvings — each event
+  // contributes value_milli DIV 2^(whole weeks before the corpus's last
+  // event). pow()/exp() are NOT correctly-rounded IEEE ops (libm vs
+  // StrictMath can disagree in the last ulp, which a hash compare
+  // amplifies); integer right-shift decay is exact on every engine, and
+  // the sum is order-independent. Shifts cap at 62 (beyond that the
+  // contribution is 0 anyway — and an unbounded shift would be UB-ish
+  // on both engines). One combinable HashAggregate + a 1-row max
+  // broadcast; top-20 users by decayed score.
+  private val q124: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(floor(value * 1000.0D) AS BIGINT)").as("mval"))
+    val last = e.agg(max(col("ts_us")).as("last_us"))
+    e.crossJoin(broadcast(last))
+      .withColumn("age_w",
+        expr(s"least((last_us - ts_us) DIV ${7L * DayUs2}, 62)"))
+      .withColumn("decayed",
+        expr("mval DIV shiftleft(CAST(1 AS BIGINT), CAST(age_w AS INT))"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("decayed")).as("score_milli"))
+      .orderBy(desc("score_milli"), col("user_id"))
+      .limit(20)
+  }
+  private val q124Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us,
+       |    CAST(floor(value * 1000.0) AS BIGINT) AS mval
+       |  FROM events
+       |),
+       |l AS (SELECT MAX(ts_us) AS last_us FROM e)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(mval // (CAST(1 AS BIGINT) <<
+       |    LEAST((last_us - ts_us) // ${7L * DayUs2}, 62)))
+       |    AS BIGINT) AS score_milli
+       |FROM e, l
+       |GROUP BY user_id
+       |ORDER BY score_milli DESC, user_id LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q90_funnel"      -> q90,
     "q91_retention"   -> q91,
@@ -636,7 +718,9 @@ object QueriesBehavior {
     "q115_linear_attribution" -> q115,
     "q116_twap" -> q116,
     "q117_session_stats" -> q117,
-    "q121_weighted_median" -> q121)
+    "q121_weighted_median" -> q121,
+    "q123_wau" -> q123,
+    "q124_decayed_engagement" -> q124)
 
   val oracleSql: Map[String, String] = Map(
     "q90_funnel"      -> q90Sql,
@@ -649,5 +733,7 @@ object QueriesBehavior {
     "q115_linear_attribution" -> q115Sql,
     "q116_twap" -> q116Sql,
     "q117_session_stats" -> q117Sql,
-    "q121_weighted_median" -> q121Sql)
+    "q121_weighted_median" -> q121Sql,
+    "q123_wau" -> q123Sql,
+    "q124_decayed_engagement" -> q124Sql)
 }

@@ -704,6 +704,32 @@ class ChangeStatsSpec extends SparkSpec {
     assert(sig1 == sig2)
   }
 
+  test("q123: each activity day supports the 7 report days it trails") {
+    // user 1 active epoch-day D, user 2 active D+3; report days run to
+    // the last observed activity day. WAU(D..D+2) = {1}, WAU(D+3) = {1,2}.
+    val dir = eventsDir(
+      (1L, "1970-01-01 12:00:00", 1L, "view"),
+      (2L, "1970-01-04 12:00:00", 2L, "view"))
+    val got = SparkEntry.queries("q123_wau")(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("q124: scores halve per whole week of age; sums stay integer") {
+    val d = java.nio.file.Files.createTempDirectory("graft_decay").toString
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1L, "2024-01-15 00:00:00", 1L, 8.0),  // age 0 w  → 8000
+        (2L, "2024-01-08 00:00:00", 1L, 8.0),  // age 1 w  → 4000
+        (3L, "2024-01-01 00:00:00", 2L, 8.0))  // age 2 w  → 2000
+      .map { case (id, t, u, v) => (id, ts(t), u, "view", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q124_decayed_engagement")(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 12000L), (2L, 1L, 2000L)))
+  }
+
   private def textDocsDir(rows: (Long, String)*): String = {
     val d = java.nio.file.Files.createTempDirectory("graft_change").toString
     rows.toSeq
