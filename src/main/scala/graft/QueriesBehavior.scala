@@ -28,16 +28,18 @@ object QueriesBehavior {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val WeekUs = 7L * 86400L * 1000000L
+  private val DayUs  = 86400L * 1000000L
+  private val WeekUs = 7L * DayUs
 
-  /** FLOOR week index of an epoch-micros expression. Spark's DIV
+  /** FLOOR bucket index of an epoch-micros expression. Spark's DIV
     * truncates toward zero while DuckDB's `//` floors — identical for
-    * the post-1970 data here, but a pre-1970 timestamp would land one
-    * week apart between engines without the negative-remainder
-    * correction. */
-  private def weekOf(usExpr: String): String =
-    s"(($usExpr) DIV $WeekUs + " +
-      s"(CASE WHEN ($usExpr) % $WeekUs < 0 THEN -1 ELSE 0 END))"
+    * post-1970 data, but a pre-1970 timestamp would land one bucket
+    * apart between engines without the negative-remainder correction. */
+  private def flooredBucket(usExpr: String, unitUs: Long): String =
+    s"(($usExpr) DIV $unitUs + " +
+      s"(CASE WHEN ($usExpr) % $unitUs < 0 THEN -1 ELSE 0 END))"
+
+  private def weekOf(usExpr: String): String = flooredBucket(usExpr, WeekUs)
 
   private def userSig = expr(
     s"pmod(${TextOps.hash60("CAST(user_id AS STRING)")}, 1000000000)")
@@ -638,10 +640,10 @@ object QueriesBehavior {
   // projection window only if observed — absent days mean zero and are
   // simply not emitted, matching the twin).
   private val WauDays = 7
-  private val DayUs2 = 86400L * 1000000L
   private val q123: Q = (s, dir) => {
     val act = Tables.events(s, dir)
-      .select(col("user_id"), expr(s"unix_micros(ts) DIV $DayUs2").as("day"))
+      .select(col("user_id"),
+        expr(flooredBucket("unix_micros(ts)", DayUs)).as("day"))
       .distinct()
     val bounds = act.agg(max(col("day")).as("max_day"))
     act.select(col("user_id"), col("day"),
@@ -654,7 +656,7 @@ object QueriesBehavior {
   }
   private val q123Sql =
     s"""WITH act AS (
-       |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs2 AS day FROM events
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events
        |),
        |b AS (SELECT MAX(day) AS max_day FROM act),
        |proj AS (
@@ -684,9 +686,14 @@ object QueriesBehavior {
     val last = e.agg(max(col("ts_us")).as("last_us"))
     e.crossJoin(broadcast(last))
       .withColumn("age_w",
-        expr(s"least((last_us - ts_us) DIV ${7L * DayUs2}, 62)"))
-      .withColumn("decayed",
-        expr("mval DIV shiftleft(CAST(1 AS BIGINT), CAST(age_w AS INT))"))
+        expr(s"least((last_us - ts_us) DIV $WeekUs, 62)"))
+      // sign-split (q93/q116 rule): DIV truncates, // floors — they only
+      // agree on non-negative operands, and value's sign is the data's
+      // business, not the operator's
+      .withColumn("decayed", expr(
+        """(CASE WHEN mval < 0 THEN -1 ELSE 1 END) *
+          |  (abs(mval) DIV shiftleft(CAST(1 AS BIGINT), CAST(age_w AS INT)))"""
+          .stripMargin))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("decayed")).as("score_milli"))
       .orderBy(desc("score_milli"), col("user_id"))
@@ -700,8 +707,9 @@ object QueriesBehavior {
        |),
        |l AS (SELECT MAX(ts_us) AS last_us FROM e)
        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-       |  CAST(SUM(mval // (CAST(1 AS BIGINT) <<
-       |    LEAST((last_us - ts_us) // ${7L * DayUs2}, 62)))
+       |  CAST(SUM((CASE WHEN mval < 0 THEN -1 ELSE 1 END) *
+       |    (abs(mval) // (CAST(1 AS BIGINT) <<
+       |      LEAST((last_us - ts_us) // $WeekUs, 62))))
        |    AS BIGINT) AS score_milli
        |FROM e, l
        |GROUP BY user_id

@@ -703,9 +703,13 @@ object QueriesStats {
       .select(col("n_name"), col("n"),
         (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
         (col("n") * col("sx2") - col("sx") * col("sx")).as("slope_den"))
+      // q100's zero-variance guard: den = 0 (all-equal x, incl. n = 1)
+      // would cast NaN/Infinity to BIGINT — engines disagree there
       .withColumn("slope_milli", expr(
-        """CAST(floor(1000.0D * CAST(slope_num AS DOUBLE) /
-          |  CAST(slope_den AS DOUBLE)) AS BIGINT)""".stripMargin))
+        """CASE WHEN slope_den > 0 THEN
+          |  CAST(floor(1000.0D * CAST(slope_num AS DOUBLE) /
+          |    CAST(slope_den AS DOUBLE)) AS BIGINT)
+          |ELSE CAST(0 AS BIGINT) END""".stripMargin))
       .orderBy(col("n_name"))
   }
   private val q120Sql =
@@ -726,8 +730,10 @@ object QueriesStats {
        |SELECT n_name, n,
        |  n * sxy - sx * sy AS slope_num,
        |  n * sx2 - sx * sx AS slope_den,
-       |  CAST(floor(1000.0 * CAST(n * sxy - sx * sy AS DOUBLE) /
-       |    CAST(n * sx2 - sx * sx AS DOUBLE)) AS BIGINT) AS slope_milli
+       |  CASE WHEN n * sx2 - sx * sx > 0 THEN
+       |    CAST(floor(1000.0 * CAST(n * sxy - sx * sy AS DOUBLE) /
+       |      CAST(n * sx2 - sx * sx AS DOUBLE)) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END AS slope_milli
        |FROM g ORDER BY n_name""".stripMargin
 
   // --- q122: weighted systematic sampling -------------------------------------

@@ -658,6 +658,25 @@ class ChangeStatsSpec extends SparkSpec {
     assert(got == Seq(("A", 3L, 1200L, 6L, 200000L)))
   }
 
+  test("q120: a zero-variance group reports slope 0, not a NaN cast") {
+    val d = java.nio.file.Files.createTempDirectory("graft_trend0").toString
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((0L, "A")).toDF("n_nationkey", "n_name")
+      .write.parquet(s"$d/nation.parquet")
+    Seq((1L, 0L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$d/supplier.parquet")
+    // both points share x = 2 → slope_den = 0 (also covers n = 1 nations)
+    Seq((1L, 2.0, 3.0), (1L, 2.0, 5.0))
+      .map { case (sk, q, p) => (sk, q, p, ts("1995-01-01 00:00:00")) }
+      .toDF("l_suppkey", "l_quantity", "l_extendedprice", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = SparkEntry.queries("q120_group_trend")(spark, d)
+      .select("n_name", "slope_den", "slope_milli")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 0L, 0L)))
+  }
+
   test("q121: the weighted median picks by duration mass, not row count") {
     // user 1 intervals: value 1.0 held 100 s, then value 9.0 held 1 s,
     // then 9.0 again 1 s (open tail after). Row-median of {1,9,9} is 9,
@@ -728,6 +747,20 @@ class ChangeStatsSpec extends SparkSpec {
     val got = SparkEntry.queries("q124_decayed_engagement")(spark, d)
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L, 12000L), (2L, 1L, 2000L)))
+  }
+
+  test("q124: negative values decay by the sign-split rule (magnitude DIV)") {
+    val d = java.nio.file.Files.createTempDirectory("graft_decay_neg").toString
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1L, "2024-01-15 00:00:00", 1L, 1.0),      // pins last_us; +1000
+        (2L, "2024-01-08 00:00:00", 1L, -0.5005))  // mval −501, age 1 w → −250
+      .map { case (id, t, u, v) => (id, ts(t), u, "view", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q124_decayed_engagement")(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 750L)))
   }
 
   private def textDocsDir(rows: (Long, String)*): String = {
