@@ -788,6 +788,118 @@ object QueriesStats {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --- q125: vocabulary drift audit -------------------------------------------
+  // Has the corpus's token distribution shifted between two snapshots?
+  // The monitoring question every ingest pipeline grows; KL divergence
+  // needs logs (not hash-comparable), so the drift score is the L1
+  // delta of per-mille token shares — exact integers end to end. The
+  // two "snapshots" here are the deterministic halves of the corpus by
+  // content hash (the operator's shape is identical when the inputs
+  // are yesterday's and today's drops); shares normalize by EACH
+  // half's full token mass, the comparison covers the overall top
+  // tokens (vocab-sized, deterministic tie on the token), and the
+  // output is the top drifters. Two corpus-sized aggregates, the rest
+  // vocab-sized.
+  private val DriftTopVocab = 200
+  private val DriftTopOut   = 20
+  private val q125: Q = (s, dir) => {
+    val toks = TextOps.tokensExpr("text")
+    val half = TextOps.docBucketExpr(scale = 2L)
+    val tok = Tables.documents(s, dir)
+      .select(expr(half).as("h"), explode(expr(toks)).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy(col("h"), col("tok")).agg(count(lit(1)).as("n"))
+    val totals = tok.groupBy(col("h")).agg(sum(col("n")).as("tot"))
+    val top = tok.groupBy(col("tok")).agg(sum(col("n")).as("n_all"))
+      .orderBy(desc("n_all"), col("tok")).limit(DriftTopVocab)
+      .select("tok")
+    val shares = tok.join(broadcast(top), Seq("tok"))
+      .join(broadcast(totals), Seq("h"))
+      .select(col("tok"), col("h"), col("n"),
+        expr("(1000 * n) DIV tot").as("share_pm"))
+    val a = shares.filter(col("h") === 0)
+      .select(col("tok"), col("n").as("n_a"), col("share_pm").as("share_a_pm"))
+    val b = shares.filter(col("h") === 1)
+      .select(col("tok"), col("n").as("n_b"), col("share_pm").as("share_b_pm"))
+    a.join(b, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("share_a_pm"), lit(0L)).as("share_a_pm"),
+        coalesce(col("share_b_pm"), lit(0L)).as("share_b_pm"))
+      .withColumn("delta_pm", abs(col("share_a_pm") - col("share_b_pm")))
+      .orderBy(desc("delta_pm"), col("tok"))
+      .limit(DriftTopOut)
+  }
+  private val q125Sql = {
+    val toks = TextOps.sql.tokens("text")
+    val half = s"${TextOps.sql.hash60("CAST(doc_id AS VARCHAR)")} % 2"
+    s"""WITH tok AS (
+       |  SELECT h, tok, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |    SELECT $half AS h, unnest($toks) AS tok FROM documents
+       |  ) WHERE length(tok) >= 1 GROUP BY h, tok
+       |),
+       |totals AS (SELECT h, CAST(SUM(n) AS BIGINT) AS tot FROM tok GROUP BY h),
+       |top AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, CAST(SUM(n) AS BIGINT) AS n_all FROM tok GROUP BY tok
+       |    ORDER BY n_all DESC, tok LIMIT $DriftTopVocab
+       |  )
+       |),
+       |shares AS (
+       |  SELECT tok.tok, tok.h, tok.n, (1000 * tok.n) // tot AS share_pm
+       |  FROM tok JOIN top USING (tok) JOIN totals USING (h)
+       |),
+       |a AS (SELECT tok, n AS n_a, share_pm AS share_a_pm FROM shares WHERE h = 0),
+       |b AS (SELECT tok, n AS n_b, share_pm AS share_b_pm FROM shares WHERE h = 1)
+       |SELECT tok,
+       |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+       |  COALESCE(share_a_pm, 0) AS share_a_pm,
+       |  COALESCE(share_b_pm, 0) AS share_b_pm,
+       |  abs(COALESCE(share_a_pm, 0) - COALESCE(share_b_pm, 0)) AS delta_pm
+       |FROM a FULL OUTER JOIN b USING (tok)
+       |ORDER BY delta_pm DESC, tok LIMIT $DriftTopOut""".stripMargin
+  }
+
+  // --- q126: order-to-ship latency percentiles per month -----------------------
+  // The operational-SLA series: per order month, exact DISCRETE p50/p90
+  // of the order→ship latency in whole days (element selection, the
+  // q46 rule — actual latencies, no interpolation, no floats). One
+  // fact⨝fact equi-join on the order key, then a months-sized
+  // aggregate carrying the per-group percentile sorts.
+  private val q126: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        expr("(unix_micros(l_shipdate) - unix_micros(o_orderdate)) " +
+          "DIV 86400000000").as("lat_d"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_d) AS BIGINT)")
+          .as("p50_d"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_d) AS BIGINT)")
+          .as("p90_d"),
+        max(col("lat_d")).as("max_d"))
+      .orderBy(col("month"))
+  }
+  private val q126Sql =
+    """WITH j AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000
+      |      AS lat_d
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)
+      |SELECT month, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_d) AS BIGINT)
+      |    AS p50_d,
+      |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_d) AS BIGINT)
+      |    AS p90_d,
+      |  MAX(lat_d) AS max_d
+      |FROM j GROUP BY month ORDER BY month""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q87_exact_moments"     -> q87,
     "q88_length_histogram"  -> q88,
@@ -803,7 +915,9 @@ object QueriesStats {
     "q112_revenue_concentration" -> q112,
     "q118_copurchase" -> q118,
     "q120_group_trend" -> q120,
-    "q122_systematic_sample" -> q122)
+    "q122_systematic_sample" -> q122,
+    "q125_vocab_drift" -> q125,
+    "q126_ship_latency" -> q126)
 
   val oracleSql: Map[String, String] = Map(
     "q87_exact_moments"     -> q87Sql,
@@ -820,5 +934,7 @@ object QueriesStats {
     "q112_revenue_concentration" -> q112Sql,
     "q118_copurchase" -> q118Sql,
     "q120_group_trend" -> q120Sql,
-    "q122_systematic_sample" -> q122Sql)
+    "q122_systematic_sample" -> q122Sql,
+    "q125_vocab_drift" -> q125Sql,
+    "q126_ship_latency" -> q126Sql)
 }

@@ -763,6 +763,46 @@ class ChangeStatsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 750L)))
   }
 
+  /** The engine's own 60-bit md5-prefix hash (TextOps.hash60) recomputed
+    * so fixtures can plant docs into known hash halves. */
+  private def half(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % 2
+  }
+
+  test("q125: drift is the L1 share delta; one-sided tokens read as 0") {
+    // Half-0 docs say "x y", half-1 docs say "x z": x is stable
+    // (500 pm in both halves), y and z are one-sided (500 vs 0).
+    val ids = (1L to 12L)
+    assert(ids.exists(half(_) == 0) && ids.exists(half(_) == 1))
+    val dir = textDocsDir(ids.map(i =>
+      (i, if (half(i) == 0) "x y" else "x z")): _*)
+    val got = SparkEntry.queries("q125_vocab_drift")(spark, dir)
+      .select("tok", "share_a_pm", "share_b_pm", "delta_pm")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("y", 500L, 0L, 500L), ("z", 0L, 500L, 500L), ("x", 500L, 500L, 0L)))
+  }
+
+  test("q126: latency percentiles are actual day counts per order month") {
+    val d = java.nio.file.Files.createTempDirectory("graft_lat").toString
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1L, 1L, "O", 10.0, ts("1995-01-10 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+      .write.parquet(s"$d/orders.parquet")
+    Seq((1L, ts("1995-01-12 00:00:00")), (1L, ts("1995-01-15 00:00:00")))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = SparkEntry.queries("q126_ship_latency")(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // latencies {2, 5} days → disc p50 = 2 (1st element), p90 = 5, max 5
+    assert(got == Seq(("1995-01", 2L, 2L, 5L, 5L)))
+  }
+
   private def textDocsDir(rows: (Long, String)*): String = {
     val d = java.nio.file.Files.createTempDirectory("graft_change").toString
     rows.toSeq
