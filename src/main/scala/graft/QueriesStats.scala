@@ -873,9 +873,16 @@ object QueriesStats {
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderdate"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // floored day bucket (negative-remainder corrected): the data's
+      // latencies are positive, but a ship-before-order row must not
+      // silently land a day apart between engines (DIV truncates,
+      // // floors)
       .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
-        expr("(unix_micros(l_shipdate) - unix_micros(o_orderdate)) " +
-          "DIV 86400000000").as("lat_d"))
+        expr("""(unix_micros(l_shipdate) - unix_micros(o_orderdate))
+          |  DIV 86400000000 +
+          |  (CASE WHEN (unix_micros(l_shipdate) - unix_micros(o_orderdate))
+          |     % 86400000000 < 0 THEN -1 ELSE 0 END)""".stripMargin)
+          .as("lat_d"))
       .groupBy(col("month"))
       .agg(count(lit(1)).as("n"),
         expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_d) AS BIGINT)")
