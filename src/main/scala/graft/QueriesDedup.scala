@@ -344,7 +344,12 @@ object QueriesDedup {
     // fixed-width id pairs: tiny relative to the corpus; cached because the
     // component loop scans the edge list every round
     val pairs = NearDup.pairs(hashed, 0.5)
-    Components.minLabel(pairs, "doc_a", "doc_b")
+    // minLabel checkpoints the edge list eagerly, so hashed's cache is
+    // consumed by the time it returns — release it rather than letting it
+    // pin executor memory for the rest of the session
+    val comp = Components.minLabel(pairs, "doc_a", "doc_b")
+    hashed.unpersist()
+    comp
       .select(col("id").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
   }
@@ -376,6 +381,8 @@ object QueriesDedup {
       .shingleHashed(d.repartition(Tables.shufflePartitions(s)), "doc_id", "text")
       .cache()
     val comp = Components.minLabel(NearDup.pairs(hashed, 0.5), "doc_a", "doc_b")
+    // minLabel is eager (per-round localCheckpoint), so the cache is spent
+    hashed.unpersist()
     val sizes = comp.groupBy(col("component"))
       .agg(count(lit(1)).as("csize"))
     val hist = sizes.groupBy(col("csize"))
@@ -450,6 +457,11 @@ object QueriesDedup {
       .select(col("source"), expr(sigExpr).as("sig"))
       .groupBy(col("source"))
       .agg(expr("graft_array_min_agg(sig)").as("sig"))
+      // sources-sized after the fold, but computing it means a full
+      // corpus shingle+minhash scan — localCheckpoint materializes it
+      // ONCE so the self-join's two sides read tiny checkpointed blocks
+      // instead of re-running the scan per side
+      .localCheckpoint()
     sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
       .join(broadcast(
         sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))),

@@ -441,58 +441,80 @@ object QueriesText {
        |GROUP BY 1, 2 ORDER BY source""".stripMargin
   }
 
-  // --- q58: multimodal resize (nearest-neighbor byte downsample) -------------
-  // Keep every 4th payload byte — the image-resize plumbing (batched
-  // partition iteration, opaque bytes in, smaller representation +
-  // checksum out) with a deterministic stub sampler (see
-  // Multimodal.resizeStub; a real resize samples the decoded pixel grid).
-  // Oracle mirrors the byte math via unicode() over the ASCII text.
+  // --- q58: REAL multimodal resize (decoded pixel-grid resample) -------------
+  // q82's real-codec path extended through an actual resize: decode the
+  // synthetic PNG, nearest-neighbor downsample the pixel grid
+  // (out(x,y) = in(x·4, y·4), dims = ceil/4) into a NEW image, reduce the
+  // resized image to exact channel sums. The oracle predicts the resample
+  // analytically from the generator formula, so a sampling-offset or
+  // dimension-rounding bug hash-mismatches. Per-row codec work inside one
+  // mapPartitions, integer outputs, zero shuffles.
   private val ResizeFactor = 4
   private val q58: Q = (s, dir) => {
-    import Multimodal.MediaRecord
     val spark = s
     import spark.implicits._
-    val media = Tables.documents(s, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
-              lit("image/fake").as("media_type"), col("n_chars"))
-      .as[MediaRecord]
-    Multimodal.resize(media, ResizeFactor).toDF().orderBy(col("doc_id"))
+    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Multimodal.resizeImages(ids, ResizeFactor).toDF().orderBy(col("doc_id"))
   }
-  private val q58Sql =
-    s"""SELECT doc_id,
-       |  CAST(length(text) AS INTEGER) AS orig_bytes,
-       |  CAST((length(text) + ${ResizeFactor - 1}) // $ResizeFactor AS INTEGER) AS out_bytes,
-       |  CAST(COALESCE(list_sum(list_transform(
-       |    generate_series(1, (length(text) + ${ResizeFactor - 1}) // $ResizeFactor),
-       |    i -> unicode(text[(i - 1) * $ResizeFactor + 1]))), 0) % 997 AS BIGINT) AS checksum
-       |FROM documents ORDER BY doc_id""".stripMargin
+  private val q58Sql = {
+    val f = ResizeFactor
+    def chanSum(pix: String) =
+      s"""CAST(list_sum(flatten(list_transform(generate_series(0, oh - 1), y ->
+         |    list_transform(generate_series(0, ow - 1), x -> $pix)))) AS BIGINT)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, w, h, (w + ${f - 1}) // $f AS ow, (h + ${f - 1}) // $f AS oh
+       |  FROM d
+       |)
+       |SELECT doc_id, CAST(w AS INTEGER) AS orig_w, CAST(h AS INTEGER) AS orig_h,
+       |  CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+       |  ${chanSum(s"(doc_id * 31 + (x * $f) * 7 + (y * $f)) % 256")} AS sum_r,
+       |  ${chanSum(s"((x * $f) * 13 + (y * $f) * 5) % 256")} AS sum_g,
+       |  ${chanSum(s"(doc_id + (x * $f) + (y * $f) * 3) % 256")} AS sum_b
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
 
-  // --- q47: multimodal frame sampling (stride over fixed-size chunks) --------
-  // Every 4th 16-byte chunk of the payload becomes a "frame" row with a
-  // byte checksum — the video-frame-sampling plumbing with a deterministic
-  // stub extractor (see Multimodal.sampleFrames). Oracle mirrors the byte
-  // math via substr on the ASCII text.
+  // --- q47: REAL video frame extraction (PNG container walk) -----------------
+  // The last stub retired: a concatenated-PNG "video" (2 + id%4 real PNG
+  // frames, frame f generated from id·7+f) is walked frame-by-frame by
+  // parsing the ACTUAL PNG chunk structure (signature, then
+  // length/type/data/CRC chunks until IEND — how a demuxer seeks sample
+  // boundaries), every 2nd frame is decoded through the real
+  // javax.imageio path, and per-frame stats come out. The oracle predicts
+  // every kept frame analytically, so a boundary bug decodes the wrong
+  // frame and hash-mismatches. Only kept frames pay the inflate — the
+  // walk itself is header arithmetic, the economics of keyframe sampling.
+  private val FrameStride = 2
   private val q47: Q = (s, dir) => {
-    import Multimodal.MediaRecord
     val spark = s
     import spark.implicits._
-    val media = Tables.documents(s, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
-              lit("video/fake").as("media_type"), col("n_chars"))
-      .as[MediaRecord]
-    Multimodal.frames(media, chunkBytes = 16, stride = 4).toDF()
+    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Multimodal.videoFrames(ids, FrameStride).toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
   }
-  private val q47Sql =
-    """WITH f AS (
-      |  SELECT doc_id, unnest(generate_series(0, (length(text) // 16 - 1) // 4)) AS x
-      |  FROM documents WHERE length(text) >= 16
-      |)
-      |SELECT f.doc_id, CAST(f.x AS INTEGER) AS frame_idx, 16 AS n_bytes,
-      |  CAST(list_sum(list_transform(generate_series(f.x * 64 + 1, f.x * 64 + 16),
-      |    i -> unicode(d.text[i]))) % 997 AS BIGINT) AS checksum
-      |FROM f JOIN documents d USING (doc_id)
-      |ORDER BY doc_id, frame_idx""".stripMargin
+  private val q47Sql = {
+    def chanSum(pix: String) =
+      s"""CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+         |    list_transform(generate_series(0, w - 1), x -> $pix)))) AS BIGINT)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents
+       |), f AS (
+       |  SELECT doc_id, unnest(generate_series(0, nf - 1, $FrameStride)) AS fi
+       |  FROM d
+       |), g AS (
+       |  SELECT doc_id, fi, doc_id * 7 + fi AS fid,
+       |    8 + (doc_id * 7 + fi) % 9 AS w, 8 + ((doc_id * 7 + fi) // 9) % 9 AS h
+       |  FROM f
+       |)
+       |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+       |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  ${chanSum("(fid * 31 + x * 7 + y) % 256")} AS sum_r,
+       |  ${chanSum("(x * 13 + y * 5) % 256")} AS sum_g,
+       |  ${chanSum("(fid + x + y * 3) % 256")} AS sum_b
+       |FROM g ORDER BY doc_id, frame_idx""".stripMargin
+  }
 
   val queries: Map[String, Q] = Map(
     "q53_decontaminate" -> q53,

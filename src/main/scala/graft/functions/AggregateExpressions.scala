@@ -61,7 +61,21 @@ case class ArrayMinAgg(
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) buffer
-    else minInto(buffer, v.asInstanceOf[ArrayData].toLongArray())
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      // the SQL registration accepts ARRAY<BIGINT> with nullable elements,
+      // and UnsafeArrayData.toLongArray reads a null slot as raw 0 — which
+      // would silently beat every real MinHash value. Fail fast instead,
+      // like the mismatched-length case.
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        require(!arr.isNullAt(i),
+          s"$prettyName: null array element at index $i — signatures must be null-free")
+        i += 1
+      }
+      minInto(buffer, arr.toLongArray())
+    }
   }
 
   override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] =

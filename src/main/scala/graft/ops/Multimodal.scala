@@ -11,12 +11,15 @@ import org.apache.spark.sql.{Dataset, Encoders}
   * amortizes per-batch setup (codec init, model load) across a whole
   * partition — the Scala analog of an Arrow-batched pandas UDF.
   *
-  * DECODER IS A STUB: the container has no image/audio codecs, so
-  * [[decodeStub]] computes a deterministic fake feature vector (byte length,
-  * first byte, byte checksum) standing in for "decode → extract features".
-  * The Spark-side plumbing — binary column, schema, batch iteration, typed
-  * output Dataset — is real and is what the 100 TB pipeline needs: swap
-  * [[decodeStub]] for a JNI/codec call and nothing else changes.
+  * Two tiers live here. The REAL codec tier uses the JDK's built-in
+  * `javax.imageio` PNG codec: [[decodePng]] (container parse + zlib
+  * inflate → exact pixel stats), [[pngFrameSlices]]/[[videoFrames]] (a
+  * real chunk-structure container walk over concatenated-PNG video), and
+  * [[resizePng]] (nearest-neighbor resample of the decoded pixel grid).
+  * [[decodeStub]] remains only as the pluggable-codec SEAM demo for
+  * formats the JDK lacks (audio/video codecs): a deterministic byte
+  * summary in the same partition-batched shape — swap it for a JNI/codec
+  * call and nothing else changes, as the PNG tier proves.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no row-level UDF on
   * the driver, no collect); partition sizing is controlled upstream via
@@ -56,52 +59,118 @@ object Multimodal {
   def decode(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] =
     ds.mapPartitions(decodeBatch _)(Encoders.product[MediaFeatures])
 
-  /** One sampled "frame" of a payload: byte range [offset, offset+size). */
-  case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+  // --------------------------------------------------- real container walk
 
-  /** Frame sampling STUB: treat the payload as fixed-size chunks and keep
-    * every `stride`-th one — the byte-plumbing shape of video frame
-    * extraction (a real implementation seeks keyframes via the container
-    * index instead of fixed strides; the partition-batched iteration,
-    * opaque-bytes handling, and one-row-per-frame output are the real
-    * contract). */
-  def sampleFrames(m: MediaRecord, chunkBytes: Int, stride: Int): Seq[Frame] = {
-    val bytes = m.payload
-    val nChunks = bytes.length / chunkBytes
-    (0 until nChunks by stride).zipWithIndex.map { case (chunk, idx) =>
-      val off = chunk * chunkBytes
-      var sum = 0L
-      var i = off
-      while (i < off + chunkBytes) { sum += bytes(i) & 0xff; i += 1 }
-      Frame(m.doc_id, idx, chunkBytes, sum % 997L)
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** REAL container walk over a concatenated-PNG "video": each frame is a
+    * complete PNG stream, so frame boundaries are found by parsing the
+    * actual PNG structure — 8-byte signature, then chunks of
+    * (4-byte big-endian length, 4-byte type, data, 4-byte CRC) until IEND —
+    * exactly how a container demuxer seeks sample boundaries. Fail-fast on
+    * malformed bytes (truncated chunk, missing signature), like the
+    * inference op. Returns the raw byte slice of every frame. */
+  def pngFrameSlices(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    while (pos < payload.length) {
+      val start = pos
+      require(payload.length - pos >= PngSig.length &&
+        PngSig.indices.forall(i => payload(pos + i) == PngSig(i)),
+        s"no PNG signature at byte $pos")
+      pos += PngSig.length
+      var done = false
+      while (!done) {
+        require(payload.length - pos >= 8, s"truncated chunk header at byte $pos")
+        val len = ((payload(pos) & 0xff) << 24) | ((payload(pos + 1) & 0xff) << 16) |
+          ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+        val isEnd = payload(pos + 4) == 'I' && payload(pos + 5) == 'E' &&
+          payload(pos + 6) == 'N' && payload(pos + 7) == 'D'
+        pos += 8 + len + 4 // header + data + CRC
+        require(pos <= payload.length, s"truncated chunk body ending at byte $pos")
+        if (isEnd) done = true
+      }
+      out += java.util.Arrays.copyOfRange(payload, start, pos)
     }
+    out.toSeq
   }
 
-  def frames(ds: Dataset[MediaRecord], chunkBytes: Int, stride: Int): Dataset[Frame] =
-    ds.mapPartitions(_.flatMap(sampleFrames(_, chunkBytes, stride)))(
-      Encoders.product[Frame])
+  /** Deterministic synthetic "video" for a doc id: 2 + id%4 concatenated
+    * REAL PNG frames, frame f encoded from [[syntheticPng]](id·7 + f) — so
+    * an oracle can predict every decoded frame analytically from the
+    * generator formula, and a container-walk bug (wrong boundary, skipped
+    * chunk) decodes the wrong frame and hash-mismatches. */
+  def syntheticVideo(id: Long): Array[Byte] = {
+    val n = (2 + id % 4).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < n) { bos.write(syntheticPng(id * 7 + f)); f += 1 }
+    bos.toByteArray
+  }
 
-  /** Resized payload summary: original size, downsampled size, checksum
-    * of the kept bytes. */
-  case class Resized(doc_id: Long, orig_bytes: Int, out_bytes: Int,
-                     checksum: Long)
+  /** One decoded video frame: source frame number + the q82 image stats. */
+  case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int,
+                           height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
 
-  /** Resize STUB: nearest-neighbor downsample — keep every `factor`-th
-    * byte (a real image resize samples the pixel grid through the codec;
-    * the partition-batched iteration, opaque-byte handling, and
-    * size-reduction contract are the real plumbing). */
-  def resizeStub(m: MediaRecord, factor: Int): Resized = {
+  /** Real frame sampling: walk the PNG container, keep every `stride`-th
+    * frame, decode each kept frame through [[decodePng]]. The walk itself
+    * is cheap (header arithmetic — no inflate); only KEPT frames pay the
+    * decode, which is the economics of real keyframe sampling. Partition-
+    * batched like every media op here. */
+  def videoFrames(ids: Dataset[Long], stride: Int): Dataset[FrameFeatures] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    ids.mapPartitions(_.flatMap { id =>
+      val slices = pngFrameSlices(syntheticVideo(id))
+      slices.indices.collect { case f if f % stride == 0 =>
+        val feat = decodePng(id, slices(f))
+        FrameFeatures(id, f, feat.width, feat.height,
+          feat.sum_r, feat.sum_g, feat.sum_b)
+      }
+    })(Encoders.product[FrameFeatures])
+  }
+
+  // ------------------------------------------------------------ real resize
+
+  /** Resized-image summary: input dims, output dims, exact per-channel
+    * pixel sums of the RESIZED image (integers — cross-engine-hashable). */
+  case class ResizedImage(doc_id: Long, orig_w: Int, orig_h: Int,
+                          out_w: Int, out_h: Int,
+                          sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image resize: decode the PNG, nearest-neighbor downsample the
+    * actual pixel grid — out(x,y) = in(x·factor, y·factor), out dims =
+    * ceil(in/factor) — into a new image, and reduce THAT image to exact
+    * channel sums, so the oracle pins the resample arithmetic itself. */
+  def resizePng(docId: Long, payload: Array[Byte], factor: Int): ResizedImage = {
     require(factor > 0, s"resize factor must be positive, got $factor")
-    val bytes = m.payload
-    var sum = 0L
-    var i = 0
-    var n = 0
-    while (i < bytes.length) { sum += bytes(i) & 0xff; n += 1; i += factor }
-    Resized(m.doc_id, bytes.length, n, sum % 997L)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"undecodable image payload for doc $docId")
+    val ow = (img.getWidth + factor - 1) / factor
+    val oh = (img.getHeight + factor - 1) / factor
+    val out = new java.awt.image.BufferedImage(
+      ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val rgb = img.getRGB(x * factor, y * factor)
+        out.setRGB(x, y, rgb)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    ResizedImage(docId, img.getWidth, img.getHeight, ow, oh, sr, sg, sb)
   }
 
-  def resize(ds: Dataset[MediaRecord], factor: Int): Dataset[Resized] =
-    ds.mapPartitions(_.map(resizeStub(_, factor)))(Encoders.product[Resized])
+  /** Partition-batched synthesize→encode→decode→RESIZE over doc ids. */
+  def resizeImages(ids: Dataset[Long], factor: Int): Dataset[ResizedImage] =
+    ids.mapPartitions(_.map { id =>
+      resizePng(id, syntheticPng(id), factor)
+    })(Encoders.product[ResizedImage])
 
   // ------------------------------------------------------------- real PNG
 

@@ -30,13 +30,20 @@ object ShardPlan {
   def assign(df: DataFrame, sizeCol: String, idCol: String,
              groupBy: Seq[String], k: Int): DataFrame = {
     require(k >= 1, s"shard count must be >= 1, got $k")
+    // `shard` is the reserved output name; arbitrary curated frames route
+    // through here, so an existing column of that name must fail loudly
+    // rather than be silently overwritten.
+    require(!df.columns.contains("shard"),
+      "ShardPlan.assign reserves output column 'shard'; rename or drop the input's")
+    val r = "__graft_shard_rank"
+    require(!df.columns.contains(r), s"ShardPlan.assign reserves temp column $r")
     val w = Window.partitionBy(groupBy.map(col): _*)
       .orderBy(desc(sizeCol), col(idCol))
-    df.withColumn("_r", (row_number().over(w) - 1).cast("long"))
+    df.withColumn(r, (row_number().over(w) - 1).cast("long"))
       .withColumn("shard", expr(
-        s"CASE WHEN (_r DIV $k) % 2 = 0 THEN _r % $k " +
-        s"ELSE ${k - 1} - (_r % $k) END"))
-      .drop("_r")
+        s"CASE WHEN ($r DIV $k) % 2 = 0 THEN $r % $k " +
+        s"ELSE ${k - 1} - ($r % $k) END"))
+      .drop(r)
   }
 
   /** Per-shard mass audit over an assigned frame: (shard, n_docs, mass,

@@ -134,13 +134,59 @@ class MultimodalSpec extends SparkSpec {
     assert(f.fake_label == f.checksum % 10)
   }
 
-  test("frame sampling: every stride-th chunk, deterministic checksums") {
-    val payload = (0 until 100).map(_.toByte).toArray // 6 chunks of 16
-    val m = Multimodal.MediaRecord(9L, payload, "video/fake", 100L)
-    val fs = Multimodal.sampleFrames(m, chunkBytes = 16, stride = 4)
-    assert(fs.map(_.frame_idx) == Seq(0, 1)) // chunks 0 and 4
-    assert(fs.head.checksum == (0 until 16).sum % 997)
-    assert(fs(1).checksum == (64 until 80).sum % 997)
+  test("container walk finds every frame boundary in concatenated PNGs") {
+    val id = 5L // 2 + 5%4 = 3 frames
+    val video = Multimodal.syntheticVideo(id)
+    val slices = Multimodal.pngFrameSlices(video)
+    assert(slices.length == 3)
+    // the walk's byte slices must be EXACTLY the encoded frames
+    assert(slices.map(_.toSeq) ==
+      (0 until 3).map(f => Multimodal.syntheticPng(id * 7 + f).toSeq))
+    // and each slice decodes to the frame's own generator dims
+    slices.zipWithIndex.foreach { case (s, f) =>
+      val fid = id * 7 + f
+      val feat = Multimodal.decodePng(fid, s)
+      assert(feat.width == (8 + fid % 9).toInt)
+      assert(feat.height == (8 + (fid / 9) % 9).toInt)
+    }
+  }
+
+  test("container walk fails fast on truncated and garbage payloads") {
+    val good = Multimodal.syntheticPng(3L)
+    intercept[IllegalArgumentException] {
+      Multimodal.pngFrameSlices(good.dropRight(2)) // truncated IEND CRC
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.pngFrameSlices(good ++ Array[Byte](1, 2, 3)) // junk tail
+    }
+  }
+
+  test("frame sampling keeps every stride-th frame with source indices") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = spark.createDataset(Seq(3L)) // 2 + 3%4 = 5 frames
+    val fs = Multimodal.videoFrames(ids, stride = 2).collect().sortBy(_.frame_idx)
+    assert(fs.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    fs.foreach { fr =>
+      val fid = 3L * 7 + fr.frame_idx
+      assert(fr.width == (8 + fid % 9).toInt)
+      val expR = (for (y <- 0 until fr.height; x <- 0 until fr.width)
+        yield (fid * 31 + x * 7 + y) % 256).sum
+      assert(fr.sum_r == expR)
+    }
+  }
+
+  test("real resize samples the decoded pixel grid nearest-neighbor") {
+    val id = 13L
+    val r = Multimodal.resizePng(id, Multimodal.syntheticPng(id), 4)
+    val (w, h) = ((8 + id % 9).toInt, (8 + (id / 9) % 9).toInt)
+    assert(r.orig_w == w && r.orig_h == h)
+    assert(r.out_w == (w + 3) / 4 && r.out_h == (h + 3) / 4)
+    val expR = (for (y <- 0 until r.out_h; x <- 0 until r.out_w)
+      yield (id * 31 + (x * 4) * 7 + (y * 4)) % 256).sum
+    val expB = (for (y <- 0 until r.out_h; x <- 0 until r.out_w)
+      yield (id + (x * 4) + (y * 4) * 3) % 256).sum
+    assert(r.sum_r == expR && r.sum_b == expB)
   }
 
   test("decode over a Dataset preserves one row per record") {
