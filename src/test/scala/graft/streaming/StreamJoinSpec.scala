@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
@@ -49,6 +50,58 @@ class StreamJoinSpec extends SparkSpec {
         (10L, 100L, 30L),  // same-batch pair
         (11L, 100L, 10L),  // interval semantics: EVERY click in horizon
         (20L, 200L, 40L))) // cross-batch pair through buffered state
+    } finally q.stop()
+  }
+
+  test("parity: streaming interval join matches batch q115's pair set on sf0.001") {
+    // Shared-fixture equivalence: the SAME events table drives batch q115
+    // (bucketed interval join, 1h linear-attribution horizon) and the
+    // stream-stream join; the attributed (purchase, click) pair sets must
+    // agree. The one documented seam: the stream's horizon is CLOSED at
+    // +1h while q115's is open, so exact-boundary pairs (gap == horizon)
+    // are excluded from the compare using gaps computed from the fixture.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val horizonUs = 3600L * 1000000L
+    val batchPairs = graft.SparkEntry.queries("q115_linear_attribution")(spark, dir)
+      .select(col("purchase_id"), col("click_id"))
+      .as[(Long, Long)].collect().toSet
+    val e = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val clickRows = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, Timestamp)].collect().sortBy(_._3.getTime)
+      .map { case (u, id, t) => Click(u, id, t) }
+    val purchaseRows = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, Timestamp)].collect().sortBy(_._3.getTime)
+      .map { case (u, id, t) => Purchase(u, id, t) }
+    val usOf = e.select(col("event_id"), col("ts_us"))
+      .as[(Long, Long)].collect().toMap
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    // delay far beyond the fixture's span: parity isolates JOIN semantics;
+    // watermark-drop behavior has its own spec below
+    val joined = StreamJoin.clickAttribution(
+      clicks.toDF(), purchases.toDF(), horizonSec = 3600, delay = "3650 days")
+    val q = joined.writeStream.format("memory").queryName("sj_parity")
+      .outputMode("append").start()
+    try {
+      // both sides fed in event-time order across two micro-batches
+      val (c1, c2) = clickRows.splitAt(clickRows.length / 2)
+      val (p1, p2) = purchaseRows.splitAt(purchaseRows.length / 2)
+      clicks.addData(c1.toSeq); purchases.addData(p1.toSeq)
+      q.processAllAvailable()
+      clicks.addData(c2.toSeq); purchases.addData(p2.toSeq)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT purchase_id, click_id FROM sj_parity")
+        .as[(Long, Long)].collect().toSet
+      val gotOpen = got.filterNot { case (p, c) => usOf(p) - usOf(c) == horizonUs }
+      assert(batchPairs.nonEmpty) // the fixture genuinely attributes
+      assert(gotOpen == batchPairs)
     } finally q.stop()
   }
 

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import StreamNearDup._
@@ -88,6 +89,60 @@ class StreamNearDupSpec extends SparkSpec {
       assert(strong.contains((1L, 2L)))
       // anchors always precede newcomers — no inverted pairs
       assert(strong.forall(p => p._1 < p._2))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("parity: stream pairs = batch q27 pairs restricted to anchor coverage (sf0.001)") {
+    // Shared-fixture equivalence against the documented recall contract:
+    // with docs fed in doc_id order, a band's anchors are its maxAnchors
+    // lowest doc_ids, so the EXPECTED stream output is computable from the
+    // batch side — q27's pairs restricted to those whose earlier doc
+    // anchors a shared band. Assert (1) the stream never invents a pair
+    // the batch path lacks, and (2) it emits EXACTLY the covered subset —
+    // both the recall bound and the no-false-positive direction at once.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = "/root/testdata/sf0.001"
+    val maxAnchors = 4
+    val batchPairs = graft.SparkEntry.queries("q27_minhash_lsh")(spark, dir)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    // coverage set from the SAME native band derivation the stream uses
+    graft.functions.TextFunctions.register(spark)
+    val bandRows = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("graft_minhash_bands(graft_shingle_hashes3(text))"))
+          .as("band_key"))
+      .as[(Long, Long)].collect()
+    val covered = scala.collection.mutable.Set.empty[(Long, Long)]
+    bandRows.groupBy(_._2).foreach { case (_, rows) =>
+      val ids = rows.map(_._1).distinct.sorted
+      for (a <- ids.take(maxAnchors); d <- ids if d > a) covered += ((a, d))
+    }
+    val expected = batchPairs.filter(covered)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[Doc]
+      .collect().sortBy(_.doc_id)
+    val mem = MemoryStream[Doc]
+    val q = candidates(mem.toDS(), maxAnchors = maxAnchors)
+      .writeStream.format("memory").queryName("neardup_parity")
+      .outputMode("append").start()
+    try {
+      docs.grouped((docs.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.sql(
+          "SELECT first_doc_id, doc_id FROM neardup_parity WHERE jaccard >= 0.5")
+        .as[(Long, Long)].collect().toSet
+      assert(batchPairs.nonEmpty) // the fixture genuinely contains near-dups
+      assert(got.subsetOf(batchPairs)) // no invented pairs
+      assert(got == expected)          // exactly the covered subset
     } finally {
       q.stop()
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
