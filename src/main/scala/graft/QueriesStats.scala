@@ -458,13 +458,9 @@ object QueriesStats {
   // The bit interleave is plain integer div/mod/multiply — identical
   // operator semantics on both engines for non-negative inputs; bucket
   // bounds come from one 1-row aggregate broadcast back (intended BNLJ).
-  private val ZBits = 8
   private val DayUs = 86400L * 1000000L
   private def zInterleave(x: String, y: String, div: String): String =
-    (0 until ZBits).map { b =>
-      val p = 1L << b; val q4 = 1L << (2 * b)
-      s"((($x) $div $p) % 2) * $q4 + ((($y) $div $p) % 2) * ${2 * q4}"
-    }.mkString("(", " + ", ")")
+    graft.ops.ZOrder.interleaveExpr(x, y, div)
   private val q109: Q = (s, dir) => {
     val o = Tables.orders(s, dir)
       .select(col("o_custkey").as("ck"),
