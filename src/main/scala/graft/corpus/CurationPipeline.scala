@@ -78,22 +78,8 @@ object CurationPipeline {
   def run(docs: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = TextOps.tokensExpr("text")
 
-    // 1a. rule-based quality (per-row, map-side)
-    val ruled = docs
-      .withColumn("n_toks", expr(s"CAST(size($toks) AS BIGINT)"))
-      .withColumn("dup_frac",
-        expr(s"CAST(n_toks - size(array_distinct($toks)) AS DOUBLE) / n_toks"))
-      .filter(col("n_toks") >= cfg.minToks && col("dup_frac") <= cfg.maxDupTokFrac)
-      .drop("n_toks", "dup_frac")
-      .cache()
-    // 1b. classifier gate (batched inference, map-side)
-    val keepIds = Inference.scoreBatched(
-        ruled.select(col("doc_id"), col("text")).as[Inference.DocIn],
-        cfg.batchSize, Inference.stubModel)
-      .filter(col("score") >= cfg.minScore).select("doc_id")
-    val quality = ruled.join(keepIds, Seq("doc_id"), "left_semi").cache()
+    val (ruled, quality) = qualityStages(docs, cfg)
 
     // 2. exact dedup: min doc_id per identical text
     val firstPerText = quality.groupBy(md5(col("text")).as("th"))
@@ -112,6 +98,55 @@ object CurationPipeline {
     val pairs = NearDup.pairs(hashed, cfg.jaccardThreshold)
     val near = NearDup.transitiveSurvivors(norm, col("doc_id"), pairs).cache()
 
+    val (curated, tail, releaseCaches) = releaseStages(near, docs.columns, cfg)
+
+    // audit counts drive one materialization of each cached stage; the
+    // intermediates are then released — only `curated` stays cached for
+    // the caller (unpersist it when done)
+    val audit = (Seq(
+      ("input", docs.count()), ("quality_rules", ruled.count()),
+      ("quality_classifier", quality.count()), ("exact_dedup", exact.count()),
+      ("normalized_dedup", norm.count()), ("near_dedup", near.count())) ++ tail)
+      .toDF("stage", "docs_after")
+    (Seq(ruled, quality, exact, norm, hashed, near) ++ releaseCaches)
+      .foreach(_.unpersist())
+    (curated, audit)
+  }
+
+  /** Stages 1a+1b — per-row work, safe to run on a DELTA in isolation
+    * (no corpus-global state enters the decision). Returns both frames
+    * cached; the caller counts and unpersists. */
+  private[corpus] def qualityStages(docs: DataFrame,
+                                    cfg: Config): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = TextOps.tokensExpr("text")
+    // 1a. rule-based quality (per-row, map-side)
+    val ruled = docs
+      .withColumn("n_toks", expr(s"CAST(size($toks) AS BIGINT)"))
+      .withColumn("dup_frac",
+        expr(s"CAST(n_toks - size(array_distinct($toks)) AS DOUBLE) / n_toks"))
+      .filter(col("n_toks") >= cfg.minToks && col("dup_frac") <= cfg.maxDupTokFrac)
+      .drop("n_toks", "dup_frac")
+      .cache()
+    // 1b. classifier gate (batched inference, map-side)
+    val keepIds = Inference.scoreBatched(
+        ruled.select(col("doc_id"), col("text")).as[Inference.DocIn],
+        cfg.batchSize, Inference.stubModel)
+      .filter(col("score") >= cfg.minScore).select("doc_id")
+    val quality = ruled.join(keepIds, Seq("doc_id"), "left_semi").cache()
+    (ruled, quality)
+  }
+
+  /** Stages 5–7 from the near-dup survivor set — the corpus-global
+    * RELEASE stages (scrub counts grams across the whole survivor set,
+    * mixture rates are corpus totals), shared verbatim by the batch run
+    * and the incremental loop's release
+    * ([[StreamingCuration.release]]). Returns (curated, audit tail,
+    * caches for the caller to unpersist after counting). */
+  private[corpus] def releaseStages(near: DataFrame, outCols: Seq[String],
+      cfg: Config): (DataFrame, Seq[(String, Long)], Seq[DataFrame]) = {
+    val toks = TextOps.tokensExpr("text")
     // 5. exact-substring scrub over the dedup survivors: residual
     // corpus-duplicated 8-gram runs are cross-doc boilerplate — drop the
     // covered tokens; docs scrubbed below the quality floor drop
@@ -151,23 +186,13 @@ object CurationPipeline {
         val rates = Mixture.tokenBudgetRates(withToks, "source", "n_toks",
           cfg.budgetToksPerSource)
         Mixture.sampleAtRates(withToks, "source", rates)
-    }).select(docs.columns.map(col): _*) // input column order, untouched
+    }).select(outCols.map(col): _*) // input column order, untouched
       .cache()
 
-    // audit counts drive one materialization of each cached stage; the
-    // intermediates are then released — only `curated` stays cached for
-    // the caller (unpersist it when done)
-    val audit = Seq(
-      ("input", docs.count()), ("quality_rules", ruled.count()),
-      ("quality_classifier", quality.count()), ("exact_dedup", exact.count()),
-      ("normalized_dedup", norm.count()), ("near_dedup", near.count()),
-      ("substring_scrub", scrub.count()),
+    val tail = Seq(("substring_scrub", scrub.count()),
       ("pii_redact", redacted.count()),
       ("mixture_sample", curated.count()))
-      .toDF("stage", "docs_after")
-    Seq(ruled, quality, exact, norm, hashed, near, gramHashed, scrub, redacted)
-      .foreach(_.unpersist())
-    (curated, audit)
+    (curated, tail, Seq(gramHashed, scrub, redacted))
   }
 
   /** Materialize a curation run the way a dataset release ships: the

@@ -2,6 +2,8 @@ package graft.corpus
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** Streaming corpus ingest e2e: tick drains landing JSONL, quarantines
@@ -41,5 +43,80 @@ class StreamingCurationSpec extends SparkSpec {
     tick()
     assert(spark.read.parquet(store).count() == 3L)
     assert(spark.read.json(quar).count() == 1L)
+  }
+
+  test("incremental curation ticks + release == from-scratch batch run") {
+    val landing = Files.createTempDirectory("graft_cc_landing")
+    val ckpt = Files.createTempDirectory("graft_cc_ckpt")
+    val store = Files.createTempDirectory("graft_cc_store").toString + "/docs"
+    val quar = Files.createTempDirectory("graft_cc_quar").toString + "/bad"
+    val state = Files.createTempDirectory("graft_cc_state").toString + "/state"
+    val cfg = CurationPipeline.Config(minToks = 3, maxDupTokFrac = 0.9,
+      minScore = 0.0, jaccardThreshold = 0.5, budgetToksPerSource = 1000000L)
+    def tick(): Unit = StreamingCuration.curationTick(
+      spark, landing.toString, ckpt.toString, store, quar, state, cfg)
+
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val chain = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val boiler = "subscribe to our newsletter for updates and offers"
+    val unique9 = (1 to 12).map(i => s"story$i").mkString(" ")
+    val unique10 = (1 to 12).map(i => s"report$i").mkString(" ")
+    def line(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s${id % 2}"}"""
+
+    // tick 1: a unique doc + its in-tick exact dup, the near-dup chain
+    // anchor, one boilerplate carrier, a PII carrier
+    Files.writeString(landing.resolve("drop1.jsonl"), Seq(
+      line(1, base), line(2, base), line(3, chain),
+      line(9, s"$unique9 $boiler"),
+      line(12, "contact ada@example.org or ping 10.0.0.1 about delivery windows tonight"))
+      .mkString("\n"))
+    tick()
+
+    // tick 2: cross-tick exact dup (13), cross-tick normalized variant
+    // (14), a TRANSITIVE near-dup chain crossing the tick boundary
+    // (15 ~ 3, 16 ~ 15 — greedy per-tick survivor selection would keep
+    // 16; release-time components must drop it), the second boilerplate
+    // carrier (scrub gram counts must span ticks), garbage, and a
+    // re-delivery of doc 1
+    Files.writeString(landing.resolve("drop2.jsonl"), Seq(
+      line(13, base),
+      line(14, "ONE two three four five six  seven eight nine ten eleven twelve"),
+      line(15, chain + " phi"), line(16, chain + " phi chi"),
+      line(17, s"$unique10 $boiler"),
+      """not json garbage""",
+      line(1, base))
+      .mkString("\n"))
+    tick()
+
+    // the second tick processed ONLY its delta (5 new docs: the
+    // re-delivery was anti-joined, the garbage quarantined)
+    val perTick = spark.read.parquet(s"$state/tickaudit")
+      .filter(col("stage") === "input")
+      .select("tick", "n").as[(Long, Long)].collect().toMap
+    assert(perTick.size == 2 && perTick.values.toSeq.sorted == Seq(5L, 5L))
+
+    // release over the accumulated state == CurationPipeline.run from
+    // scratch on the accumulated store: same audit, same curated rows
+    val (incCurated, incAudit) = StreamingCuration.release(spark, store, state, cfg)
+    val (batchCurated, batchAudit) =
+      CurationPipeline.run(spark.read.parquet(store), cfg)
+    val incA = incAudit.as[(String, Long)].collect().toMap
+    val batchA = batchAudit.as[(String, Long)].collect().toMap
+    assert(incA == batchA)
+    // the ladder actually bit: exact (13), normalized (14), transitive
+    // near-dup (15 AND 16) all dropped
+    assert(batchA("input") == 10L && batchA("exact_dedup") == 8L &&
+      batchA("normalized_dedup") == 7L && batchA("near_dedup") == 5L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text", "lang", "source")
+        .as[(Long, String, String, String)].collect().sortBy(_._1).toSeq
+    assert(rows(incCurated) == rows(batchCurated))
+    assert(rows(incCurated).map(_._1) == Seq(1L, 3L, 9L, 12L, 17L))
+    // cross-tick scrub: both carriers lost the shared 8-gram
+    val texts = rows(incCurated).map(r => r._1 -> r._2).toMap
+    assert(texts(9L) == unique9 && texts(17L) == unique10)
+    incCurated.unpersist(); batchCurated.unpersist()
   }
 }
