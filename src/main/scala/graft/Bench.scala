@@ -38,10 +38,17 @@ object Bench {
     // query rather than the machine's mood. A query that throws is
     // reported as -1 (never its failure-path elapsed time) and named in
     // "errors" — a broken query must not read as a fast success.
+    // Evaluate the FULL plan (queryExecution.toRdd), not .count(): count()
+    // lets Catalyst prune the final projection, so a query whose output
+    // expressions are expensive — or broken — times as if they were free
+    // (at sf1, q120's overflowing cross-products benched 0.42 s under
+    // count() while Verify, which writes every column, threw). toRdd
+    // materializes every output column, like any real sink would.
     val results = selected.map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        try { fn(spark, sfDir).queryExecution.toRdd.count()
+          Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }

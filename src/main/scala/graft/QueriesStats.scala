@@ -675,13 +675,18 @@ object QueriesStats {
   // --- q120: group-wise OLS trend (exact rational slope) ---------------------
   // Does price scale with quantity, per supplier nation — the simplest
   // regression every BI layer asks for, carried the q87/q100 way: the
-  // slope is the exact rational (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), both
-  // sides exact int64 (quantity ≤ 50, price in cents — products stay
-  // under ~3e17 at sf0.1; DECIMAL(38) is the >sf1 path, the q101 note).
-  // The readable slope_milli is evaluated in doubles CONVERTED FROM
-  // those integers with the same expression shape on both engines
-  // (1000·num would overflow int64, so the scaling happens in the
-  // double domain — q111's rule). One broadcast dim join + one
+  // slope is the exact rational (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). The
+  // per-group SUMs stay int64 (Σxy ≤ rows·50·priceCents — safe through
+  // ~10^10 rows/group; the all-decimal sum is the next notch up), but the
+  // CROSS-PRODUCTS left int64 at sf0.1 ALready overflow at sf1 (n·Σxy ≈
+  // 3e19 — the sf1 sweep caught this live), so they run in
+  // DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0), exact like DuckDB's
+  // HUGEINT twin (the q75 centroid-norm pattern). The decimals are
+  // consumed only through CAST(... AS DOUBLE) with the same expression
+  // shape on both engines (q111's rule), which is also why slope_num/
+  // slope_den publish as DOUBLE: both engines round the identical exact
+  // integer to the identical double, while a 38-digit integer column
+  // would hit engine-specific rendering. One broadcast dim join + one
   // map-side-combinable HashAggregate.
   private val q120: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
@@ -696,16 +701,24 @@ object QueriesStats {
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sx2"))
+      .withColumn("num_d", expr(
+        """CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0)) -
+          |  CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))"""
+          .stripMargin))
+      .withColumn("den_d", expr(
+        """CAST(n AS DECIMAL(19,0)) * CAST(sx2 AS DECIMAL(19,0)) -
+          |  CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))"""
+          .stripMargin))
       .select(col("n_name"), col("n"),
-        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
-        (col("n") * col("sx2") - col("sx") * col("sx")).as("slope_den"))
-      // q100's zero-variance guard: den = 0 (all-equal x, incl. n = 1)
-      // would cast NaN/Infinity to BIGINT — engines disagree there
-      .withColumn("slope_milli", expr(
-        """CASE WHEN slope_den > 0 THEN
-          |  CAST(floor(1000.0D * CAST(slope_num AS DOUBLE) /
-          |    CAST(slope_den AS DOUBLE)) AS BIGINT)
-          |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+        expr("CAST(num_d AS DOUBLE)").as("slope_num"),
+        expr("CAST(den_d AS DOUBLE)").as("slope_den"),
+        // q100's zero-variance guard: den = 0 (all-equal x, incl. n = 1)
+        // would cast NaN/Infinity to BIGINT — engines disagree there
+        expr(
+          """CASE WHEN den_d > 0 THEN
+            |  CAST(floor(1000.0D * CAST(num_d AS DOUBLE) /
+            |    CAST(den_d AS DOUBLE)) AS BIGINT)
+            |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("slope_milli"))
       .orderBy(col("n_name"))
   }
   private val q120Sql =
@@ -722,15 +735,22 @@ object QueriesStats {
        |  JOIN supplier ON l_suppkey = s_suppkey
        |  JOIN nation ON s_nationkey = n_nationkey
        |  GROUP BY n_name
+       |), cp AS (
+       |  -- HUGEINT cross-products (the Spark side uses DECIMAL(38,0)):
+       |  -- n*sxy overflows int64 at sf1; consumed only via CAST AS DOUBLE
+       |  SELECT n_name, n,
+       |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num_d,
+       |    CAST(n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx AS den_d
+       |  FROM g
        |)
        |SELECT n_name, n,
-       |  n * sxy - sx * sy AS slope_num,
-       |  n * sx2 - sx * sx AS slope_den,
-       |  CASE WHEN n * sx2 - sx * sx > 0 THEN
-       |    CAST(floor(1000.0 * CAST(n * sxy - sx * sy AS DOUBLE) /
-       |      CAST(n * sx2 - sx * sx AS DOUBLE)) AS BIGINT)
+       |  CAST(num_d AS DOUBLE) AS slope_num,
+       |  CAST(den_d AS DOUBLE) AS slope_den,
+       |  CASE WHEN den_d > 0 THEN
+       |    CAST(floor(1000.0 * CAST(num_d AS DOUBLE) /
+       |      CAST(den_d AS DOUBLE)) AS BIGINT)
        |  ELSE CAST(0 AS BIGINT) END AS slope_milli
-       |FROM g ORDER BY n_name""".stripMargin
+       |FROM cp ORDER BY n_name""".stripMargin
 
   // --- q122: weighted systematic sampling -------------------------------------
   // Samples documents with probability PROPORTIONAL TO TOKEN MASS — the

@@ -654,8 +654,34 @@ class ChangeStatsSpec extends SparkSpec {
       .toDF("l_suppkey", "l_quantity", "l_extendedprice", "l_shipdate")
       .write.parquet(s"$d/lineitem.parquet")
     val got = SparkEntry.queries("q120_group_trend")(spark, d)
-      .as[(String, Long, Long, Long, Long)].collect().toSeq
-    assert(got == Seq(("A", 3L, 1200L, 6L, 200000L)))
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(got == Seq(("A", 3L, 1200.0, 6.0, 200000L)))
+  }
+
+  test("q120: cross-products beyond int64 stay exact (the sf1 overflow)") {
+    // 100 points on the perfect line y = 1e12·x cents: Σxy = 1e12·Σx² ≈
+    // 3.4e17 (sums fit int64), but n·Σxy ≈ 3.4e19 — past int64, the
+    // exact overflow the sf1 sweep hit. The decimal cross-product path
+    // must deliver the exact slope 1e12 → slope_milli 1e15, and
+    // num = 1e12·(100·Σx² − (Σx)²) = 8.3325e18 exactly.
+    val d = java.nio.file.Files.createTempDirectory("graft_trendbig").toString
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((0L, "A")).toDF("n_nationkey", "n_name")
+      .write.parquet(s"$d/nation.parquet")
+    Seq((1L, 0L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$d/supplier.parquet")
+    (1 to 100)
+      .map(i => (1L, i.toDouble, i * 1e10, ts("1995-01-01 00:00:00")))
+      .toDF("l_suppkey", "l_quantity", "l_extendedprice", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = SparkEntry.queries("q120_group_trend")(spark, d)
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    val sx = 5050L                       // Σx, x = 1..100
+    val sx2 = (1 to 100).map(i => i.toLong * i).sum // Σx² = 338350
+    val den = 100L * sx2 - sx * sx       // 8,332,500 — fits double exactly
+    val num = BigDecimal(den) * BigDecimal(1e12.toLong)
+    assert(got == Seq(("A", 100L, num.toDouble, den.toDouble, 1000L * 1e12.toLong)))
   }
 
   test("q120: a zero-variance group reports slope 0, not a NaN cast") {
@@ -673,8 +699,8 @@ class ChangeStatsSpec extends SparkSpec {
       .write.parquet(s"$d/lineitem.parquet")
     val got = SparkEntry.queries("q120_group_trend")(spark, d)
       .select("n_name", "slope_den", "slope_milli")
-      .as[(String, Long, Long)].collect().toSeq
-    assert(got == Seq(("A", 0L, 0L)))
+      .as[(String, Double, Long)].collect().toSeq
+    assert(got == Seq(("A", 0.0, 0L)))
   }
 
   test("q121: the weighted median picks by duration mass, not row count") {
