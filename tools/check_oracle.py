@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate.
 
-Usage: python3 tools/check_oracle.py <outDir> <sfDir>
+Usage: python3 tools/check_oracle.py <outDir> <sfDir> [<json_out>]
+
+With <json_out>, also writes a driver-style per-query JSON artifact
+(rows/schema/hash match booleans) for committing as scale evidence.
 
 Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from <outDir>/oracle_sql.json in DuckDB against the sfDir
@@ -32,6 +35,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    report = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -47,12 +52,18 @@ def main() -> int:
             if files else pd.DataFrame()
         if name not in oracle:
             n_noracle += 1
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(got),
+                            "oracle_rows": None, "err": None}
             print(f"  [rows-only] {name}: {len(got)} rows")
             continue
         try:
             want = con.execute(oracle[name]).df()
         except Exception as e:
             n_fail += 1
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(got),
+                            "oracle_rows": None, "err": str(e)[:200]}
             print(f"  [FAIL] {name}: oracle SQL error: {e}")
             continue
         # Type audit: the driver hash-compares rendered values, so a DuckDB
@@ -63,21 +74,31 @@ def main() -> int:
         huge = [c for c, t in duck_types.items() if t == "HUGEINT"]
         if huge:
             n_fail += 1
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(got),
+                            "oracle_rows": len(want),
+                            "err": f"HUGEINT cols {huge}"}
             print(f"  [FAIL] {name}: oracle cols {huge} are HUGEINT — "
                   f"CAST them (driver hash-compare will mismatch int64)")
             continue
         g, w = canon(got), canon(want)
-        if list(g.columns) != list(w.columns):
+        rep = {"rows_match": len(g) == len(w),
+               "schema_match": list(g.columns) == list(w.columns),
+               "hash_match": False, "spark_rows": len(g),
+               "oracle_rows": len(w), "err": None}
+        report[name] = rep
+        if not rep["schema_match"]:
             n_fail += 1
             print(f"  [FAIL] {name}: columns {list(g.columns)} vs {list(w.columns)}")
             continue
-        if len(g) != len(w):
+        if not rep["rows_match"]:
             n_fail += 1
             print(f"  [FAIL] {name}: rows {len(g)} vs {len(w)}")
             continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False,
                                           check_exact=True)
+            rep["hash_match"] = True
             n_pass += 1
             print(f"  [PASS] {name} ({len(g)} rows)")
         except AssertionError as e:
@@ -85,6 +106,10 @@ def main() -> int:
             msg = str(e).splitlines()
             print(f"  [FAIL] {name}: " + " | ".join(msg[:6]))
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(dict(sorted(report.items())), f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
