@@ -273,7 +273,13 @@ object QueriesText {
   private val q82: Q = (s, dir) => {
     val spark = s
     import spark.implicits._
+    // partition by WORK, not bytes: the id column of a 100k-doc corpus is
+    // a single small parquet split, so without this repartition the whole
+    // per-row codec pass runs in 1-2 tasks no matter how many cores exist
+    // (measured at sf1: q82 flat ~17 s from 8 to 32 threads). The shuffle
+    // moves 8 bytes/row; the codec work it unlocks is the whole cost.
     val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .repartition(Tables.shufflePartitions(s))
     Multimodal.pngFeatures(ids).toDF().orderBy(col("doc_id"))
   }
   private val q82Sql = {
@@ -453,7 +459,13 @@ object QueriesText {
   private val q58: Q = (s, dir) => {
     val spark = s
     import spark.implicits._
+    // partition by WORK, not bytes: the id column of a 100k-doc corpus is
+    // a single small parquet split, so without this repartition the whole
+    // per-row codec pass runs in 1-2 tasks no matter how many cores exist
+    // (measured at sf1: q82 flat ~17 s from 8 to 32 threads). The shuffle
+    // moves 8 bytes/row; the codec work it unlocks is the whole cost.
     val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .repartition(Tables.shufflePartitions(s))
     Multimodal.resizeImages(ids, ResizeFactor).toDF().orderBy(col("doc_id"))
   }
   private val q58Sql = {
@@ -490,7 +502,13 @@ object QueriesText {
   private val q47: Q = (s, dir) => {
     val spark = s
     import spark.implicits._
+    // partition by WORK, not bytes: the id column of a 100k-doc corpus is
+    // a single small parquet split, so without this repartition the whole
+    // per-row codec pass runs in 1-2 tasks no matter how many cores exist
+    // (measured at sf1: q82 flat ~17 s from 8 to 32 threads). The shuffle
+    // moves 8 bytes/row; the codec work it unlocks is the whole cost.
     val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .repartition(Tables.shufflePartitions(s))
     Multimodal.videoFrames(ids, FrameStride).toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
   }

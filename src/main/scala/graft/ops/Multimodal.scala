@@ -130,6 +130,15 @@ object Multimodal {
     })(Encoders.product[FrameFeatures])
   }
 
+  // ImageIO defaults to FILE-backed stream caching: every encode/decode
+  // round-trips a temp file in the OS tmp dir — syscall cost per image
+  // plus contention when 32 tasks decode concurrently (measured at sf1:
+  // the codec queries scaled ~1.6x from 8→32 threads until this was
+  // switched off). Our payloads are KB-sized in-memory arrays; memory-
+  // cached streams are strictly better. Idempotent, once per JVM.
+  private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   // ------------------------------------------------------------ real resize
 
   /** Resized-image summary: input dims, output dims, exact per-channel
@@ -143,6 +152,7 @@ object Multimodal {
     * ceil(in/factor) — into a new image, and reduce THAT image to exact
     * channel sums, so the oracle pins the resample arithmetic itself. */
   def resizePng(docId: Long, payload: Array[Byte], factor: Int): ResizedImage = {
+    imageIoMemCache
     require(factor > 0, s"resize factor must be positive, got $factor")
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
@@ -186,6 +196,7 @@ object Multimodal {
     * w = 8 + id%9, h = 8 + (id/9)%9,
     * pixel(x,y) = ((id·31+x·7+y)%256, (x·13+y·5)%256, (id+x+y·3)%256). */
   def syntheticPng(id: Long): Array[Byte] = {
+    imageIoMemCache
     val w = (8 + id % 9).toInt
     val h = (8 + (id / 9) % 9).toInt
     val img = new java.awt.image.BufferedImage(
@@ -211,6 +222,7 @@ object Multimodal {
     * inflates the pixel data (PNG is lossless, so decoded pixels are
     * exact). Fail-fast on undecodable bytes, like the inference op. */
   def decodePng(docId: Long, payload: Array[Byte]): ImageFeatures = {
+    imageIoMemCache
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
     require(img != null, s"undecodable image payload for doc $docId")

@@ -16,6 +16,39 @@ import graft.functions.GraftFunctions
   */
 object VectorNearDup {
 
+  /** Plane count sized to the corpus: enough sign bits that EXPECTED
+    * bucket occupancy stays near `targetPerBucket`. Fixed bits go
+    * quadratic in density (within-bucket candidates ∝ occupancy² — the
+    * measured sf0.1→sf1 curve of q52 is 12×, not 10×, for exactly this
+    * reason), so the bit count must grow with the corpus:
+    * ceil(log2(n / target)) planes, clamped to [floor, cap]. The cap
+    * bounds codegen size (each plane embeds a dim-wide literal array in
+    * the expression). Because [[VectorOps.planes]] is a fixed sequence,
+    * the first n planes at n+k planes are THE SAME planes — buckets
+    * refine as bits grow, so the same-bucket candidate set only ever
+    * shrinks (never shifts) when a corpus re-runs with more bits.
+    * Costing one COUNT to choose the plan is the dimension-collect
+    * discipline: a column-pruned scan returning a single long.
+    */
+  def adaptiveNPlanes(corpusSize: Long, targetPerBucket: Int = 64,
+                      floor: Int = 8, cap: Int = 20): Int = {
+    require(targetPerBucket >= 1, s"targetPerBucket must be >= 1")
+    require(floor >= 1 && cap >= floor, s"need 1 <= floor <= cap")
+    val need = math.ceil(
+      math.log(math.max(corpusSize, 1L).toDouble / targetPerBucket) /
+        math.log(2.0)).toInt
+    math.min(cap, math.max(floor, need))
+  }
+
+  /** [[prepared]] with the plane count chosen by [[adaptiveNPlanes]]
+    * from the actual corpus size. Returns (prep, nPlanes) — callers
+    * need nPlanes again for [[pairsMultiprobe]]'s probe set. */
+  def preparedAdaptive(vectors: DataFrame, idCol: String, embeddingCol: String,
+                       dim: Int, targetPerBucket: Int = 64): (DataFrame, Int) = {
+    val n = adaptiveNPlanes(vectors.count(), targetPerBucket)
+    (prepared(vectors, idCol, embeddingCol, n, dim), n)
+  }
+
   /** (id, v, nrm, bucket) — preprocessed vectors. Caller caches. */
   def prepared(vectors: DataFrame, idCol: String, embeddingCol: String,
                nPlanes: Int, dim: Int): DataFrame = {

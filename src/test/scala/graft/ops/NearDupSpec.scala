@@ -107,4 +107,44 @@ class VectorNearDupSpec extends SparkSpec {
     // identical vectors (same seed) share a bucket -> found by both
     assert(single.toSet.contains((1L, 8L)))
   }
+
+  test("adaptiveNPlanes sizes bits to corpus, clamped to [floor, cap]") {
+    // below floor·target the floor holds; then ceil(log2(n/target))
+    assert(VectorNearDup.adaptiveNPlanes(1000) == 8)
+    assert(VectorNearDup.adaptiveNPlanes(50000) == 10)   // sf1 embeddings
+    assert(VectorNearDup.adaptiveNPlanes(5000000) == 17)
+    assert(VectorNearDup.adaptiveNPlanes(Long.MaxValue) == 20) // cap
+    assert(VectorNearDup.adaptiveNPlanes(0) == 8)        // empty corpus
+  }
+
+  test("buckets REFINE as planes grow: candidates only shrink, dups survive") {
+    // VectorOps.planes is a fixed sequence, so bucket@8 = bucket@12 mod 2^8:
+    // the same-bucket pair set at 12 planes must be a subset of the set at
+    // 8, while a near-identical pair (all sign bits agree) survives any
+    // plane count — the invariant that makes the adaptive knob safe to
+    // turn on a live corpus.
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(64)(rnd.nextFloat())
+    val nearDup = base.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.001f else x }
+    val others = (3L to 60L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Seq.fill(64)(r.nextFloat() - 0.5f))
+    }
+    val vecs = (Seq((1L, base), (2L, nearDup)) ++ others).toDF("vec_id", "embedding")
+    val at8 = VectorNearDup.pairs(
+        VectorNearDup.prepared(vecs, "vec_id", "embedding", 8, 64), 0.0)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val at12 = VectorNearDup.pairs(
+        VectorNearDup.prepared(vecs, "vec_id", "embedding", 12, 64), 0.0)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(at12.subsetOf(at8))
+    assert(at12.contains((1L, 2L)) && at8.contains((1L, 2L)))
+    val (prepA, nA) = VectorNearDup.preparedAdaptive(
+      vecs, "vec_id", "embedding", 64, targetPerBucket = 64)
+    assert(nA == 8) // 60 vectors -> floor
+    val adaptive = VectorNearDup.pairsMultiprobe(prepA, 0.999, nA)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(adaptive == Set((1L, 2L)))
+  }
 }
