@@ -30,7 +30,7 @@ import sys
 
 import duckdb
 
-src = sys.argv[1] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 out = sys.argv[2] if len(sys.argv) > 2 else "testdata-sf1"
 os.makedirs(out, exist_ok=True)
 
