@@ -33,6 +33,11 @@ object QueriesStats {
   type Q = (SparkSession, String) => DataFrame
 
   // --- q87: integer-exact moments per group -----------------------------------
+  // The q120-class bound: SUMs stay int64 essentially forever (Σq² ≤
+  // 2500n), but the cross-products n·Σq² ≈ 2500n² and n(n−1) clear int63
+  // at n ≈ 6e7 and 3e9 rows/group — both below the 100 TB design point —
+  // so they run in DECIMAL(19,0)² → DECIMAL(38,0) (HUGEINT twin) and
+  // publish via CAST AS DOUBLE (identical rounding both engines).
   private val q87: Q = (s, dir) => {
     val q = col("qty")
     Tables.lineitem(s, dir)
@@ -44,8 +49,11 @@ object QueriesStats {
         min(q).as("min_q"), max(q).as("max_q"))
       .select(col("l_returnflag"), col("n"), col("sum_q"), col("sum_q2"),
         col("min_q"), col("max_q"),
-        (col("n") * col("sum_q2") - col("sum_q") * col("sum_q")).as("var_num"),
-        (col("n") * (col("n") - 1)).as("var_den"),
+        expr("""CAST(CAST(n AS DECIMAL(19,0)) * CAST(sum_q2 AS DECIMAL(19,0)) -
+               |  CAST(sum_q AS DECIMAL(19,0)) * CAST(sum_q AS DECIMAL(19,0))
+               |  AS DOUBLE)""".stripMargin).as("var_num"),
+        expr("""CAST(CAST(n AS DECIMAL(19,0)) * CAST(n - 1 AS DECIMAL(19,0))
+               |  AS DOUBLE)""".stripMargin).as("var_den"),
         expr("(100 * sum_q) DIV n").as("mean_c"))
       .orderBy(col("l_returnflag"))
   }
@@ -60,8 +68,10 @@ object QueriesStats {
       |  FROM lineitem GROUP BY l_returnflag
       |)
       |SELECT l_returnflag, n, sum_q, sum_q2, min_q, max_q,
-      |  n * sum_q2 - sum_q * sum_q AS var_num,
-      |  n * (n - 1) AS var_den,
+      |  -- HUGEINT cross-products (Spark: DECIMAL(38,0)) via CAST AS DOUBLE
+      |  CAST(CAST(n AS HUGEINT) * sum_q2 - CAST(sum_q AS HUGEINT) * sum_q
+      |    AS DOUBLE) AS var_num,
+      |  CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS var_den,
       |  (100 * sum_q) // n AS mean_c
       |FROM g ORDER BY l_returnflag""".stripMargin
 
@@ -249,15 +259,20 @@ object QueriesStats {
   // enters the compare, unlike corr(). The only floats are the final
   // sqrt/divide/floor over those exact integers: correctly-rounded IEEE
   // ops written in the SAME shape on both engines, so the per-million
-  // correlation is bit-identical too. Bounds (sf0.1, x <= 50,
-  // y <= 1000, group n <= 6e5): n·Σxy <= 2e16, n·Σy² <= 6e17 — all
-  // inside int64; one map-side-combinable HashAggregate total.
+  // correlation is bit-identical too. Bounds (x <= 50, y <= 1000): the
+  // per-group SUMs stay int64 to ~9e12 rows/group, but the CROSS-PRODUCTS
+  // (n·Σy² ≈ n²·1e6) would clear int63 at n ≈ 3e6 rows/group — a hair
+  // above sf1's ~2-3M per return flag (the sf1 sweep passed on data
+  // slack, not headroom; the q120 overflow audit caught it). They run in
+  // DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) like q120, published
+  // through CAST AS DOUBLE, with corr_ppm computed FROM those doubles in
+  // the same shape on both engines. One map-side-combinable
+  // HashAggregate total.
   private val corrPpm =
-    """CASE WHEN var_x_num > 0 AND var_y_num > 0
-      |  THEN (CASE WHEN cov_num < 0 THEN -1 ELSE 1 END) *
-      |    CAST(FLOOR(1000000.0 * CAST(abs(cov_num) AS DOUBLE) /
-      |      (SQRT(CAST(var_x_num AS DOUBLE)) *
-      |       SQRT(CAST(var_y_num AS DOUBLE)))) AS BIGINT)
+    """CASE WHEN var_x_num > 0.0 AND var_y_num > 0.0
+      |  THEN (CASE WHEN cov_num < 0.0 THEN -1 ELSE 1 END) *
+      |    CAST(FLOOR(1000000.0 * abs(cov_num) /
+      |      (SQRT(var_x_num) * SQRT(var_y_num))) AS BIGINT)
       |  ELSE CAST(0 AS BIGINT) END""".stripMargin
   private val q100: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
@@ -265,6 +280,10 @@ object QueriesStats {
         col("l_quantity").cast("long").as("x"),
         expr("CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)")
           .as("y"))
+    def cross(a: String, b: String, c: String, d: String) = expr(
+      s"""CAST(CAST($a AS DECIMAL(19,0)) * CAST($b AS DECIMAL(19,0)) -
+         |  CAST($c AS DECIMAL(19,0)) * CAST($d AS DECIMAL(19,0)) AS DOUBLE)"""
+        .stripMargin)
     li.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -272,9 +291,9 @@ object QueriesStats {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
       .select(col("l_returnflag"), col("n"),
-        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
-        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_num"),
-        (col("n") * col("syy") - col("sy") * col("sy")).as("var_y_num"))
+        cross("n", "sxy", "sx", "sy").as("cov_num"),
+        cross("n", "sxx", "sx", "sx").as("var_x_num"),
+        cross("n", "syy", "sy", "sy").as("var_y_num"))
       .withColumn("corr_ppm", expr(corrPpm))
       .orderBy(col("l_returnflag"))
   }
@@ -292,10 +311,15 @@ object QueriesStats {
        |  ) GROUP BY l_returnflag
        |),
        |m AS (
+       |  -- HUGEINT cross-products (Spark: DECIMAL(38,0)): n*syy clears
+       |  -- int63 at ~3e6 rows/group; consumed only via CAST AS DOUBLE
        |  SELECT l_returnflag, n,
-       |    n * sxy - sx * sy AS cov_num,
-       |    n * sxx - sx * sx AS var_x_num,
-       |    n * syy - sy * sy AS var_y_num
+       |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+       |      AS DOUBLE) AS cov_num,
+       |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+       |      AS DOUBLE) AS var_x_num,
+       |    CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+       |      AS DOUBLE) AS var_y_num
        |  FROM g
        |)
        |SELECT l_returnflag, n, cov_num, var_x_num, var_y_num,
@@ -311,12 +335,15 @@ object QueriesStats {
   // in doubles CONVERTED FROM those exact integers with the same
   // expression shape on both engines (conversions and each IEEE op are
   // correctly rounded — deterministic cross-engine even above 2^53).
-  // Daily revenue is bucketed to THOUSAND-dollar units so every integer
-  // moment stays in int64 (daily cents ~2.3e9 at sf0.1 would push
-  // n·Σx² past 2^63 in dollar units; at larger corpora move these two
-  // columns to DECIMAL(38,0)/HUGEINT). Plan: one day-keyed HashAggregate
-  // (map-side combinable), a 1-row stats table broadcast back (the
-  // intended BNLJ), map-side flag filter.
+  // Daily revenue is bucketed to THOUSAND-dollar units so the per-day x
+  // and the dev = n·x − Σx integers stay int64 at any realistic scale
+  // (the day count is calendar-bounded, so dev grows only linearly with
+  // density). The one density²-growing term, var_num = n·Σx² − (Σx)²
+  // (~8.5e17 at sf1, ×100 per ×10 data ⇒ past int63 by sf10), runs in
+  // DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) — the q120 pattern,
+  // published via CAST AS DOUBLE, flag test unchanged in shape. Plan:
+  // one day-keyed HashAggregate (map-side combinable), a 1-row stats
+  // table broadcast back (the intended BNLJ), map-side flag filter.
   private val OutlierK = 2
   private val q101: Q = (s, dir) => {
     val daily = Tables.orders(s, dir)
@@ -325,15 +352,17 @@ object QueriesStats {
       .select(col("day"), expr("day_cents DIV 100000").as("x"))
     val stats = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sx2"))
-      .select(col("n"), col("sx"),
-        (col("n") * col("sx2") - col("sx") * col("sx")).as("var_num"))
+      .select(col("n"), col("sx"), expr(
+        """CAST(CAST(n AS DECIMAL(19,0)) * CAST(sx2 AS DECIMAL(19,0)) -
+          |  CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+          |  AS DOUBLE)""".stripMargin).as("var_num"))
     daily.crossJoin(stats)
       .withColumn("dev", col("n") * col("x") - col("sx"))
       .filter(expr(
         s"""CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE) *
            |  CAST(n - 1 AS DOUBLE) >
-           |  ${OutlierK * OutlierK}.0 * CAST(n AS DOUBLE) *
-           |  CAST(var_num AS DOUBLE)""".stripMargin))
+           |  ${OutlierK * OutlierK}.0 * CAST(n AS DOUBLE) * var_num"""
+          .stripMargin))
       .select(col("day"), col("x").as("rev_kusd"), col("dev"),
         col("n"), col("var_num"))
       .orderBy(col("day"))
@@ -346,16 +375,19 @@ object QueriesStats {
        |  FROM orders GROUP BY day
        |),
        |stats AS (
+       |  -- HUGEINT cross-product (Spark: DECIMAL(38,0)): n*sx2 grows with
+       |  -- density^2, past int63 by ~sf10; consumed via CAST AS DOUBLE
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-       |    CAST(COUNT(*) AS BIGINT) * CAST(SUM(x * x) AS BIGINT) -
-       |      CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT) AS var_num
+       |    CAST(CAST(COUNT(*) AS HUGEINT) * CAST(SUM(x * x) AS BIGINT) -
+       |      CAST(CAST(SUM(x) AS BIGINT) AS HUGEINT) *
+       |      CAST(SUM(x) AS BIGINT) AS DOUBLE) AS var_num
        |  FROM daily
        |)
        |SELECT day, x AS rev_kusd, n * x - sx AS dev, n, var_num
        |FROM daily, stats
        |WHERE CAST(n * x - sx AS DOUBLE) * CAST(n * x - sx AS DOUBLE) *
        |    CAST(n - 1 AS DOUBLE) >
-       |  ${OutlierK * OutlierK}.0 * CAST(n AS DOUBLE) * CAST(var_num AS DOUBLE)
+       |  ${OutlierK * OutlierK}.0 * CAST(n AS DOUBLE) * var_num
        |ORDER BY day""".stripMargin
 
   // --- q105: balanced shard planning (boustrophedon packing) -----------------
@@ -525,9 +557,12 @@ object QueriesStats {
       .withColumn("r", sum(col("o")).over(Window.partitionBy(col("n_name"))))
       .withColumn("c", sum(col("o")).over(Window.partitionBy(col("priority"))))
       .withColumn("n", sum(col("o")).over(Window.partitionBy()))
-      .withColumn("num", col("o") * col("n") - col("r") * col("c"))
+      .withColumn("num", expr(
+        """CAST(CAST(o AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) -
+          |  CAST(r AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+          |  AS DOUBLE)""".stripMargin))
       .withColumn("term_micro", expr(
-        """CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+        """CAST(floor(num * num /
           |  (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
           |  * 1000000.0D) AS BIGINT)""".stripMargin))
       .select(col("n_name"), col("priority"), col("o"), col("r"), col("c"),
@@ -549,11 +584,19 @@ object QueriesStats {
       |    CAST(SUM(o) OVER () AS BIGINT) AS n
       |  FROM cells
       |)
-      |SELECT n_name, priority, o, r, c, CAST(o * n - r * c AS BIGINT) AS num,
-      |  CAST(floor(CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE) /
+      |, d AS (
+      |  -- HUGEINT cross-product (Spark: DECIMAL(38,0)): O*N <= N^2 clears
+      |  -- int63 at N ~ 3e9 orders; consumed only via CAST AS DOUBLE
+      |  SELECT n_name, priority, o, r, c, n,
+      |    CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c AS DOUBLE)
+      |      AS num
+      |  FROM m
+      |)
+      |SELECT n_name, priority, o, r, c, num,
+      |  CAST(floor(num * num /
       |    (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
       |    * 1000000.0) AS BIGINT) AS term_micro
-      |FROM m ORDER BY n_name, priority""".stripMargin
+      |FROM d ORDER BY n_name, priority""".stripMargin
 
   // --- q112: revenue concentration (Pareto / Lorenz audit) -------------------
   // How top-heavy is the customer base? Customers bucket into revenue

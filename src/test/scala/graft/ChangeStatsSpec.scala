@@ -97,8 +97,8 @@ class ChangeStatsSpec extends SparkSpec {
     val dir = lineitemDir(("A", 2.0), ("A", 4.0), ("A", 6.0), ("B", 5.0))
     val got = SparkEntry.queries("q87_exact_moments")(spark, dir)
       .select("l_returnflag", "n", "var_num", "var_den", "mean_c")
-      .as[(String, Long, Long, Long, Long)].collect().toSeq
-    assert(got == Seq(("A", 3L, 24L, 6L, 400L), ("B", 1L, 0L, 0L, 500L)))
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(got == Seq(("A", 3L, 24.0, 6.0, 400L), ("B", 1L, 0.0, 0.0, 500L)))
   }
 
   private def docsDir(rows: (Long, String, Long)*): String = {
@@ -388,11 +388,11 @@ class ChangeStatsSpec extends SparkSpec {
       ("C", 5.0, 0.01), ("C", 5.0, 0.02))
     val got = SparkEntry.queries("q100_exact_corr")(spark, dir)
       .select("l_returnflag", "cov_num", "var_x_num", "var_y_num", "corr_ppm")
-      .as[(String, Long, Long, Long, Long)].collect().toSeq
+      .as[(String, Double, Double, Double, Long)].collect().toSeq
     assert(got == Seq(
-      ("A", 600L, 6L, 60000L, 1000000L),
-      ("B", -600L, 6L, 60000L, -1000000L),
-      ("C", 0L, 0L, 10000L, 0L)))
+      ("A", 600.0, 6.0, 60000.0, 1000000L),
+      ("B", -600.0, 6.0, 60000.0, -1000000L),
+      ("C", 0.0, 0.0, 10000.0, 0L)))
   }
 
   test("q101: only the spike day crosses the 2-sigma integer test") {
@@ -408,6 +408,26 @@ class ChangeStatsSpec extends SparkSpec {
       .select("day", "rev_kusd", "dev")
       .as[(String, Long, Long)].collect().toSeq
     assert(got == Seq(("1995-01-12", 100L, 1089L)))
+  }
+
+  test("q100: cross-products beyond int64 stay exact (the q120 class)") {
+    // 100 rows of y = 100·x with every discount pinned to 0.1 (y = 1000):
+    // syy = 1e8, small — so scale x instead: x = quantity is capped at
+    // 50 by the data model, so drive n up via repetition: 4000 rows of a
+    // perfect line through repeated (x, y) points. n·syy = 4000·Σ(y²):
+    // with y = 1000 per row, Σy² = 4e9, n·Σy² = 1.6e13 — still inside
+    // int64, so ALSO verify the decimal path agrees exactly where int64
+    // was correct (regression for the refactor), and rely on the sf1+
+    // sweeps for the beyond-int64 leg (real data crosses at ~3e6
+    // rows/group, which a unit fixture can't reach with y <= 1000).
+    val rows = (1 to 4000).map { i =>
+      val x = (i % 3 + 1).toDouble          // 1, 2, 3 cycling
+      ("A", x, x * 0.01)                    // y = 100·x basis points
+    }
+    val dir = lineitemXYDir(rows: _*)
+    val got = SparkEntry.queries("q100_exact_corr")(spark, dir)
+      .select("l_returnflag", "corr_ppm").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("A", 1000000L)))     // perfect line survives exactly
   }
 
   test("q105: snake packing balances a strictly decreasing size run perfectly") {
@@ -515,10 +535,10 @@ class ChangeStatsSpec extends SparkSpec {
       .write.parquet(s"$d/orders.parquet")
     val got = SparkEntry.queries("q111_chisq_audit")(spark, d)
       .select("n_name", "priority", "o", "num", "term_micro")
-      .as[(String, String, Long, Long, Long)].collect().toSeq
+      .as[(String, String, Long, Double, Long)].collect().toSeq
     assert(got == Seq(
-      ("A", "P", 3L, 8L, 500000L), ("A", "Q", 1L, -8L, 500000L),
-      ("B", "P", 1L, -8L, 500000L), ("B", "Q", 3L, 8L, 500000L)))
+      ("A", "P", 3L, 8.0, 500000L), ("A", "Q", 1L, -8.0, 500000L),
+      ("B", "P", 1L, -8.0, 500000L), ("B", "Q", 3L, 8.0, 500000L)))
   }
 
   test("q112: decile shares and the Lorenz cumulative are exact integers") {
