@@ -59,9 +59,9 @@ object QueriesDedup {
     NearDup.pairs(hashed, 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
-  /** Shared DuckDB CTE chain producing `scored` = LSH candidate pairs with
-    * exact Jaccard (the q27 pipeline); reused by the q51 components twin. */
-  private val lshScoredCtes: String = {
+  /** Shared DuckDB CTE chain producing `cand` = distinct LSH candidate id
+    * pairs (the NearDup.candidatePairs twin); reused by q27/q51/q127. */
+  private val lshCandCtes: String = {
     val X = TextOps.sql
     val bandRows = X.bandKeys("hs").map { case (j, e) =>
       s"SELECT doc_id, $j AS band, $e AS key FROM h"
@@ -75,7 +75,13 @@ object QueriesDedup {
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM sig x JOIN sig y
        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-       |), scored AS (
+       |)""".stripMargin
+  }
+
+  /** Shared DuckDB CTE chain producing `scored` = LSH candidate pairs with
+    * exact Jaccard (the q27 pipeline); reused by the q51 components twin. */
+  private val lshScoredCtes: String = {
+    s"""$lshCandCtes, scored AS (
        |  SELECT doc_a, doc_b,
        |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
        |    CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS DOUBLE) AS jaccard
@@ -497,7 +503,51 @@ object QueriesDedup {
        |ORDER BY source_a, source_b""".stripMargin
   }
 
+  // --- q127: edit-distance confirm over LSH candidates -----------------------
+  // The precision stage of a production dedup pipeline: MinHash banding
+  // for recall (q27's candidate generator, never all-pairs), then an
+  // EXACT edit-distance verify on the candidates only — the standard
+  // two-phase shape when set-overlap (Jaccard) is too coarse and true
+  // character-level distance is the dedup contract (e.g. boilerplate
+  // variants that shuffle whole sentences score high Jaccard but far
+  // edit distance). Scale shape: the band join shuffles (doc_id, band,
+  // key) triples; texts are joined back only for surviving id pairs;
+  // Spark's bounded 3-arg levenshtein early-exits the DP at EditMax+1,
+  // so a far pair costs O(EditMax·len) not O(len²) — map-side, codegen,
+  // after the join. DuckDB twin: unbounded levenshtein, same filter —
+  // identical integer distances where dist <= EditMax, and rows past the
+  // bound are filtered on both sides, so results hash-match.
+  private val EditMax = 80
+  private val q127: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    // cached for the same reason as q27: the hash arrays feed BOTH sides
+    // of the band self-join, and shingle-hashing is the expensive map work
+    val hashed = NearDup
+      .shingleHashed(d.repartition(Tables.shufflePartitions(s)), "doc_id", "text")
+      .cache()
+    val texts = d.select(col("doc_id"), col("text"))
+    NearDup.candidatePairs(hashed)
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .withColumn("dist",
+        levenshtein(col("text_a"), col("text_b"), EditMax).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= EditMax)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private val q127Sql =
+    s"""WITH $lshCandCtes
+       |SELECT doc_a, doc_b, dist FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+       |  FROM cand
+       |  JOIN documents a ON a.doc_id = doc_a
+       |  JOIN documents b ON b.doc_id = doc_b
+       |) WHERE dist <= $EditMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q127_editdist_confirm" -> q127,
     "q119_source_similarity" -> q119,
     "q54_simhash_neardup" -> q54,
     "q52_embedding_neardup_bucketed" -> q52,
@@ -510,6 +560,7 @@ object QueriesDedup {
     "q114_dup_cluster_histogram" -> q114)
 
   val oracleSql: Map[String, String] = Map(
+    "q127_editdist_confirm" -> q127Sql,
     "q119_source_similarity" -> q119Sql,
     "q54_simhash_neardup" -> q54Sql,
     "q52_embedding_neardup_bucketed" -> q52Sql,

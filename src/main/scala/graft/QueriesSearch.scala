@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.FuzzySearch
+import graft.ops.{FuzzySearch, TextOps}
 
 /** Round-7 approximate-search queries: the fuzzy-name lookup the
   * reference exposes as its player search (`fetcher/query_player.ts:
@@ -126,11 +126,101 @@ object QueriesSearch {
        |ORDER BY rank""".stripMargin
   }
 
+  // --- q128: BM25-style ranked retrieval, top-k documents --------------------
+  // Full-text relevance ranking over the corpus for a fixed multi-term
+  // query — the retrieval op a training-data pipeline needs for
+  // benchmark-decontamination triage and quality-targeted sampling.
+  // Standard Okapi BM25 shape (k1 = 1.2, b = 0.75) with ONE deliberate
+  // deviation: the idf factor is the rational (N − df + 0.5)/(df + 0.5)
+  // WITHOUT the log — ln() is not correctly-rounded IEEE, so its last
+  // ulp may differ across engines, while +, ×, / on doubles converted
+  // from exact integers are correctly rounded and bit-identical when
+  // written in the same expression shape (the q100 corr_ppm rule). The
+  // rational idf is monotone in the same df ordering, so ranking
+  // semantics survive; each per-term score is floored to integer micros
+  // and the per-doc score is a SUM of BIGINTs — shuffle-order-proof.
+  //
+  // Scale shape (100 TB): pass 1 is a skinny projection (dl + one tf
+  // counter per query term, all map-side codegen) into a single 1-row
+  // aggregate; pass 2 re-scans, crossJoins the broadcast 1-row stats
+  // (the intended BNLJ), scores map-side, and TakeOrderedAndProject
+  // keeps per-partition top-k heaps — no global sort, no full shuffle.
+  // The rank window runs over the k survivors only.
+  private val Bm25Terms = Seq("spark", "vector", "merge")
+  private val Bm25K     = 10
+  /** Per-term BM25 micro-score — dialect-neutral SQL shared verbatim by
+    * both engines so every IEEE op runs in the same shape. */
+  private def bm25Micro(tf: String, df: String): String =
+    s"""CAST(FLOOR(1000000.0 *
+       |  ((CAST(n_docs - $df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5)) *
+       |  (CAST($tf AS DOUBLE) * 2.2) /
+       |  (CAST($tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |    (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))
+       |  ) AS BIGINT)""".stripMargin
+  private val bm25Score: String =
+    Bm25Terms.indices.map(i => s"(${bm25Micro(s"tf$i", s"df$i")})")
+      .mkString(" + ")
+  private val q128: Q = (s, dir) => {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      expr(s"CAST(size(filter(toks, x -> x = '$t')) AS BIGINT)").as(s"tf$i") }
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(TextOps.tokensExpr("text")).as("toks"))
+      .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++
+        tfCols: _*)
+    val dfAggs = Bm25Terms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("sum_dl") +: dfAggs): _*)
+    val tfOut = Bm25Terms.indices.map(i => col(s"tf$i"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score_micro"), col("doc_id"))
+    base.crossJoin(broadcast(stats))
+      .withColumn("score_micro", expr(bm25Score))
+      .orderBy(desc("score_micro"), col("doc_id"))
+      .limit(Bm25K)
+      .withColumn("rank", row_number().over(w))
+      .select(Seq(col("rank"), col("doc_id"), col("score_micro"),
+        col("dl")) ++ tfOut: _*)
+      .orderBy(col("rank"))
+  }
+  private val q128Sql = {
+    val tfSel = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n    ")
+    val dfSel = Bm25Terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n    ")
+    val tfOut = Bm25Terms.indices.map(i => s"tf$i").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    $tfSel
+       |  FROM documents
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS sum_dl,
+       |    $dfSel
+       |  FROM base
+       |), scored AS (
+       |  SELECT doc_id, dl, $tfOut,
+       |    $bm25Score AS score_micro
+       |  FROM base CROSS JOIN stats
+       |)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+       |    AS INTEGER) AS rank,
+       |  doc_id, score_micro, dl, $tfOut
+       |FROM (SELECT * FROM scored ORDER BY score_micro DESC, doc_id LIMIT $Bm25K)
+       |ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q81_fuzzy_search" -> q81,
-    "q110_trigram_search" -> q110)
+    "q110_trigram_search" -> q110,
+    "q128_bm25_topk" -> q128)
 
   val oracleSql: Map[String, String] = Map(
     "q81_fuzzy_search" -> q81Sql,
-    "q110_trigram_search" -> q110Sql)
+    "q110_trigram_search" -> q110Sql,
+    "q128_bm25_topk" -> q128Sql)
 }

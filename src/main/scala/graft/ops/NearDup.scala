@@ -31,16 +31,27 @@ object NearDup {
               expr(s"graft_shingle_hashes3($textCol)").as("hs"))
   }
 
-  /** Near-dup pairs with exact Jaccard >= `threshold` among LSH candidates. */
-  def pairs(hashed: DataFrame, threshold: Double): DataFrame = {
+  /** Distinct LSH candidate pairs (doc_a < doc_b) from the band-key
+    * self-join — the shared first stage of every confirm variant
+    * ([[pairs]] Jaccard, edit-distance confirm). The shuffle carries
+    * only (doc_id, band, key) triples and the distinct runs on
+    * fixed-width id pairs, so this is safe at any corpus size the
+    * banding itself can handle. */
+  def candidatePairs(hashed: DataFrame): DataFrame = {
     TextFunctions.register(hashed.sparkSession)
     val sig = hashed.select(col("doc_id"),
       posexplode(expr("graft_minhash_bands(hs)")).as(Seq("band", "key")))
-    val cand = sig.as("x").join(sig.as("y"),
+    sig.as("x").join(sig.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Near-dup pairs with exact Jaccard >= `threshold` among LSH candidates. */
+  def pairs(hashed: DataFrame, threshold: Double): DataFrame = {
+    TextFunctions.register(hashed.sparkSession)
+    val cand = candidatePairs(hashed)
     val a = hashed.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
     val b = hashed.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     cand.join(a, "doc_a").join(b, "doc_b")

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.NearDup
+
+/** Query-level specs for the retrieval/confirm additions: q127
+  * (edit-distance confirm over LSH candidates) and q128 (BM25-style
+  * ranked retrieval). Fixtures are planted documents.parquet dirs; the
+  * cross-engine exactness itself is covered by the DuckDB oracle gate at
+  * three scale factors — here we pin the SEMANTICS: which pairs survive
+  * the confirm, and that the published scores equal the formula evaluated
+  * in the same IEEE shape.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(rows: (Long, String)*): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_retrieval").toString
+    rows.toSeq
+      .map { case (id, text) => (id, text, "en", "s0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+    "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+  // one appended 100-char word: shingle overlap stays 18/19 (high Jaccard,
+  // certain LSH candidate) but edit distance = 101 (far past EditMax = 80)
+  private val farWord = "z" * 100
+
+  test("q127: LSH candidate with small edit distance survives with the exact distance") {
+    val dir = docsDir(
+      (1L, base),
+      (2L, base + " phi"), // 4 edits away
+      (3L, "one two three four five six seven eight nine ten eleven " +
+           "twelve thirteen fourteen fifteen sixteen"))
+    val got = SparkEntry.queries("q127_editdist_confirm")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 4L)))
+  }
+
+  test("q127: high-Jaccard candidate past EditMax is generated then rejected") {
+    val dir = docsDir((1L, base), (5L, base + " " + farWord))
+    val docs = Tables.documents(spark, dir)
+    val cand = NearDup
+      .candidatePairs(NearDup.shingleHashed(docs, "doc_id", "text"))
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 5L))) // recall stage: the pair IS a candidate
+    val confirmed = SparkEntry.queries("q127_editdist_confirm")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(confirmed.isEmpty) // precision stage: 101 edits > 80 rejects it
+  }
+
+  /** The q128 per-term micro-score evaluated in the SAME IEEE shape as
+    * the SQL on both engines (each op correctly rounded, so bit-equal). */
+  private def bm25Micro(tf: Long, df: Long, dl: Long,
+                        nDocs: Long, sumDl: Long): Long =
+    math.floor(1000000.0 *
+      (((nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5)) *
+      (tf.toDouble * 2.2) /
+      (tf.toDouble + 1.2 * (0.25 + 0.75 *
+        (dl.toDouble * nDocs.toDouble / sumDl.toDouble)))).toLong
+
+  test("q128: scores equal the shape-identical formula and rank by relevance") {
+    // terms are (spark, vector, merge); plant distinct tf/dl profiles
+    val dir = docsDir(
+      (1L, "spark spark vector"),     // tf (2,1,0), dl 3
+      (2L, "merge line"),             // tf (0,0,1), dl 2
+      (3L, "row scan table"),         // tf (0,0,0), dl 3
+      (4L, "spark vector merge row")) // tf (1,1,1), dl 4
+    val got = SparkEntry.queries("q128_bm25_topk")(spark, dir)
+      .select("rank", "doc_id", "score_micro")
+      .as[(Int, Long, Long)].collect().toSeq
+    val n = 4L; val sumDl = 12L
+    def score(tf: Seq[Long], dl: Long): Long =
+      Seq(2L, 2L, 2L).zip(tf).map { case (df, t) =>
+        bm25Micro(t, df, dl, n, sumDl) }.sum
+    val expected = Map(
+      1L -> score(Seq(2L, 1L, 0L), 3L),
+      2L -> score(Seq(0L, 0L, 1L), 2L),
+      4L -> score(Seq(1L, 1L, 1L), 4L))
+    // doc 4 matches all three terms, doc 1 two with repetition, doc 2 one,
+    // doc 3 none (score 0, ranked last by doc_id tiebreak)
+    assert(got.map(_._2) == Seq(4L, 1L, 2L, 3L))
+    assert(got.map(r => r._2 -> r._3).toMap ==
+      expected + (3L -> 0L))
+    assert(got.map(_._1) == Seq(1, 2, 3, 4))
+  }
+}
