@@ -399,50 +399,32 @@ object QueriesRelational {
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  // --- q72: interval-overlap join (session concurrency) ----------------------
-  // The interval×interval join shape ([[graft.ops.RangeJoin]] is
+  // --- q72: interval-overlap concurrency, pair-free ---------------------------
+  // The interval×interval shape ([[graft.ops.RangeJoin]] is
   // point-in-interval; this is the other half): which user sessions ran
-  // CONCURRENTLY with sessions of other users. A naive encoding is an
-  // inequality join (quadratic); the scale form blocks each interval into
-  // the fixed time buckets it spans, equi-joins on bucket, and verifies
-  // the exact overlap predicate — candidates are per-bucket local, never
-  // all-pairs. A pair straddling several buckets would collide once per
-  // shared bucket, so the join keeps only the CANONICAL collision — the
-  // bucket where the overlap starts (bk = max(start_a, start_b) DIV B) —
-  // and every true pair is emitted exactly once with no post-join
-  // distinct inflation. The remaining DISTINCT is semantic: one session
-  // can overlap several sessions of the same other user, and the metric
-  // counts users. The DuckDB twin uses its native inequality join
-  // directly — same result through a structurally different plan, which
-  // is exactly what the oracle is for.
-  // 4h: small enough that a bucket holds only the sessions ACTIVE in that
-  // window (candidate pairs stay near-linear), large enough that a typical
-  // gap-bounded session spans only 1-2 buckets (low duplicate-collision
-  // factor). At sf0.1 this cut q72 from 5.6s (1-day buckets) to well under
-  // the inventory's per-query envelope; results are bucket-invariant (the
-  // exact overlap predicate decides membership, buckets only generate
-  // candidates).
-  private val OverlapBucketUs = 14400000000L // 4 hours
+  // CONCURRENTLY with sessions of other users. Through r7 this was a
+  // bucket-blocked interval self-join — candidates per-bucket local,
+  // every true pair emitted exactly once via the canonical-collision
+  // trick — but the PAIR VOLUME itself is data-inherent and density²:
+  // 3.7 M pairs at sf0.1 → 380 M at sf1 (59 s, measured). The metric is
+  // a distinct-user COUNT, so r8 replaces pair enumeration with interval
+  // algebra ([[graft.ops.OverlapCount]]): per-session rank sweeps over a
+  // minute-bucketed cumulative histogram plus a gap-containment
+  // correction — near-linear at every scale, identical rows. The DuckDB
+  // twin keeps its native inequality join — same result through a
+  // maximally different plan, which is exactly what the oracle is for.
+  private val OverlapBucketUs = 14400000000L // 4h blocking for the gap join
   private val q72: Q = (s, dir) => {
     val sess = graft.ops.Sessionize
       .sessions(Tables.events(s, dir), col("user_id"), col("ts"),
         col("event_id"), 7200L, Exact.cents(col("value")))
-      .select(col("user_id"), col("session_seq"), col("start_us"), col("end_us"))
-    val bucketed = sess.withColumn("bk",
-      explode(expr(s"sequence(start_us DIV ${OverlapBucketUs}L, end_us DIV ${OverlapBucketUs}L)")))
-    val a = bucketed.select(col("bk"), col("user_id").as("ua"),
-      col("session_seq").as("sa"), col("start_us").as("st_a"), col("end_us").as("en_a"))
-    val b = bucketed.select(col("bk"), col("user_id").as("ub"),
-      col("start_us").as("st_b"), col("end_us").as("en_b"))
-    a.as("a").join(b.as("b"),
-        col("a.bk") === col("b.bk") && col("a.ua") =!= col("b.ub") &&
-          col("a.st_a") <= col("b.en_b") && col("b.st_b") <= col("a.en_a") &&
-          col("a.bk") === expr(s"greatest(st_a, st_b) DIV ${OverlapBucketUs}L"))
-      .select(col("a.ua").as("user_id"), col("a.sa").as("session_seq"),
-        col("b.ub").as("other_user"))
-      .distinct()
-      .groupBy(col("user_id"), col("session_seq"))
-      .agg(count(lit(1)).as("n_overlap_users"))
+      .select(col("user_id").as("entity"), col("session_seq").as("seq"),
+        col("start_us"), col("end_us"))
+    graft.ops.OverlapCount
+      .distinctOverlaps(sess, gapUs = 7200L * 1000000L,
+        coarseUs = OverlapBucketUs)
+      .select(col("entity").as("user_id"), col("seq").as("session_seq"),
+        col("n_overlap_users"))
       .orderBy(desc("n_overlap_users"), col("user_id"), col("session_seq"))
       .limit(20)
   }

@@ -112,9 +112,9 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "bigram counts must map-side combine")
   }
 
-  test("q72 interval overlap blocks on time buckets — an equi-join, never all-pairs") {
+  test("q72 interval overlap is the pair-free sweep — equi-joins only, never all-pairs") {
     val p = plan("q72_interval_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "candidates must come from the bucket equi-join")
+      "rank lookups and the gap join must stay bucket-keyed equi-joins")
   }
 }
