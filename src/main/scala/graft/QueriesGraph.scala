@@ -102,9 +102,112 @@ object QueriesGraph {
        |)
        |ORDER BY rank""".stripMargin
 
+  // --- q130: triangle counting on the top-M co-purchase graph ----------------
+  // Parts that sell together in clustered groups: per-part triangle
+  // participation in the graph of the M strongest co-purchase
+  // relationships (edge weight = q118 support, deterministic
+  // (support, a, b) tie-break). Triangles are the basic clustering /
+  // community signal — and the classic distributed-graph benchmark op.
+  //
+  // Thresholding is part of the SEMANTICS, as in all frequent-pattern
+  // mining: the unthresholded co-occurrence graph densifies with corpus
+  // size (avg degree ~1000 at sf1 ⇒ ~5·10¹⁰ wedges — measured to be
+  // intractable for ANY engine, the closure cost lives in the graph,
+  // not the plan). Top-M makes the closure bounded at every scale: the
+  // only corpus-sized stages are q118's capped map-side pair explode
+  // and one support aggregation; the top-M cut is a TakeOrdered
+  // (map-side heaps), and everything after runs on ≤ M edges.
+  //
+  // Closure shape: the naive closure explodes on hub wedges, so the
+  // standard DEGREE ORIENTATION applies — direct every edge from its
+  // (degree, id)-smaller endpoint to the larger, making out-degrees
+  // O(√M)-bounded (arboricity), enumerate wedges only among
+  // OUT-neighbors, close with one (v,w)-keyed equi-join against the
+  // oriented edge list. Each triangle materializes exactly once (its
+  // vertices are totally ordered by (deg, id)) — no post-join dedup,
+  // no all-pairs. The DuckDB twin closes the canonical a<b<c triple
+  // join directly — same rows through a structurally different plan.
+  private val TriTopK = 20
+  private val TriEdges = 100000
+  private val q130: Q = (s, dir) => {
+    val cap = 50 // q118's basket guard: one 10⁶-item basket ≠ 5·10¹¹ pairs
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .filter(size(col("ps")).between(2, cap))
+    val edges = baskets
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ps) - 1),
+          |  i -> transform(sequence(i + 1, size(ps)),
+          |    j -> struct(element_at(ps, i) AS a, element_at(ps, j) AS b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(desc("support"), col("a"), col("b"))
+      .limit(TriEdges)
+      .select(col("a"), col("b"))
+      .repartition(col("a")) // the cut collapses to one partition; fan back out
+      .cache() // degree pass + orientation + closure all read it
+    val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("n"), col("d").as("da")), col("a") === col("n")).drop("n")
+      .join(deg.select(col("n"), col("d").as("db")), col("b") === col("n")).drop("n")
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("k"), col("da").as("kd"),
+          col("b").as("v"), col("db").as("vd")))
+        .otherwise(struct(col("b").as("k"), col("db").as("kd"),
+          col("a").as("v"), col("da").as("vd"))).as("e"))
+      .select(col("e.k").as("u"), col("e.kd").as("ud"),
+        col("e.v").as("v"), col("e.vd").as("vd"))
+    val w1 = oriented.select(col("u"), col("v").as("x"), col("vd").as("xd"))
+    val w2 = oriented.select(col("u").as("u2"), col("v").as("y"), col("vd").as("yd"))
+    val wedges = w1.join(w2, col("u") === col("u2") &&
+        struct(col("xd"), col("x")) < struct(col("yd"), col("y")))
+      .select(col("u").as("tu"), col("x"), col("y"))
+    val closing = oriented.select(col("u").as("cx"), col("v").as("cy"))
+    val tris = wedges.join(closing,
+      col("x") === col("cx") && col("y") === col("cy"))
+    val perNode = tris
+      .select(explode(array(col("tu"), col("x"), col("y"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_tri"))
+    perNode
+      .orderBy(desc("n_tri"), col("part"))
+      .limit(TriTopK)
+  }
+  private val q130Sql =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), small AS (
+       |  SELECT ok FROM items GROUP BY ok HAVING COUNT(*) <= 50
+       |), incap AS (SELECT items.ok, pk FROM items JOIN small USING (ok)),
+       |e AS (
+       |  SELECT a, b FROM (
+       |    SELECT a.pk AS a, b.pk AS b, COUNT(*) AS support
+       |    FROM incap a JOIN incap b ON a.ok = b.ok AND a.pk < b.pk
+       |    GROUP BY 1, 2
+       |    ORDER BY support DESC, a, b LIMIT $TriEdges
+       |  )
+       |), tri AS (
+       |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+       |), nodes AS (
+       |  SELECT a AS part FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri
+       |)
+       |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_tri
+       |FROM nodes GROUP BY part
+       |ORDER BY n_tri DESC, part LIMIT $TriTopK""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q129_supplier_walk" -> q129)
+    "q129_supplier_walk" -> q129,
+    "q130_triangle_count" -> q130)
 
   val oracleSql: Map[String, String] = Map(
-    "q129_supplier_walk" -> q129Sql)
+    "q129_supplier_walk" -> q129Sql,
+    "q130_triangle_count" -> q130Sql)
 }

@@ -361,6 +361,79 @@ object QueriesText {
       .orderBy(col("event_type"))
   }
 
+  // --- q131: KMV bottom-k distinct sketch — ORACLE-VERIFIED approx -----------
+  // q40's HLL is engine-specific, so it gets only a rows-only check.
+  // The KMV (k-minimum-values) sketch closes that gap: keep the k
+  // smallest DISTINCT 60-bit md5 hashes of the key; the k-th minimum
+  // estimates cardinality as (k−1)·2⁶⁰ / h_k. Everything is integer —
+  // the same md5 both engines share, a DECIMAL(38,0)/HUGEINT floored
+  // division ((k−1)·2⁶⁰ ≈ 7·10¹⁹ exceeds int64) — so the ESTIMATE
+  // itself hash-matches cross-engine, unlike any HLL. Sparse rule:
+  // under k distinct hashes the sketch IS the set, estimate = its size
+  // (exercised at sf0.001 where every group has 15 users; the sketch
+  // branch runs at sf0.01+).
+  // Scale: one (group, hash) distinct shuffle, then rank ≤ k — Spark's
+  // WindowGroupLimit makes the top-k partial per map side, so no group's
+  // full hash set ever sorts in one place; the exact countDistinct
+  // column is the audit (the sketch's whole point is to REPLACE it at
+  // 100 TB, where it becomes a second expand shuffle you'd drop).
+  private val KmvK = 64
+  private val KmvNum = "72633771188245692416" // (k−1)·2⁶⁰ = 63·2⁶⁰
+  private val q131: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val h = e.select(col("event_type"),
+        expr(TextOps.hash60("CAST(user_id AS STRING)")).as("h"))
+      .distinct()
+    val w = Window.partitionBy("event_type").orderBy("h")
+    // the rn ≤ k filter is what lets WindowGroupLimit truncate each
+    // group to k rows map-side — and the truncated row count IS the
+    // sparse-branch estimate (hk null ⟺ fewer than k distinct hashes)
+    val sk = h.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === KmvK, col("h"))).as("hk"),
+           count(lit(1)).as("nk"))
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    sk.join(exact, "event_type")
+      .withColumn("kmv_estimate",
+        when(col("hk").isNull, col("nk")).otherwise(
+          expr(s"CAST(CAST('$KmvNum' AS DECIMAL(38,0)) DIV hk AS BIGINT)")))
+      .withColumn("err_ppm",
+        expr("1000000 * abs(kmv_estimate - exact_distinct) DIV exact_distinct"))
+      .select(col("event_type"), col("exact_distinct"),
+        col("kmv_estimate"), col("err_ppm"))
+      .orderBy(col("event_type"))
+  }
+  private val q131Sql = {
+    val h = TextOps.sql.hash60("CAST(user_id AS VARCHAR)")
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type, $h AS h FROM events
+       |), r AS (
+       |  SELECT event_type, h,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM h
+       |), sk AS (
+       |  SELECT event_type, MAX(CASE WHEN rn = $KmvK THEN h END) AS hk,
+       |    COUNT(*) AS nk
+       |  FROM r WHERE rn <= $KmvK GROUP BY event_type
+       |), ex AS (
+       |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+       |    AS exact_distinct
+       |  FROM events GROUP BY event_type
+       |), est AS (
+       |  SELECT event_type, exact_distinct,
+       |    CAST(CASE WHEN hk IS NULL THEN nk
+       |      ELSE CAST('$KmvNum' AS HUGEINT) // hk END AS BIGINT)
+       |      AS kmv_estimate
+       |  FROM sk JOIN ex USING (event_type)
+       |)
+       |SELECT event_type, exact_distinct, kmv_estimate,
+       |  (CAST(1000000 AS BIGINT) * ABS(kmv_estimate - exact_distinct))
+       |    // exact_distinct AS err_ppm
+       |FROM est ORDER BY event_type""".stripMargin
+  }
+
   // --- q44: deterministic hash split (train/val/test) ------------------------
   // The training-data split op: assignment by content hash (md5-prefix mod
   // 100) is stable across runs, engines, and cluster sizes — never
@@ -542,6 +615,7 @@ object QueriesText {
     "q47_frame_sample" -> q47,
     "q44_hash_split" -> q44,
     "q40_approx_distinct" -> q40,
+    "q131_kmv_distinct" -> q131,
     "q33_lang_id" -> q33,
     "q34_quality_score" -> q34,
     "q35_token_stats" -> q35,
@@ -558,6 +632,7 @@ object QueriesText {
     "q58_multimodal_resize" -> q58Sql,
     "q47_frame_sample" -> q47Sql,
     "q44_hash_split" -> q44Sql,
+    "q131_kmv_distinct" -> q131Sql,
     "q33_lang_id" -> q33Sql,
     "q34_quality_score" -> q34Sql,
     "q35_token_stats" -> q35Sql,

@@ -22,6 +22,24 @@ class GraphSpec extends SparkSpec {
     d
   }
 
+  test("q130: K4 plus a pendant — per-node triangle counts by hand") {
+    val d = java.nio.file.Files.createTempDirectory("graft_tri").toString
+    // two-item baskets encode the edge list directly: K4 over parts
+    // 1..4 (every node in C(3,2)=3 triangles) plus pendant edge 4–5
+    // (no triangle; part 5 must not appear). Degrees 3,3,3,4,1 exercise
+    // both branches of the (degree, id) orientation comparison.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    edges.zipWithIndex
+      .flatMap { case ((a, b), i) => Seq((100L + i, a), (100L + i, b)) }
+      .toDF("l_orderkey", "l_partkey")
+      .withColumn("l_shipdate", org.apache.spark.sql.functions.lit("1995-01-01"))
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = SparkEntry.queries("q130_triangle_count")(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
   test("q129: three hops of floored mass transfer, computed by hand") {
     // edges: (c10,s1,3) (c10,s2,1) (c20,s2,1); wc: c10=4, c20=1; vs: s1=3, s2=2
     // hop1 (seed 1e6/customer):
