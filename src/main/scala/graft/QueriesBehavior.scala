@@ -715,7 +715,69 @@ object QueriesBehavior {
        |GROUP BY user_id
        |ORDER BY score_milli DESC, user_id LIMIT 20""".stripMargin
 
+  // --- q132: audience overlap matrix (segment intersection / Jaccard) -------
+  // For every pair of event types: how many users both segments share,
+  // and the Jaccard similarity — the "segment overlap" panel every
+  // product-analytics tool ships (the reference's per-mode player
+  // overlap in `player.js` is this exact shape one level down).
+  //
+  // Scale: the naive form is a distinct-pairs SELF-JOIN on user_id —
+  // at 100 TB that shuffles the (user, type) table twice and fans out
+  // per-user. Instead, the q118 trick: one user-keyed aggregate builds
+  // each user's sorted type set, pair GENERATION is a map-side
+  // nested-sequence explode bounded by |type vocabulary|² per user
+  // (the type vocabulary is dimension-sized by nature — event schemas
+  // are designed, not data), and audience sizes broadcast. One
+  // corpus-sized shuffle total; everything downstream is
+  // vocabulary-sized. jaccard_ppm is integer floored division, so the
+  // similarity itself cross-checks bit-exactly.
+  private val q132: Q = (s, dir) => {
+    val ut = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val sizes = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("aud"))
+    ut.groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ts) - 1),
+          |  i -> transform(sequence(i + 1, size(ts)),
+          |    j -> struct(element_at(ts, i) AS a, element_at(ts, j) AS b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+      .agg(count(lit(1)).as("overlap"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("aud").as("aud_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("aud").as("aud_b"))), "type_b")
+      .withColumn("jaccard_ppm",
+        expr("CAST(1000000 AS BIGINT) * overlap DIV (aud_a + aud_b - overlap)"))
+      .select(col("type_a"), col("type_b"), col("aud_a"), col("aud_b"),
+        col("overlap"), col("jaccard_ppm"))
+      .orderBy(desc("jaccard_ppm"), col("type_a"), col("type_b"))
+  }
+  private val q132Sql =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |sz AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS aud FROM ut GROUP BY 1
+      |),
+      |ov AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS overlap
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT type_a, type_b, sa.aud AS aud_a, sb.aud AS aud_b, overlap,
+      |  CAST(1000000 AS BIGINT) * overlap // (sa.aud + sb.aud - overlap)
+      |    AS jaccard_ppm
+      |FROM ov
+      |JOIN sz sa ON sa.event_type = ov.type_a
+      |JOIN sz sb ON sb.event_type = ov.type_b
+      |ORDER BY jaccard_ppm DESC, type_a, type_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q132_audience_overlap" -> q132,
     "q90_funnel"      -> q90,
     "q91_retention"   -> q91,
     "q92_transitions" -> q92,
@@ -731,6 +793,7 @@ object QueriesBehavior {
     "q124_decayed_engagement" -> q124)
 
   val oracleSql: Map[String, String] = Map(
+    "q132_audience_overlap" -> q132Sql,
     "q90_funnel"      -> q90Sql,
     "q91_retention"   -> q91Sql,
     "q92_transitions" -> q92Sql,

@@ -129,14 +129,21 @@ object QueriesGraph {
   // join directly — same rows through a structurally different plan.
   private val TriTopK = 20
   private val TriEdges = 100000
-  private val q130: Q = (s, dir) => {
+
+  /** Top-[[TriEdges]] canonical (a < b) co-purchase edge list — q118
+    * support with the deterministic (support, a, b) tie-break. The shared
+    * graph input of q130 (triangles) and q133 (k-core): the only
+    * corpus-sized stages are the capped map-side pair explode and one
+    * support aggregation; the cut itself is a TakeOrdered (map-side
+    * heaps), so everything downstream of this frame runs on ≤ M edges
+    * at ANY corpus size. */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val cap = 50 // q118's basket guard: one 10⁶-item basket ≠ 5·10¹¹ pairs
-    val baskets = Tables.lineitem(s, dir)
+    Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy(col("ok"))
       .agg(sort_array(collect_set(col("pk"))).as("ps"))
       .filter(size(col("ps")).between(2, cap))
-    val edges = baskets
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ps) - 1),
           |  i -> transform(sequence(i + 1, size(ps)),
@@ -148,6 +155,26 @@ object QueriesGraph {
       .limit(TriEdges)
       .select(col("a"), col("b"))
       .repartition(col("a")) // the cut collapses to one partition; fan back out
+  }
+
+  /** The matching DuckDB CTE chain, binding the edge list as `$name`. */
+  private def copurchaseEdgesSql(name: String): String =
+    s"""items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), small AS (
+       |  SELECT ok FROM items GROUP BY ok HAVING COUNT(*) <= 50
+       |), incap AS (SELECT items.ok, pk FROM items JOIN small USING (ok)),
+       |$name AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT a.pk AS a, b.pk AS b, COUNT(*) AS support
+       |    FROM incap a JOIN incap b ON a.ok = b.ok AND a.pk < b.pk
+       |    GROUP BY 1, 2
+       |    ORDER BY support DESC, a, b LIMIT $TriEdges
+       |  ) cut
+       |)""".stripMargin
+
+  private val q130: Q = (s, dir) => {
+    val edges = copurchaseEdges(s, dir)
       .cache() // degree pass + orientation + closure all read it
     val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -178,19 +205,7 @@ object QueriesGraph {
       .limit(TriTopK)
   }
   private val q130Sql =
-    s"""WITH items AS (
-       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-       |), small AS (
-       |  SELECT ok FROM items GROUP BY ok HAVING COUNT(*) <= 50
-       |), incap AS (SELECT items.ok, pk FROM items JOIN small USING (ok)),
-       |e AS (
-       |  SELECT a, b FROM (
-       |    SELECT a.pk AS a, b.pk AS b, COUNT(*) AS support
-       |    FROM incap a JOIN incap b ON a.ok = b.ok AND a.pk < b.pk
-       |    GROUP BY 1, 2
-       |    ORDER BY support DESC, a, b LIMIT $TriEdges
-       |  )
-       |), tri AS (
+    s"""WITH ${copurchaseEdgesSql("e")}, tri AS (
        |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
        |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
@@ -203,11 +218,77 @@ object QueriesGraph {
        |FROM nodes GROUP BY part
        |ORDER BY n_tri DESC, part LIMIT $TriTopK""".stripMargin
 
+  // --- q133: k-core decomposition of the top-M co-purchase graph -------------
+  // The cohesive core of the product graph: iteratively peel nodes with
+  // degree < k until stable — what survives is the k-core, the standard
+  // "dense subgraph" signal (spam rings, tight product families) and the
+  // third classic distributed-graph op here after components (q51) and
+  // triangles (q130).
+  //
+  // Iteration contract: the semantics are a FIXED number of peel rounds
+  // ([[CoreRounds]]), like q129's 3 hops — both engines run the identical
+  // unroll, so the result is well-defined and hash-matches even on a
+  // graph that hasn't converged yet (peeling is monotone: extra rounds
+  // past the fixpoint are no-ops; CoreSpec pins a fixture that converges
+  // exactly at the last round to prove the count binds).
+  //
+  // Scale: the peel runs entirely on the ≤ M-edge cut — per round one
+  // degree aggregate and two semi-joins, with `localCheckpoint` after
+  // each round so plan depth stays linear in rounds (the e→deg→e
+  // self-reference would otherwise nest 3^rounds plan copies — the q51
+  // fixpoint discipline). Corpus-sized work is only the shared edge
+  // construction.
+  private val CoreK = 3
+  private val CoreRounds = 8
+  private val CoreTopK = 20
+  private val q133: Q = (s, dir) => {
+    var e = copurchaseEdges(s, dir).localCheckpoint()
+    for (_ <- 1 to CoreRounds) {
+      val surv = e.select(col("a").as("n")).unionAll(e.select(col("b")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= CoreK)
+        .select("n")
+      e = e.join(surv.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(surv.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(col("a").as("part")).unionAll(e.select(col("b")))
+      .groupBy("part").agg(count(lit(1)).as("core_degree"))
+      .orderBy(desc("core_degree"), col("part"))
+      .limit(CoreTopK)
+  }
+  private val q133Sql = {
+    val rounds = (1 to CoreRounds).map { i =>
+      val prev = s"e${i - 1}"
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+      // each round references the previous one 3× — the 8-round unroll
+      // would otherwise expand 3⁸ plan copies of the edge build
+      s"""d$i AS MATERIALIZED (
+         |  SELECT n FROM (
+         |    SELECT a AS n FROM $prev UNION ALL SELECT b AS n FROM $prev
+         |  ) u GROUP BY n HAVING COUNT(*) >= $CoreK
+         |), e$i AS MATERIALIZED (
+         |  SELECT a, b FROM $prev
+         |  WHERE a IN (SELECT n FROM d$i) AND b IN (SELECT n FROM d$i)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${copurchaseEdgesSql("e0")},
+       |$rounds
+       |SELECT part, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+       |  SELECT a AS part FROM e$CoreRounds
+       |  UNION ALL SELECT b FROM e$CoreRounds
+       |) nodes
+       |GROUP BY part
+       |ORDER BY core_degree DESC, part LIMIT $CoreTopK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q129_supplier_walk" -> q129,
-    "q130_triangle_count" -> q130)
+    "q130_triangle_count" -> q130,
+    "q133_kcore" -> q133)
 
   val oracleSql: Map[String, String] = Map(
     "q129_supplier_walk" -> q129Sql,
-    "q130_triangle_count" -> q130Sql)
+    "q130_triangle_count" -> q130Sql,
+    "q133_kcore" -> q133Sql)
 }

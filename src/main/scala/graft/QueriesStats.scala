@@ -715,6 +715,84 @@ object QueriesStats {
        |GROUP BY part_a, part_b
        |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  // --- q134: item-item cosine similarity (co-occurrence recommender) ---------
+  // "Customers who bought X also bought Y", normalized: cosine over
+  // basket-membership vectors, cos(a,b) = support(a,b)/√(df_a·df_b) —
+  // the classic item-based collaborative-filtering score (q118's raw
+  // support favors popular items; the cosine corrects for item
+  // frequency). √ is not correctly-rounded-portable, so the engines
+  // compare on the monotone-equivalent SQUARED cosine as an exact
+  // integer: cos2_ppt = 10¹²·support² DIV (df_a·df_b), computed in
+  // DECIMAL(38,0)/HUGEINT (10¹²·support² overflows int64 past
+  // support ≈ 3000 — sf1's hot pairs are already past it).
+  //
+  // The min-support floor is frequent-pattern semantics (q118/q130
+  // precedent): it drops the support=1 noise floor
+  // where cosine degenerates to 1/√(df_a·df_b) (the threshold must stay
+  // LOW: co-purchase support gets sparser as the catalog grows — at
+  // sf0.1 the max support is already 3, so an absolute floor of 5 would
+  // return the empty set at scale); the top-20 limit bounds output. Scale: the same one-shuffle
+  // capped pair explode as q118, plus an items-keyed df aggregate —
+  // the df join keys are parts (dimension-sized but not broadcast-tiny:
+  // a plain shuffle equi-join, skew-proof because part keys are
+  // high-cardinality).
+  private val CosMinSupport = 2
+  private val q134: Q = (s, dir) => {
+    // df counts EVERY capped basket containing the item — including
+    // 1-item baskets (a solo purchase is a real occurrence and must
+    // dilute the cosine denominator); only pair GENERATION needs ≥ 2
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .filter(size(col("ps")) <= BasketCap)
+      .cache() // df pass + pair pass both read it; Bench clears per-query
+    val df_ = baskets.select(explode(col("ps")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("df"))
+    baskets
+      .filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ps) - 1),
+          |  i -> transform(sequence(i + 1, size(ps)),
+          |    j -> struct(element_at(ps, i) AS a, element_at(ps, j) AS b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= CosMinSupport)
+      .join(df_.select(col("pk").as("part_a"), col("df").as("df_a")), "part_a")
+      .join(df_.select(col("pk").as("part_b"), col("df").as("df_b")), "part_b")
+      .withColumn("cos2_ppt", expr(
+        """CAST(1000000000000 AS DECIMAL(38,0)) * support * support
+          |  DIV (df_a * df_b)""".stripMargin))
+      .select(col("part_a"), col("part_b"), col("support"),
+        col("df_a"), col("df_b"), col("cos2_ppt"))
+      .orderBy(desc("cos2_ppt"), col("part_a"), col("part_b"))
+      .limit(20)
+  }
+  private val q134Sql =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), small AS (
+       |  SELECT ok FROM items GROUP BY ok HAVING COUNT(*) <= $BasketCap
+       |), incap AS (
+       |  SELECT items.ok, pk FROM items JOIN small USING (ok)
+       |), df AS (
+       |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS df FROM incap GROUP BY pk
+       |), pairs AS (
+       |  SELECT a.pk AS part_a, b.pk AS part_b,
+       |    CAST(COUNT(*) AS BIGINT) AS support
+       |  FROM incap a JOIN incap b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $CosMinSupport
+       |)
+       |SELECT part_a, part_b, support, da.df AS df_a, db.df AS df_b,
+       |  CAST(CAST(1000000000000 AS HUGEINT) * support * support
+       |    // (da.df * db.df) AS BIGINT) AS cos2_ppt
+       |FROM pairs
+       |JOIN df da ON da.pk = pairs.part_a
+       |JOIN df db ON db.pk = pairs.part_b
+       |ORDER BY cos2_ppt DESC, part_a, part_b LIMIT 20""".stripMargin
+
   // --- q120: group-wise OLS trend (exact rational slope) ---------------------
   // Does price scale with quantity, per supplier nation — the simplest
   // regression every BI layer asks for, carried the q87/q100 way: the
@@ -980,6 +1058,7 @@ object QueriesStats {
     "q111_chisq_audit"      -> q111,
     "q112_revenue_concentration" -> q112,
     "q118_copurchase" -> q118,
+    "q134_item_cosine" -> q134,
     "q120_group_trend" -> q120,
     "q122_systematic_sample" -> q122,
     "q125_vocab_drift" -> q125,
@@ -999,6 +1078,7 @@ object QueriesStats {
     "q111_chisq_audit"      -> q111Sql,
     "q112_revenue_concentration" -> q112Sql,
     "q118_copurchase" -> q118Sql,
+    "q134_item_cosine" -> q134Sql,
     "q120_group_trend" -> q120Sql,
     "q122_systematic_sample" -> q122Sql,
     "q125_vocab_drift" -> q125Sql,
