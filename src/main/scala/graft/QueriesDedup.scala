@@ -93,6 +93,36 @@ object QueriesDedup {
        |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- q137: shingle-containment pairs (quote / subset detector) -------------
+  // The asymmetry Jaccard can't see: a short doc embedded verbatim in a
+  // long one scores containment(short) ≈ 100 but Jaccard ≈ small, so the
+  // q27-class dedup keeps the copy. Same banded candidate generation as
+  // q27 (never all-pairs); both directional containments published as
+  // floored integer percents, so the scores hash-match cross-engine.
+  private val ContainMinPct = 50L
+  private val q137: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val hashed = NearDup
+      .shingleHashed(d.repartition(Tables.shufflePartitions(s)), "doc_id", "text")
+      .cache()
+    NearDup.containmentPairs(hashed, ContainMinPct)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private val q137Sql =
+    s"""WITH $lshCandCtes, sc AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(a.hs, b.hs)) AS ni,
+       |    len(a.hs) AS sa, len(b.hs) AS sb
+       |  FROM cand JOIN h a ON a.doc_id = doc_a JOIN h b ON b.doc_id = doc_b
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST((100 * ni) // sa AS BIGINT) AS cont_a_pct,
+       |  CAST((100 * ni) // sb AS BIGINT) AS cont_b_pct,
+       |  CAST((100 * ni) // (sa + sb - ni) AS BIGINT) AS jaccard_pct
+       |FROM sc
+       |WHERE greatest((100 * ni) // sa, (100 * ni) // sb) >= $ContainMinPct
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // --- q28: SimHash signature per document -----------------------------------
   // 60-bit SimHash over distinct token hashes: bit j set iff more tokens have
   // bit j set than clear. Explode + 60 SUM(CASE) aggregates (map-side
@@ -548,6 +578,7 @@ object QueriesDedup {
 
   val queries: Map[String, Q] = Map(
     "q127_editdist_confirm" -> q127,
+    "q137_shingle_containment" -> q137,
     "q119_source_similarity" -> q119,
     "q54_simhash_neardup" -> q54,
     "q52_embedding_neardup_bucketed" -> q52,
@@ -561,6 +592,7 @@ object QueriesDedup {
 
   val oracleSql: Map[String, String] = Map(
     "q127_editdist_confirm" -> q127Sql,
+    "q137_shingle_containment" -> q137Sql,
     "q119_source_similarity" -> q119Sql,
     "q54_simhash_neardup" -> q54Sql,
     "q52_embedding_neardup_bucketed" -> q52Sql,

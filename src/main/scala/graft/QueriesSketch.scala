@@ -1,0 +1,373 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** Sketch & probabilistic-structure family — the q131 (KMV) discipline
+  * extended to the remaining classic streaming/sampling structures a
+  * 100 TB pipeline leans on when exact answers stop being affordable:
+  *
+  *   - q138 Count-Min heavy hitters (fixed-size frequency sketch)
+  *   - q139 Bloom-filter membership audit (the semantics behind every
+  *     runtime bloom probe, verified end-to-end)
+  *   - q140 Duffield priority sampling (weighted sample + unbiased
+  *     subset-sum estimator)
+  *   - q141 change-point detection over daily series (drift alarm)
+  *   - q142 AMS F2 sketch (self-join-size / second-moment estimator)
+  *
+  * Every estimator here is ORACLE-VERIFIED, not rows-only: the only
+  * randomness is the shared deterministic 60-bit md5 hash
+  * ([[TextOps.hash60]]), and all arithmetic is integer (floored DIV) or
+  * double-converted-from-exact-integer in identical expression shape
+  * (the q100 rule), so the ESTIMATES themselves hash-match between
+  * Spark and the DuckDB twin — unlike engine-native sketches (HLL q40),
+  * which only get rows-only checks.
+  */
+object QueriesSketch {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- q138: Count-Min sketch heavy hitters ----------------------------------
+  // The fixed-memory frequency estimator: d=4 hash rows × w=64 counters
+  // (w deliberately small so collisions — and the sketch's one-sided
+  // overcount — are exercised at test SF; at 100 TB w grows to ~2/eps).
+  // Update cost is the honest d hashes per item; the counter table is a
+  // single (d, bucket)-keyed HashAggregate whose map-side partials
+  // collapse to ≤ d·w cells per task, so the shuffle carries O(d·w·tasks)
+  // regardless of corpus size — the whole point of the sketch. Probes
+  // (here: the exact top-10, kept as the audit the sketch would replace)
+  // read the ≤ 256-row counter table via broadcast. CMS guarantee
+  // pinned by SketchSpec: estimate ≥ exact, always.
+  private val CmsD = 4
+  private val CmsW = 64
+  private val CmsTop = 10
+  private def cmsBucketSpark(key: String): String =
+    s"pmod(${TextOps.hash60(s"concat('cm', CAST(d AS STRING), ':', $key)")}, $CmsW)"
+  private def cmsBucketDuck(key: String): String =
+    s"${TextOps.sql.hash60(s"concat('cm', CAST(d AS VARCHAR), ':', $key)")} % $CmsW"
+
+  private val q138: Q = (s, dir) => {
+    val e = Tables.events(s, dir).select(col("user_id"))
+    val rows = e
+      .withColumn("d", explode(expr(s"sequence(0, ${CmsD - 1})")))
+      .select(col("d"), expr(cmsBucketSpark("CAST(user_id AS STRING)")).as("bucket"))
+    val counters = rows.groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    val top = exact.orderBy(desc("exact_n"), col("user_id")).limit(CmsTop)
+    val probes = top
+      .withColumn("d", explode(expr(s"sequence(0, ${CmsD - 1})")))
+      .withColumn("bucket", expr(cmsBucketSpark("CAST(user_id AS STRING)")))
+    probes.join(broadcast(counters), Seq("d", "bucket"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("c")).as("cms_estimate"))
+      .withColumn("overcount", col("cms_estimate") - col("exact_n"))
+      .orderBy(desc("exact_n"), col("user_id"))
+  }
+  private val q138Sql =
+    s"""WITH ds AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(d)),
+       |r AS (
+       |  SELECT d, ${cmsBucketDuck("CAST(user_id AS VARCHAR)")} AS bucket
+       |  FROM events CROSS JOIN ds
+       |), counters AS (
+       |  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+       |  FROM events GROUP BY 1
+       |), top AS (
+       |  SELECT * FROM exact ORDER BY exact_n DESC, user_id LIMIT $CmsTop
+       |), probes AS (
+       |  SELECT user_id, exact_n, d,
+       |    ${cmsBucketDuck("CAST(user_id AS VARCHAR)")} AS bucket
+       |  FROM top CROSS JOIN ds
+       |)
+       |SELECT user_id, exact_n,
+       |  CAST(MIN(c) AS BIGINT) AS cms_estimate,
+       |  CAST(MIN(c) - exact_n AS BIGINT) AS overcount
+       |FROM probes JOIN counters USING (d, bucket)
+       |GROUP BY user_id, exact_n
+       |ORDER BY exact_n DESC, user_id""".stripMargin
+
+  // --- q139: Bloom-filter membership audit -----------------------------------
+  // The structure behind every runtime bloom probe (RuntimeFilterSpec
+  // asserts Spark injects one; THIS query verifies the semantics
+  // end-to-end): k=3 positions over m=512 bits (small so false
+  // positives are exercised at test SF; m scales as −n·ln(p)/ln²2),
+  // member set = customers in debt. The filter itself is the ≤ m-row
+  // distinct `bits` table — broadcast to the probe side exactly like
+  // Spark's own bloom build→probe exchange. Published: the confusion
+  // counts and floored fp ppm; n_false_neg is the structural guarantee
+  // (MUST be 0 — a bloom filter never misses a member) and SketchSpec
+  // pins it.
+  private val BloomM = 512
+  private val BloomK = 3
+  private def bloomPosSpark(key: String): String =
+    s"pmod(${TextOps.hash60(s"concat('bf', CAST(j AS STRING), ':', $key)")}, $BloomM)"
+  private def bloomPosDuck(key: String): String =
+    s"${TextOps.sql.hash60(s"concat('bf', CAST(j AS VARCHAR), ':', $key)")} % $BloomM"
+
+  private val q139: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), (col("c_acctbal") < 0).as("is_member"))
+    val bits = c.filter(col("is_member"))
+      .withColumn("j", explode(expr(s"sequence(0, ${BloomK - 1})")))
+      .select(expr(bloomPosSpark("CAST(c_custkey AS STRING)")).as("pos"))
+      .distinct()
+    val probes = c
+      .withColumn("j", explode(expr(s"sequence(0, ${BloomK - 1})")))
+      .withColumn("pos", expr(bloomPosSpark("CAST(c_custkey AS STRING)")))
+    val hits = probes.join(broadcast(bits), Seq("pos"), "left_semi")
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("nhits"))
+    val flagged = c.join(hits, Seq("c_custkey"), "left")
+      .withColumn("predicted", coalesce(col("nhits"), lit(0L)) === BloomK)
+    val nbits = bits.agg(count(lit(1)).as("n_bits_set"))
+    flagged.agg(
+        sum(when(col("is_member"), 1L).otherwise(0L)).as("n_members"),
+        count(lit(1)).as("n_probed"),
+        sum(when(col("predicted") && col("is_member"), 1L).otherwise(0L))
+          .as("n_true_pos"),
+        sum(when(col("predicted") && !col("is_member"), 1L).otherwise(0L))
+          .as("n_false_pos"),
+        sum(when(!col("predicted") && col("is_member"), 1L).otherwise(0L))
+          .as("n_false_neg"))
+      .crossJoin(broadcast(nbits))
+      .withColumn("fp_ppm",
+        expr("CAST((1000000 * n_false_pos) DIV (n_probed - n_members) AS BIGINT)"))
+      .select(col("n_members"), col("n_bits_set"), col("n_probed"),
+        col("n_true_pos"), col("n_false_pos"), col("n_false_neg"), col("fp_ppm"))
+  }
+  private val q139Sql =
+    s"""WITH js AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(j)),
+       |c AS (SELECT c_custkey, c_acctbal < 0 AS is_member FROM customer),
+       |bits AS (
+       |  SELECT DISTINCT ${bloomPosDuck("CAST(c_custkey AS VARCHAR)")} AS pos
+       |  FROM c CROSS JOIN js WHERE is_member
+       |), probes AS (
+       |  SELECT c_custkey, ${bloomPosDuck("CAST(c_custkey AS VARCHAR)")} AS pos
+       |  FROM c CROSS JOIN js
+       |), hits AS (
+       |  SELECT c_custkey, COUNT(*) AS nhits FROM probes
+       |  WHERE pos IN (SELECT pos FROM bits) GROUP BY 1
+       |), flagged AS (
+       |  SELECT c.c_custkey, is_member, COALESCE(nhits, 0) = $BloomK AS predicted
+       |  FROM c LEFT JOIN hits USING (c_custkey)
+       |)
+       |SELECT
+       |  CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+       |  CAST(COUNT(*) AS BIGINT) AS n_probed,
+       |  CAST(SUM(CASE WHEN predicted AND is_member THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_true_pos,
+       |  CAST(SUM(CASE WHEN predicted AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_false_pos,
+       |  CAST(SUM(CASE WHEN NOT predicted AND is_member THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_false_neg,
+       |  CAST((1000000 * SUM(CASE WHEN predicted AND NOT is_member THEN 1 ELSE 0 END))
+       |    // (COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END)) AS BIGINT)
+       |    AS fp_ppm
+       |FROM flagged""".stripMargin
+
+  // --- q140: Duffield priority sampling (weighted, without replacement) ------
+  // THE weighted-sampling scheme for subset-sum estimation (Duffield,
+  // Lund, Thorup): priority q_i = w_i/u_i with u_i uniform; keep the k
+  // largest; τ = the (k+1)-th priority; estimator ŵ_i = max(w_i, τ) is
+  // unbiased for any subset sum. Integer-exact construction: u_i is the
+  // top 40 bits of the shared doc hash (+1, so u ∈ [1, 2^40]) and
+  // q_i = (w_i·2^40) DIV u_i — the product is ≤ w·2^40 ≈ 10^16 for any
+  // w ≤ 8·10^5 chars, so every quantity is STRUCTURALLY int64-safe (no
+  // data-dependent overflow; the q120 lesson applied up front). τ and
+  // ŵ stay in weight units, published as exact BIGINTs.
+  // Scale: the global rank-(k+1) filter compiles to a single
+  // TakeOrderedAndProject(k+1) — per-map-task bounded heaps feeding one
+  // (k+1)-row reduce, the same top-k physical shape as T1 — so the
+  // corpus is scanned ONCE and never globally sorted; τ then comes from
+  // a window over those k+1 survivor rows (the documented
+  // dimension-sized global-window class), not a second scan.
+  private val PrioK = 32
+  private val Pow40 = 1099511627776L // 2^40
+  private val q140: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val pri = d.select(col("doc_id"), col("n_chars"))
+      .withColumn("u40",
+        expr(s"(${TextOps.hash60("CAST(doc_id AS STRING)")} DIV 1048576) + 1"))
+      .withColumn("q", expr(s"(n_chars * ${Pow40}L) DIV u40"))
+    val w = Window.orderBy(desc("q"), col("doc_id"))
+    val ranked = pri.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PrioK + 1)
+    // τ over the k+1 survivors (null when the corpus has ≤ k docs —
+    // then the sample IS the population and ŵ = w exactly, the
+    // scheme's boundary case)
+    val wAll = Window.partitionBy(lit(1))
+    ranked
+      .withColumn("tau",
+        max(when(col("rn") === PrioK + 1, col("q"))).over(wAll))
+      .filter(col("rn") <= PrioK)
+      .select(col("rn"), col("doc_id"), col("n_chars").as("weight"),
+        greatest(col("n_chars"), coalesce(col("tau"), lit(0L))).as("est_weight"))
+      .orderBy(col("rn"))
+  }
+  private val q140Sql =
+    s"""WITH pri AS (
+       |  SELECT doc_id, n_chars,
+       |    (n_chars * CAST($Pow40 AS BIGINT)) //
+       |      ((${TextOps.sql.hash60("CAST(doc_id AS VARCHAR)")} // 1048576) + 1) AS q
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT doc_id, n_chars, q,
+       |    ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS rn
+       |  FROM pri
+       |), tau AS (
+       |  SELECT MAX(CASE WHEN rn = ${PrioK + 1} THEN q END) AS tau
+       |  FROM ranked WHERE rn <= ${PrioK + 1}
+       |)
+       |SELECT CAST(rn AS INTEGER) AS rn, doc_id, n_chars AS weight,
+       |  CAST(GREATEST(n_chars, COALESCE(tau, 0)) AS BIGINT) AS est_weight
+       |FROM ranked CROSS JOIN tau WHERE rn <= $PrioK
+       |ORDER BY rn""".stripMargin
+
+  // --- q141: change-point detection over daily event series ------------------
+  // The drift alarm for a continuously-ingesting pipeline: per series
+  // (event_type), the split day maximizing |mean(before) − mean(after)|.
+  // Evaluated WITHOUT forming either mean (the q101 discipline):
+  // diff_num = S_t·(N−t) − (S−S_t)·t and denom = t·(N−t) are exact
+  // integers from one cumulative-window pass over prefix sums; the
+  // score compares as double-from-exact-ints in identical shape both
+  // engines (q100 rule), argmax tie-broken by earliest day. Headroom:
+  // |diff_num| ≤ S·N — at 10^12 events over 10 years of days that is
+  // ~4·10^15, inside int64 (documented, not assumed).
+  // Scale: one day-keyed HashAggregate, then windows over
+  // (event_type)-partitioned DAY-count-sized rows — dimension-sized by
+  // construction (days × types), never corpus-sized.
+  private val q141: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+    val pre = daily
+      .withColumn("t", row_number().over(wOrd))
+      .withColumn("st", sum(col("x")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("x")).over(wAll))
+    val cand = pre.filter(col("t") < col("n"))
+      .withColumn("diff_num", expr("st * (n - t) - (s - st) * t"))
+      .withColumn("score",
+        expr("CAST(abs(diff_num) AS DOUBLE) / CAST(t * (n - t) AS DOUBLE)"))
+    val wBest = Window.partitionBy("event_type").orderBy(desc("score"), col("day"))
+    cand.withColumn("rb", row_number().over(wBest)).filter(col("rb") === 1)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("change_day"),
+        col("n").as("n_days"),
+        expr("CAST(st AS DOUBLE) / CAST(t AS DOUBLE)").as("before_avg"),
+        expr("CAST(s - st AS DOUBLE) / CAST(n - t AS DOUBLE)").as("after_avg"),
+        col("score"))
+      .orderBy(col("event_type"))
+  }
+  private val q141Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2
+      |), pre AS (
+      |  SELECT event_type, day, x,
+      |    ROW_NUMBER() OVER w AS t,
+      |    CAST(SUM(x) OVER w AS BIGINT) AS st,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS s
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |), cand AS (
+      |  SELECT *,
+      |    CAST(ABS(st * (n - t) - (s - st) * t) AS DOUBLE) /
+      |      CAST(t * (n - t) AS DOUBLE) AS score
+      |  FROM pre WHERE t < n
+      |), best AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY score DESC, day) AS rb
+      |  FROM cand
+      |)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+      |  CAST(n AS BIGINT) AS n_days,
+      |  CAST(st AS DOUBLE) / CAST(t AS DOUBLE) AS before_avg,
+      |  CAST(s - st AS DOUBLE) / CAST(n - t AS DOUBLE) AS after_avg,
+      |  score
+      |FROM best WHERE rb = 1 ORDER BY event_type""".stripMargin
+
+  // --- q142: AMS F2 sketch — self-join-size estimator ------------------------
+  // The second frequency moment F2 = Σ_u f_u² IS the self-join size on
+  // the key — the quantity a distributed optimizer estimates before
+  // picking a join strategy. Alon-Matias-Szegedy: Z_i = Σ_rows ±1 with
+  // a 4-wise-ish sign hash per estimator row; E[Z_i²] = F2 exactly.
+  // d=9 independent rows, estimator = mean of squares (unbiased,
+  // RSD = √(2/d) ≈ 47% — production d scales as 2/ε²; the point at
+  // test scale is the ALGEBRA, pinned cross-engine).
+  // Shape: ONE corpus pass computing d conditional sums in a single
+  // map-side-combinable HashAggregate — no explode, no shuffle wider
+  // than d longs; the exact F2 (one user-keyed agg) is the audit column
+  // the sketch replaces at 100 TB. Headroom: |Z| ≤ N so Z² ≈ 10²⁴ at
+  // 10¹² events — squares and F2 run in DECIMAL(38,0)/HUGEINT
+  // (the q120 pattern), published through CAST AS DOUBLE (q100 rule).
+  private val AmsD = 9
+  private val q142: Q = (s, dir) => {
+    val e = Tables.events(s, dir).select(col("user_id"))
+    val signs = (0 until AmsD).map { i =>
+      val h = TextOps.hash60(s"concat('ams', '$i', ':', CAST(user_id AS STRING))")
+      sum(expr(s"CASE WHEN ($h) & 1 = 1 THEN 1 ELSE -1 END")).as(s"z$i")
+    }
+    val sq = (0 until AmsD)
+      .map(i => s"CAST(z$i AS DECIMAL(19,0)) * CAST(z$i AS DECIMAL(19,0))")
+      .mkString(" + ")
+    val zs = e.agg(signs.head, signs.tail: _*)
+      .select(expr(s"($sq) DIV $AmsD").as("ams_est"))
+    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("f"))
+      .agg(sum(expr("CAST(f AS DECIMAL(19,0)) * CAST(f AS DECIMAL(19,0))"))
+        .as("exact_f2"))
+    zs.crossJoin(broadcast(exact))
+      .select(
+        expr("CAST(exact_f2 AS DOUBLE)").as("exact_f2"),
+        expr("CAST(ams_est AS DOUBLE)").as("ams_estimate"),
+        expr("CAST((1000000 * abs(ams_est - exact_f2)) DIV exact_f2 AS BIGINT)")
+          .as("err_ppm"))
+  }
+  private val q142Sql = {
+    val zsum = (0 until AmsD).map { i =>
+      val h = TextOps.sql.hash60(s"concat('ams', '$i', ':', CAST(user_id AS VARCHAR))")
+      s"CAST(SUM(CASE WHEN ($h) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS z$i"
+    }.mkString(",\n    ")
+    val sq = (0 until AmsD)
+      .map(i => s"CAST(z$i AS HUGEINT) * CAST(z$i AS HUGEINT)")
+      .mkString(" + ")
+    s"""WITH z AS (
+       |  SELECT
+       |    $zsum
+       |  FROM events
+       |), est AS (
+       |  SELECT ($sq) // $AmsD AS ams_est FROM z
+       |), ex AS (
+       |  SELECT SUM(CAST(f AS HUGEINT) * CAST(f AS HUGEINT)) AS exact_f2
+       |  FROM (SELECT COUNT(*) AS f FROM events GROUP BY user_id)
+       |)
+       |SELECT CAST(exact_f2 AS DOUBLE) AS exact_f2,
+       |  CAST(ams_est AS DOUBLE) AS ams_estimate,
+       |  CAST((1000000 * ABS(ams_est - exact_f2)) // exact_f2 AS BIGINT)
+       |    AS err_ppm
+       |FROM est CROSS JOIN ex""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q138_cms_heavyhitters" -> q138,
+    "q139_bloom_audit" -> q139,
+    "q140_priority_sample" -> q140,
+    "q141_changepoint" -> q141,
+    "q142_ams_f2" -> q142)
+
+  val oracleSql: Map[String, String] = Map(
+    "q138_cms_heavyhitters" -> q138Sql,
+    "q139_bloom_audit" -> q139Sql,
+    "q140_priority_sample" -> q140Sql,
+    "q141_changepoint" -> q141Sql,
+    "q142_ams_f2" -> q142Sql)
+}

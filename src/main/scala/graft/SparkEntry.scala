@@ -22,7 +22,7 @@ object SparkEntry {
       QueriesCorpus.queries ++ QueriesCuration.queries ++
       QueriesTokenizer.queries ++ QueriesSearch.queries ++
       QueriesChange.queries ++ QueriesStats.queries ++
-      QueriesBehavior.queries ++ QueriesGraph.queries
+      QueriesBehavior.queries ++ QueriesGraph.queries ++ QueriesSketch.queries
 
   def oracleSql: Map[String, String] =
     QueriesCore.oracleSql ++ QueriesRelational.oracleSql ++
@@ -30,5 +30,5 @@ object SparkEntry {
       QueriesCorpus.oracleSql ++ QueriesCuration.oracleSql ++
       QueriesTokenizer.oracleSql ++ QueriesSearch.oracleSql ++
       QueriesChange.oracleSql ++ QueriesStats.oracleSql ++
-      QueriesBehavior.oracleSql ++ QueriesGraph.oracleSql
+      QueriesBehavior.oracleSql ++ QueriesGraph.oracleSql ++ QueriesSketch.oracleSql
 }

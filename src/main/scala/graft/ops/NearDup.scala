@@ -63,6 +63,31 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Containment-aware scoring among LSH candidates — the quote/subset
+    * detector Jaccard misses: a short doc fully embedded in a long one
+    * has containment(short) ≈ 1 but Jaccard ≈ |short|/|long| ≈ 0, so a
+    * Jaccard-thresholded dedup keeps the copy. Emits BOTH directional
+    * containments plus the Jaccard as exact integer percents (floored —
+    * `(100·|∩|) DIV |side|` so the score itself is cross-engine exact),
+    * keeping pairs where either direction ≥ `minPct`. Same scale shape
+    * as [[pairs]]: banded candidate generation, never all-pairs; the
+    * scoring join touches candidates only. */
+  def containmentPairs(hashed: DataFrame, minPct: Long): DataFrame = {
+    TextFunctions.register(hashed.sparkSession)
+    val cand = candidatePairs(hashed)
+    val a = hashed.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = hashed.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("n_inter", expr("graft_sorted_intersect(hs_a, hs_b)"))
+      .withColumn("cont_a_pct", expr("CAST((100 * n_inter) DIV size(hs_a) AS BIGINT)"))
+      .withColumn("cont_b_pct", expr("CAST((100 * n_inter) DIV size(hs_b) AS BIGINT)"))
+      .withColumn("jaccard_pct",
+        expr("CAST((100 * n_inter) DIV (size(hs_a) + size(hs_b) - n_inter) AS BIGINT)"))
+      .filter(greatest(col("cont_a_pct"), col("cont_b_pct")) >= minPct)
+      .select(col("doc_a"), col("doc_b"), col("cont_a_pct"), col("cont_b_pct"),
+        col("jaccard_pct"))
+  }
+
   /** Greedy survivor selection: keep a doc unless some near-dup with a
     * lower id exists (one-hop rule). Cheap — a single anti-join — but NOT
     * transitive: a chain a~b~c keeps BOTH a and c even though the three
