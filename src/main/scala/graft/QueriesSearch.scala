@@ -214,13 +214,130 @@ object QueriesSearch {
        |ORDER BY rank""".stripMargin
   }
 
+  // --- q143: reciprocal-rank fusion of two retrievers ------------------------
+  // THE standard way to combine retrievers without score calibration
+  // (Cormack et al.): fused(d) = Σ_r 1/(k0 + rank_r(d)), k0 = 60 —
+  // only RANKS cross the fusion boundary, so a micro-scored BM25 and
+  // any other retriever compose without normalizing scores. Here:
+  // retriever A = the q128 BM25 ranking; retriever B = term-coverage +
+  // brevity (distinct query terms present desc, doc length asc) — a
+  // deliberately different relevance notion, so fusion reorders.
+  // Each 1/(k0+r) term is floored to integer micros (1000000 DIV
+  // (k0+r)) and the fused score is their BIGINT sum — cross-engine
+  // exact, the q128 discipline. Absent ranks publish as -1, never
+  // NULL (nullable ints round-trip as floats in the comparison layer).
+  //
+  // Scale shape: the skinny (doc_id, dl, tf*) projection is computed
+  // ONCE and cached (at 100 TB: materialized); each retriever is a
+  // TakeOrderedAndProject top-50 over it (per-partition heaps, no
+  // global sort); everything downstream — the full-outer fusion join,
+  // the final top-10 — runs on ≤ 100 rows.
+  private val RrfK0   = 60
+  private val RrfPool = 50
+  private val RrfTop  = 10
+  private val q143: Q = (s, dir) => {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      expr(s"CAST(size(filter(toks, x -> x = '$t')) AS BIGINT)").as(s"tf$i") }
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(TextOps.tokensExpr("text")).as("toks"))
+      .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++
+        tfCols: _*)
+      .cache()
+    val dfAggs = Bm25Terms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("sum_dl") +: dfAggs): _*)
+    val wA = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score_micro"), col("doc_id"))
+    val ra = base.crossJoin(broadcast(stats))
+      .withColumn("score_micro", expr(bm25Score))
+      .orderBy(desc("score_micro"), col("doc_id")).limit(RrfPool)
+      .withColumn("rank_a", row_number().over(wA))
+      .select(col("doc_id"), col("rank_a"))
+    val nTerms = Bm25Terms.indices
+      .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n_terms"), col("dl"), col("doc_id"))
+    val rb = base.withColumn("n_terms", expr(nTerms))
+      .filter(col("n_terms") > 0)
+      .orderBy(desc("n_terms"), col("dl"), col("doc_id")).limit(RrfPool)
+      .withColumn("rank_b", row_number().over(wB))
+      .select(col("doc_id"), col("rank_b"))
+    val wF = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("rrf_micro"), col("doc_id"))
+    ra.join(rb, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro", expr(
+        s"CAST(coalesce(1000000 DIV ($RrfK0 + rank_a), 0) + " +
+        s"coalesce(1000000 DIV ($RrfK0 + rank_b), 0) AS BIGINT)"))
+      .orderBy(desc("rrf_micro"), col("doc_id")).limit(RrfTop)
+      .withColumn("rank", row_number().over(wF))
+      .select(col("rank"), col("doc_id"), col("rrf_micro"),
+        coalesce(col("rank_a"), lit(-1)).as("rank_a"),
+        coalesce(col("rank_b"), lit(-1)).as("rank_b"))
+      .orderBy(col("rank"))
+  }
+  private val q143Sql = {
+    val tfSel = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n    ")
+    val dfSel = Bm25Terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n    ")
+    val nTerms = Bm25Terms.indices
+      .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    $tfSel
+       |  FROM documents
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS sum_dl,
+       |    $dfSel
+       |  FROM base
+       |), scored AS (
+       |  SELECT doc_id, dl,
+       |    $bm25Score AS score_micro
+       |  FROM base CROSS JOIN stats
+       |), ra AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER)
+       |      AS rank_a
+       |  FROM (SELECT * FROM scored ORDER BY score_micro DESC, doc_id
+       |        LIMIT $RrfPool)
+       |), covered AS (
+       |  SELECT doc_id, dl, $nTerms AS n_terms FROM base
+       |), rb AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY n_terms DESC, dl, doc_id) AS INTEGER)
+       |      AS rank_b
+       |  FROM (SELECT * FROM covered WHERE n_terms > 0
+       |        ORDER BY n_terms DESC, dl, doc_id LIMIT $RrfPool)
+       |), fused AS (
+       |  SELECT doc_id,
+       |    CAST(COALESCE(1000000 // ($RrfK0 + rank_a), 0) +
+       |         COALESCE(1000000 // ($RrfK0 + rank_b), 0) AS BIGINT)
+       |      AS rrf_micro,
+       |    COALESCE(rank_a, -1) AS rank_a, COALESCE(rank_b, -1) AS rank_b
+       |  FROM ra FULL OUTER JOIN rb USING (doc_id)
+       |)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id)
+       |    AS INTEGER) AS rank,
+       |  doc_id, rrf_micro, rank_a, rank_b
+       |FROM (SELECT * FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT $RrfTop)
+       |ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q81_fuzzy_search" -> q81,
+    "q143_rrf_fusion" -> q143,
     "q110_trigram_search" -> q110,
     "q128_bm25_topk" -> q128)
 
   val oracleSql: Map[String, String] = Map(
     "q81_fuzzy_search" -> q81Sql,
+    "q143_rrf_fusion" -> q143Sql,
     "q110_trigram_search" -> q110Sql,
     "q128_bm25_topk" -> q128Sql)
 }

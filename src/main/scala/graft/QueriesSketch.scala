@@ -44,26 +44,17 @@ object QueriesSketch {
   private val CmsD = 4
   private val CmsW = 64
   private val CmsTop = 10
-  private def cmsBucketSpark(key: String): String =
-    s"pmod(${TextOps.hash60(s"concat('cm', CAST(d AS STRING), ':', $key)")}, $CmsW)"
   private def cmsBucketDuck(key: String): String =
-    s"${TextOps.sql.hash60(s"concat('cm', CAST(d AS VARCHAR), ':', $key)")} % $CmsW"
+    graft.ops.Cms.bucketSql(key, CmsW)
 
   private val q138: Q = (s, dir) => {
     val e = Tables.events(s, dir).select(col("user_id"))
-    val rows = e
-      .withColumn("d", explode(expr(s"sequence(0, ${CmsD - 1})")))
-      .select(col("d"), expr(cmsBucketSpark("CAST(user_id AS STRING)")).as("bucket"))
-    val counters = rows.groupBy(col("d"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+    val counters = graft.ops.Cms
+      .counters(e, "CAST(user_id AS STRING)", CmsD, CmsW)
     val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
     val top = exact.orderBy(desc("exact_n"), col("user_id")).limit(CmsTop)
-    val probes = top
-      .withColumn("d", explode(expr(s"sequence(0, ${CmsD - 1})")))
-      .withColumn("bucket", expr(cmsBucketSpark("CAST(user_id AS STRING)")))
-    probes.join(broadcast(counters), Seq("d", "bucket"))
-      .groupBy(col("user_id"), col("exact_n"))
-      .agg(min(col("c")).as("cms_estimate"))
+    graft.ops.Cms
+      .estimate(top, counters, "CAST(user_id AS STRING)", CmsD, CmsW)
       .withColumn("overcount", col("cms_estimate") - col("exact_n"))
       .orderBy(desc("exact_n"), col("user_id"))
   }

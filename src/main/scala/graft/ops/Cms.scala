@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch as a reusable operator: a d×w counter table over a
+  * keyed stream of items, supporting point frequency estimates with
+  * one-sided error (estimate ≥ true count, overcount ≤ εN with
+  * w = 2/ε at confidence 1 − (1/2)^d).
+  *
+  * The batch query form is `q138_cms_heavyhitters`; [[graft.streaming
+  * .StreamSketch]] maintains the same counter table incrementally —
+  * both build on [[bucketExpr]], so batch↔stream parity is structural
+  * (identical hash, identical cells), and StreamSketchSpec asserts it
+  * on a shared fixture.
+  *
+  * Scale: the counter build is one (d, bucket)-keyed HashAggregate
+  * whose map-side partials collapse to ≤ d·w cells per task — the
+  * shuffle is O(d·w·tasks) regardless of corpus size, and the
+  * streaming state is exactly the d·w cells (no per-key state at all:
+  * that boundedness is the whole point versus an exact count).
+  */
+object Cms {
+
+  /** Bucket for estimator row `d` (a column named `d` must be in scope)
+    * and the given key expression: shared-hash pmod into [0, w). */
+  def bucketExpr(keyExpr: String, w: Int): String =
+    s"pmod(${TextOps.hash60(s"concat('cm', CAST(d AS STRING), ':', $keyExpr)")}, $w)"
+
+  /** DuckDB twin of [[bucketExpr]] (same constants, same md5). */
+  def bucketSql(keyExpr: String, w: Int): String =
+    s"${TextOps.sql.hash60(s"concat('cm', CAST(d AS VARCHAR), ':', $keyExpr)")} % $w"
+
+  /** (d, bucket) rows for every item — the map-side sketch update. */
+  def updates(items: DataFrame, keyExpr: String, d: Int, w: Int): DataFrame =
+    items
+      .withColumn("d", explode(expr(s"sequence(0, ${d - 1})")))
+      .select(col("d"), expr(bucketExpr(keyExpr, w)).as("bucket"))
+
+  /** The batch counter table: (d, bucket, c). ≤ d·w rows. */
+  def counters(items: DataFrame, keyExpr: String, d: Int, w: Int): DataFrame =
+    updates(items, keyExpr, d, w)
+      .groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point estimates for `probes` (must carry the key column):
+    * min over the d rows of each probe's counter cells. `counters`
+    * is broadcast — it is ≤ d·w rows by construction. */
+  def estimate(probes: DataFrame, countersDf: DataFrame, keyExpr: String,
+               d: Int, w: Int, estCol: String = "cms_estimate"): DataFrame = {
+    val keyed = probes
+      .withColumn("d", explode(expr(s"sequence(0, ${d - 1})")))
+      .withColumn("bucket", expr(bucketExpr(keyExpr, w)))
+    val groupCols = probes.columns.map(col).toSeq
+    keyed.join(broadcast(countersDf), Seq("d", "bucket"))
+      .groupBy(groupCols: _*)
+      .agg(min(col("c")).as(estCol))
+  }
+}

@@ -88,4 +88,29 @@ class RetrievalSpec extends SparkSpec {
       expected + (3L -> 0L))
     assert(got.map(_._1) == Seq(1, 2, 3, 4))
   }
+
+  test("q143: RRF rewards agreement across retrievers, scores match the formula") {
+    // doc 4 covers all three terms (top of BOTH retrievers); doc 1 is
+    // BM25-strong (repetition) but coverage-weak; doc 2 coverage-tied
+    // with 1 but shorter, so retriever B ranks it above 1 — fusion must
+    // place 4 first, and every score must recompute from the published
+    // ranks: 1000000/(60+ra) + 1000000/(60+rb), integer-floored.
+    val dir = docsDir(
+      (1L, "spark spark spark spark vector line row table scan"),
+      (2L, "vector merge"),
+      (3L, "row scan table"),
+      (4L, "spark vector merge row"))
+    val got = SparkEntry.queries("q143_rrf_fusion")(spark, dir)
+      .as[(Int, Long, Long, Int, Int)].collect().toSeq
+    assert(got.head._2 == 4L, "the doc both retrievers rank highest must fuse first")
+    got.foreach { case (_, id, micro, ra, rb) =>
+      val exp = (if (ra > 0) 1000000L / (60 + ra) else 0L) +
+                (if (rb > 0) 1000000L / (60 + rb) else 0L)
+      assert(micro == exp, s"doc $id fused score $micro != recomputed $exp")
+    }
+    // doc 3 matches no term: present only through retriever A's pool
+    // (BM25 score 0 still ranks by doc_id) with rank_b = -1
+    val d3 = got.find(_._2 == 3L).get
+    assert(d3._5 == -1, "no-term doc must not appear in the coverage retriever")
+  }
 }
