@@ -576,7 +576,89 @@ object QueriesDedup {
        |) WHERE dist <= $EditMax
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- q146: entity resolution — blocked match + transitive canonicalize -----
+  // The classic ER pipeline over the catalog's name space: (1) BLOCK with
+  // MULTI-PASS keys — a pair is a candidate if it shares its FIRST or its
+  // LAST token, so a typo in either token still lands in the other's
+  // block (single-key blocking misses noun typos — the spec plants one);
+  // (2) MATCH within blocks only, with the bounded 3-arg levenshtein
+  // (q127's early-exit trick) at ≤ [[ErEditMax]]; (3) CLUSTER matches
+  // transitively (ops/Components — a~b~c is ONE entity); (4) CANONICALIZE
+  // every name to its cluster's min label and publish the per-entity
+  // audit (distinct variants, row mass, first part key). Unmatched names
+  // stay their own entity via the left-join coalesce — no row is lost.
+  //
+  // Scale shape: matching runs on the DISTINCT-name table, which is
+  // VOCABULARY-sized (adjective×noun grid, 64 at every SF — the q67
+  // bound), not corpus-sized; the corpus only pays one distinct and one
+  // broadcast probe of the name→entity map. Within-block pairing is
+  // |block|² on vocabulary blocks; a general-domain deploy caps block
+  // width (sorted-neighborhood windowing) the way q29 prefix-filters.
+  // The DuckDB twin walks the same edges with q51's recursive-CTE min
+  // reachability — both engines agree at the fixpoint exactly.
+  private val ErEditMax = 2
+  private val q146: Q = (s, dir) => {
+    val parts = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
+    val names = parts.select(col("p_name").as("name")).distinct()
+      .cache() // vocabulary-sized; feeds block build + label join
+    // multi-pass blocking keys; distinct since a one-token name emits
+    // the same key twice
+    val blocked = names.select(col("name"), explode(array(
+        element_at(split(col("name"), " "), 1),
+        element_at(split(col("name"), " "), -1))).as("blk"))
+      .distinct()
+    val pairs = blocked.select(col("blk"), col("name").as("na"))
+      .join(blocked.select(col("blk"), col("name").as("nb")), "blk")
+      .filter(col("na") < col("nb"))
+      .select(col("na"), col("nb"))
+      .distinct() // a pair sharing BOTH tokens arrives via both passes
+      .filter(levenshtein(col("na"), col("nb"), ErEditMax) >= 0)
+    val comp = Components.minLabel(pairs, "na", "nb")
+    val labels = names.select(col("name"))
+      .join(broadcast(comp.withColumnRenamed("id", "name")), Seq("name"), "left")
+      .withColumn("entity", coalesce(col("component"), col("name")))
+      .select(col("name"), col("entity"))
+    val out = parts.join(broadcast(labels), col("p_name") === col("name"))
+      .groupBy(col("entity"))
+      .agg(countDistinct(col("p_name")).as("n_names"),
+        count(lit(1)).as("n_parts"),
+        min(col("p_partkey")).as("first_part"))
+      .orderBy(col("entity"))
+    names.unpersist()
+    out
+  }
+  private val q146Sql =
+    s"""WITH RECURSIVE names AS MATERIALIZED (
+       |  SELECT DISTINCT p_name AS name FROM part
+       |), blocked AS (
+       |  SELECT name, string_split(name, ' ')[1] AS blk FROM names
+       |  UNION
+       |  SELECT name, string_split(name, ' ')[-1] AS blk FROM names
+       |), p AS MATERIALIZED (
+       |  SELECT DISTINCT a.name AS na, b.name AS nb
+       |  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
+       |  WHERE levenshtein(a.name, b.name) <= $ErEditMax
+       |), edges AS (
+       |  SELECT na AS src, nb AS dst FROM p UNION SELECT nb, na FROM p
+       |), reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.id
+       |), comp AS (
+       |  SELECT id AS name, MIN(r) AS component FROM reach GROUP BY id
+       |), labels AS (
+       |  SELECT n.name, COALESCE(c.component, n.name) AS entity
+       |  FROM names n LEFT JOIN comp c USING (name)
+       |)
+       |SELECT entity,
+       |  CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_names,
+       |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+       |  MIN(p_partkey) AS first_part
+       |FROM part JOIN labels ON p_name = labels.name
+       |GROUP BY entity ORDER BY entity""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q146_entity_resolution" -> q146,
     "q127_editdist_confirm" -> q127,
     "q137_shingle_containment" -> q137,
     "q119_source_similarity" -> q119,
@@ -591,6 +673,7 @@ object QueriesDedup {
     "q114_dup_cluster_histogram" -> q114)
 
   val oracleSql: Map[String, String] = Map(
+    "q146_entity_resolution" -> q146Sql,
     "q127_editdist_confirm" -> q127Sql,
     "q137_shingle_containment" -> q137Sql,
     "q119_source_similarity" -> q119Sql,

@@ -282,13 +282,87 @@ object QueriesGraph {
        |ORDER BY core_degree DESC, part LIMIT $CoreTopK""".stripMargin
   }
 
+  // --- q144: multi-source BFS hop distances on the co-purchase graph ---------
+  // "How far is the rest of the catalog from a promoted brand?" — minimum
+  // hop distance from the Brand#1 seed set to every reachable part in the
+  // top-M co-purchase graph, the fourth classic distributed-graph op here
+  // (components q51, triangles q130, k-core q133). Published as the
+  // hop-level histogram (n_parts + a part-key checksum per level), the
+  // compact exact audit of the whole distance field.
+  //
+  // Iteration contract: [[BfsRounds]] fixed frontier expansions, each
+  // d_i = per-node MIN over d_{i-1} ∪ (neighbors of d_{i-1}) + 1 — the
+  // same unroll both engines run (q133's convention), so levels beyond
+  // the horizon are absent by DEFINITION, not by engine behavior.
+  // Min-consolidation per round means a node's hop is final the round it
+  // first appears (BFS monotonicity); later rounds can only add nodes.
+  //
+  // Scale: corpus-sized work is only the shared edge construction; each
+  // round is one frontier⨝edges equi-join + one min-aggregate on ≤ M
+  // edges / nodes, localCheckpoint holding plan depth linear in rounds
+  // (q51's fixpoint discipline). Seed selection is a broadcast semi-join
+  // against the brand dimension.
+  private val BfsRounds = 4
+  private val BfsBrand = "Brand#1"
+  private val q144: Q = (s, dir) => {
+    val e = copurchaseEdges(s, dir)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint() // scanned every round
+    val seedKeys = Tables.part(s, dir)
+      .filter(col("p_brand") === BfsBrand)
+      .select(col("p_partkey"))
+    // symmetric edges: src covers every node in the graph
+    var dist = sym.select(col("src").as("n")).distinct()
+      .join(broadcast(seedKeys), col("n") === col("p_partkey"), "left_semi")
+      .withColumn("hop", lit(0))
+      .localCheckpoint()
+    for (_ <- 1 to BfsRounds) {
+      val next = dist.join(sym, col("n") === col("src"))
+        .select(col("dst").as("n"), (col("hop") + lit(1)).as("hop"))
+      dist = dist.unionAll(next)
+        .groupBy(col("n")).agg(min(col("hop")).as("hop"))
+        .localCheckpoint()
+    }
+    dist.groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("n")).as("sum_part"))
+      .orderBy(col("hop"))
+  }
+  private val q144Sql = {
+    val rounds = (1 to BfsRounds).map { i =>
+      val prev = s"d${i - 1}"
+      // MATERIALIZED: each round reads the previous twice (q133's note)
+      s"""d$i AS MATERIALIZED (
+         |  SELECT n, MIN(hop) AS hop FROM (
+         |    SELECT n, hop FROM $prev
+         |    UNION ALL
+         |    SELECT s.dst, p.hop + 1 FROM $prev p JOIN sym s ON s.src = p.n
+         |  ) u GROUP BY n
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${copurchaseEdgesSql("e")},
+       |sym AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+       |),
+       |d0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS n, CAST(0 AS INTEGER) AS hop FROM sym
+       |  WHERE src IN (SELECT p_partkey FROM part WHERE p_brand = '$BfsBrand')
+       |),
+       |$rounds
+       |SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       |  CAST(SUM(n) AS BIGINT) AS sum_part
+       |FROM d$BfsRounds GROUP BY hop ORDER BY hop""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q129_supplier_walk" -> q129,
     "q130_triangle_count" -> q130,
-    "q133_kcore" -> q133)
+    "q133_kcore" -> q133,
+    "q144_bfs_hops" -> q144)
 
   val oracleSql: Map[String, String] = Map(
     "q129_supplier_walk" -> q129Sql,
     "q130_triangle_count" -> q130Sql,
-    "q133_kcore" -> q133Sql)
+    "q133_kcore" -> q133Sql,
+    "q144_bfs_hops" -> q144Sql)
 }

@@ -1044,7 +1044,69 @@ object QueriesStats {
       |  MAX(lat_d) AS max_d
       |FROM j GROUP BY month ORDER BY month""".stripMargin
 
+  // --- q145: distributed skyline (Pareto frontier) over (price ↓, size ↑) ----
+  // The parts no buyer can strictly improve on: o dominates p iff
+  // o.price ≤ p.price ∧ o.size ≥ p.size with at least one strict. The
+  // classic skyline operator, computed WITHOUT the naive all-pairs
+  // NOT-EXISTS (which the DuckDB twin deliberately keeps — same rows,
+  // quadratic plan):
+  //
+  //   1. collapse to one row per DISTINCT price with its best size
+  //      (grid-bounded: prices live on a fixed 0.1 currency grid, so
+  //      this table is domain-sized like the q67 vocab tables);
+  //   2. strict-lower-price running max of size, split two-level so no
+  //      corpus-sized global sort exists: a PER-BUCKET window
+  //      (partitionBy floor(price) — parallel) + a prefix max over the
+  //      ≤ |price-range| bucket summaries (the only global window,
+  //      buckets-sized by construction);
+  //   3. p is dominated iff strictLowerMax ≥ p.size (strictly cheaper,
+  //      no smaller) OR samePriceMax > p.size (same price, strictly
+  //      bigger) — one broadcast join from the grid back to the rows.
+  //
+  // Scale: the corpus-sized work is one groupBy(price) aggregate and one
+  // broadcast probe; everything between runs on the price grid. The
+  // general-domain variant (unbounded distinct prices) would swap step 2's
+  // bucket key for a range-partitioner sample — the two-level shape is
+  // unchanged.
+  private val q145: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val pr = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_retailprice").as("price"),
+        col("p_size").as("size"))
+    val pm = pr.groupBy(col("price")).agg(max(col("size")).as("mx"))
+      .withColumn("bkt", floor(col("price")).cast("long"))
+    // one row per price ⇒ rowsBetween(…, -1) is exactly "strictly lower
+    // price within my bucket"
+    val inBkt = Window.partitionBy(col("bkt")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktMax = pm.groupBy(col("bkt")).agg(max(col("mx")).as("bmx"))
+    // global window over bucket summaries only: ≤ |price range| rows
+    val pref = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktPref = bktMax.withColumn("pre_max", max(col("bmx")).over(pref))
+      .select(col("bkt"), col("pre_max"))
+    val grid = pm.withColumn("in_max", max(col("mx")).over(inBkt))
+      .join(broadcast(bktPref), "bkt")
+      .withColumn("strict_lower",
+        greatest(coalesce(col("in_max"), lit(-1)),
+          coalesce(col("pre_max"), lit(-1))))
+      .select(col("price"), col("mx"), col("strict_lower"))
+    pr.join(broadcast(grid), "price")
+      .filter(!(col("strict_lower") >= col("size") || col("mx") > col("size")))
+      .select(col("p_partkey"), col("price"), col("size"))
+      .orderBy(col("price"), col("p_partkey"))
+  }
+  private val q145Sql =
+    """SELECT p_partkey, p_retailprice AS price, p_size AS size
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part o
+      |  WHERE o.p_retailprice <= p.p_retailprice AND o.p_size >= p.p_size
+      |    AND (o.p_retailprice < p.p_retailprice OR o.p_size > p.p_size))
+      |ORDER BY price, p_partkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q145_skyline" -> q145,
     "q87_exact_moments"     -> q87,
     "q88_length_histogram"  -> q88,
     "q89_temperature_mixture" -> q89,
@@ -1065,6 +1127,7 @@ object QueriesStats {
     "q126_ship_latency" -> q126)
 
   val oracleSql: Map[String, String] = Map(
+    "q145_skyline" -> q145Sql,
     "q87_exact_moments"     -> q87Sql,
     "q88_length_histogram"  -> q88Sql,
     "q89_temperature_mixture" -> q89Sql,

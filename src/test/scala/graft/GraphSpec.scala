@@ -40,6 +40,27 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("q144: path-graph hop levels by hand; disconnected component absent") {
+    val d = java.nio.file.Files.createTempDirectory("graft_bfs").toString
+    // two-item baskets encode the edge list: a 5-node path seeded at one
+    // end (hop = index along the path, hop 4 reached exactly at the last
+    // unrolled round) plus a disconnected 6–7 edge that must NOT appear
+    // (no seed reaches it).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+    edges.zipWithIndex
+      .flatMap { case ((a, b), i) => Seq((100L + i, a), (100L + i, b)) }
+      .toDF("l_orderkey", "l_partkey")
+      .withColumn("l_shipdate", org.apache.spark.sql.functions.lit("1995-01-01"))
+      .write.parquet(s"$d/lineitem.parquet")
+    (1L to 7L).map(k => (k, if (k == 1L) "Brand#1" else "Brand#9"))
+      .toDF("p_partkey", "p_brand")
+      .write.parquet(s"$d/part.parquet")
+    val got = SparkEntry.queries("q144_bfs_hops")(spark, d)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 1L, 1L), (1, 1L, 2L), (2, 1L, 3L),
+      (3, 1L, 4L), (4, 1L, 5L)))
+  }
+
   test("q129: three hops of floored mass transfer, computed by hand") {
     // edges: (c10,s1,3) (c10,s2,1) (c20,s2,1); wc: c10=4, c20=1; vs: s1=3, s2=2
     // hop1 (seed 1e6/customer):
