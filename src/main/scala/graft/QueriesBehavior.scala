@@ -776,7 +776,147 @@ object QueriesBehavior {
       |JOIN sz sb ON sb.event_type = ov.type_b
       |ORDER BY jaccard_ppm DESC, type_a, type_b""".stripMargin
 
+  // --- q147: deterministic A/B split + exact two-proportion lift test --------
+  // The experiment-analysis staple: assign every user to an arm by a
+  // DETERMINISTIC key rule (user_id parity — rand() would be
+  // shuffle-order-dependent and unreproducible, the q44 sampling
+  // doctrine), measure conversion (≥1 purchase event), publish per-arm
+  // counts, floored per-million conversion rates, the rate diff, and the
+  // two-proportion z² statistic.
+  //
+  // Exactness: everything up to z² is integer (counts, floored ppm); z²
+  // is the q100 rule — the exact rational
+  //     z² = d²·N / (n_c·n_t·s·(N−s)),  d = x_t·n_c − x_c·n_t
+  // with d in DECIMAL(38,0) (x·n clears int64 only past ~10⁹ users of
+  // pure converts, but the discipline is not to depend on data slack),
+  // evaluated as doubles cast from exact integers in the SAME
+  // association shape on both engines — correctly-rounded IEEE ops on
+  // identical inputs are bit-identical. Degenerate splits (empty arm,
+  // zero or total conversion) publish z² = 0 by definition.
+  //
+  // Scale: one user-keyed aggregate (map-side combinable) then a single
+  // global 1-row conditional aggregate — the same two-shuffle shape as
+  // q90's funnel; no window, no join.
+  private val q147: Q = (s, dir) => {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    users.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x_c"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x_t"))
+      .withColumn("conv_c_ppm", expr(
+        "CASE WHEN n_c > 0 THEN (1000000L * x_c) DIV n_c ELSE 0L END"))
+      .withColumn("conv_t_ppm", expr(
+        "CASE WHEN n_t > 0 THEN (1000000L * x_t) DIV n_t ELSE 0L END"))
+      .withColumn("diff_ppm", col("conv_t_ppm") - col("conv_c_ppm"))
+      .withColumn("z_sq", expr(
+        """CASE WHEN n_c > 0 AND n_t > 0 AND (x_c + x_t) > 0
+          |    AND (x_c + x_t) < (n_c + n_t)
+          |  THEN ((CAST(CAST(x_t AS DECIMAL(19,0)) * CAST(n_c AS DECIMAL(19,0))
+          |          - CAST(x_c AS DECIMAL(19,0)) * CAST(n_t AS DECIMAL(19,0))
+          |          AS DOUBLE)
+          |        * CAST(CAST(x_t AS DECIMAL(19,0)) * CAST(n_c AS DECIMAL(19,0))
+          |          - CAST(x_c AS DECIMAL(19,0)) * CAST(n_t AS DECIMAL(19,0))
+          |          AS DOUBLE))
+          |       * CAST(n_c + n_t AS DOUBLE)) /
+          |    (((CAST(n_c AS DOUBLE) * CAST(n_t AS DOUBLE))
+          |       * CAST(x_c + x_t AS DOUBLE))
+          |      * CAST(n_c + n_t - x_c - x_t AS DOUBLE))
+          |  ELSE 0.0D END""".stripMargin))
+      .select(col("n_c"), col("x_c"), col("conv_c_ppm"),
+        col("n_t"), col("x_t"), col("conv_t_ppm"),
+        col("diff_ppm"), col("z_sq"))
+  }
+  private val q147Sql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+      |    CAST(user_id % 2 AS INTEGER) AS arm
+      |  FROM events GROUP BY user_id
+      |), a AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_c,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_t
+      |  FROM u
+      |)
+      |SELECT n_c, x_c,
+      |  CASE WHEN n_c > 0 THEN (CAST(1000000 AS BIGINT) * x_c) // n_c
+      |    ELSE 0 END AS conv_c_ppm,
+      |  n_t, x_t,
+      |  CASE WHEN n_t > 0 THEN (CAST(1000000 AS BIGINT) * x_t) // n_t
+      |    ELSE 0 END AS conv_t_ppm,
+      |  (CASE WHEN n_t > 0 THEN (CAST(1000000 AS BIGINT) * x_t) // n_t
+      |     ELSE 0 END)
+      |  - (CASE WHEN n_c > 0 THEN (CAST(1000000 AS BIGINT) * x_c) // n_c
+      |     ELSE 0 END) AS diff_ppm,
+      |  CASE WHEN n_c > 0 AND n_t > 0 AND (x_c + x_t) > 0
+      |      AND (x_c + x_t) < (n_c + n_t)
+      |    THEN ((CAST(CAST(x_t AS HUGEINT) * n_c - CAST(x_c AS HUGEINT) * n_t
+      |            AS DOUBLE)
+      |          * CAST(CAST(x_t AS HUGEINT) * n_c - CAST(x_c AS HUGEINT) * n_t
+      |            AS DOUBLE))
+      |         * CAST(n_c + n_t AS DOUBLE)) /
+      |      (((CAST(n_c AS DOUBLE) * CAST(n_t AS DOUBLE))
+      |         * CAST(x_c + x_t AS DOUBLE))
+      |        * CAST(n_c + n_t - x_c - x_t AS DOUBLE))
+      |    ELSE 0.0 END AS z_sq
+      |FROM a""".stripMargin
+
+  // --- q150: event debounce (duplicate-burst suppression) --------------------
+  // The ingestion hygiene op: client retries and double-taps emit the
+  // same (user, type) event in tight bursts; keep an event iff it is the
+  // first of its (user, type) or ≥ [[DebounceUs]] after the PREVIOUS RAW
+  // event of that key (the standard lag-debounce — the "previous KEPT
+  // row" variant is inherently sequential and belongs to the streaming
+  // twins' state loop, not a relational plan). Published as the per-type
+  // audit: raw mass, kept mass, floored drop ppm.
+  //
+  // Scale: one (user_id, event_type)-keyed window (per-key ordered scan,
+  // fully parallel across keys — q116's shape) and one vocabulary-sized
+  // aggregate. No joins.
+  private val DebounceUs = 5000000L // 5 s
+  private val q150: Q = (s, dir) => {
+    val byKey = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byKey))
+      .withColumn("kept",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") >= DebounceUs, 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_raw"), sum(col("kept")).as("n_kept"))
+      .withColumn("drop_ppm",
+        expr("((n_raw - n_kept) * 1000000L) DIV n_raw"))
+      .orderBy(col("event_type"))
+  }
+  private val q150Sql =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+       |      PARTITION BY user_id, event_type
+       |      ORDER BY epoch_us(ts), event_id) AS gap_us
+       |  FROM events
+       |), g AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_raw,
+       |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us >= $DebounceUs
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |  FROM e GROUP BY event_type
+       |)
+       |SELECT event_type, n_raw, n_kept,
+       |  ((n_raw - n_kept) * CAST(1000000 AS BIGINT)) // n_raw AS drop_ppm
+       |FROM g ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q147_ab_lift" -> q147,
+    "q150_debounce" -> q150,
     "q132_audience_overlap" -> q132,
     "q90_funnel"      -> q90,
     "q91_retention"   -> q91,
@@ -793,6 +933,8 @@ object QueriesBehavior {
     "q124_decayed_engagement" -> q124)
 
   val oracleSql: Map[String, String] = Map(
+    "q147_ab_lift" -> q147Sql,
+    "q150_debounce" -> q150Sql,
     "q132_audience_overlap" -> q132Sql,
     "q90_funnel"      -> q90Sql,
     "q91_retention"   -> q91Sql,

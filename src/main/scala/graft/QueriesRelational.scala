@@ -453,7 +453,98 @@ object QueriesRelational {
        |GROUP BY a.user_id, a.session_seq
        |ORDER BY n_overlap_users DESC, a.user_id, a.session_seq LIMIT 20""".stripMargin
 
+  // --- q149: data-contract audit — referential integrity + range checks ------
+  // The DQ gate a pipeline runs before trusting a batch: every FK edge of
+  // the star schema as a left-anti orphan count, plus the value-range
+  // contracts (nonpositive totals, discount outside [0,1], null event
+  // users). One row per named check, 0 = contract holds — the audit's
+  // JOB is to publish the zeros (q25's audit-projection discipline
+  // lifted to the whole schema).
+  //
+  // Scale: each FK check is one left-anti join — broadcast where the PK
+  // side is a dimension (nation, region, supplier-sized tables), shuffle
+  // hash for the two fact⨝fact edges; range checks are pruned-column
+  // scans with map-side conditional counts. Checks are independent
+  // single-pass scans, so the whole audit parallelizes trivially and no
+  // check reads a column it doesn't test (ReadSchema stays minimal).
+  private val q149: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    val n  = Tables.nation(s, dir)
+    val r  = Tables.region(s, dir)
+    val p  = Tables.part(s, dir)
+    val su = Tables.supplier(s, dir)
+    val ev = Tables.events(s, dir)
+    def audit(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    audit("customer_orphan_nation",
+        c.select(col("c_nationkey"))
+          .join(broadcast(n.select(col("n_nationkey"))),
+            col("c_nationkey") === col("n_nationkey"), "left_anti"))
+      .unionByName(audit("events_null_user",
+        ev.filter(col("user_id").isNull).select(col("event_id"))))
+      .unionByName(audit("lineitem_discount_range",
+        li.filter(!col("l_discount").between(0.0, 1.0))
+          .select(col("l_orderkey"))))
+      .unionByName(audit("lineitem_orphan_order",
+        li.select(col("l_orderkey"))
+          .join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")))
+      .unionByName(audit("lineitem_orphan_part",
+        li.select(col("l_partkey"))
+          .join(broadcast(p.select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"), "left_anti")))
+      .unionByName(audit("lineitem_orphan_supplier",
+        li.select(col("l_suppkey"))
+          .join(broadcast(su.select(col("s_suppkey"))),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")))
+      .unionByName(audit("nation_orphan_region",
+        n.select(col("n_regionkey"))
+          .join(broadcast(r.select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"), "left_anti")))
+      .unionByName(audit("orders_nonpositive_total",
+        o.filter(col("o_totalprice") <= 0.0).select(col("o_orderkey"))))
+      .unionByName(audit("orders_orphan_customer",
+        o.select(col("o_custkey"))
+          .join(broadcast(c.select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left_anti")))
+      .orderBy(col("check_name"))
+  }
+  private val q149Sql =
+    """SELECT * FROM (
+      |  SELECT 'customer_orphan_nation' AS check_name,
+      |    CAST(COUNT(*) AS BIGINT) AS n_violations FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+      |  UNION ALL
+      |  SELECT 'events_null_user', CAST(COUNT(*) AS BIGINT) FROM events
+      |  WHERE user_id IS NULL
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_range', CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |  WHERE l_discount NOT BETWEEN 0 AND 1
+      |  UNION ALL
+      |  SELECT 'lineitem_orphan_order', CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_orphan_part', CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |  WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_orphan_supplier', CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |  WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+      |  UNION ALL
+      |  SELECT 'nation_orphan_region', CAST(COUNT(*) AS BIGINT) FROM nation
+      |  WHERE NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey)
+      |  UNION ALL
+      |  SELECT 'orders_nonpositive_total', CAST(COUNT(*) AS BIGINT) FROM orders
+      |  WHERE o_totalprice <= 0
+      |  UNION ALL
+      |  SELECT 'orders_orphan_customer', CAST(COUNT(*) AS BIGINT) FROM orders
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      |) ORDER BY check_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q149_fk_audit" -> q149,
     "q72_interval_overlap" -> q72,
     "q57_asof_attribution" -> q57,
     "q50_quantile_buckets" -> q50,
@@ -473,6 +564,7 @@ object QueriesRelational {
     "q25_unknown_audit" -> q25)
 
   val oracleSql: Map[String, String] = Map(
+    "q149_fk_audit" -> q149Sql,
     "q72_interval_overlap" -> q72Sql,
     "q57_asof_attribution" -> q57Sql,
     "q50_quantile_buckets" -> q50Sql,

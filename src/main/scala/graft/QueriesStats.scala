@@ -1105,7 +1105,57 @@ object QueriesStats {
       |    AND (o.p_retailprice < p.p_retailprice OR o.p_size > p.p_size))
       |ORDER BY price, p_partkey""".stripMargin
 
+  // --- q148: seasonal-naive backtest (forecast evaluation harness) -----------
+  // The model-eval op every time-series pipeline needs before any model
+  // ships: score the SEASONAL-NAIVE baseline (ŷ(t) = y(t−7 days) — what a
+  // real forecast must beat) against actuals, walk-forward over every day
+  // with a week-old predecessor. Published per series (event_type): eval
+  // days, exact absolute-error mass, floored MAE in milli-events, and the
+  // bias (signed error sum — over- vs under-forecast, which MAE hides).
+  //
+  // Exactness: daily counts are integers, so |err| and the signed sum are
+  // exact; MAE floors to milli-units via integer DIV (q116 sign-split not
+  // needed — |err| sums are nonnegative). The 7-day shift is a DATE join
+  // (date_add), not LAG(7 rows): missing days must break the pairing,
+  // not silently shift it.
+  //
+  // Scale: one corpus-sized (type, day) count aggregate (map-side
+  // combinable); the backtest self-join and the final rollup run on the
+  // days×types table — dimension-sized by construction (q141's shape).
+  private val q148: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y"))
+    val pred = daily.select(col("event_type"),
+      date_add(col("d"), 7).as("d"), col("y").as("yhat"))
+    daily.join(pred, Seq("event_type", "d"))
+      .withColumn("abs_err", abs(col("y") - col("yhat")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("abs_err")).as("abs_err_sum"),
+        sum(col("y") - col("yhat")).as("bias_sum"))
+      .withColumn("mae_milli", expr("(abs_err_sum * 1000L) DIV n_days"))
+      .orderBy(col("event_type"))
+  }
+  private val q148Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2
+      |), j AS (
+      |  SELECT a.event_type, a.y, p.y AS yhat
+      |  FROM daily a JOIN daily p
+      |    ON a.event_type = p.event_type AND a.d = p.d + INTERVAL 7 DAY
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(SUM(ABS(y - yhat)) AS BIGINT) AS abs_err_sum,
+      |  CAST(SUM(y - yhat) AS BIGINT) AS bias_sum,
+      |  (CAST(SUM(ABS(y - yhat)) AS BIGINT) * CAST(1000 AS BIGINT))
+      |    // CAST(COUNT(*) AS BIGINT) AS mae_milli
+      |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q148_seasonal_backtest" -> q148,
     "q145_skyline" -> q145,
     "q87_exact_moments"     -> q87,
     "q88_length_histogram"  -> q88,
@@ -1127,6 +1177,7 @@ object QueriesStats {
     "q126_ship_latency" -> q126)
 
   val oracleSql: Map[String, String] = Map(
+    "q148_seasonal_backtest" -> q148Sql,
     "q145_skyline" -> q145Sql,
     "q87_exact_moments"     -> q87Sql,
     "q88_length_histogram"  -> q88Sql,
