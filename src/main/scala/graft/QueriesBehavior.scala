@@ -914,7 +914,165 @@ object QueriesBehavior {
        |  ((n_raw - n_kept) * CAST(1000000 AS BIGINT)) // n_raw AS drop_ppm
        |FROM g ORDER BY event_type""".stripMargin
 
+  // --- q152: RFM segmentation (quintile scoring) ------------------------------
+  // The classic customer-value segmentation: per purchasing user,
+  // Recency (days since last purchase, vs the corpus's last purchase
+  // day), Frequency (purchase count) and Monetary (lifetime purchase
+  // value), each scored into quintiles 1–5, then segment-level rollups.
+  // ntile() is banned here — it splits TIES by arbitrary row order, so
+  // its output is shuffle-order-dependent; instead quintile CUTOFFS come
+  // off the distinct-value grid (the q135 histogram discipline):
+  // boundary_q = min v with cum ≥ ceil(q·N/5), score = 1 + #{boundaries
+  // strictly below v}, so equal metric values ALWAYS share a score.
+  // Money is exact integer cents per event before any sum (double
+  // addition never crosses a shuffle); the scoring grid for monetary
+  // uses whole dollars so the grid stays bounded by the price range,
+  // not the user count (the q145 domain-size argument).
+  // Scale: one user-keyed combinable aggregate over purchases, grids +
+  // cutoffs are domain-sized windows, scoring is a 12-row broadcast
+  // join, and the segment rollup has ≤ 125 output rows.
+  private val q152: Q = (s, dir) => {
+    val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").as("cents"))
+    val maxDay = p.agg(max(col("day")).as("max_day"))
+    val users = p.groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("mon_c"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        datediff(col("max_day"), col("last_day")).cast("bigint").as("rec"),
+        col("freq"), col("mon_c"), expr("mon_c DIV 100").as("mon_d"))
+    val um = users.select(col("user_id"), explode(expr(
+        """array(struct('r' AS metric, rec AS v),
+          |      struct('f' AS metric, freq AS v),
+          |      struct('m' AS metric, mon_d AS v))""".stripMargin)).as("e"))
+      .select(col("user_id"), col("e.metric"), col("e.v"))
+    val grid = um.groupBy(col("metric"), col("v")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("metric").orderBy("v")
+    val wAll = Window.partitionBy("metric")
+    val gcum = grid.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val qs = s.range(1, 5).select(col("id").as("qq"))
+    val cuts = gcum.crossJoin(broadcast(qs))
+      .filter(col("cum") >= expr("(qq * n + 4) DIV 5"))
+      .groupBy(col("metric"), col("qq")).agg(min(col("v")).as("boundary"))
+    val scored = um.join(broadcast(cuts), Seq("metric"))
+      .groupBy(col("user_id"), col("metric"))
+      .agg((sum(when(col("v") > col("boundary"), 1L).otherwise(0L)) + 1L)
+        .as("s"))
+    val wide = scored.groupBy(col("user_id")).agg(
+        max(when(col("metric") === "r", col("s"))).as("sr"),
+        max(when(col("metric") === "f", col("s"))).as("f"),
+        max(when(col("metric") === "m", col("s"))).as("m"))
+      .withColumn("r", lit(6L) - col("sr")) // recent = small days = best
+    wide.join(users.select(col("user_id"), col("mon_c")), Seq("user_id"))
+      .groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_users"), sum(col("mon_c")).as("sum_mon_c"))
+      .orderBy(col("r"), col("f"), col("m"))
+  }
+  private val q152Sql =
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'
+      |), md AS (SELECT MAX(day) AS max_day FROM p),
+      |users AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', MAX(day), (SELECT max_day FROM md)) AS BIGINT)
+      |      AS rec,
+      |    CAST(COUNT(*) AS BIGINT) AS freq,
+      |    CAST(SUM(cents) AS BIGINT) AS mon_c,
+      |    CAST(SUM(cents) AS BIGINT) // 100 AS mon_d
+      |  FROM p GROUP BY user_id
+      |), um AS (
+      |  SELECT user_id, 'r' AS metric, rec AS v FROM users
+      |  UNION ALL SELECT user_id, 'f', freq FROM users
+      |  UNION ALL SELECT user_id, 'm', mon_d FROM users
+      |), grid AS (
+      |  SELECT metric, v, CAST(COUNT(*) AS BIGINT) AS c FROM um GROUP BY 1, 2
+      |), gcum AS (
+      |  SELECT metric, v, c,
+      |    CAST(SUM(c) OVER (PARTITION BY metric ORDER BY v) AS BIGINT) AS cum,
+      |    CAST(SUM(c) OVER (PARTITION BY metric) AS BIGINT) AS n
+      |  FROM grid
+      |), qs AS (SELECT * FROM (VALUES (1), (2), (3), (4)) AS t(qq)),
+      |cuts AS (
+      |  SELECT metric, qq, MIN(v) AS boundary
+      |  FROM gcum CROSS JOIN qs
+      |  WHERE cum >= (qq * n + 4) // 5
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT user_id, metric,
+      |    CAST(SUM(CASE WHEN v > boundary THEN 1 ELSE 0 END) + 1 AS BIGINT) AS s
+      |  FROM um JOIN cuts USING (metric) GROUP BY 1, 2
+      |), wide AS (
+      |  SELECT user_id,
+      |    6 - MAX(CASE WHEN metric = 'r' THEN s END) AS r,
+      |    MAX(CASE WHEN metric = 'f' THEN s END) AS f,
+      |    MAX(CASE WHEN metric = 'm' THEN s END) AS m
+      |  FROM scored GROUP BY user_id
+      |)
+      |SELECT CAST(r AS BIGINT) AS r, f, m,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(mon_c) AS BIGINT) AS sum_mon_c
+      |FROM wide JOIN users USING (user_id)
+      |GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin
+
+  // --- q158: time-to-convert histogram ---------------------------------------
+  // "How long from first exposure to first purchase?" — the conversion-
+  // latency distribution product teams read next to the funnel (q90).
+  // Per user: first view and first purchase as two conditional MIN
+  // aggregates in ONE user-keyed pass (no self-join); converters = both
+  // present and purchase not before view. Latency buckets to whole days
+  // by integer DIV on epoch micros, rolled into a day histogram with
+  // cumulative converter share in floored ppm — every number integer.
+  // Scale: one corpus-sized user-keyed combinable aggregate, then the
+  // histogram + cumulative window run on the ≤ |days| latency grid
+  // (dimension-sized by construction — latencies are bounded by the
+  // corpus time span).
+  private val q158: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val users = e.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts"))))
+          .as("v_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("p_us"))
+      .filter(col("v_us").isNotNull && col("p_us").isNotNull &&
+        col("p_us") >= col("v_us"))
+    val hist = users
+      .select(expr("(p_us - v_us) DIV 86400000000").as("latency_days"))
+      .groupBy(col("latency_days")).agg(count(lit(1)).as("n_users"))
+    val wCum = Window.orderBy("latency_days") // latency-grid-sized
+    val total = hist.agg(sum(col("n_users")).as("n_total"))
+    hist.withColumn("cum_users", sum(col("n_users")).over(wCum))
+      .crossJoin(broadcast(total))
+      .select(col("latency_days"), col("n_users"),
+        expr("(1000000 * cum_users) DIV n_total").as("cum_share_ppm"))
+      .orderBy(col("latency_days"))
+  }
+  private val q158Sql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_us,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+      |  FROM events GROUP BY 1
+      |), conv AS (
+      |  SELECT (p_us - v_us) // 86400000000 AS latency_days
+      |  FROM u WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= v_us
+      |), hist AS (
+      |  SELECT latency_days, CAST(COUNT(*) AS BIGINT) AS n_users
+      |  FROM conv GROUP BY 1
+      |), tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_total FROM hist)
+      |SELECT latency_days, n_users,
+      |  (1000000 * CAST(SUM(n_users) OVER (ORDER BY latency_days) AS BIGINT))
+      |    // n_total AS cum_share_ppm
+      |FROM hist CROSS JOIN tot
+      |ORDER BY latency_days""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q158_time_to_convert" -> q158,
+    "q152_rfm_segments" -> q152,
     "q147_ab_lift" -> q147,
     "q150_debounce" -> q150,
     "q132_audience_overlap" -> q132,
@@ -933,6 +1091,8 @@ object QueriesBehavior {
     "q124_decayed_engagement" -> q124)
 
   val oracleSql: Map[String, String] = Map(
+    "q158_time_to_convert" -> q158Sql,
+    "q152_rfm_segments" -> q152Sql,
     "q147_ab_lift" -> q147Sql,
     "q150_debounce" -> q150Sql,
     "q132_audience_overlap" -> q132Sql,

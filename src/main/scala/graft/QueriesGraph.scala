@@ -354,15 +354,92 @@ object QueriesGraph {
        |FROM d$BfsRounds GROUP BY hop ORDER BY hop""".stripMargin
   }
 
+  // --- q154: label-propagation communities on the co-purchase graph ----------
+  // The fifth classic distributed-graph op (components q51, triangles
+  // q130, k-core q133, BFS q144): community detection by synchronous
+  // label propagation — each round every node adopts the label that is
+  // most frequent among its NEIGHBORS, ties broken by smallest label
+  // (the deterministic variant of Raghavan et al.'s LPA; vanilla LPA
+  // breaks ties randomly and is irreproducible BY DESIGN — useless for
+  // a cross-engine contract). Unlike components, LPA finds dense
+  // sub-communities inside one connected component.
+  //
+  // Iteration contract: [[LpaRounds]] fixed synchronous rounds (q133's
+  // convention) — synchronous LPA can oscillate on bipartite structure,
+  // so the fixed unroll is what MAKES the semantics well-defined: both
+  // engines run the identical rounds and hash-match whatever state that
+  // reaches. GraphSpec pins a two-cluster fixture that converges.
+  //
+  // Scale: per round one labels⨝edges equi-join + one (node,label)
+  // count + one per-node argmax window over candidate labels (≤ degree
+  // rows per node), all on the ≤ 2M-row symmetric cut; localCheckpoint
+  // holds plan depth linear in rounds. Corpus-sized work is only the
+  // shared edge construction.
+  private val LpaRounds = 4
+  private val LpaTopK = 20
+  private val q154: Q = (s, dir) => {
+    val e = copurchaseEdges(s, dir)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint() // scanned every round
+    var labels = sym.select(col("src").as("n")).distinct()
+      .withColumn("lab", col("n"))
+      .localCheckpoint()
+    val wArg = Window.partitionBy(col("n")).orderBy(desc("c"), col("lab"))
+    for (_ <- 1 to LpaRounds) {
+      labels = sym.join(labels.withColumnRenamed("n", "dst"), Seq("dst"))
+        .groupBy(col("src").as("n"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wArg))
+        .filter(col("rn") === 1)
+        .select(col("n"), col("lab"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("lab"))
+      .agg(count(lit(1)).as("community_size"), sum(col("n")).as("sum_member"))
+      .orderBy(desc("community_size"), col("lab"))
+      .limit(LpaTopK)
+  }
+  private val q154Sql = {
+    val rounds = (1 to LpaRounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""c$i AS MATERIALIZED (
+         |  SELECT s.src AS n, l.lab AS lab, COUNT(*) AS c
+         |  FROM sym s JOIN $prev l ON l.n = s.dst
+         |  GROUP BY 1, 2
+         |), l$i AS MATERIALIZED (
+         |  SELECT n, lab FROM (
+         |    SELECT n, lab,
+         |      ROW_NUMBER() OVER (PARTITION BY n ORDER BY c DESC, lab) AS rn
+         |    FROM c$i) r
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${copurchaseEdgesSql("e")},
+       |sym AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+       |),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS n, src AS lab FROM sym
+       |),
+       |$rounds
+       |SELECT lab, CAST(COUNT(*) AS BIGINT) AS community_size,
+       |  CAST(SUM(n) AS BIGINT) AS sum_member
+       |FROM l$LpaRounds GROUP BY lab
+       |ORDER BY community_size DESC, lab LIMIT $LpaTopK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q129_supplier_walk" -> q129,
     "q130_triangle_count" -> q130,
     "q133_kcore" -> q133,
-    "q144_bfs_hops" -> q144)
+    "q144_bfs_hops" -> q144,
+    "q154_label_propagation" -> q154)
 
   val oracleSql: Map[String, String] = Map(
     "q129_supplier_walk" -> q129Sql,
     "q130_triangle_count" -> q130Sql,
     "q133_kcore" -> q133Sql,
-    "q144_bfs_hops" -> q144Sql)
+    "q144_bfs_hops" -> q144Sql,
+    "q154_label_propagation" -> q154Sql)
 }

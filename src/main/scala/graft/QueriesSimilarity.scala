@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{KMeans, VectorOps}
+import graft.ops.{KMeans, TextOps, VectorOps}
 
 /** Approximate-nearest-neighbor search over the embedding column
   * (SURVEY.md §7.2 "scale ops" / training-data extensions).
@@ -311,17 +311,193 @@ object QueriesSimilarity {
        |SELECT CAST(d AS BIGINT) AS d, val FROM v$PowerIters ORDER BY d""".stripMargin
   }
 
+  // --- q155: product quantization + ADC search + exact re-rank ---------------
+  // THE vector-compression scheme for a 100 TB embedding store: split
+  // the 64-dim vector into 8 subspaces of 8 dims, code each subvector
+  // as its nearest codeword (32-entry codebook per subspace — 8 5-bit
+  // codes replace 256 vector bytes), and answer queries in the
+  // production two-stage shape: (1) Asymmetric Distance Computation —
+  // per query precompute the 32×8 table of query-subvector→codeword
+  // distances, shortlist PqShort candidates reading ONLY codes + the
+  // broadcast table; (2) exact re-rank of the shortlist with the true
+  // int8 distance, touching full vectors for just PqShort rows/query.
+  // Determinism stack: one GLOBAL int8 scale (per-vector scales would
+  // make inter-vector L2 meaningless), codebook = the 32 vectors with
+  // smallest 60-bit id-hash (hash-sampled codebook — the PQ variant
+  // that needs no training loop, so the whole query is oracle-able
+  // without q83's unrolled-CTE cost), all distances integer (≤ 8·254²
+  // per subspace — structurally int64-safe), ties broken by codeword
+  // rank / vec_id. The exact int8 top-10 over the FULL corpus is kept
+  // as audit: in_exact10 marks re-ranked hits, CorpusSpec pins the
+  // recall floor.
+  // Scale: the encode pass is corpus×(32 codewords·8 subspaces)
+  // map-side rows into one combinable argmin window — at 100 TB codes
+  // are WRITTEN once and queries touch only the ~4-byte codes + the
+  // broadcast ADC table; the full-corpus exact audit stays
+  // test-scale-only (the re-rank stage is the at-scale exact reader).
+  private val PqSub = 8
+  private val PqSubDim = 8 // Dim / PqSub
+  private val PqK = 32
+  private val PqTop = 10
+  private val PqShort = 100 // ADC shortlist size fed to the exact re-rank
+  private val q155: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
+      .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+    val gmx = em.agg(max(col("mx")).as("gmx"))
+    val qz = em.crossJoin(broadcast(gmx))
+      .withColumn("scale", expr("CASE WHEN gmx = 0.0D THEN 1.0D ELSE 127.0D / gmx END"))
+      .select(col("vec_id"),
+        expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS BIGINT))").as("q"))
+      .cache() // anchors + encode + queries + exact audit all read it
+    val anchors = qz
+      .withColumn("h", expr(TextOps.hash60("CAST(vec_id AS STRING)")))
+      .orderBy(col("h"), col("vec_id")).limit(PqK)
+      .withColumn("crank", row_number().over(Window.orderBy(col("h"), col("vec_id"))))
+      .select(col("crank"), col("q").as("cq"))
+    val subs = s.range(0, PqSub).select(col("id").cast("int").as("sub"))
+    // codebook: PqK codewords × PqSub subspaces (256 rows, broadcast)
+    val codebook = anchors.crossJoin(broadcast(subs))
+      .select(col("sub"), col("crank"),
+        expr(s"slice(cq, sub * $PqSubDim + 1, $PqSubDim)").as("cs"))
+    def sqd(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, p) -> acc + p)"
+    val corpus = qz.filter(col("vec_id") >= NQueries)
+    val codes = corpus.crossJoin(broadcast(subs))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(q, sub * $PqSubDim + 1, $PqSubDim)").as("vs"))
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("d", expr(sqd("vs", "cs")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("d"), col("crank"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("crank").as("code"))
+    val queriesQ = qz.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val adc = queriesQ.crossJoin(broadcast(subs))
+      .select(col("query_id"), col("sub"),
+        expr(s"slice(qq, sub * $PqSubDim + 1, $PqSubDim)").as("qs"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("crank").as("code"),
+        expr(sqd("qs", "cs")).as("td"))
+    val approx = codes.join(broadcast(adc), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("td")).as("adc_dist"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    // the production two-stage shape: ADC shortlists PqShort candidates
+    // per query (reading ONLY codes + the broadcast table), then the
+    // exact int8 distance re-ranks the shortlist — full vectors are
+    // touched for PqShort rows/query, never the corpus
+    val short = approx.withColumn("srank", row_number().over(wA))
+      .filter(col("srank") <= PqShort)
+      .select(col("query_id"), col("vec_id"), col("adc_dist"))
+    val rer = short
+      .join(corpus, Seq("vec_id"))
+      .join(broadcast(queriesQ), Seq("query_id"))
+      .withColumn("exact_d", expr(sqd("q", "qq")))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("exact_d"), col("vec_id"))
+    val top = rer.withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= PqTop)
+    val exact = corpus.crossJoin(broadcast(queriesQ))
+      .withColumn("ed", expr(sqd("q", "qq")))
+      .withColumn("ern", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ed"), col("vec_id"))))
+      .filter(col("ern") <= PqTop)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("in_exact10"))
+    top.join(exact, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"), col("exact_d"),
+        coalesce(col("in_exact10"), lit(0L)).as("in_exact10"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q155Sql = {
+    def sqdN(a: String, b: String, n: Int) =
+      s"""list_reduce([CAST(0 AS BIGINT)] ||
+         |      list_transform(generate_series(1, $n),
+         |        i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])),
+         |      (acc, p) -> acc + p)""".stripMargin
+    def sqd(a: String, b: String) = sqdN(a, b, PqSubDim)
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), g AS (
+       |  SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS gmx FROM e
+       |), qz AS (
+       |  SELECT vec_id, list_transform(v, x -> CAST(floor(x *
+       |    (CASE WHEN gmx = 0.0 THEN 1.0 ELSE 127.0 / gmx END) + 0.5) AS BIGINT)) AS q
+       |  FROM e CROSS JOIN g
+       |), anch AS (
+       |  SELECT q AS cq, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS crank
+       |  FROM (
+       |    SELECT vec_id, q,
+       |      ${TextOps.sql.hash60("CAST(vec_id AS VARCHAR)")} AS h
+       |    FROM qz ORDER BY h, vec_id LIMIT $PqK)
+       |), subs AS (SELECT unnest(generate_series(0, ${PqSub - 1})) AS sub),
+       |cb AS (
+       |  SELECT sub, crank, cq[sub * $PqSubDim + 1 : sub * $PqSubDim + $PqSubDim] AS cs
+       |  FROM anch CROSS JOIN subs
+       |), corp AS (SELECT vec_id, q FROM qz WHERE vec_id >= $NQueries),
+       |codes AS (
+       |  SELECT vec_id, sub, crank AS code FROM (
+       |    SELECT c.vec_id, cb.sub, cb.crank,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, cb.sub ORDER BY
+       |        ${sqd(s"c.q[cb.sub * $PqSubDim + 1 : cb.sub * $PqSubDim + $PqSubDim]", "cb.cs")},
+       |        cb.crank) AS rn
+       |    FROM corp c CROSS JOIN cb)
+       |  WHERE rn = 1
+       |), qs AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < $NQueries),
+       |adc AS (
+       |  SELECT query_id, sub, crank AS code,
+       |    ${sqd(s"qq[sub * $PqSubDim + 1 : sub * $PqSubDim + $PqSubDim]", "cs")} AS td
+       |  FROM qs CROSS JOIN cb
+       |), approx AS (
+       |  SELECT query_id, vec_id, CAST(SUM(td) AS BIGINT) AS adc_dist
+       |  FROM codes JOIN adc USING (sub, code) GROUP BY 1, 2
+       |), short AS (
+       |  SELECT query_id, vec_id, adc_dist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, vec_id) AS srank
+       |  FROM approx QUALIFY srank <= $PqShort
+       |), rer AS (
+       |  SELECT sh.query_id, sh.vec_id, sh.adc_dist,
+       |    ${sqdN("c.q", "qq", PqSub * PqSubDim)} AS exact_d
+       |  FROM short sh JOIN corp c ON sh.vec_id = c.vec_id
+       |    JOIN qs ON sh.query_id = qs.query_id
+       |), top AS (
+       |  SELECT query_id, vec_id, adc_dist, exact_d,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY exact_d, vec_id) AS INTEGER) AS rank
+       |  FROM rer QUALIFY rank <= $PqTop
+       |), ex AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+       |        ${sqdN("c.q", "qq", PqSub * PqSubDim)}, c.vec_id) AS ern
+       |    FROM corp c CROSS JOIN qs)
+       |  WHERE ern <= $PqTop
+       |)
+       |SELECT top.query_id, rank, top.vec_id AS neighbor_id, adc_dist, exact_d,
+       |  CAST(CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_exact10
+       |FROM top LEFT JOIN ex ON top.query_id = ex.query_id AND top.vec_id = ex.vec_id
+       |ORDER BY top.query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_cosine_topk" -> q31,
     "q32_ann_lsh_bucket" -> q32,
     "q41_ann_ivf_probe" -> q41,
     "q83_kmeans_train" -> q83,
-    "q108_power_iteration" -> q108)
+    "q108_power_iteration" -> q108,
+    "q155_pq_adc" -> q155)
 
   val oracleSql: Map[String, String] = Map(
     "q31_cosine_topk" -> q31Sql,
     "q32_ann_lsh_bucket" -> q32Sql,
     "q41_ann_ivf_probe" -> q41Sql,
     "q83_kmeans_train" -> q83Sql,
-    "q108_power_iteration" -> q108Sql)
+    "q108_power_iteration" -> q108Sql,
+    "q155_pq_adc" -> q155Sql)
 }

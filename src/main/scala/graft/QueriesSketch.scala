@@ -287,6 +287,259 @@ object QueriesSketch {
       |  score
       |FROM best WHERE rb = 1 ORDER BY event_type""".stripMargin
 
+  // --- q135: mergeable histogram quantiles -----------------------------------
+  // The fixed-memory quantile sketch every 100 TB profiler actually
+  // ships: an equi-width counter histogram (trivially mergeable across
+  // executors — counts add), quantile = the first bucket whose
+  // cumulative count crosses ceil(q·N). Grid discipline: values floor
+  // to integer milli-units (IEEE double ·1000 + floor is bit-identical
+  // cross-engine), buckets are v DIV 4096 milli-units, and the EXACT
+  // per-type quantiles are kept as the audit — computed on the
+  // distinct-value grid (q145's trick: group to (type, v) first, window
+  // over the domain-sized grid, never a corpus-sized sort). The sketch
+  // invariant SketchSpec pins: approx_lb ≤ exact_v < approx_lb + width
+  // — the histogram answer is the TRUE quantile's bucket, always.
+  // Scale: two HashAggregates (grid + histogram) off one scan shape;
+  // windows run over ≤ |grid| rows (domain-sized); thresholds are
+  // integer (q·n + 99) DIV 100 so no double crosses the rank math.
+  private val HistW = 4096L
+  private val HistQs = Seq(50, 90, 99)
+  private val q135: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
+    val grid = e.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("event_type").orderBy("v")
+    val wAll = Window.partitionBy("event_type")
+    val gridCum = grid
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val hist = grid
+      .groupBy(col("event_type"), expr(s"v DIV $HistW").as("b"))
+      .agg(sum(col("c")).as("hc"))
+    val wHc = Window.partitionBy("event_type").orderBy("b")
+    val histCum = hist
+      .withColumn("hcum", sum(col("hc")).over(wHc))
+    val qs = s.range(0, HistQs.size)
+      .select(expr(s"element_at(array(${HistQs.mkString(", ")}), CAST(id AS INT) + 1)").as("p"))
+    val withThresh = gridCum.crossJoin(broadcast(qs))
+      .withColumn("k", expr("(p * n + 99) DIV 100"))
+    val exact = withThresh.filter(col("cum") >= col("k"))
+      .groupBy(col("event_type"), col("p"), col("n"))
+      .agg(min(col("v")).as("exact_v"))
+    val approx = histCum.crossJoin(broadcast(qs))
+      .join(exact.select(col("event_type"), col("p"), col("n")),
+        Seq("event_type", "p"))
+      .withColumn("k", expr("(p * n + 99) DIV 100"))
+      .filter(col("hcum") >= col("k"))
+      .groupBy(col("event_type"), col("p"))
+      .agg((min(col("b")) * HistW).as("approx_lb"))
+    exact.join(approx, Seq("event_type", "p"))
+      .select(col("event_type"), col("p"), col("n"),
+        col("exact_v"), col("approx_lb"),
+        (col("exact_v") - col("approx_lb")).as("in_bucket_off"))
+      .orderBy(col("event_type"), col("p"))
+  }
+  private val q135Sql =
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v FROM events
+       |), grid AS (
+       |  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2
+       |), gridcum AS (
+       |  SELECT event_type, v, c,
+       |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cum,
+       |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM grid
+       |), hist AS (
+       |  SELECT event_type, v // $HistW AS b, CAST(SUM(c) AS BIGINT) AS hc
+       |  FROM grid GROUP BY 1, 2
+       |), histcum AS (
+       |  SELECT event_type, b, hc,
+       |    CAST(SUM(hc) OVER (PARTITION BY event_type ORDER BY b) AS BIGINT) AS hcum
+       |  FROM hist
+       |), qs AS (SELECT * FROM (VALUES ${HistQs.map(q => s"($q)").mkString(", ")}) AS t(p)),
+       |exact AS (
+       |  SELECT event_type, p, n, MIN(v) AS exact_v
+       |  FROM gridcum CROSS JOIN qs
+       |  WHERE cum >= (p * n + 99) // 100
+       |  GROUP BY 1, 2, 3
+       |), approx AS (
+       |  SELECT h.event_type, e.p, MIN(b) * $HistW AS approx_lb
+       |  FROM histcum h JOIN exact e ON h.event_type = e.event_type
+       |  WHERE hcum >= (e.p * e.n + 99) // 100
+       |  GROUP BY 1, 2
+       |)
+       |SELECT event_type, CAST(p AS INTEGER) AS p, n, exact_v,
+       |  CAST(approx_lb AS BIGINT) AS approx_lb,
+       |  CAST(exact_v - approx_lb AS BIGINT) AS in_bucket_off
+       |FROM exact JOIN approx USING (event_type, p)
+       |ORDER BY event_type, p""".stripMargin
+
+  // --- q136: KMV set operations — union / intersection / Jaccard -------------
+  // What distinguishes KMV from HLL in a curation stack: bottom-k
+  // sketches COMPOSE under set algebra. Union sketch = k smallest of
+  // the merged minima pools; intersection via the standard ratio
+  // estimator ρ·Û where ρ = |{h ∈ union-k : h in BOTH sides' k-minima}|/k
+  // (Beyer et al.) — every step integer (floored DIV on 60-bit hashes),
+  // so union/intersection/Jaccard ESTIMATES hash-match cross-engine,
+  // with the exact distinct counts kept as audit columns.
+  // Sets: purchasing users vs viewing users (the audience-overlap
+  // question q132 answers exactly — here answered from two 32-row
+  // sketches that would each fit in a driver heartbeat at 100 TB).
+  // Scale: per set one distinct-hash aggregate, then
+  // TakeOrderedAndProject(k) per-task heaps (the q140 shape — no
+  // global sort); all sketch algebra runs on ≤ 2k rows.
+  private val KmvK = 32
+  private val Pow60 = 1152921504606846976L // 2^60
+  private val q136: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    def bottomK(types: Seq[String]) =
+      e.filter(col("event_type").isin(types: _*))
+        .select(expr(TextOps.hash60("CAST(user_id AS STRING)")).as("h"))
+        .distinct()
+        .orderBy(col("h")).limit(KmvK)
+    val a = bottomK(Seq("purchase")).withColumn("in_a", lit(1L))
+    val b = bottomK(Seq("view")).withColumn("in_b", lit(1L))
+    val union = a.select(col("h")).union(b.select(col("h"))).distinct()
+      .orderBy(col("h")).limit(KmvK)
+      .join(a, Seq("h"), "left").join(b.select(col("h"), col("in_b")), Seq("h"), "left")
+    val sketch = union.agg(
+      count(lit(1)).as("ku"),
+      max(col("h")).as("hk"),
+      sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L))
+        .as("rho_n"))
+    // (ku-1)·2^60 DIV hk — the classic KMV estimator, integer-floored;
+    // when a side has < k distinct members the sketch IS the set and the
+    // estimate degrades to the exact truncated count (q131's sparse rule).
+    // (ku-1)·2^60 ≈ 2^65 at k=32 — widened through DECIMAL(38,0) (the
+    // q120 pattern); the quotient is ~the distinct count, back in int64.
+    val est = sketch.select(
+      expr(s"""CASE WHEN ku < $KmvK THEN ku
+              |  ELSE CAST(((ku - 1) * CAST(${Pow60}L AS DECIMAL(38,0))) DIV hk
+              |       AS BIGINT) END""".stripMargin)
+        .as("union_est"),
+      col("rho_n"))
+    val exact = e.groupBy(col("user_id")).agg(
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("pa"),
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("pb"))
+      .agg(
+        sum(when(col("pa") === 1L || col("pb") === 1L, 1L).otherwise(0L))
+          .as("exact_union"),
+        sum(when(col("pa") === 1L && col("pb") === 1L, 1L).otherwise(0L))
+          .as("exact_inter"))
+    est.crossJoin(broadcast(exact))
+      .select(col("exact_union"), col("exact_inter"), col("union_est"),
+        expr(s"(rho_n * union_est) DIV $KmvK").as("inter_est"),
+        expr(s"(1000000 * rho_n) DIV $KmvK").as("jaccard_est_ppm"))
+  }
+  private val q136Sql = {
+    val h = TextOps.sql.hash60("CAST(user_id AS VARCHAR)")
+    s"""WITH a AS (
+       |  SELECT DISTINCT $h AS h FROM events WHERE event_type = 'purchase'
+       |  ORDER BY h LIMIT $KmvK
+       |), b AS (
+       |  SELECT DISTINCT $h AS h FROM events WHERE event_type = 'view'
+       |  ORDER BY h LIMIT $KmvK
+       |), u AS (
+       |  SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+       |  ORDER BY h LIMIT $KmvK
+       |), sk AS (
+       |  SELECT COUNT(*) AS ku, MAX(h) AS hk,
+       |    SUM(CASE WHEN h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)
+       |        THEN 1 ELSE 0 END) AS rho_n
+       |  FROM u
+       |), est AS (
+       |  SELECT CASE WHEN ku < $KmvK THEN ku
+       |    ELSE ((ku - 1) * CAST($Pow60 AS HUGEINT)) // hk END AS union_est,
+       |    rho_n
+       |  FROM sk
+       |), ex AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN pa = 1 OR pb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS exact_union,
+       |    CAST(SUM(CASE WHEN pa = 1 AND pb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS exact_inter
+       |  FROM (
+       |    SELECT user_id,
+       |      MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pa,
+       |      MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS pb
+       |    FROM events GROUP BY 1)
+       |)
+       |SELECT exact_union, exact_inter,
+       |  CAST(union_est AS BIGINT) AS union_est,
+       |  CAST((rho_n * union_est) // $KmvK AS BIGINT) AS inter_est,
+       |  CAST((1000000 * rho_n) // $KmvK AS BIGINT) AS jaccard_est_ppm
+       |FROM est CROSS JOIN ex""".stripMargin
+  }
+
+  // --- q157: trailing-median burst alarm (walk-forward) ----------------------
+  // The production traffic alarm q141 is not: q141's change-point scan
+  // uses the WHOLE series (offline diagnosis); an alarm may only look
+  // BACKWARD. Per (event_type, day): flag a burst when the day's count
+  // exceeds 3× the median of the trailing 7 FULL days — median (not
+  // mean) so one prior burst day doesn't poison the baseline, full-
+  // history gate so the first week never alarms on a cold start.
+  // Everything integer: the median of 7 is the exact 4th smallest
+  // (sort_array(collect_list) over a ROWS 7-PRECEDING frame — 7-element
+  // arrays on the days×types table), burst = x > 3·med, severity as
+  // floored ratio per-mille. Output is the per-type ALARM SUMMARY —
+  // eval days, burst days, peak ratio + its day — and publishing the
+  // quiet types' ZEROS is the job (q149's doctrine): on a healthy
+  // corpus the oracle-checked answer is "no alarms", with the planted
+  // burst exercised by SketchSpec. Scale: one day-keyed corpus
+  // HashAggregate, then windows over the dimension-sized daily grid
+  // (q141's shape); the 7-element array never touches corpus rows.
+  private val BurstMul = 3L
+  private val q157: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wTrail = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    val eval = daily
+      .withColumn("hist", sort_array(collect_list(col("x")).over(wTrail)))
+      .filter(size(col("hist")) === 7)
+      .withColumn("med", expr("element_at(hist, 4)"))
+      .filter(col("med") > 0)
+      .withColumn("ratio_pm", expr("(1000 * x) DIV med"))
+      .withColumn("is_burst",
+        (col("x") > lit(BurstMul) * col("med")).cast("bigint"))
+    val wPeak = Window.partitionBy("event_type")
+      .orderBy(desc("ratio_pm"), col("day"))
+    eval.withColumn("rn", row_number().over(wPeak))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval_days"),
+        sum(col("is_burst")).as("n_burst_days"),
+        max(col("ratio_pm")).as("peak_ratio_pm"),
+        min(when(col("rn") === 1, date_format(col("day"), "yyyy-MM-dd")))
+          .as("peak_day"))
+      .orderBy(col("event_type"))
+  }
+  private val q157Sql =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2
+       |), trail AS (
+       |  SELECT event_type, day, x,
+       |    list_sort(list(x) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS hist
+       |  FROM daily
+       |), ev AS (
+       |  SELECT event_type, day, x, hist[4] AS med,
+       |    (1000 * x) // hist[4] AS ratio_pm,
+       |    CASE WHEN x > $BurstMul * hist[4] THEN 1 ELSE 0 END AS is_burst,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY (1000 * x) // hist[4] DESC, day) AS rn
+       |  FROM trail WHERE len(hist) = 7 AND hist[4] > 0
+       |)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+       |  CAST(SUM(is_burst) AS BIGINT) AS n_burst_days,
+       |  CAST(MAX(ratio_pm) AS BIGINT) AS peak_ratio_pm,
+       |  MIN(CASE WHEN rn = 1 THEN strftime(day, '%Y-%m-%d') END) AS peak_day
+       |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- q142: AMS F2 sketch — self-join-size estimator ------------------------
   // The second frequency moment F2 = Σ_u f_u² IS the self-join size on
   // the key — the quantity a distributed optimizer estimates before
@@ -349,16 +602,22 @@ object QueriesSketch {
   }
 
   val queries: Map[String, Q] = Map(
+    "q135_hist_quantiles" -> q135,
+    "q136_kmv_setops" -> q136,
     "q138_cms_heavyhitters" -> q138,
     "q139_bloom_audit" -> q139,
     "q140_priority_sample" -> q140,
     "q141_changepoint" -> q141,
+    "q157_trailing_burst" -> q157,
     "q142_ams_f2" -> q142)
 
   val oracleSql: Map[String, String] = Map(
+    "q135_hist_quantiles" -> q135Sql,
+    "q136_kmv_setops" -> q136Sql,
     "q138_cms_heavyhitters" -> q138Sql,
     "q139_bloom_audit" -> q139Sql,
     "q140_priority_sample" -> q140Sql,
     "q141_changepoint" -> q141Sql,
+    "q157_trailing_burst" -> q157Sql,
     "q142_ams_f2" -> q142Sql)
 }

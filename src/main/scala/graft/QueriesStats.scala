@@ -1154,7 +1154,97 @@ object QueriesStats {
       |    // CAST(COUNT(*) AS BIGINT) AS mae_milli
       |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- q153: lead-lag cross-correlation between event series ------------------
+  // "Do views LEAD purchases, and by how many days?" — the
+  // cross-correlation function between the two daily series at lags
+  // −3..+3, the q100 exact-numerator discipline applied pairwise: for
+  // each lag, pair x = views(day) with y = purchases(day + lag) via a
+  // DATE EQUI-JOIN (q148's rule — missing days must break the pairing,
+  // never silently shift it), carry n·Σxy − Σx·Σy / n·Σx² − (Σx)² as
+  // exact integers widened through DECIMAL(38,0) (daily counts reach
+  // ~3·10⁸ at 10¹² events, so Σxy ≈ 3·10²⁰ clears int64 — the q120
+  // audit applied up front), and publish corr_ppm from those exact ints
+  // in identical IEEE shape both engines. is_best marks the argmax lag
+  // (ties → smallest lag), the "purchases trail views by k days" answer.
+  // Scale: ONE day-keyed HashAggregate over the corpus; everything after
+  // runs on (days × 7 lags) rows — dimension-sized by construction.
+  private val XcLags = -3 to 3
+  private val q153: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val x = daily.filter(col("event_type") === "view")
+      .select(col("day"), col("c").as("x"))
+    val y = daily.filter(col("event_type") === "purchase")
+      .select(col("day").as("yday"), col("c").as("y"))
+    val lags = s.range(XcLags.head, XcLags.last + 1)
+      .select(col("id").cast("int").as("lag"))
+    val pairs = x.crossJoin(broadcast(lags))
+      .withColumn("yday", expr("date_add(day, lag)"))
+      .join(y, Seq("yday"))
+    def cross(a: String, b: String, c: String, d: String) = expr(
+      s"""CAST(CAST($a AS DECIMAL(38,0)) * $b -
+         |  CAST($c AS DECIMAL(38,0)) * $d AS DOUBLE)""".stripMargin)
+    val agg = pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(19,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(19,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(19,0)) * y")).as("syy"))
+      .select(col("lag"), col("n"),
+        cross("n", "sxy", "sx", "sy").as("cov_num"),
+        cross("n", "sxx", "sx", "sx").as("var_x_num"),
+        cross("n", "syy", "sy", "sy").as("var_y_num"))
+      .withColumn("corr_ppm", expr(corrPpm))
+    import org.apache.spark.sql.expressions.Window
+    val wBest = Window.orderBy(desc("corr_ppm"), col("lag")) // 7 rows
+    agg.withColumn("is_best",
+        (row_number().over(wBest) === 1).cast("bigint"))
+      .select(col("lag"), col("n"), col("corr_ppm"), col("is_best"))
+      .orderBy(col("lag"))
+  }
+  private val q153Sql = {
+    val corrDuck =
+      """CASE WHEN var_x_num > 0.0 AND var_y_num > 0.0
+        |  THEN (CASE WHEN cov_num < 0.0 THEN -1 ELSE 1 END) *
+        |    CAST(FLOOR(1000000.0 * abs(cov_num) /
+        |      (SQRT(var_x_num) * SQRT(var_y_num))) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END""".stripMargin
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, event_type,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2
+       |), x AS (SELECT day, c AS x FROM daily WHERE event_type = 'view'),
+       |y AS (SELECT day AS yday, c AS y FROM daily WHERE event_type = 'purchase'),
+       |lags AS (SELECT unnest(generate_series(${XcLags.head}, ${XcLags.last})) AS lag),
+       |pairs AS (
+       |  SELECT lag, x, y FROM x CROSS JOIN lags
+       |  JOIN y ON y.yday = x.day + CAST(lag AS INTEGER)
+       |), agg AS (
+       |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+       |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+       |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+       |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+       |  FROM pairs GROUP BY 1
+       |), nums AS (
+       |  SELECT lag, n,
+       |    CAST(n * sxy - sx * sy AS DOUBLE) AS cov_num,
+       |    CAST(n * sxx - sx * sx AS DOUBLE) AS var_x_num,
+       |    CAST(n * syy - sy * sy AS DOUBLE) AS var_y_num
+       |  FROM agg
+       |), scored AS (
+       |  SELECT lag, n, $corrDuck AS corr_ppm FROM nums
+       |)
+       |SELECT CAST(lag AS INTEGER) AS lag, n, corr_ppm,
+       |  CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY corr_ppm DESC, lag) = 1
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_best
+       |FROM scored ORDER BY lag""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q153_leadlag_xcorr" -> q153,
     "q148_seasonal_backtest" -> q148,
     "q145_skyline" -> q145,
     "q87_exact_moments"     -> q87,
@@ -1177,6 +1267,7 @@ object QueriesStats {
     "q126_ship_latency" -> q126)
 
   val oracleSql: Map[String, String] = Map(
+    "q153_leadlag_xcorr" -> q153Sql,
     "q148_seasonal_backtest" -> q148Sql,
     "q145_skyline" -> q145Sql,
     "q87_exact_moments"     -> q87Sql,

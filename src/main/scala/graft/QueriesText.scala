@@ -298,6 +298,43 @@ object QueriesText {
        |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  // --- q156: REAL WAV audio decode (javax.sound.sampled round trip) ----------
+  // The audio third of the multimodal triple, closed the way q82 closed
+  // images: a deterministic 16-bit PCM waveform per doc is synthesized
+  // and ENCODED into a real RIFF/WAVE container via the JDK's
+  // javax.sound.sampled codec, then DECODED back (container parse + PCM
+  // frame read) and reduced to the classic integer waveform features —
+  // absolute mass, peak, zero-crossing count. The oracle cannot parse
+  // WAV — it predicts the same stats analytically from the sample
+  // formula, so a codec bug (endianness, header offset, frame size)
+  // hash-mismatches. Scale shape: q82's exactly — per-row encode+decode
+  // inside one mapPartitions, work-repartitioned ids, integer outputs,
+  // zero shuffles after the repartition.
+  private val q156: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .repartition(Tables.shufflePartitions(s)) // q82's work-repartition note
+    graft.ops.Multimodal.wavFeatures(ids).toDF().orderBy(col("doc_id"))
+  }
+  private val q156Sql = {
+    val n = graft.ops.Multimodal.WavSamples
+    val rate = graft.ops.Multimodal.WavRate
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, ${n - 1}),
+       |      i -> (doc_id * 31 + i * 7919) % 2048 - 1024) AS s
+       |  FROM documents
+       |)
+       |SELECT doc_id, $rate AS sample_rate, CAST($n AS BIGINT) AS n_samples,
+       |  CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT) AS sum_abs,
+       |  CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS max_abs,
+       |  CAST(list_sum(list_transform(generate_series(2, $n),
+       |    i -> CASE WHEN (s[i - 1] < 0) <> (s[i] < 0) THEN 1 ELSE 0 END))
+       |    AS BIGINT) AS n_zero_cross
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
   // --- q38: tie-aware records (T5) -------------------------------------------
   // Reference: keep ALL tied record holders, first record per player
   // (index.js:408-418). Here: per event_type, every user hitting the max
@@ -607,7 +644,76 @@ object QueriesText {
        |FROM g ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  // --- q151: PMI collocations (phrase mining) --------------------------------
+  // The phrase-mining primitive under every tokenizer-vocab and
+  // stopword-list decision: rank adjacent word pairs by pointwise mutual
+  // information. log() never crosses engines bit-exactly, but PMI is
+  // MONOTONE in the rational c_ab·N/(c_a·c_b), so the ranking and the
+  // published score floor to integer ppm exactly (the q128 idf
+  // discipline): pmi_ratio_ppm = (10⁶·c_ab·N) DIV (c_a·c_b), products
+  // widened through DECIMAL(38,0)/HUGEINT (c_ab·N ≈ 10²⁴ at 10¹²
+  // bigrams — the q120 lesson), result ≤ 10⁶·N/MinSup ≈ 2·10¹⁷ —
+  // int64-safe by construction, documented not assumed. Min-support 5 is
+  // frequent-pattern SEMANTICS (q130): rare pairs have divergent PMI
+  // and no curation value. Scale: unigram + bigram counts are two
+  // map-side-combinable HashAggregates off one tokenized scan; the
+  // scoring joins run on the VOCABULARY-sized count tables (broadcast
+  // candidates), and top-k is a TakeOrderedAndProject heap.
+  private val PmiMinSup = 5L
+  private val PmiTop = 20
+  private val q151: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(TextOps.tokensExpr("text")).as("toks"))
+      .filter(expr("size(toks) >= 2"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val pairs = toks.select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1,
+          |              element_at(toks, i + 1) AS w2))""".stripMargin)).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= PmiMinSup)
+    val n = pairs.agg(count(lit(1)).as("n"))
+    bi.crossJoin(broadcast(n))
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "ca"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cb"), Seq("w2"))
+      .select(col("w1"), col("w2"), col("cab"), col("ca"), col("cb"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * cab * n)
+               |  DIV (CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)""".stripMargin)
+          .as("pmi_ratio_ppm"))
+      .orderBy(desc("pmi_ratio_ppm"), col("w1"), col("w2"))
+      .limit(PmiTop)
+  }
+  private val q151Sql = {
+    val t = TextOps.sql.tokens("text")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $t AS toks FROM documents WHERE len($t) >= 2
+       |), uni AS (
+       |  SELECT unnest(toks) AS w FROM toks
+       |), ucnt AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM uni GROUP BY 1
+       |), praw AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+       |  FROM toks
+       |), pairs AS (
+       |  SELECT p.w1 AS w1, p.w2 AS w2 FROM praw
+       |), bi AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cab
+       |  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= $PmiMinSup
+       |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs)
+       |SELECT w1, w2, cab, a.cw AS ca, b.cw AS cb,
+       |  CAST((1000000 * CAST(cab AS HUGEINT) * n.n)
+       |    // (CAST(a.cw AS HUGEINT) * b.cw) AS BIGINT) AS pmi_ratio_ppm
+       |FROM bi CROSS JOIN n
+       |  JOIN ucnt a ON bi.w1 = a.w
+       |  JOIN ucnt b ON bi.w2 = b.w
+       |ORDER BY pmi_ratio_ppm DESC, w1, w2 LIMIT $PmiTop""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q151_pmi_collocations" -> q151,
     "q53_decontaminate" -> q53,
     "q55_stratified_sample" -> q55,
     "q56_mixture_sample" -> q56,
@@ -622,10 +728,12 @@ object QueriesText {
     "q36_fingerprint" -> q36,
     "q37_multimodal_decode" -> q37,
     "q82_image_decode" -> q82,
+    "q156_audio_decode" -> q156,
     "q38_tie_records" -> q38,
     "q39_token_explode" -> q39)
 
   val oracleSql: Map[String, String] = Map(
+    "q151_pmi_collocations" -> q151Sql,
     "q53_decontaminate" -> q53Sql,
     "q55_stratified_sample" -> q55Sql,
     "q56_mixture_sample" -> q56Sql,
@@ -639,6 +747,7 @@ object QueriesText {
     "q36_fingerprint" -> q36Sql,
     "q37_multimodal_decode" -> q37Sql,
     "q82_image_decode" -> q82Sql,
+    "q156_audio_decode" -> q156Sql,
     "q38_tie_records" -> q38Sql,
     "q39_token_explode" -> q39Sql)
 }

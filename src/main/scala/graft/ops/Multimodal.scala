@@ -248,4 +248,84 @@ object Multimodal {
     ids.mapPartitions(_.map { id =>
       decodePng(id, syntheticPng(id))
     })(Encoders.product[ImageFeatures])
+
+  // ------------------------------------------------------------- audio tier
+
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
+                           sum_abs: Long, max_abs: Long, n_zero_cross: Long)
+
+  val WavRate = 8000
+  val WavSamples = 1024
+
+  /** Deterministic synthetic 16-bit PCM mono waveform for a doc id —
+    * integer formula only, so an oracle predicts every decoded feature
+    * analytically (the [[syntheticPng]] discipline):
+    * s(i) = ((id·31 + i·7919) mod 2048) − 1024, i = 0..1023. */
+  def syntheticSamples(id: Long): Array[Short] =
+    Array.tabulate(WavSamples)(i =>
+      (((id * 31 + i.toLong * 7919) % 2048) - 1024).toShort)
+
+  /** The waveform REALLY encoded as a RIFF/WAVE file via
+    * `javax.sound.sampled` — the JDK's built-in audio codec, closing the
+    * audio third of the image/audio/video triple the same way
+    * [[syntheticPng]] closed images (no external dependency; the
+    * [[decodeStub]] seam remains only for codecs the JDK lacks). */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val samples = syntheticSamples(id)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) { // little-endian PCM16
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      WavRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode — `javax.sound.sampled` parses the RIFF container
+    * and hands back the PCM frames (WAV is lossless: samples are exact).
+    * Features are the classic integer waveform stats: absolute mass,
+    * peak, and zero-crossing count (crossing = the sign bit flips between
+    * consecutive samples). Fail-fast on undecodable bytes. */
+  def decodeWav(docId: Long, payload: Array[Byte]): AudioFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian && fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"unexpected WAV format for doc $docId: $fmt")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    var sumAbs = 0L
+    var maxAbs = 0L
+    var zc = 0L
+    var prevNeg = false
+    var i = 0
+    while (i < n) {
+      val s = (((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xff)).toShort
+      val a = math.abs(s.toLong)
+      sumAbs += a
+      if (a > maxAbs) maxAbs = a
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      i += 1
+    }
+    AudioFeatures(docId, fmt.getSampleRate.toInt, n.toLong, sumAbs, maxAbs, zc)
+  }
+
+  /** Partition-batched synthesize→encode→DECODE round trip over doc ids —
+    * the audio twin of [[pngFeatures]]. */
+  def wavFeatures(ids: Dataset[Long]): Dataset[AudioFeatures] =
+    ids.mapPartitions(_.map { id =>
+      decodeWav(id, syntheticWav(id))
+    })(Encoders.product[AudioFeatures])
 }

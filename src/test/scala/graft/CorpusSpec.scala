@@ -206,6 +206,39 @@ class CorpusSpec extends SparkSpec {
     assert(recall >= 0.7, s"quantized recall@10 dropped to $recall")
   }
 
+  test("q155: PQ shortlist + exact re-rank beats raw ADC recall") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q155_pq_adc")(spark, sf)
+      .as[(Long, Int, Long, Long, Long, Long)].collect().toSeq
+    // structure: 10 ranks per query, exact_d non-decreasing with rank
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2) == (1 to 10), s"query $q must emit ranks 1..10")
+      val ds = sorted.map(_._5)
+      assert(ds == ds.sorted, s"query $q re-rank must order by exact distance")
+    }
+    // recall floor: uniform random embeddings are PQ's worst case (no
+    // cluster structure for the codebook to exploit — the q71 caveat);
+    // 0.75 measured at sf0.001 (0.56 at sf0.1) with the 100-candidate shortlist, floor
+    // set with slack against tie noise
+    val recall = rows.map(_._6).sum.toDouble / rows.size
+    assert(recall >= 0.4, s"PQ re-rank recall@10 dropped to $recall")
+  }
+
+  test("q151: a planted repeated bigram is the only collocation") {
+    val d = java.nio.file.Files.createTempDirectory("graft_pmi").toString
+    // "p q" repeats 5 times (meets min-support 5); every other adjacent
+    // pair ("q p") appears only 4 times. N = 9 pairs, c_p = c_q = 5:
+    // ppm = 10⁶·5·9/(5·5) = 1 800 000.
+    Seq((1L, ("p q " * 5).trim))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q151_pmi_collocations")(spark, d)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("p", "q", 5L, 5L, 5L, 1800000L)))
+  }
+
   test("q64: the near-identical pair in one cell drops exactly its higher id") {
     val rows = SparkEntry.queries("q64_semantic_dedup")(spark, dir)
       .select("n_vecs", "n_dropped", "n_kept").as[(Long, Long, Long)].collect()

@@ -61,6 +61,24 @@ class GraphSpec extends SparkSpec {
       (3, 1L, 4L), (4, 1L, 5L)))
   }
 
+  test("q154: two bridged triangles settle into two communities") {
+    val d = java.nio.file.Files.createTempDirectory("graft_lpa").toString
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3–4; hand-running
+    // the 4 synchronous min-tie-break rounds: labels converge to 1 on
+    // the left triangle and 3 on the right — the bridge does NOT merge
+    // them (unlike components q51, which would return one cluster).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L))
+    edges.zipWithIndex
+      .flatMap { case ((a, b), i) => Seq((100L + i, a), (100L + i, b)) }
+      .toDF("l_orderkey", "l_partkey")
+      .withColumn("l_shipdate", org.apache.spark.sql.functions.lit("1995-01-01"))
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = SparkEntry.queries("q154_label_propagation")(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 6L), (3L, 3L, 15L)))
+  }
+
   test("q129: three hops of floored mass transfer, computed by hand") {
     // edges: (c10,s1,3) (c10,s2,1) (c20,s2,1); wc: c10=4, c20=1; vs: s1=3, s2=2
     // hop1 (seed 1e6/customer):

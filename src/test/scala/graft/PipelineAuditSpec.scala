@@ -105,4 +105,68 @@ class PipelineAuditSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("click", 4L, 3L, 250000L), ("view", 1L, 1L, 0L)))
   }
+
+  test("q152: RFM quintile scores are tie-stable and hand-checkable") {
+    // user k (k = 1..5) makes k purchases of 10·k dollars on day
+    // 2024-01-0k. All three metric grids are 5 distinct values with one
+    // user each, so quintile cutoffs land exactly on the sorted values:
+    //   freq = k         → f score = k
+    //   mon_d = 10·k²    → m score = k
+    //   rec = 5−k days   → ascending score 6−k → r = 6−(6−k) = k
+    // so each user occupies segment (k,k,k) with sum_mon_c = 1000·k².
+    val d = java.nio.file.Files.createTempDirectory("graft_rfm").toString
+    (1 to 5).flatMap { k =>
+      (1 to k).map(i =>
+        (k * 10L + i, ts(s"2024-01-0$k 12:00:0$i"), k.toLong, "purchase",
+          10.0 * k, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q152_rfm_segments")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val expected = (1 to 5).map { k =>
+      (k.toLong, k.toLong, k.toLong, 1L, 1000L * k * k)
+    }
+    assert(got == expected)
+  }
+
+  test("q158: conversion latency buckets by day; non-converters drop out") {
+    val d = eventsDir(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-02 12:00:00", 1L, "purchase"), // 36 h → day 1
+      (3L, "2024-01-01 00:00:00", 2L, "view"),
+      (4L, "2024-01-01 01:00:00", 2L, "purchase"), // 1 h → day 0
+      (5L, "2024-01-01 00:00:00", 3L, "view"),     // never purchases
+      (6L, "2024-01-01 00:00:00", 4L, "purchase"), // never views
+      (7L, "2024-01-05 00:00:00", 5L, "view"),     // purchase BEFORE view
+      (8L, "2024-01-01 00:00:00", 5L, "purchase"))
+    val got = SparkEntry.queries("q158_time_to_convert")(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 500000L), (1L, 1L, 1000000L)))
+  }
+
+  test("q153: a planted 2-day lead is found as the best lag") {
+    // views on day d follow a jagged pattern; purchases replay it 2 days
+    // later exactly, so lag +2 correlates perfectly (corr_ppm at the
+    // floor boundary of 10⁶) and every other lag scores strictly lower.
+    val pattern = Seq(1, 5, 2, 8, 3, 9, 4, 7, 6, 10)
+    val d = java.nio.file.Files.createTempDirectory("graft_xcorr").toString
+    val rows = pattern.zipWithIndex.flatMap { case (n, i) =>
+      val vday = i + 1 // views on 2024-01-(i+1)
+      (1 to n).map(j => (s"v$vday-$j", f"2024-01-$vday%02d 10:00:00", "view")) ++
+        (1 to n).map(j =>
+          (s"p$vday-$j", f"2024-01-${vday + 2}%02d 10:00:00", "purchase"))
+    }
+    rows.zipWithIndex
+      .map { case ((_, t, typ), i) => (i.toLong, ts(t), 1L, typ, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q153_leadlag_xcorr")(spark, d)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val best = got.filter(_._4 == 1L)
+    assert(best.map(_._1) == Seq(2), s"best lag must be +2, got $got")
+    assert(best.head._3 >= 999999L, "perfect replay must score ~1e6 ppm")
+    got.filter(_._1 != 2).foreach { case (lag, _, ppm, _) =>
+      assert(ppm < best.head._3, s"lag $lag must score below the true lag")
+    }
+  }
 }

@@ -122,6 +122,30 @@ class SketchSpec extends SparkSpec {
     assert(r._6 == 15.0, "score is exactly the mean difference at the true split")
   }
 
+  test("q157: trailing median shrugs off a prior burst; cold start never alarms") {
+    val d = java.nio.file.Files.createTempDirectory("graft_burst").toString
+    // days 1-6: 5/day; day 7: 100 (only 6 days history → cold-start gate,
+    // NO alarm); day 8: 5; day 9: 20 (trailing {5,5,5,5,5,100,5} median 5
+    // → 20 > 15 bursts — day 7's spike did not poison the baseline);
+    // day 10: 14 (≤ 3·5 → quiet).
+    val perDay = Map(1 -> 5, 2 -> 5, 3 -> 5, 4 -> 5, 5 -> 5, 6 -> 5,
+      7 -> 100, 8 -> 5, 9 -> 20, 10 -> 14)
+    val rows = perDay.toSeq.flatMap { case (day, n) =>
+      (1 to n).map(i => (f"2024-01-$day%02d 12:00:00", (day * 1000 + i).toLong))
+    }
+    rows.toDF("tss", "event_id")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      .withColumn("event_type", lit("a"))
+      .withColumn("user_id", col("event_id"))
+      .withColumn("value", lit(1.0))
+      .write.parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q157_trailing_burst")(spark, d)
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    // eval days = 8,9,10 (the only days with 7 full trailing days);
+    // ratios 1000 / 4000 / 2800 → one burst (day 9), peak 4000 on day 9
+    assert(got == Seq(("a", 3L, 1L, 4000L, "2024-01-09")))
+  }
+
   test("q142: AMS estimate matches an independent Scala reimplementation") {
     // user u fires u events (u = 1..20): exact F2 = sum(u^2) = 2870
     val d = java.nio.file.Files.createTempDirectory("graft_ams").toString
@@ -143,6 +167,58 @@ class SketchSpec extends SparkSpec {
     val r = SparkEntry.queries("q142_ams_f2")(spark, d)
       .as[(Double, Double, Long)].collect().head
     assert(r == ((exactF2.toDouble, expEst.toDouble, expPpm)))
+  }
+
+  test("q135: histogram quantile always lands in the true quantile's bucket") {
+    // type "a": one event of value i for i = 1..100 → v = 1000·i milli.
+    // Exact pXX = 1000·XX; approx_lb = (v DIV 4096)·4096 — the bucket
+    // CONTAINING the true quantile, so 0 <= off < 4096 is a hard bound.
+    val d = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    (1 to 100).map(i => (i.toLong, i.toDouble))
+      .toDF("user_id", "value")
+      .withColumn("event_type", lit("a"))
+      .withColumn("event_id", col("user_id"))
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .write.parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q135_hist_quantiles")(spark, d)
+      .as[(String, Int, Long, Long, Long, Long)].collect().toSeq
+    val expected = Seq(50, 90, 99).map { p =>
+      val exact = 1000L * p
+      val lb = (exact / 4096L) * 4096L
+      ("a", p, 100L, exact, lb, exact - lb)
+    }
+    assert(got == expected)
+    got.foreach { case (_, _, _, _, _, off) =>
+      assert(off >= 0L && off < 4096L, "exact quantile must sit in its bucket")
+    }
+  }
+
+  test("q136: KMV set algebra matches an independent Scala reimplementation") {
+    // purchase users 1..20, view users 11..40: union 40, intersection 10.
+    // Both sides sparse (< k=32) so each side's k-minima IS its hash set;
+    // the union pool (40 distinct) exercises the dense-branch estimator.
+    val d = java.nio.file.Files.createTempDirectory("graft_kmvset").toString
+    val rows = (1 to 20).map(u => ("purchase", u.toLong)) ++
+      (11 to 40).map(u => ("view", u.toLong))
+    rows.toDF("event_type", "user_id")
+      .withColumn("event_id", col("user_id"))
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("value", lit(1.0))
+      .write.parquet(s"$d/events.parquet")
+    val aH = (1 to 20).map(u => hash60(u.toString)).sorted.take(32).toSet
+    val bH = (11 to 40).map(u => hash60(u.toString)).sorted.take(32).toSet
+    val unionK = (aH ++ bH).toSeq.sorted.take(32)
+    val ku = unionK.size.toLong
+    val hk = unionK.max
+    val rho = unionK.count(h => aH(h) && bH(h)).toLong
+    val unionEst =
+      if (ku < 32) ku
+      else ((BigInt(ku - 1) * BigInt(2).pow(60)) / hk).toLong
+    val interEst = rho * unionEst / 32L
+    val jacPpm = 1000000L * rho / 32L
+    val r = SparkEntry.queries("q136_kmv_setops")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((40L, 10L, unionEst, interEst, jacPpm)))
   }
 
   test("q137: containment flags a quote-in-doc pair Jaccard would miss") {

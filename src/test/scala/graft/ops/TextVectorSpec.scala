@@ -222,6 +222,27 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodePng(1L, Array[Byte](1, 2, 3, 4))
     }
   }
+
+  test("WAV round trip: real javax.sound decode recovers exact samples") {
+    val id = 13L
+    val bytes = Multimodal.syntheticWav(id)
+    // a real RIFF/WAVE container
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val f = Multimodal.decodeWav(id, bytes)
+    val s = Multimodal.syntheticSamples(id).map(_.toLong)
+    assert(f.sample_rate == 8000 && f.n_samples == s.length.toLong)
+    assert(f.sum_abs == s.map(math.abs).sum)
+    assert(f.max_abs == s.map(math.abs).max)
+    val zc = s.toSeq.sliding(2).count { case Seq(a, b) => (a < 0) != (b < 0) }
+    assert(f.n_zero_cross == zc.toLong)
+  }
+
+  test("WAV decode fails fast on garbage bytes") {
+    intercept[Exception] {
+      Multimodal.decodeWav(1L, Array[Byte](1, 2, 3, 4))
+    }
+  }
 }
 
 class ExactSpec extends SparkSpec {
