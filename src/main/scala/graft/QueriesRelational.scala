@@ -543,7 +543,123 @@ object QueriesRelational {
       |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
       |) ORDER BY check_name""".stripMargin
 
+  // --- q159: Benford first-digit audit ---------------------------------------
+  // The fraud/data-quality screen on any money column: natural
+  // multiplicative data follows Benford's law (P(d) = log10(1+1/d)) and
+  // fabricated or truncated data doesn't. First significant digit
+  // WITHOUT log10 (not correctly-rounded IEEE): o_totalprice has 2
+  // decimals and is ≥ 0.01, so the leading char of CAST(price·100 AS
+  // BIGINT)'s decimal string IS the first significant digit — pure
+  // integer/string ops, bit-identical cross-engine. Expected shares are
+  // the published Benford ppm constants (floor(10⁶·log10(1+1/d)) —
+  // fixed public literals, not computed); published per digit: count,
+  // observed ppm share, expected ppm, signed deviation. Scale: one
+  // pruned-column scan into a 9-row combinable HashAggregate.
+  private val BenfordPpm = Seq(301029L, 176091L, 124938L, 96910L,
+    79181L, 66946L, 57991L, 51152L, 45757L)
+  private val q159: Q = (s, dir) => {
+    val digitsDim = s.range(1, 10).select(col("id").as("digit"),
+      expr(s"element_at(array(${BenfordPpm.mkString(", ")}L), CAST(id AS INT))")
+        .as("benford_ppm"))
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 0)
+      .select(expr(
+        "CAST(substring(CAST(CAST(o_totalprice * 100 AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+    val counts = o.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    digitsDim.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("(1000000 * n) DIV n_total").as("share_ppm"),
+        col("benford_ppm"),
+        (expr("(1000000 * n) DIV n_total") - col("benford_ppm"))
+          .as("dev_ppm"))
+      .orderBy(col("digit"))
+  }
+  private val q159Sql = {
+    val dim = BenfordPpm.zipWithIndex
+      .map { case (b, i) => s"(${i + 1}, $b)" }.mkString(", ")
+    s"""WITH dim AS (SELECT * FROM (VALUES $dim) AS t(digit, benford_ppm)),
+       |d AS (
+       |  SELECT CAST(substring(CAST(CAST(o_totalprice * 100 AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM orders WHERE o_totalprice > 0
+       |), c AS (
+       |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+       |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
+       |SELECT CAST(dim.digit AS BIGINT) AS digit,
+       |  COALESCE(n, 0) AS n,
+       |  (1000000 * COALESCE(n, 0)) // n_total AS share_ppm,
+       |  CAST(benford_ppm AS BIGINT) AS benford_ppm,
+       |  (1000000 * COALESCE(n, 0)) // n_total - benford_ppm AS dev_ppm
+       |FROM dim LEFT JOIN c ON dim.digit = c.digit CROSS JOIN t
+       |ORDER BY digit""".stripMargin
+  }
+
+  // --- q160: peak open orders (distributed interval sweep) --------------------
+  // "How many orders were in fulfillment at once?" — the classic
+  // max-concurrent-intervals question, WITHOUT sorting the corpus: an
+  // order is open from o_orderdate through its LAST ship date
+  // (inclusive); emit +1 at start and −1 at end+1, collapse to per-DAY
+  // net deltas (one combinable aggregate — the corpus never sorts), and
+  // the running sum over the DAYS GRID is the live count (the q145
+  // two-level discipline: the only ordered structure is dimension-
+  // sized). Published per month: orders opened + peak concurrently open.
+  // Contrast with q72: that counts overlapping PAIRS (quadratic in the
+  // data); the sweep is linear and answers the capacity question.
+  private val q160: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+    val shipped = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("sd"))
+    val iv = o.join(shipped, col("o_orderkey") === col("l_orderkey"))
+      .select(col("od"), greatest(col("sd"), col("od")).as("ed"))
+    val deltas = iv.select(col("od").as("day"), lit(1L).as("delta"))
+      .unionAll(iv.select(date_add(col("ed"), 1).as("day"),
+        lit(-1L).as("delta")))
+      .groupBy(col("day")).agg(sum(col("delta")).as("net"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_opened"))
+    val wDays = org.apache.spark.sql.expressions.Window
+      .orderBy("day") // days-grid-sized (see scaladoc)
+    deltas
+      .withColumn("open_after", sum(col("net")).over(wDays))
+      .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+      .agg(sum(col("n_opened")).as("n_opened"),
+        max(col("open_after")).as("peak_open"))
+      .orderBy(col("month"))
+  }
+  private val q160Sql =
+    """WITH o AS (
+      |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders
+      |), sh AS (
+      |  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS sd
+      |  FROM lineitem GROUP BY 1
+      |), iv AS (
+      |  SELECT od, GREATEST(sd, od) AS ed
+      |  FROM o JOIN sh ON o_orderkey = l_orderkey
+      |), deltas AS (
+      |  SELECT day, CAST(SUM(delta) AS BIGINT) AS net,
+      |    CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_opened
+      |  FROM (
+      |    SELECT od AS day, 1 AS delta FROM iv
+      |    UNION ALL SELECT ed + 1, -1 FROM iv
+      |  ) GROUP BY 1
+      |), run AS (
+      |  SELECT day, n_opened,
+      |    CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS open_after
+      |  FROM deltas
+      |)
+      |SELECT strftime(day, '%Y-%m') AS month,
+      |  CAST(SUM(n_opened) AS BIGINT) AS n_opened,
+      |  CAST(MAX(open_after) AS BIGINT) AS peak_open
+      |FROM run GROUP BY 1 ORDER BY month""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q159_benford_audit" -> q159,
+    "q160_open_orders" -> q160,
     "q149_fk_audit" -> q149,
     "q72_interval_overlap" -> q72,
     "q57_asof_attribution" -> q57,
@@ -564,6 +680,8 @@ object QueriesRelational {
     "q25_unknown_audit" -> q25)
 
   val oracleSql: Map[String, String] = Map(
+    "q159_benford_audit" -> q159Sql,
+    "q160_open_orders" -> q160Sql,
     "q149_fk_audit" -> q149Sql,
     "q72_interval_overlap" -> q72Sql,
     "q57_asof_attribution" -> q57Sql,

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{col, lit}
+
 /** Hand-computed fixtures for the round-8 pipeline-hygiene quartet:
   * q147 A/B lift (exact z² rational), q148 seasonal-naive backtest
   * (date join, not row lag — a missing day must break the pairing),
@@ -104,6 +106,48 @@ class PipelineAuditSpec extends SparkSpec {
     val got = SparkEntry.queries("q150_debounce")(spark, d)
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("click", 4L, 3L, 250000L), ("view", 1L, 1L, 0L)))
+  }
+
+  test("q159: first significant digits come off the cents string, zeros published") {
+    val d = java.nio.file.Files.createTempDirectory("graft_benford").toString
+    // digits: 150.00→1, 19.99→1, 1.00→1, 2000.00→2, 0.05→5 (sub-unit
+    // price: the cents string "5" IS the first significant digit),
+    // 999.99→9 → n=6: shares 3/6, 1/6, 1/6, 1/6
+    Seq((1L, "150.00"), (2L, "19.99"), (3L, "1.00"), (4L, "2000.00"),
+      (5L, "0.05"), (6L, "999.99"))
+      .toDF("o_orderkey", "p")
+      .withColumn("o_totalprice", col("p").cast("decimal(15,2)")).drop("p")
+      .withColumn("o_orderdate", lit("1995-01-01"))
+      .write.parquet(s"$d/orders.parquet")
+    val got = SparkEntry.queries("q159_benford_audit")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val benford = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L,
+      57991L, 51152L, 45757L)
+    val n = Map(1L -> 3L, 2L -> 1L, 5L -> 1L, 9L -> 1L).withDefaultValue(0L)
+    val expected = (1L to 9L).map { dgt =>
+      val ppm = 1000000L * n(dgt) / 6L
+      (dgt, n(dgt), ppm, benford(dgt.toInt - 1), ppm - benford(dgt.toInt - 1))
+    }
+    assert(got == expected)
+  }
+
+  test("q160: interval sweep counts concurrently open orders by hand") {
+    val d = java.nio.file.Files.createTempDirectory("graft_sweep").toString
+    // A: open Jan 1-3; B: open Jan 2 only; C: open Feb 1; D: last ship
+    // BEFORE the order date (clamped to open Jan 5 only); E: no
+    // lineitems (excluded). Daily active: Jan1=1 Jan2=2 Jan3=1 Jan5=1.
+    Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-02-01"),
+      (4L, "2024-01-05"), (5L, "2024-01-10"))
+      .toDF("o_orderkey", "o_orderdate")
+      .withColumn("o_totalprice", lit("10.00").cast("decimal(15,2)"))
+      .write.parquet(s"$d/orders.parquet")
+    Seq((1L, "2024-01-02"), (1L, "2024-01-03"), (2L, "2024-01-02"),
+      (3L, "2024-02-01"), (4L, "2024-01-04"))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = SparkEntry.queries("q160_open_orders")(spark, d)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("2024-01", 3L, 2L), ("2024-02", 1L, 1L)))
   }
 
   test("q152: RFM quintile scores are tie-stable and hand-checkable") {
