@@ -126,6 +126,68 @@ object QueriesBehavior {
        |ORDER BY cohort_week, offset_w""".stripMargin
   }
 
+  // --- q161: cohort LTV curve (monetary retention) ----------------------------
+  // q91's retention triangle with the monetary dimension — the "how much
+  // has each signup cohort spent by week k" curve every growth team
+  // reads: cohort = the user's first PURCHASE week; per (cohort, offset)
+  // cell: spending users, exact cents revenue, cumulative cohort
+  // revenue, and cumulative LTV per cohort user in floored milli-cents.
+  // Money is integer cents per event before any sum (q152's rule);
+  // the cumulative window runs over the cohort×offset triangle
+  // (dimension-sized). Scale: one corpus pass to (user, week) cents
+  // (the only corpus-sized shuffle), user-keyed cohort join — q91's
+  // partitioning reused exactly.
+  private val q161: Q = (s, dir) => {
+    val p = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr(weekOf("unix_micros(ts)")).as("week"),
+        expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").as("cents"))
+    val uw = p.groupBy(col("user_id"), col("week"))
+      .agg(sum(col("cents")).as("cents"))
+    val cohorts = uw.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = uw.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("offset_w"))
+      .agg(count(lit(1)).as("n_spenders"), sum(col("cents")).as("rev_c"))
+    val wCum = Window.partitionBy("cohort_week").orderBy("offset_w")
+    cells.join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("cum_rev_c", sum(col("rev_c")).over(wCum))
+      .select(col("cohort_week"), col("offset_w"), col("cohort_users"),
+        col("n_spenders"), col("rev_c"), col("cum_rev_c"),
+        expr("(1000 * cum_rev_c) DIV cohort_users").as("ltv_mc"))
+      .orderBy(col("cohort_week"), col("offset_w"))
+  }
+  private val q161Sql =
+    s"""WITH p AS (
+       |  SELECT user_id, epoch_us(ts) // $WeekUs AS week,
+       |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'
+       |), uw AS (
+       |  SELECT user_id, week, CAST(SUM(cents) AS BIGINT) AS cents
+       |  FROM p GROUP BY 1, 2
+       |), cohorts AS (
+       |  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1
+       |), sizes AS (
+       |  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+       |  FROM cohorts GROUP BY 1
+       |), cells AS (
+       |  SELECT cohort_week, week - cohort_week AS offset_w,
+       |    CAST(COUNT(*) AS BIGINT) AS n_spenders,
+       |    CAST(SUM(cents) AS BIGINT) AS rev_c
+       |  FROM uw JOIN cohorts USING (user_id)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT cohort_week, offset_w, cohort_users, n_spenders, rev_c,
+       |  CAST(SUM(rev_c) OVER (PARTITION BY cohort_week ORDER BY offset_w)
+       |    AS BIGINT) AS cum_rev_c,
+       |  (1000 * CAST(SUM(rev_c) OVER (PARTITION BY cohort_week
+       |    ORDER BY offset_w) AS BIGINT)) // cohort_users AS ltv_mc
+       |FROM cells JOIN sizes USING (cohort_week)
+       |ORDER BY cohort_week, offset_w""".stripMargin
+
   // --- q92: event-type transition matrix --------------------------------------
   // First-order Markov transition counts over each user's time-ordered
   // event stream, with integer per-mille shares per origin type — the
@@ -1072,6 +1134,7 @@ object QueriesBehavior {
 
   val queries: Map[String, Q] = Map(
     "q158_time_to_convert" -> q158,
+    "q161_cohort_ltv" -> q161,
     "q152_rfm_segments" -> q152,
     "q147_ab_lift" -> q147,
     "q150_debounce" -> q150,
@@ -1092,6 +1155,7 @@ object QueriesBehavior {
 
   val oracleSql: Map[String, String] = Map(
     "q158_time_to_convert" -> q158Sql,
+    "q161_cohort_ltv" -> q161Sql,
     "q152_rfm_segments" -> q152Sql,
     "q147_ab_lift" -> q147Sql,
     "q150_debounce" -> q150Sql,

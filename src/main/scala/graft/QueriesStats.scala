@@ -1243,7 +1243,72 @@ object QueriesStats {
        |FROM scored ORDER BY lag""".stripMargin
   }
 
+  // --- q162: join-key skew audit ----------------------------------------------
+  // The planning question behind every salting/AQE-skew decision at
+  // 100 TB: HOW skewed is this join key, measured not guessed. Per
+  // audited key column (lineitem part/supplier/order FKs): distinct
+  // keys, total rows, max and median per-key frequency, the top key's
+  // row share in ppm, and the max/median skew ratio per-mille — the
+  // number you compare against the shuffle-partition budget. The median
+  // comes off the FREQUENCY-OF-FREQUENCIES grid (group the per-key
+  // counts, then a cumulative window over the ≤ |distinct frequencies|
+  // grid — q135's discipline; per-key counts never sort globally).
+  // Scale: per key column one corpus-sized combinable count + one
+  // grid-sized window; the three audits are independent branches off
+  // the same scan, unioned at ≤ 3 rows.
+  private val SkewKeys = Seq("l_partkey", "l_suppkey", "l_orderkey")
+  private val q162: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val audits = SkewKeys.map { k =>
+      val freq = li.groupBy(col(k).as("key")).agg(count(lit(1)).as("f"))
+      val grid = freq.groupBy(col("f")).agg(count(lit(1)).as("nk"))
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.orderBy("f") // frequency-grid-sized
+      val gridCum = grid
+        .withColumn("cum", sum(col("nk")).over(wCum))
+        .crossJoin(broadcast(
+          grid.agg(sum(col("nk")).as("n_keys"),
+            sum(col("f") * col("nk")).as("n_rows"),
+            max(col("f")).as("max_f"))))
+      val med = gridCum.filter(expr("cum >= (n_keys + 1) DIV 2"))
+        .agg(min(col("f")).as("median_f"))
+      gridCum.agg(
+          max(col("n_keys")).as("n_keys"),
+          max(col("n_rows")).as("n_rows"),
+          max(col("max_f")).as("max_f"))
+        .crossJoin(broadcast(med))
+        .select(lit(k).as("key_col"), col("n_keys"), col("n_rows"),
+          col("max_f"), col("median_f"),
+          expr("(1000000 * max_f) DIV n_rows").as("top_share_ppm"),
+          expr("(1000 * max_f) DIV median_f").as("skew_ratio_pm"))
+    }
+    audits.reduce(_.unionAll(_)).orderBy(col("key_col"))
+  }
+  private val q162Sql = {
+    val one = (k: String) =>
+      s"""SELECT '$k' AS key_col, n_keys, n_rows, max_f, median_f,
+         |  (1000000 * max_f) // n_rows AS top_share_ppm,
+         |  (1000 * max_f) // median_f AS skew_ratio_pm
+         |FROM (
+         |  SELECT MAX(n_keys) AS n_keys, MAX(n_rows) AS n_rows,
+         |    MAX(max_f) AS max_f,
+         |    MIN(CASE WHEN cum >= (n_keys + 1) // 2 THEN f END) AS median_f
+         |  FROM (
+         |    SELECT f, CAST(SUM(nk) OVER (ORDER BY f) AS BIGINT) AS cum,
+         |      CAST(SUM(nk) OVER () AS BIGINT) AS n_keys,
+         |      CAST(SUM(f * nk) OVER () AS BIGINT) AS n_rows,
+         |      CAST(MAX(f) OVER () AS BIGINT) AS max_f
+         |    FROM (
+         |      SELECT f, CAST(COUNT(*) AS BIGINT) AS nk FROM (
+         |        SELECT $k AS key, CAST(COUNT(*) AS BIGINT) AS f
+         |        FROM lineitem GROUP BY 1) GROUP BY 1)
+         |  )
+         |)""".stripMargin
+    SkewKeys.map(one).mkString("\nUNION ALL\n") + "\nORDER BY key_col"
+  }
+
   val queries: Map[String, Q] = Map(
+    "q162_skew_audit" -> q162,
     "q153_leadlag_xcorr" -> q153,
     "q148_seasonal_backtest" -> q148,
     "q145_skyline" -> q145,
@@ -1267,6 +1332,7 @@ object QueriesStats {
     "q126_ship_latency" -> q126)
 
   val oracleSql: Map[String, String] = Map(
+    "q162_skew_audit" -> q162Sql,
     "q153_leadlag_xcorr" -> q153Sql,
     "q148_seasonal_backtest" -> q148Sql,
     "q145_skyline" -> q145Sql,

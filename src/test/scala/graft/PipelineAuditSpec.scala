@@ -150,6 +150,41 @@ class PipelineAuditSpec extends SparkSpec {
     assert(got == Seq(("2024-01", 3L, 2L), ("2024-02", 1L, 1L)))
   }
 
+  test("q161: cohort LTV accumulates exact cents per cohort week") {
+    // week 0 = 2024-01-01, week 1 = exactly +7 days (adjacent epoch-week
+    // buckets regardless of phase). u1: $10 in week 0, $20 in week 1;
+    // u2: $5 in week 0 only → cohort of 2 users.
+    val d = java.nio.file.Files.createTempDirectory("graft_ltv").toString
+    Seq((1L, "2024-01-01 12:00:00", 1L, 10.0), (2L, "2024-01-08 12:00:00", 1L, 20.0),
+      (3L, "2024-01-01 13:00:00", 2L, 5.0))
+      .map { case (id, t, u, v) => (id, ts(t), u, "purchase", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q161_cohort_ltv")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val w0 = got.head._1 // absolute epoch week index
+    assert(got == Seq(
+      (w0, 0L, 2L, 2L, 1500L, 1500L, 750000L),
+      (w0, 1L, 2L, 1L, 2000L, 3500L, 1750000L)))
+  }
+
+  test("q162: skew audit reads max/median off the frequency grid") {
+    val d = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    // partkey: 1×4, 2×1, 3×1 (skewed); suppkey: 6 distinct (flat);
+    // orderkey: two keys ×3 (flat but dense)
+    Seq((1L, 1L, 10L), (1L, 1L, 20L), (1L, 1L, 30L),
+      (2L, 1L, 40L), (2L, 2L, 50L), (2L, 3L, 60L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .withColumn("l_shipdate", lit("1995-01-01"))
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = SparkEntry.queries("q162_skew_audit")(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("l_orderkey", 2L, 6L, 3L, 3L, 500000L, 1000L),
+      ("l_partkey", 3L, 6L, 4L, 1L, 666666L, 4000L),
+      ("l_suppkey", 6L, 6L, 1L, 1L, 166666L, 1000L)))
+  }
+
   test("q152: RFM quintile scores are tie-stable and hand-checkable") {
     // user k (k = 1..5) makes k purchases of 10·k dollars on day
     // 2024-01-0k. All three metric grids are 5 distinct values with one
