@@ -1,0 +1,363 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** Round-8 quantitative-analytics quartet — four operator families a
+  * curation/analytics engine at 100 TB keeps reaching for, each with the
+  * integer-exact cross-engine discipline of [[Exact]]:
+  *
+  *  - q163: right-censored survival (Nelson–Aalen cumulative hazard) over
+  *    customer order lifetimes — the churn curve with censoring done
+  *    honestly (customers still active at the horizon are at-risk, not
+  *    churned). Hazard is published in exact per-term floored micro-units
+  *    so no float product/log ever crosses the engine boundary.
+  *  - q164: Mann–Whitney U / rank-sum AUC per nation — the
+  *    distribution-free "did segment A outspend segment B" test. Ranks are
+  *    computed at VALUE grain (doubled to keep tie-averages integral), so
+  *    the plan never global-sorts the member rows.
+  *  - q165: FIFO lot allocation as interval algebra — matching returned
+  *    units against acknowledged demand in ship-date order WITHOUT a
+  *    per-unit loop: cumulative-sum intervals on both sides turn "FIFO
+  *    consumption" into an interval-intersection equi+range join per part
+  *    (matched(i,j) = overlap of [csᵢ₋₁,csᵢ) and [cdⱼ₋₁,cdⱼ)).
+  *  - q166: Heaps'-law vocabulary-growth curve — distinct-type count at 20
+  *    corpus checkpoints via FIRST-OCCURRENCE grain (each type contributes
+  *    once, at its min doc), so the curve costs one token aggregate, not
+  *    20 re-scans.
+  *
+  * Scale notes: q163/q164/q166 aggregate to dimension grain (weeks /
+  * nation×distinct-value / 20 buckets) before any window — the only
+  * unpartitioned windows run over those dimension tables (documented at
+  * the call sites). q165's join fan-out is bounded: a supply lot overlaps
+  * a demand lot only where their cumulative intervals intersect, and the
+  * per-part pair count is ≤ supply_rows + demand_rows − 1 (intervals on a
+  * line, both sides monotone — NOT quadratic), keyed and shuffled by part.
+  */
+object QueriesQuant {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- q163: Nelson–Aalen cumulative hazard with right-censoring -------------
+  // Lifetime = weeks between a customer's first and last order; a customer
+  // whose last order is within [[ChurnGapDays]] of the corpus horizon is
+  // CENSORED at that lifetime (still alive as far as the data can say),
+  // otherwise it is a churn EVENT. Per event week w:
+  //   n_risk(w) = # customers with lifetime ≥ w   (leavers at w included)
+  //   d(w)      = # churn events at w
+  //   hazard    = (1e6·d) DIV n_risk              (exact floored micro-units)
+  //   cum_h     = Σ_{w'≤w} hazard(w')             (Nelson–Aalen estimator)
+  // The per-term floor makes the estimator a pure integer recurrence —
+  // bit-identical on any engine, no exp/ln/product float path (the q87
+  // exact-rational discipline applied to survival analysis).
+  // Scale: one customer-grain aggregate (combinable), then everything runs
+  // on the week grid — the unpartitioned windows scan ≤ horizon/7 rows
+  // (dimension-sized by construction, ~350 at any corpus size).
+  private val ChurnGapDays = 60
+  private val q163: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+    val horizon = o.agg(max(col("day")).as("h_day"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        expr("CAST(datediff(l, f) AS BIGINT) DIV 7").as("week"),
+        (datediff(col("h_day"), col("l")) > ChurnGapDays).as("churned"))
+    val wk = cust.groupBy(col("week")).agg(
+      sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+      count(lit(1)).as("leavers"))
+    // week-grid windows (≤ horizon/7 rows — dimension-sized, see scaladoc)
+    val wBefore = Window.orderBy(col("week"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("week"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wk.withColumn("gone", coalesce(sum(col("leavers")).over(wBefore), lit(0L)))
+      .withColumn("n_risk",
+        sum(col("leavers")).over(Window.partitionBy()) - col("gone"))
+      .withColumn("mh_micro", expr("(1000000 * d) DIV n_risk"))
+      .withColumn("cum_h_micro", sum(col("mh_micro")).over(wCum))
+      .filter(col("d") > 0)
+      .select(col("week"), col("d").as("n_churn"), col("n_risk"),
+        col("mh_micro"), col("cum_h_micro"))
+      .orderBy(col("week"))
+  }
+  private val q163Sql =
+    s"""WITH o AS (
+       |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day FROM orders
+       |), h AS (SELECT MAX(day) AS h_day FROM o),
+       |cust AS (
+       |  SELECT
+       |    CAST(date_diff('day', MIN(day), MAX(day)) AS BIGINT) // 7 AS week,
+       |    date_diff('day', MAX(day), (SELECT h_day FROM h))
+       |      > $ChurnGapDays AS churned
+       |  FROM o GROUP BY o_custkey
+       |), wk AS (
+       |  SELECT week,
+       |    CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(COUNT(*) AS BIGINT) AS leavers
+       |  FROM cust GROUP BY week
+       |), risk AS (
+       |  SELECT week, d,
+       |    CAST(SUM(leavers) OVER () AS BIGINT)
+       |      - CAST(COALESCE(SUM(leavers) OVER (ORDER BY week
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        AS BIGINT) AS n_risk,
+       |    (1000000 * d) // (CAST(SUM(leavers) OVER () AS BIGINT)
+       |      - CAST(COALESCE(SUM(leavers) OVER (ORDER BY week
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        AS BIGINT)) AS mh_micro
+       |  FROM wk
+       |), cum AS (
+       |  SELECT week, d AS n_churn, n_risk, mh_micro,
+       |    CAST(SUM(mh_micro) OVER (ORDER BY week
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_h_micro
+       |  FROM risk
+       |)
+       |SELECT * FROM cum WHERE n_churn > 0 ORDER BY week""".stripMargin
+
+  // --- q164: Mann–Whitney U / AUC per nation ----------------------------------
+  // Distribution-free two-sample test: within each nation, does the
+  // [[MwSegA]] segment's account balance stochastically dominate
+  // [[MwSegB]]'s? Ranks are computed at (nation, value) grain — count n
+  // and group-A count n1 per distinct cent value, then the tie-averaged
+  // rank of a value is cum_before + (n+1)/2. Everything is DOUBLED
+  // (r2 = 2·cum_before + n + 1) so tie averages stay integral:
+  //   2·R1 = Σ_v n1(v) · r2(v),   2·U1 = 2·R1 − n1(n1+1),
+  //   AUC‰ = ⌊1000 · 2U1 / (2·n1·n2)⌋   ∈ [0, 1000].
+  // The q120-class bound: n1·r2 terms and n1(n1+1) square the group size,
+  // clearing int63 at ~2e9 members/nation — below the 100 TB design
+  // point — so rank-sums run in DECIMAL(38,0) (HUGEINT twin) and publish
+  // via CAST AS DOUBLE + an identically-shaped double AUC (the q87
+  // discipline).
+  // Scale: member rows aggregate to value grain map-side; the rank window
+  // is partitioned BY NATION over distinct values only — no global sort of
+  // the population ever happens (the q152 grid discipline).
+  private val MwSegA = "BUILDING"
+  private val MwSegB = "MACHINERY"
+  private val q164: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin(MwSegA, MwSegB))
+      .select(col("c_nationkey").cast("long").as("nk"),
+        Exact.cents(col("c_acctbal")).as("v"),
+        when(col("c_mktsegment") === MwSegA, 1L).otherwise(0L).as("is_a"))
+    val grid = c.groupBy(col("nk"), col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("is_a")).as("n1"))
+    val wBefore = Window.partitionBy(col("nk")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grid
+      .withColumn("before", coalesce(sum(col("n")).over(wBefore), lit(0L)))
+      .withColumn("r2", lit(2L) * col("before") + col("n") + lit(1L))
+    val agg = ranked.groupBy(col("nk")).agg(
+      sum(col("n1")).as("n1"),
+      sum(col("n") - col("n1")).as("n2"),
+      sum(expr("CAST(n1 AS DECIMAL(19,0)) * CAST(r2 AS DECIMAL(19,0))"))
+        .as("r1x2"))
+    agg.join(broadcast(Tables.nation(s, dir)),
+        col("nk") === col("n_nationkey"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("u1x2", expr(
+        """CAST(r1x2 - CAST(n1 AS DECIMAL(19,0)) *
+          |  CAST(n1 + 1 AS DECIMAL(19,0)) AS DOUBLE)""".stripMargin))
+      .select(col("n_name").as("nation"), col("n1"), col("n2"), col("u1x2"),
+        expr("""CAST(FLOOR((1000 * u1x2) /
+               |  (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+               |  AS BIGINT)""".stripMargin).as("auc_pm"))
+      .orderBy(col("nation"))
+  }
+  private val q164Sql =
+    s"""WITH c AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+       |    ${Exact.sql.cents("c_acctbal")} AS v,
+       |    CASE WHEN c_mktsegment = '$MwSegA' THEN 1 ELSE 0 END AS is_a
+       |  FROM customer WHERE c_mktsegment IN ('$MwSegA', '$MwSegB')
+       |), grid AS (
+       |  SELECT nk, v, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(is_a) AS BIGINT) AS n1
+       |  FROM c GROUP BY nk, v
+       |), ranked AS (
+       |  SELECT nk, n, n1,
+       |    2 * CAST(COALESCE(SUM(n) OVER (PARTITION BY nk ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      + n + 1 AS r2
+       |  FROM grid
+       |), agg AS (
+       |  SELECT nk, CAST(SUM(n1) AS BIGINT) AS n1,
+       |    CAST(SUM(n - n1) AS BIGINT) AS n2,
+       |    SUM(CAST(n1 AS HUGEINT) * CAST(r2 AS HUGEINT)) AS r1x2
+       |  FROM ranked GROUP BY nk
+       |), u AS (
+       |  SELECT nk, n1, n2,
+       |    CAST(r1x2 - CAST(n1 AS HUGEINT) * CAST(n1 + 1 AS HUGEINT)
+       |      AS DOUBLE) AS u1x2
+       |  FROM agg WHERE n1 > 0 AND n2 > 0
+       |)
+       |SELECT n_name AS nation, n1, n2, u1x2,
+       |  CAST(FLOOR((1000 * u1x2) /
+       |    (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS BIGINT) AS auc_pm
+       |FROM u JOIN nation ON nk = n_nationkey
+       |ORDER BY nation""".stripMargin
+
+  // --- q165: FIFO lot allocation via cumulative-interval intersection ---------
+  // Returned units (l_returnflag = 'R') are re-allocated to acknowledged
+  // demand (l_returnflag = 'A') of the same part in ship-date order —
+  // classic FIFO consumption, which is a LOOP in row-at-a-time engines.
+  // Here it is pure algebra: with per-part cumulative quantities
+  // cs (supply) and cd (demand) in (shipdate, orderkey, linenumber) order,
+  // supply lot i fills demand lot j by exactly
+  //   matched(i,j) = max(0, min(csᵢ, cdⱼ) − max(csᵢ₋₁, cdⱼ₋₁)),
+  // and the pairs with matched > 0 are exactly those whose cumulative
+  // intervals intersect — an equi-join on part + a range predicate.
+  // Fan-out bound (the reason this survives scale): per part the matched
+  // pairs form a MONOTONE STAIRCASE over two interval partitions of one
+  // line, so #pairs ≤ #supply + #demand − 1 — linear, never quadratic.
+  // Published at brand grain: pair count, matched units, and
+  // matched-unit-weighted allocation lag in days (signed: a return can
+  // land after the demand it back-fills).
+  private val q165: Q = (s, dir) => {
+    def side(flag: String, cum: String, prev: String) = {
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("day"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === flag)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("day"),
+          col("l_quantity").cast("long").as("qty"))
+        .withColumn(cum, sum(col("qty")).over(w))
+        .withColumn(prev, col(cum) - col("qty"))
+    }
+    val sup = side("R", "cs", "cs_prev")
+      .select(col("l_partkey").as("pk"), col("day").as("s_day"),
+        col("cs"), col("cs_prev"))
+    val dem = side("A", "cd", "cd_prev")
+      .select(col("l_partkey").as("dk"), col("day").as("d_day"),
+        col("cd"), col("cd_prev"))
+    val pairs = sup.join(dem,
+        col("pk") === col("dk") &&
+          col("cs_prev") < col("cd") && col("cd_prev") < col("cs"))
+      .select(col("pk"),
+        (least(col("cs"), col("cd")) -
+          greatest(col("cs_prev"), col("cd_prev"))).as("matched"),
+        datediff(col("s_day"), col("d_day")).cast("long").as("lag_days"))
+    pairs.join(broadcast(
+        Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("pk") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("matched")).as("matched_units"),
+        sum(col("matched") * col("lag_days")).as("unit_lag_days"))
+      .orderBy(col("p_brand"))
+  }
+  private val q165Sql =
+    """WITH li AS (
+      |  SELECT l_partkey, l_orderkey, l_linenumber, l_returnflag,
+      |    CAST(l_shipdate AS DATE) AS day, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+      |), cums AS (
+      |  SELECT l_partkey, l_returnflag, day,
+      |    CAST(SUM(qty) OVER (PARTITION BY l_partkey, l_returnflag
+      |      ORDER BY day, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum, qty
+      |  FROM li
+      |), sup AS (
+      |  SELECT l_partkey AS pk, day AS s_day, cum AS cs, cum - qty AS cs_prev
+      |  FROM cums WHERE l_returnflag = 'R'
+      |), dem AS (
+      |  SELECT l_partkey AS dk, day AS d_day, cum AS cd, cum - qty AS cd_prev
+      |  FROM cums WHERE l_returnflag = 'A'
+      |), pairs AS (
+      |  SELECT pk,
+      |    LEAST(cs, cd) - GREATEST(cs_prev, cd_prev) AS matched,
+      |    CAST(date_diff('day', d_day, s_day) AS BIGINT) AS lag_days
+      |  FROM sup JOIN dem
+      |    ON pk = dk AND cs_prev < cd AND cd_prev < cs
+      |)
+      |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(matched) AS BIGINT) AS matched_units,
+      |  CAST(SUM(matched * lag_days) AS BIGINT) AS unit_lag_days
+      |FROM pairs JOIN part ON pk = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // --- q166: Heaps'-law vocabulary-growth curve -------------------------------
+  // "How fast does vocabulary grow as the corpus grows?" — the curve every
+  // tokenizer-budget decision starts from. The corpus is cut into
+  // [[HeapsBuckets]] checkpoints by doc id; each type (distinct token)
+  // contributes to the bucket of its FIRST occurrence, so cumulative
+  // new-type counts ARE the vocabulary sizes at each checkpoint — one
+  // token-grain aggregate instead of B re-scans of growing prefixes.
+  // Scale: token explode → two combinable aggregates (type grain, then
+  // bucket grain); the only windows run over the B-row bucket grid.
+  private val HeapsBuckets = 20
+  private val q166: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val tok = docs
+      .select(col("doc_id"),
+        explode(expr(TextOps.tokensExpr("text"))).as("tok"))
+      .crossJoin(broadcast(mx))
+      .select(expr(s"(doc_id * $HeapsBuckets) DIV (mx + 1)").as("bucket"),
+        col("tok"), col("doc_id"))
+    val toksPerBucket = tok.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tok"))
+    val firstSeen = tok.groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(mx))
+      .select(expr(s"(fd * $HeapsBuckets) DIV (mx + 1)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toksPerBucket.join(firstSeen, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("tokens_cum", sum(col("n_tok")).over(wCum))
+      .withColumn("vocab_cum", sum(col("new_types")).over(wCum))
+      .orderBy(col("bucket"))
+  }
+  private val q166Sql =
+    s"""WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+       |tok AS (
+       |  SELECT (doc_id * $HeapsBuckets) // ((SELECT mx FROM mx) + 1) AS bucket,
+       |    unnest(${TextOps.sql.tokens("text")}) AS tok, doc_id
+       |  FROM documents
+       |), tpb AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tok
+       |  FROM tok GROUP BY bucket
+       |), fs AS (
+       |  SELECT (MIN(doc_id) * $HeapsBuckets)
+       |      // ((SELECT mx FROM mx) + 1) AS bucket
+       |  FROM tok GROUP BY tok
+       |), nt AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+       |  FROM fs GROUP BY bucket
+       |), j AS (
+       |  SELECT COALESCE(tpb.bucket, nt.bucket) AS bucket,
+       |    COALESCE(n_tok, 0) AS n_tok,
+       |    COALESCE(new_types, 0) AS new_types
+       |  FROM tpb FULL OUTER JOIN nt ON tpb.bucket = nt.bucket
+       |)
+       |SELECT bucket, n_tok, new_types,
+       |  CAST(SUM(n_tok) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS tokens_cum,
+       |  CAST(SUM(new_types) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS vocab_cum
+       |FROM j ORDER BY bucket""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q163_survival_hazard" -> q163,
+    "q164_mannwhitney_auc" -> q164,
+    "q165_fifo_allocation" -> q165,
+    "q166_heaps_curve" -> q166)
+
+  val oracleSql: Map[String, String] = Map(
+    "q163_survival_hazard" -> q163Sql,
+    "q164_mannwhitney_auc" -> q164Sql,
+    "q165_fifo_allocation" -> q165Sql,
+    "q166_heaps_curve" -> q166Sql)
+}

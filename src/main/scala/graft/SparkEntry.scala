@@ -22,7 +22,8 @@ object SparkEntry {
       QueriesCorpus.queries ++ QueriesCuration.queries ++
       QueriesTokenizer.queries ++ QueriesSearch.queries ++
       QueriesChange.queries ++ QueriesStats.queries ++
-      QueriesBehavior.queries ++ QueriesGraph.queries ++ QueriesSketch.queries
+      QueriesBehavior.queries ++ QueriesGraph.queries ++
+      QueriesSketch.queries ++ QueriesQuant.queries
 
   def oracleSql: Map[String, String] =
     QueriesCore.oracleSql ++ QueriesRelational.oracleSql ++
@@ -30,5 +31,6 @@ object SparkEntry {
       QueriesCorpus.oracleSql ++ QueriesCuration.oracleSql ++
       QueriesTokenizer.oracleSql ++ QueriesSearch.oracleSql ++
       QueriesChange.oracleSql ++ QueriesStats.oracleSql ++
-      QueriesBehavior.oracleSql ++ QueriesGraph.oracleSql ++ QueriesSketch.oracleSql
+      QueriesBehavior.oracleSql ++ QueriesGraph.oracleSql ++
+      QueriesSketch.oracleSql ++ QueriesQuant.oracleSql
 }
