@@ -137,9 +137,10 @@ object QueriesGraph {
     * support aggregation; the cut itself is a TakeOrdered (map-side
     * heaps), so everything downstream of this frame runs on ≤ M edges
     * at ANY corpus size. */
-  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private def copurchaseEdges(s: SparkSession, dir: String,
+                              keepSupport: Boolean = false): DataFrame = {
     val cap = 50 // q118's basket guard: one 10⁶-item basket ≠ 5·10¹¹ pairs
-    Tables.lineitem(s, dir)
+    val cut = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy(col("ok"))
       .agg(sort_array(collect_set(col("pk"))).as("ps"))
@@ -153,25 +154,29 @@ object QueriesGraph {
       .agg(count(lit(1)).as("support"))
       .orderBy(desc("support"), col("a"), col("b"))
       .limit(TriEdges)
-      .select(col("a"), col("b"))
+    (if (keepSupport) cut.select(col("a"), col("b"), col("support"))
+     else cut.select(col("a"), col("b")))
       .repartition(col("a")) // the cut collapses to one partition; fan back out
   }
 
   /** The matching DuckDB CTE chain, binding the edge list as `$name`. */
-  private def copurchaseEdgesSql(name: String): String =
+  private def copurchaseEdgesSql(name: String,
+                                 keepSupport: Boolean = false): String = {
+    val cols = if (keepSupport) "a, b, support" else "a, b"
     s"""items AS (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
        |), small AS (
        |  SELECT ok FROM items GROUP BY ok HAVING COUNT(*) <= 50
        |), incap AS (SELECT items.ok, pk FROM items JOIN small USING (ok)),
        |$name AS MATERIALIZED (
-       |  SELECT a, b FROM (
+       |  SELECT $cols FROM (
        |    SELECT a.pk AS a, b.pk AS b, COUNT(*) AS support
        |    FROM incap a JOIN incap b ON a.ok = b.ok AND a.pk < b.pk
        |    GROUP BY 1, 2
        |    ORDER BY support DESC, a, b LIMIT $TriEdges
        |  ) cut
        |)""".stripMargin
+  }
 
   private val q130: Q = (s, dir) => {
     val edges = copurchaseEdges(s, dir)
@@ -429,17 +434,92 @@ object QueriesGraph {
        |ORDER BY community_size DESC, lab LIMIT $LpaTopK""".stripMargin
   }
 
+  // --- q167: weighted shortest paths (Bellman–Ford relaxation) ---------------
+  // q144's BFS asks "how many hops"; promotions care about WEIGHTED
+  // distance — rarely-co-bought links are weak, so edge cost is inverse
+  // support (w = 1 + 1e6 DIV support: frequent pairs ≈ cheap, rare pairs
+  // ≈ expensive; integer, engine-portable). The sixth distributed-graph
+  // op: min-plus relaxation, [[WspRounds]] rounds of
+  //   d_i(n) = min(d_{i-1}(n), min over edges (d_{i-1}(src) + w)) —
+  // Bellman–Ford's unrolled contract (distances beyond the round horizon
+  // absent by DEFINITION, q144's convention). Published as the
+  // distance-bucket histogram + part-key checksum + exact min/max per
+  // bucket — the compact audit of the whole distance field.
+  // Scale: per round one frontier⨝edges equi-join + one min-aggregate on
+  // the ≤ [[TriEdges]] cut; localCheckpoint holds plan depth linear in
+  // rounds; unlike BFS a settled node can still improve, which min
+  // consolidation handles for free.
+  private val WspRounds = 4
+  private val WspBrand = "Brand#1"
+  private val q167: Q = (s, dir) => {
+    val e = copurchaseEdges(s, dir, keepSupport = true)
+      .select(col("a"), col("b"), expr("1 + 1000000 DIV support").as("w"))
+    val sym = e.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .localCheckpoint() // scanned every round
+    val seedKeys = Tables.part(s, dir)
+      .filter(col("p_brand") === WspBrand)
+      .select(col("p_partkey"))
+    var dist = sym.select(col("src").as("n")).distinct()
+      .join(broadcast(seedKeys), col("n") === col("p_partkey"), "left_semi")
+      .withColumn("d", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to WspRounds) {
+      val relax = dist.join(sym, col("n") === col("src"))
+        .select(col("dst").as("n"), (col("d") + col("w")).as("d"))
+      dist = dist.unionAll(relax)
+        .groupBy(col("n")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    dist.groupBy(expr("d DIV 100000").as("dist_bucket"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("n")).as("sum_part"),
+        min(col("d")).as("min_d"), max(col("d")).as("max_d"))
+      .orderBy(col("dist_bucket"))
+  }
+  private val q167Sql = {
+    val rounds = (1 to WspRounds).map { i =>
+      val prev = s"d${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT n, MIN(d) AS d FROM (
+         |    SELECT n, d FROM $prev
+         |    UNION ALL
+         |    SELECT s.dst, p.d + s.w FROM $prev p JOIN sym s ON s.src = p.n
+         |  ) u GROUP BY n
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${copurchaseEdgesSql("e", keepSupport = true)},
+       |w AS MATERIALIZED (
+       |  SELECT a, b, 1 + 1000000 // support AS w FROM e
+       |),
+       |sym AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst, w FROM w
+       |  UNION ALL SELECT b, a, w FROM w
+       |),
+       |d0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS n, CAST(0 AS BIGINT) AS d FROM sym
+       |  WHERE src IN (SELECT p_partkey FROM part WHERE p_brand = '$WspBrand')
+       |),
+       |$rounds
+       |SELECT d // 100000 AS dist_bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+       |  CAST(SUM(n) AS BIGINT) AS sum_part,
+       |  MIN(d) AS min_d, MAX(d) AS max_d
+       |FROM d$WspRounds GROUP BY dist_bucket ORDER BY dist_bucket""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q129_supplier_walk" -> q129,
     "q130_triangle_count" -> q130,
     "q133_kcore" -> q133,
     "q144_bfs_hops" -> q144,
-    "q154_label_propagation" -> q154)
+    "q154_label_propagation" -> q154,
+    "q167_weighted_paths" -> q167)
 
   val oracleSql: Map[String, String] = Map(
     "q129_supplier_walk" -> q129Sql,
     "q130_triangle_count" -> q130Sql,
     "q133_kcore" -> q133Sql,
     "q144_bfs_hops" -> q144Sql,
-    "q154_label_propagation" -> q154Sql)
+    "q154_label_propagation" -> q154Sql,
+    "q167_weighted_paths" -> q167Sql)
 }

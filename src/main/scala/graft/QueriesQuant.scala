@@ -349,15 +349,243 @@ object QueriesQuant {
        |    AS vocab_cum
        |FROM j ORDER BY bucket""".stripMargin
 
+  // --- q168: classifier calibration (reliability diagram) ---------------------
+  // Is the q69 quality score CALIBRATED against ground truth (is the doc
+  // English — the labeled `lang` column)? Docs bucket into 10 score bins
+  // and each bin reports mean predicted score vs observed positive rate —
+  // the reliability diagram every model-scored curation pipeline should
+  // audit before thresholding on the score.
+  // Exactness: the q69 stub score is the rational 2·distinct/total, so
+  // bin = (10·d) DIV t and score_ppm = (2e6·d) DIV t are pure integer
+  // ops — no float division crosses engines. Per-bin sums stay int64 to
+  // ~4e12 docs (sums scale linearly, not the q120 square class).
+  // Scale: one map-side-combinable HashAggregate into 10 rows.
+  private val q168: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", expr(TextOps.tokensExpr("text")))
+      .select(col("lang"),
+        expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("dt"),
+        expr("CAST(size(toks) AS BIGINT)").as("nt"))
+      .select(expr("least((10 * dt) DIV nt, CAST(9 AS BIGINT))").as("bin"),
+        expr("(2000000 * dt) DIV nt").as("score_ppm"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    d.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("score_ppm")).as("sum_score_ppm"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("sum_score_ppm DIV n").as("mean_score_ppm"),
+        expr("(1000000 * n_pos) DIV n").as("pos_ppm"))
+      .orderBy(col("bin"))
+  }
+  private val q168Sql = {
+    val toks = TextOps.sql.tokens("text")
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    CAST(len(list_distinct($toks)) AS BIGINT) AS dt,
+       |    CAST(len($toks) AS BIGINT) AS nt
+       |  FROM documents
+       |), binned AS (
+       |  SELECT LEAST((10 * dt) // nt, 9) AS bin,
+       |    (2000000 * dt) // nt AS score_ppm,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM d
+       |)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |  CAST(SUM(score_ppm) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+       |    AS mean_score_ppm,
+       |  (1000000 * CAST(SUM(pos) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+       |    AS pos_ppm
+       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
+  // --- q169: inter-rater agreement (Cohen's kappa) -----------------------------
+  // How much do two weak labelers agree BEYOND CHANCE — the
+  // label-quality audit run before trusting any heuristic annotation.
+  // Rater A: ≥ 2 English stopword hits. Rater B: English stopword hits
+  // strictly dominate every other language's (the q33 argmax family).
+  // Kappa in exact integer algebra: with S = a₁b₁ + (n−a₁)(n−b₁),
+  //   po = agree/n,  pe = S/n²,  κ = (n·agree − S) / (n² − S),
+  // published as floored ppm. The q120-class bound: a₁b₁ and n² square
+  // the corpus, clearing int63 at ~3e9 docs — below the 100 TB design
+  // point — so all cross-products run DECIMAL(38,0) (HUGEINT twin).
+  // Scale: one combinable aggregate into a single row; the kappa algebra
+  // is row-local arithmetic on that row.
+  private val q169: Q = (s, dir) => {
+    val en = "('the', 'a', 'of', 'and')"
+    val es = "('el', 'la', 'de', 'los')"
+    val fr = "('le', 'la', 'de', 'et')"
+    val de = "('der', 'die', 'das', 'und')"
+    val counts = Tables.documents(s, dir)
+      .withColumn("toks", expr(TextOps.tokensExpr("text")))
+      .select(
+        expr(s"size(filter(toks, t -> t IN $en))").as("s_en"),
+        expr(s"size(filter(toks, t -> t IN $es))").as("s_es"),
+        expr(s"size(filter(toks, t -> t IN $fr))").as("s_fr"),
+        expr(s"size(filter(toks, t -> t IN $de))").as("s_de"))
+      .select(
+        when(col("s_en") >= 2, 1L).otherwise(0L).as("a"),
+        when(col("s_en") > col("s_es") && col("s_en") > col("s_fr") &&
+          col("s_en") > col("s_de") && col("s_en") > 0, 1L).otherwise(0L)
+          .as("b"))
+    counts
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("a_yes"),
+        sum(col("b")).as("b_yes"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+      .withColumn("s", expr(
+        """CAST(a_yes AS DECIMAL(19,0)) * CAST(b_yes AS DECIMAL(19,0)) +
+          |CAST(n - a_yes AS DECIMAL(19,0)) *
+          |  CAST(n - b_yes AS DECIMAL(19,0))""".stripMargin))
+      .select(col("n"), col("a_yes"), col("b_yes"), col("agree"),
+        expr("(1000000 * agree) DIV n").as("po_ppm"),
+        expr("""(1000000 * s) DIV
+               |  (CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))"""
+          .stripMargin).as("pe_ppm"),
+        expr("""(1000000 * (CAST(n AS DECIMAL(19,0)) * agree - s)) DIV
+               |  (CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) - s)"""
+          .stripMargin).as("kappa_ppm"))
+  }
+  private val q169Sql = {
+    val toks = TextOps.sql.tokens("text")
+    s"""WITH sc AS (
+       |  SELECT
+       |    len(list_filter($toks, t -> t IN ('the', 'a', 'of', 'and')))
+       |      AS s_en,
+       |    len(list_filter($toks, t -> t IN ('el', 'la', 'de', 'los')))
+       |      AS s_es,
+       |    len(list_filter($toks, t -> t IN ('le', 'la', 'de', 'et')))
+       |      AS s_fr,
+       |    len(list_filter($toks, t -> t IN ('der', 'die', 'das', 'und')))
+       |      AS s_de
+       |  FROM documents
+       |), r AS (
+       |  SELECT CASE WHEN s_en >= 2 THEN 1 ELSE 0 END AS a,
+       |    CASE WHEN s_en > s_es AND s_en > s_fr AND s_en > s_de
+       |      AND s_en > 0 THEN 1 ELSE 0 END AS b
+       |  FROM sc
+       |), agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(a) AS BIGINT) AS a_yes,
+       |    CAST(SUM(b) AS BIGINT) AS b_yes,
+       |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+       |  FROM r
+       |), k AS (
+       |  SELECT n, a_yes, b_yes, agree,
+       |    CAST(a_yes AS HUGEINT) * b_yes
+       |      + CAST(n - a_yes AS HUGEINT) * (n - b_yes) AS s
+       |  FROM agg
+       |)
+       |SELECT n, a_yes, b_yes, agree,
+       |  (1000000 * agree) // n AS po_ppm,
+       |  CAST((1000000 * s) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+       |  CAST((1000000 * (CAST(n AS HUGEINT) * agree - s)) //
+       |    (CAST(n AS HUGEINT) * n - s) AS BIGINT) AS kappa_ppm
+       |FROM k""".stripMargin
+  }
+
+  // --- q170: Poisson-bootstrap confidence interval -----------------------------
+  // Distributed bootstrap done the way a cluster actually can: the
+  // classical resample (draw n rows WITH replacement, B times) needs a
+  // global multinomial; the POISSON bootstrap replaces each row's
+  // per-replicate multiplicity with an independent Poisson(1) draw —
+  // derived HERE from the deterministic content hash (q44's primitive,
+  // never rand()) through the Poisson(1) inverse CDF in basis points, so
+  // every engine and every cluster size draws the SAME replicates.
+  // Per replicate the mean-order-value estimate is an exact floored
+  // cents ratio; the published CI is percentile_disc over the B replicate
+  // means (value-deterministic, q112's discipline).
+  // Scale: the explode is ×B but lands in a map-side-combinable aggregate
+  // with B groups — no corpus-sized shuffle; everything after is B rows.
+  private val BootReps = 100
+  private val q170: Q = (s, dir) => {
+    // Poisson(1) CDF · 10000, round-half-up: P(X≤k) for k = 0..6
+    val cdf = Seq(3679, 7358, 9197, 9810, 9963, 9994, 9999)
+    val wCase = cdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${cdf.length} END")
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), Exact.cents(col("o_totalprice")).as("cents"))
+    val point = o.agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sc"))
+      .select(col("n_orders"), expr("sc DIV n_orders").as("point_mean_c"))
+    val reps = o
+      .select(col("cents"),
+        explode(expr(s"sequence(0, ${BootReps - 1})")).as("b"),
+        col("o_orderkey"))
+      .withColumn("u", expr(TextOps.hash60(
+        "concat(CAST(o_orderkey AS STRING), ':', CAST(b AS STRING))")
+        + " % 10000"))
+      .withColumn("w", expr(wCase).cast("long"))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
+      .select(expr("swc DIV sw").as("m_c"))
+    reps
+      .agg(
+        expr("CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY m_c) AS BIGINT)")
+          .as("p05_c"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY m_c) AS BIGINT)")
+          .as("p50_c"),
+        expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY m_c) AS BIGINT)")
+          .as("p95_c"))
+      .crossJoin(broadcast(point))
+      .select(col("n_orders"), col("point_mean_c"),
+        col("p05_c"), col("p50_c"), col("p95_c"))
+  }
+  private val q170Sql = {
+    val cdf = Seq(3679, 7358, 9197, 9810, 9963, 9994, 9999)
+    val wCase = cdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${cdf.length} END")
+    val h = TextOps.sql.hash60(
+      "concat(CAST(o_orderkey AS VARCHAR), ':', CAST(b AS VARCHAR))")
+    s"""WITH o AS (
+       |  SELECT o_orderkey, ${Exact.sql.cents("o_totalprice")} AS cents
+       |  FROM orders
+       |), pt AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |    CAST(SUM(cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+       |      AS point_mean_c
+       |  FROM o
+       |), ex AS (
+       |  SELECT cents, o_orderkey,
+       |    unnest(generate_series(0, ${BootReps - 1})) AS b
+       |  FROM o
+       |), drawn AS (
+       |  SELECT cents, b, $h % 10000 AS u FROM ex
+       |), weighted AS (
+       |  SELECT cents, b, CAST($wCase AS BIGINT) AS w FROM drawn
+       |), means AS (
+       |  SELECT CAST(SUM(w * cents) AS BIGINT) // CAST(SUM(w) AS BIGINT)
+       |    AS m_c
+       |  FROM weighted GROUP BY b
+       |)
+       |SELECT n_orders, point_mean_c, p05_c, p50_c, p95_c
+       |FROM pt, (
+       |  SELECT
+       |    CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY m_c) AS BIGINT)
+       |      AS p05_c,
+       |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY m_c) AS BIGINT)
+       |      AS p50_c,
+       |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY m_c) AS BIGINT)
+       |      AS p95_c
+       |  FROM means
+       |) ci""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q163_survival_hazard" -> q163,
     "q164_mannwhitney_auc" -> q164,
     "q165_fifo_allocation" -> q165,
-    "q166_heaps_curve" -> q166)
+    "q166_heaps_curve" -> q166,
+    "q168_calibration_bins" -> q168,
+    "q169_rater_kappa" -> q169,
+    "q170_bootstrap_ci" -> q170)
 
   val oracleSql: Map[String, String] = Map(
     "q163_survival_hazard" -> q163Sql,
     "q164_mannwhitney_auc" -> q164Sql,
     "q165_fifo_allocation" -> q165Sql,
-    "q166_heaps_curve" -> q166Sql)
+    "q166_heaps_curve" -> q166Sql,
+    "q168_calibration_bins" -> q168Sql,
+    "q169_rater_kappa" -> q169Sql,
+    "q170_bootstrap_ci" -> q170Sql)
 }
