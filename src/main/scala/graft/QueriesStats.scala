@@ -737,7 +737,12 @@ object QueriesStats {
   // a plain shuffle equi-join, skew-proof because part keys are
   // high-cardinality).
   private val CosMinSupport = 2
-  private val q134: Q = (s, dir) => {
+
+  /** The item-item squared-cosine table shared by q134 (ranked pairs) and
+    * q172 (per-customer recommendations): canonical (part_a < part_b)
+    * pairs with support ≥ [[CosMinSupport]], their dfs and exact
+    * cos2_ppt. See q134's scaladoc for the arithmetic and scale notes. */
+  private def itemCosine(s: SparkSession, dir: String): DataFrame = {
     // df counts EVERY capped basket containing the item — including
     // 1-item baskets (a solo purchase is a real occurrence and must
     // dilute the cosine denominator); only pair GENERATION needs ≥ 2
@@ -766,32 +771,108 @@ object QueriesStats {
           |  DIV (df_a * df_b)""".stripMargin))
       .select(col("part_a"), col("part_b"), col("support"),
         col("df_a"), col("df_b"), col("cos2_ppt"))
-      .orderBy(desc("cos2_ppt"), col("part_a"), col("part_b"))
-      .limit(20)
   }
-  private val q134Sql =
-    s"""WITH items AS (
+
+  /** The matching DuckDB CTE chain, binding the cosine table as `$name`. */
+  private def itemCosineSql(name: String): String =
+    s"""items AS (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
        |), small AS (
        |  SELECT ok FROM items GROUP BY ok HAVING COUNT(*) <= $BasketCap
        |), incap AS (
        |  SELECT items.ok, pk FROM items JOIN small USING (ok)
-       |), df AS (
+       |), dfc AS (
        |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS df FROM incap GROUP BY pk
-       |), pairs AS (
+       |), prs AS (
        |  SELECT a.pk AS part_a, b.pk AS part_b,
        |    CAST(COUNT(*) AS BIGINT) AS support
        |  FROM incap a JOIN incap b ON a.ok = b.ok AND a.pk < b.pk
        |  GROUP BY 1, 2
        |  HAVING COUNT(*) >= $CosMinSupport
-       |)
-       |SELECT part_a, part_b, support, da.df AS df_a, db.df AS df_b,
-       |  CAST(CAST(1000000000000 AS HUGEINT) * support * support
-       |    // (da.df * db.df) AS BIGINT) AS cos2_ppt
-       |FROM pairs
-       |JOIN df da ON da.pk = pairs.part_a
-       |JOIN df db ON db.pk = pairs.part_b
+       |), $name AS (
+       |  SELECT part_a, part_b, support, da.df AS df_a, db.df AS df_b,
+       |    CAST(CAST(1000000000000 AS HUGEINT) * support * support
+       |      // (da.df * db.df) AS BIGINT) AS cos2_ppt
+       |  FROM prs
+       |  JOIN dfc da ON da.pk = prs.part_a
+       |  JOIN dfc db ON db.pk = prs.part_b
+       |)""".stripMargin
+
+  private val q134: Q = (s, dir) =>
+    itemCosine(s, dir)
+      .orderBy(desc("cos2_ppt"), col("part_a"), col("part_b"))
+      .limit(20)
+  private val q134Sql =
+    s"""WITH ${itemCosineSql("cosine")}
+       |SELECT part_a, part_b, support, df_a, df_b, cos2_ppt
+       |FROM cosine
        |ORDER BY cos2_ppt DESC, part_a, part_b LIMIT 20""".stripMargin
+
+  // --- q172: per-customer item recommendations (item-based CF) ---------------
+  // q134 ranks the SIMILARITIES; this is the product surface built on
+  // them — "recommended for you": each customer's unseen parts scored by
+  // the sum of squared-cosine similarity to the parts they HAVE bought
+  // (the standard item-based collaborative-filtering scorer, scores kept
+  // in q134's exact cos2_ppt integers so ranking is engine-portable),
+  // top-[[RecsPerUser]] per customer with already-owned parts excluded
+  // by an anti-join.
+  // Scale: the similarity table is frequent-pattern-sized (support ≥ 2
+  // pairs only); scoring is one equi-join (seen ⨝ sims on part) into a
+  // (customer, candidate)-keyed combinable aggregate; the rank window is
+  // partitioned per customer (never global). The anti-join keys on
+  // (customer, part) — high-cardinality, skew-proof.
+  private val RecsPerUser = 3
+  private val q172: Q = (s, dir) => {
+    val sims = itemCosine(s, dir)
+    val sym = sims.select(col("part_a").as("src"), col("part_b").as("dst"),
+        col("cos2_ppt"))
+      .unionAll(sims.select(col("part_b").as("src"), col("part_a").as("dst"),
+        col("cos2_ppt")))
+    val seen = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck")), "ok")
+      .select(col("ck"), col("pk")).distinct()
+    val scores = seen.join(sym, col("pk") === col("src"))
+      .groupBy(col("ck"), col("dst"))
+      .agg(sum(col("cos2_ppt")).as("score"), count(lit(1)).as("n_neighbors"))
+    val unseen = scores.join(
+      seen.select(col("ck"), col("pk").as("dst")), Seq("ck", "dst"),
+      "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ck"))
+      .orderBy(desc("score"), col("dst"))
+    unseen.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= RecsPerUser)
+      .select(col("ck").as("custkey"), col("rank"), col("dst").as("part"),
+        col("score"), col("n_neighbors"))
+      .orderBy(col("custkey"), col("rank"))
+  }
+  private val q172Sql =
+    s"""WITH ${itemCosineSql("cosine")},
+       |sym AS (
+       |  SELECT part_a AS src, part_b AS dst, cos2_ppt FROM cosine
+       |  UNION ALL SELECT part_b, part_a, cos2_ppt FROM cosine
+       |), seen AS (
+       |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), scores AS (
+       |  SELECT ck, dst, CAST(SUM(cos2_ppt) AS BIGINT) AS score,
+       |    CAST(COUNT(*) AS BIGINT) AS n_neighbors
+       |  FROM seen JOIN sym ON pk = src
+       |  GROUP BY ck, dst
+       |), unseen AS (
+       |  SELECT * FROM scores
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM seen WHERE seen.ck = scores.ck AND seen.pk = scores.dst)
+       |), ranked AS (
+       |  SELECT ck, dst, score, n_neighbors,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY ck
+       |      ORDER BY score DESC, dst) AS BIGINT) AS rank
+       |  FROM unseen
+       |)
+       |SELECT ck AS custkey, rank, dst AS part, score, n_neighbors
+       |FROM ranked WHERE rank <= $RecsPerUser
+       |ORDER BY custkey, rank""".stripMargin
 
   // --- q120: group-wise OLS trend (exact rational slope) ---------------------
   // Does price scale with quantity, per supplier nation — the simplest
@@ -1326,6 +1407,7 @@ object QueriesStats {
     "q112_revenue_concentration" -> q112,
     "q118_copurchase" -> q118,
     "q134_item_cosine" -> q134,
+    "q172_item_recs" -> q172,
     "q120_group_trend" -> q120,
     "q122_systematic_sample" -> q122,
     "q125_vocab_drift" -> q125,
@@ -1350,6 +1432,7 @@ object QueriesStats {
     "q112_revenue_concentration" -> q112Sql,
     "q118_copurchase" -> q118Sql,
     "q134_item_cosine" -> q134Sql,
+    "q172_item_recs" -> q172Sql,
     "q120_group_trend" -> q120Sql,
     "q122_systematic_sample" -> q122Sql,
     "q125_vocab_drift" -> q125Sql,

@@ -712,8 +712,102 @@ object QueriesText {
        |ORDER BY pmi_ratio_ppm DESC, w1, w2 LIMIT $PmiTop""".stripMargin
   }
 
+  // --- q171: perceptual image dedup (dHash + banded Hamming join) -------------
+  // The multimodal member of the near-dup family: byte/minhash dedup
+  // (q26/q27) can never catch "same photo, different exposure" — the
+  // perceptual difference hash can. Each doc's REAL PNG (docs 2k/2k+1
+  // render the same base scene, odd ids +1 brightness — see
+  // ops/Multimodal.syntheticPairPng) is decoded through javax.imageio,
+  // nearest-neighbor-sampled to a 9×8 luma grid, and reduced to 64
+  // horizontal-gradient sign bits (two positive 32-bit halves). A uniform
+  // exposure shift moves every luma equally → gradient signs are
+  // INVARIANT, so the planted pairs collide at Hamming ≈ 0.
+  // Candidate generation is the q27/q52 discipline: 4×16-bit band
+  // equi-join (pigeonhole: ≤ [[PHamMax]] flipped bits leave ≥ 1 band
+  // exact) + exact popcount confirm — never all-pairs. The oracle cannot
+  // decode PNG; it predicts the same hash analytically from the generator
+  // formula (the q82 convention), so a codec, resample, luma or banding
+  // bug hash-mismatches.
+  // Scale: per-row codec work repartitioned by WORK (q82's note), then
+  // the hash table is localCheckpointed so both band-join sides reuse the
+  // one codec pass; join fan-out is band-collision-bounded.
+  private val PHamMax = 3
+  private val q171: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .repartition(Tables.shufflePartitions(s))
+    val hs = Multimodal.dhashFeatures(ids).toDF().localCheckpoint()
+    val bands = hs.select(col("doc_id"), col("h1"), col("h2"),
+      explode(expr(
+        """array(struct(0 AS bi, h1 % 65536 AS bk),
+          |      struct(1 AS bi, h1 DIV 65536 AS bk),
+          |      struct(2 AS bi, h2 % 65536 AS bk),
+          |      struct(3 AS bi, h2 DIV 65536 AS bk))""".stripMargin)).as("e"))
+      .select(col("doc_id"), col("h1"), col("h2"),
+        col("e.bi").as("bi"), col("e.bk").as("bk"))
+    val l = bands.select(col("bi"), col("bk"), col("doc_id").as("a"),
+      col("h1").as("h1a"), col("h2").as("h2a"))
+    val r = bands.select(col("bi"), col("bk"), col("doc_id").as("b"),
+      col("h1").as("h1b"), col("h2").as("h2b"))
+    l.join(r, Seq("bi", "bk"))
+      .filter(col("a") < col("b"))
+      .filter(expr(s"bit_count(h1a ^ h1b) + bit_count(h2a ^ h2b) <= $PHamMax"))
+      .select(col("a"), col("b"),
+        expr("CAST(bit_count(h1a ^ h1b) + bit_count(h2a ^ h2b) AS BIGINT)")
+          .as("hamming"))
+      .distinct()
+      .orderBy(col("a"), col("b"))
+  }
+  private val q171Sql = {
+    // the analytic twin of Multimodal.dhashPng over syntheticPairPng:
+    // nearest-neighbor sample coordinates, channel formulas, integer luma
+    def sx = "((x * w) // 9)"
+    def sy = "((y * h) // 8)"
+    def chan(cb: Long, cx: Int, cy: Int) =
+      s"""((((base * $cb + $sx * $cx + $sy * $cy) % 65536)
+         |      * 2654435761) % 256 + delta) % 256""".stripMargin
+    val luma =
+      s"""(299 * (${chan(7919L, 13, 29)})
+         | + 587 * (${chan(104729L, 31, 17)})
+         | + 114 * (${chan(1299709L, 11, 37)})) // 1000""".stripMargin
+    def half(y0: Int, y1: Int) =
+      s"""CAST(list_sum(flatten(list_transform(generate_series($y0, $y1), y ->
+         |  list_transform(generate_series(0, 7), x ->
+         |    CASE WHEN grid[y + 1][x + 2] > grid[y + 1][x + 1]
+         |      THEN (CAST(1 AS BIGINT) << ((y - $y0) * 8 + x))
+         |      ELSE CAST(0 AS BIGINT) END)))) AS BIGINT)""".stripMargin
+    s"""WITH p AS (
+       |  SELECT doc_id, doc_id // 2 AS base, doc_id % 2 AS delta,
+       |    8 + (doc_id // 2) % 9 AS w, 8 + ((doc_id // 2) // 9) % 9 AS h
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, 7), y ->
+       |      list_transform(generate_series(0, 8), x ->
+       |        $luma)) AS grid
+       |  FROM p
+       |), hsh AS (
+       |  SELECT doc_id, ${half(0, 3)} AS h1, ${half(4, 7)} AS h2 FROM g
+       |), bands AS (
+       |  SELECT doc_id, h1, h2, 0 AS bi, h1 % 65536 AS bk FROM hsh
+       |  UNION ALL SELECT doc_id, h1, h2, 1, h1 // 65536 FROM hsh
+       |  UNION ALL SELECT doc_id, h1, h2, 2, h2 % 65536 FROM hsh
+       |  UNION ALL SELECT doc_id, h1, h2, 3, h2 // 65536 FROM hsh
+       |)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |  CAST(bit_count(xor(l.h1, r.h1)) + bit_count(xor(l.h2, r.h2))
+       |    AS BIGINT) AS hamming
+       |FROM bands l JOIN bands r
+       |  ON l.bi = r.bi AND l.bk = r.bk AND l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.h1, r.h1)) + bit_count(xor(l.h2, r.h2))
+       |  <= $PHamMax
+       |ORDER BY a, b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q151_pmi_collocations" -> q151,
+    "q171_phash_neardup" -> q171,
     "q53_decontaminate" -> q53,
     "q55_stratified_sample" -> q55,
     "q56_mixture_sample" -> q56,
@@ -734,6 +828,7 @@ object QueriesText {
 
   val oracleSql: Map[String, String] = Map(
     "q151_pmi_collocations" -> q151Sql,
+    "q171_phash_neardup" -> q171Sql,
     "q53_decontaminate" -> q53Sql,
     "q55_stratified_sample" -> q55Sql,
     "q56_mixture_sample" -> q56Sql,

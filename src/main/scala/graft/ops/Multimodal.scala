@@ -328,4 +328,104 @@ object Multimodal {
     ids.mapPartitions(_.map { id =>
       decodeWav(id, syntheticWav(id))
     })(Encoders.product[AudioFeatures])
+
+  // ------------------------------------------------------ perceptual hash
+
+  /** Near-dup image corpus for perceptual dedup (q171): docs 2k and 2k+1
+    * render the SAME base scene, the odd id with a +1 uniform brightness
+    * offset on every channel — the classic "same photo, different
+    * exposure" near-duplicate that byte-level dedup can never catch.
+    * Channels MIX (base, x, y) multiplicatively so luma gradients change
+    * sign pseudo-randomly — q82's smooth ramp would make every gradient
+    * positive and every dHash collide; textured scenes are what make the
+    * hash discriminative. The brightness offset is applied mod 256
+    * (channel wrap — a wrapped sampled pixel can flip a couple of bits,
+    * which is why the pair join confirms Hamming ≤ k, not equality).
+    * Dimensions vary with the base id (q82's formula), so the grid
+    * resample is exercised across sizes. Really PNG-encoded, like
+    * [[syntheticPng]], so the hash below runs a real decode. */
+  def syntheticPairPng(id: Long): Array[Byte] = {
+    imageIoMemCache
+    val base = id / 2
+    val delta = (id % 2).toInt
+    val w = (8 + base % 9).toInt
+    val h = (8 + (base / 9) % 9).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // nonlinear (multiply AFTER mixing base with the coordinates):
+        // a base term that only ADDS would be constant within the image
+        // and cancel out of every gradient — all scenes would hash alike
+        val r = (((((base * 7919 + x * 13 + y * 29) % 65536)
+          * 2654435761L) % 256 + delta) % 256).toInt
+        val g = (((((base * 104729 + x * 31 + y * 17) % 65536)
+          * 2654435761L) % 256 + delta) % 256).toInt
+        val b = (((((base * 1299709 + x * 11 + y * 37) % 65536)
+          * 2654435761L) % 256 + delta) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual difference hash, split into two 32-bit halves (h1 rows
+    * 0–3, h2 rows 4–7) so band keys and XOR popcounts stay positive
+    * BIGINTs on every engine. */
+  case class ImageHash(doc_id: Long, h1: Long, h2: Long)
+
+  /** REAL-decode dHash: `javax.imageio` decodes the PNG, the pixel grid
+    * is nearest-neighbor-sampled to 9×8 (sx = x·w DIV 9, sy = y·h DIV 8),
+    * reduced to integer luma ((299r + 587g + 114b) DIV 1000), and each of
+    * the 64 horizontal gradient signs becomes one bit. A uniform
+    * brightness shift moves every luma equally, so gradient SIGNS — and
+    * the hash — are invariant (modulo 0→255 wraps in the synthetic
+    * corpus), which is exactly the robustness byte hashing lacks. */
+  def dhashPng(docId: Long, payload: Array[Byte]): ImageHash = {
+    imageIoMemCache
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"undecodable image payload for doc $docId")
+    val w = img.getWidth
+    val h = img.getHeight
+    val g = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val rgb = img.getRGB(x * w / 9, y * h / 8)
+        g(y)(x) = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)) / 1000L
+        x += 1
+      }
+      y += 1
+    }
+    var h1 = 0L
+    var h2 = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x + 1) > g(y)(x)) {
+          if (y < 4) h1 |= 1L << (y * 8 + x)
+          else h2 |= 1L << ((y - 4) * 8 + x)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    ImageHash(docId, h1, h2)
+  }
+
+  /** Partition-batched synthesize→encode→decode→dHash over doc ids. */
+  def dhashFeatures(ids: Dataset[Long]): Dataset[ImageHash] =
+    ids.mapPartitions(_.map { id =>
+      dhashPng(id, syntheticPairPng(id))
+    })(Encoders.product[ImageHash])
 }
