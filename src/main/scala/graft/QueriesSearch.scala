@@ -329,13 +329,122 @@ object QueriesSearch {
        |ORDER BY rank""".stripMargin
   }
 
+  // --- q173: nDCG@k retrieval evaluation ---------------------------------------
+  // Is the q128 retriever any good? — the IR-eval operator that closes
+  // the retrieval loop: graded relevance from the labeled lang column
+  // (en = 2, es = 1, else 0 — a fixed, documented grading), DCG@k of the
+  // BM25 ranking, ideal DCG from the corpus-wide grade counts (no
+  // corpus sort: the ideal gain sequence is fully determined by n2/n1),
+  // and nDCG in floored ppm. Discount weights are the INTEGER constants
+  // ⌊1e6/log2(r+1)⌋ for r = 1..k, precomputed once and embedded as the
+  // SAME literal table in both engines — no transcendental ever runs in
+  // either engine (the q159 Benford-constants convention).
+  // Scale: one skinny scored scan with a top-k heap (q128's shape), a
+  // k-row join for gains, and two dimension-sized single-row aggregates.
+  private val DcgK = 20
+  private val dcgW: Seq[Long] =
+    (1 to DcgK).map(r => math.floor(1e6 * math.log(2) / math.log(r + 1)).toLong)
+  private val q173: Q = (s, dir) => {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      expr(s"CAST(size(filter(toks, x -> x = '$t')) AS BIGINT)").as(s"tf$i") }
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(TextOps.tokensExpr("text")).as("toks"))
+      .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++
+        tfCols: _*)
+    val dfAggs = Bm25Terms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("sum_dl") +: dfAggs): _*)
+    val wA = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score_micro"), col("doc_id"))
+    val ranked = base.crossJoin(broadcast(stats))
+      .withColumn("score_micro", expr(bm25Score))
+      .orderBy(desc("score_micro"), col("doc_id")).limit(DcgK)
+      .withColumn("rank", row_number().over(wA))
+      .select(col("doc_id"), col("rank"))
+    val wArr = s"array(${dcgW.map(w => s"${w}L").mkString(", ")})"
+    val relExpr = "CASE WHEN lang = 'en' THEN 2L WHEN lang = 'es' THEN 1L " +
+      "ELSE 0L END"
+    val rel = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(relExpr).as("rel"))
+    val dcg = ranked.join(rel, "doc_id")
+      .agg(sum(expr(s"element_at($wArr, rank) * rel")).as("dcg_micro"))
+    val counts = rel.agg(
+      sum(when(col("rel") === 2L, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("rel") === 1L, 1L).otherwise(0L)).as("n1"))
+    val ideal = s.range(1, DcgK + 1L).select(col("id").as("r"))
+      .crossJoin(broadcast(counts))
+      .agg(sum(expr(
+        s"""element_at($wArr, CAST(r AS INT)) *
+           |  (CASE WHEN r <= n2 THEN 2L
+           |        WHEN r <= n2 + n1 THEN 1L ELSE 0L END)""".stripMargin))
+        .as("idcg_micro"))
+    dcg.crossJoin(counts).crossJoin(ideal)
+      .select(col("n2"), col("n1"), col("dcg_micro"), col("idcg_micro"),
+        expr("(1000000 * dcg_micro) DIV idcg_micro").as("ndcg_ppm"))
+  }
+  private val q173Sql = {
+    val tfSel = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n    ")
+    val dfSel = Bm25Terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n    ")
+    val wList = dcgW.map(w => s"CAST($w AS BIGINT)").mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    $tfSel
+       |  FROM documents
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS sum_dl,
+       |    $dfSel
+       |  FROM base
+       |), ranked AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+       |      AS INTEGER) AS rank
+       |  FROM (
+       |    SELECT doc_id, $bm25Score AS score_micro
+       |    FROM base CROSS JOIN stats
+       |    ORDER BY score_micro DESC, doc_id LIMIT $DcgK
+       |  ) topk
+       |), rel AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN lang = 'en' THEN 2 WHEN lang = 'es' THEN 1
+       |      ELSE 0 END AS BIGINT) AS rel
+       |  FROM documents
+       |), w AS (SELECT $wList AS wl),
+       |dcg AS (
+       |  SELECT CAST(SUM(wl[rank] * rel) AS BIGINT) AS dcg_micro
+       |  FROM ranked JOIN rel USING (doc_id), w
+       |), counts AS (
+       |  SELECT CAST(SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n2,
+       |    CAST(SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+       |  FROM rel
+       |), ideal AS (
+       |  SELECT CAST(SUM(wl[r] *
+       |    (CASE WHEN r <= n2 THEN 2 WHEN r <= n2 + n1 THEN 1 ELSE 0 END))
+       |    AS BIGINT) AS idcg_micro
+       |  FROM (SELECT unnest(generate_series(1, $DcgK)) AS r), counts, w
+       |)
+       |SELECT n2, n1, dcg_micro, idcg_micro,
+       |  (1000000 * dcg_micro) // idcg_micro AS ndcg_ppm
+       |FROM dcg, counts, ideal""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q173_ndcg_eval" -> q173,
     "q81_fuzzy_search" -> q81,
     "q143_rrf_fusion" -> q143,
     "q110_trigram_search" -> q110,
     "q128_bm25_topk" -> q128)
 
   val oracleSql: Map[String, String] = Map(
+    "q173_ndcg_eval" -> q173Sql,
     "q81_fuzzy_search" -> q81Sql,
     "q143_rrf_fusion" -> q143Sql,
     "q110_trigram_search" -> q110Sql,

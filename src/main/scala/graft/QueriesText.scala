@@ -764,9 +764,11 @@ object QueriesText {
     // nearest-neighbor sample coordinates, channel formulas, integer luma
     def sx = "((x * w) // 9)"
     def sy = "((y * h) // 8)"
-    def chan(cb: Long, cx: Int, cy: Int) =
-      s"""((((base * $cb + $sx * $cx + $sy * $cy) % 65536)
-         |      * 2654435761) % 256 + delta) % 256""".stripMargin
+    def chan(cb: Long, cx: Int, cy: Int) = {
+      val v = s"((((base * $cb + $sx * $cx + $sy * $cy) % 65536)" +
+        " * 2654435761) % 65536)"
+      s"((($v * ($v + 1)) // 4096) % 256 + delta) % 256"
+    }
     val luma =
       s"""(299 * (${chan(7919L, 13, 29)})
          | + 587 * (${chan(104729L, 31, 17)})
@@ -805,9 +807,86 @@ object QueriesText {
        |ORDER BY a, b""".stripMargin
   }
 
+  // --- q174: audio fingerprint near-dup (energy envelope + banded join) -------
+  // q171's audio twin — "same recording, different volume": each doc's
+  // REAL WAV (docs 2k/2k+1 share a base waveform, odd ids re-gained 9/8 —
+  // ops/Multimodal.syntheticPairWav) is decoded through
+  // javax.sound.sampled and reduced to a 31-bit energy-envelope
+  // fingerprint (window-energy gradient signs — invariant under uniform
+  // gain modulo per-sample floor dust). Candidates via 3×~10-bit bands
+  // (pigeonhole-lossless for Hamming ≤ [[AfpHamMax]]) + exact popcount.
+  // The oracle predicts the fingerprint analytically from the waveform
+  // formula (the q82/q171 convention), so a PCM, windowing or banding
+  // bug hash-mismatches.
+  private val AfpHamMax = 2
+  private val q174: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .repartition(Tables.shufflePartitions(s))
+    val fps = Multimodal.audioFpFeatures(ids).toDF().localCheckpoint()
+    val bands = fps.select(col("doc_id"), col("fp"), explode(expr(
+        """array(struct(0 AS bi, fp % 2048 AS bk),
+          |      struct(1 AS bi, fp DIV 2048 % 2048 AS bk),
+          |      struct(2 AS bi, fp DIV 4194304 AS bk))""".stripMargin))
+        .as("e"))
+      .select(col("doc_id"), col("fp"),
+        col("e.bi").as("bi"), col("e.bk").as("bk"))
+    val l = bands.select(col("bi"), col("bk"), col("doc_id").as("a"),
+      col("fp").as("fpa"))
+    val r = bands.select(col("bi"), col("bk"), col("doc_id").as("b"),
+      col("fp").as("fpb"))
+    l.join(r, Seq("bi", "bk"))
+      .filter(col("a") < col("b"))
+      .filter(expr(s"bit_count(fpa ^ fpb) <= $AfpHamMax"))
+      .select(col("a"), col("b"),
+        expr("CAST(bit_count(fpa ^ fpb) AS BIGINT)").as("hamming"))
+      .distinct()
+      .orderBy(col("a"), col("b"))
+  }
+  private val q174Sql = {
+    val v0 = "((((base * 7919 + i * 31) % 65536) * 2654435761) % 65536)"
+    val s1 = s"((($v0 * ($v0 + 1)) // 4096) % 2048 - 1024)"
+    val sample = s"""CASE WHEN delta = 1 THEN
+                    |  CASE WHEN $s1 < 0 THEN -((-$s1 * 9) // 8)
+                    |       ELSE ($s1 * 9) // 8 END
+                    |  ELSE $s1 END""".stripMargin
+    s"""WITH p AS (
+       |  SELECT doc_id, doc_id // 2 AS base, doc_id % 2 AS delta
+       |  FROM documents
+       |), sm AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, 1023), i -> $sample) AS s
+       |  FROM p
+       |), en AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, 31), w ->
+       |      list_sum(list_transform(generate_series(1, 32), j ->
+       |        abs(s[w * 32 + j])))) AS e
+       |  FROM sm
+       |), fpt AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(generate_series(0, 30), w ->
+       |      CASE WHEN e[w + 2] > e[w + 1] THEN (CAST(1 AS BIGINT) << w)
+       |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+       |  FROM en
+       |), bands AS (
+       |  SELECT doc_id, fp, 0 AS bi, fp % 2048 AS bk FROM fpt
+       |  UNION ALL SELECT doc_id, fp, 1, (fp // 2048) % 2048 FROM fpt
+       |  UNION ALL SELECT doc_id, fp, 2, fp // 4194304 FROM fpt
+       |)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |  CAST(bit_count(xor(l.fp, r.fp)) AS BIGINT) AS hamming
+       |FROM bands l JOIN bands r
+       |  ON l.bi = r.bi AND l.bk = r.bk AND l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.fp, r.fp)) <= $AfpHamMax
+       |ORDER BY a, b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q151_pmi_collocations" -> q151,
     "q171_phash_neardup" -> q171,
+    "q174_audiofp_neardup" -> q174,
     "q53_decontaminate" -> q53,
     "q55_stratified_sample" -> q55,
     "q56_mixture_sample" -> q56,
@@ -829,6 +908,7 @@ object QueriesText {
   val oracleSql: Map[String, String] = Map(
     "q151_pmi_collocations" -> q151Sql,
     "q171_phash_neardup" -> q171Sql,
+    "q174_audiofp_neardup" -> q174Sql,
     "q53_decontaminate" -> q53Sql,
     "q55_stratified_sample" -> q55Sql,
     "q56_mixture_sample" -> q56Sql,

@@ -356,15 +356,22 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        // nonlinear (multiply AFTER mixing base with the coordinates):
-        // a base term that only ADDS would be constant within the image
-        // and cancel out of every gradient — all scenes would hash alike
-        val r = (((((base * 7919 + x * 13 + y * 29) % 65536)
-          * 2654435761L) % 256 + delta) % 256).toInt
-        val g = (((((base * 104729 + x * 31 + y * 17) % 65536)
-          * 2654435761L) % 256 + delta) % 256).toInt
-        val b = (((((base * 1299709 + x * 11 + y * 37) % 65536)
-          * 2654435761L) % 256 + delta) % 256).toInt
+        // per-pixel mix: combine (base, x, y), multiply by an odd
+        // constant mod 2^16, then take a MIDDLE byte of v·(v+1) — the
+        // middle-square trick. Two traps live here, both hit during
+        // development: an additive base term cancels out of every
+        // gradient (all scenes hash alike), and a LOW byte of v·M is
+        // linear in v mod 256 (column steps become a sawtooth — whole
+        // hash classes collapse to alternating-bit patterns). The square
+        // makes each column step depend on v itself, i.e. on the base.
+        def chan(cb: Long, cx: Int, cy: Int): Int = {
+          val v0 = (base * cb + x * cx + y * cy) % 65536
+          val v1 = (v0 * 2654435761L) % 65536
+          (((v1 * (v1 + 1)) / 4096 % 256 + delta) % 256).toInt
+        }
+        val r = chan(7919L, 13, 29)
+        val g = chan(104729L, 31, 17)
+        val b = chan(1299709L, 11, 37)
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -428,4 +435,84 @@ object Multimodal {
     ids.mapPartitions(_.map { id =>
       dhashPng(id, syntheticPairPng(id))
     })(Encoders.product[ImageHash])
+
+  // --------------------------------------------------- audio fingerprint
+
+  /** Near-dup audio corpus (q174): docs 2k and 2k+1 carry the SAME base
+    * waveform, the odd id re-gained by 9/8 (per-sample
+    * sign·(|s|·9 DIV 8) — trunc-on-magnitude so both engines agree on
+    * negative samples) — "same recording, different volume", the audio
+    * analog of q171's exposure shift. Base samples use the middle-square
+    * mix (see [[syntheticPairPng]]'s trap notes) so window energies vary
+    * pseudo-randomly per base. */
+  def syntheticPairWav(id: Long): Array[Byte] = {
+    val base = id / 2
+    val gain = id % 2 == 1
+    val samples = Array.tabulate(WavSamples) { i =>
+      val v0 = (base * 7919 + i.toLong * 31) % 65536
+      val v1 = (v0 * 2654435761L) % 65536
+      val s = (v1 * (v1 + 1)) / 4096 % 2048 - 1024
+      val out = if (!gain) s
+      else if (s < 0) -((-s * 9) / 8)
+      else (s * 9) / 8
+      out.toShort
+    }
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      WavRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  case class AudioFingerprint(doc_id: Long, fp: Long)
+
+  /** REAL-decode energy-envelope fingerprint: `javax.sound.sampled`
+    * decodes the WAV, the 1024 samples split into 32 windows of 32, and
+    * each of the 31 energy-gradient signs (Σ|s| per window) becomes one
+    * bit (31 bits, not 15: at 50 k docs a 15-bit space would birthday-
+    * collide its way to millions of false candidates). A uniform gain scales every window energy by the same factor
+    * (modulo per-sample floor dust), so gradient signs — and the
+    * fingerprint — survive re-volumed copies that byte dedup misses. */
+  def audioFingerprint(docId: Long, payload: Array[Byte]): AudioFingerprint = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian && fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"unexpected WAV format for doc $docId: $fmt")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    require(n == WavSamples, s"expected $WavSamples samples, got $n")
+    val e = new Array[Long](32)
+    var i = 0
+    while (i < n) {
+      val s = (((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xff)).toShort
+      e(i / 32) += math.abs(s.toLong)
+      i += 1
+    }
+    var fp = 0L
+    var w = 0
+    while (w < 31) {
+      if (e(w + 1) > e(w)) fp |= 1L << w
+      w += 1
+    }
+    AudioFingerprint(docId, fp)
+  }
+
+  /** Partition-batched synthesize→encode→decode→fingerprint over ids. */
+  def audioFpFeatures(ids: Dataset[Long]): Dataset[AudioFingerprint] =
+    ids.mapPartitions(_.map { id =>
+      audioFingerprint(id, syntheticPairWav(id))
+    })(Encoders.product[AudioFingerprint])
 }
