@@ -326,6 +326,74 @@ object QueriesChange {
        |FROM merged JOIN direct USING (month)
        |ORDER BY month""".stripMargin
 
+  // --- q176: incremental JOIN-view maintenance (delta-join algebra) ----------
+  // q107 lifted from a single-table aggregate to a JOIN view — the other
+  // half of materialized-view maintenance. The view is revenue per order
+  // priority over orders ⨝ lineitem; a new batch lands on BOTH sides
+  // (orders and lineitems at/after the cut date). The classic IVM
+  // identity V(O∪ΔO, L∪ΔL) = V(O,L) + [ΔO⋈L + O⋈ΔL + ΔO⋈ΔL] is
+  // computed literally: the stored old term plus the three delta joins,
+  // merged full-outer per group — and the oracle recomputes the same
+  // old/delta split from scratch with conditional aggregation, so the
+  // hash match IS the proof the delta algebra loses and double-counts
+  // nothing (the three delta terms partition the new rows exactly).
+  // Scale: each delta join keys a delta-sized side against one fact
+  // table — with both facts bucketed by orderkey (q105 discipline) the
+  // joins co-locate at the scan, and ΔO⋈L prunes its L scan with a
+  // runtime bloom on the delta keys (the RuntimeFilterSpec path). The
+  // old term never recomputes at scale (it IS the stored view); here it
+  // runs once so the published result is the full refreshed view.
+  private val IvmCut = "1998-06-01"
+  private val q176: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_orderpriority").as("priority"),
+      (col("o_orderdate") >= lit(IvmCut).cast("timestamp")).as("o_new"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      Exact.cents(col("l_extendedprice")).as("cents"),
+      (col("l_shipdate") >= lit(IvmCut).cast("timestamp")).as("l_new"))
+    def term(oNew: Boolean, lNew: Boolean) =
+      o.filter(col("o_new") === lit(oNew))
+        .join(l.filter(col("l_new") === lit(lNew)),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("priority"), col("cents"))
+    val old = term(oNew = false, lNew = false).groupBy(col("priority"))
+      .agg(count(lit(1)).as("old_cnt"), sum(col("cents")).as("old_cents"))
+    val delta = term(oNew = true, lNew = false)
+      .union(term(oNew = false, lNew = true))
+      .union(term(oNew = true, lNew = true))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("delta_cnt"), sum(col("cents")).as("delta_cents"))
+    old.join(delta, Seq("priority"), "full_outer")
+      .select(col("priority"),
+        coalesce(col("old_cnt"), lit(0L)).as("old_cnt"),
+        coalesce(col("old_cents"), lit(0L)).as("old_cents"),
+        coalesce(col("delta_cnt"), lit(0L)).as("delta_cnt"),
+        coalesce(col("delta_cents"), lit(0L)).as("delta_cents"))
+      .withColumn("total_cnt", expr("old_cnt + delta_cnt"))
+      .withColumn("total_cents", expr("old_cents + delta_cents"))
+      .orderBy(col("priority"))
+  }
+  private val q176Sql =
+    s"""WITH j AS (
+       |  SELECT o_orderpriority AS priority,
+       |    ${Exact.sql.cents("l_extendedprice")} AS cents,
+       |    (o_orderdate >= TIMESTAMP '$IvmCut') AS o_new,
+       |    (l_shipdate >= TIMESTAMP '$IvmCut') AS l_new
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |)
+       |SELECT priority,
+       |  CAST(SUM(CASE WHEN NOT o_new AND NOT l_new THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS old_cnt,
+       |  CAST(COALESCE(SUM(CASE WHEN NOT o_new AND NOT l_new THEN cents END),
+       |    0) AS BIGINT) AS old_cents,
+       |  CAST(SUM(CASE WHEN o_new OR l_new THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS delta_cnt,
+       |  CAST(COALESCE(SUM(CASE WHEN o_new OR l_new THEN cents END),
+       |    0) AS BIGINT) AS delta_cents,
+       |  CAST(COUNT(*) AS BIGINT) AS total_cnt,
+       |  CAST(SUM(cents) AS BIGINT) AS total_cents
+       |FROM j GROUP BY priority ORDER BY priority""".stripMargin
+
   // --- q113: SCD2 point-in-time lookup (dimension version as-of fact time) ---
   // The consumption side of q86's history build — THE classic warehouse
   // join: each fact row picks the dimension version valid AT ITS OWN
@@ -396,7 +464,8 @@ object QueriesChange {
     "q98_unpivot"       -> q98,
     "q99_gap_fill"      -> q99,
     "q107_incremental_agg" -> q107,
-    "q113_scd2_lookup"  -> q113)
+    "q113_scd2_lookup"  -> q113,
+    "q176_ivm_join_view" -> q176)
 
   val oracleSql: Map[String, String] = Map(
     "q84_set_ops"       -> q84Sql,
@@ -405,5 +474,6 @@ object QueriesChange {
     "q98_unpivot"       -> q98Sql,
     "q99_gap_fill"      -> q99Sql,
     "q107_incremental_agg" -> q107Sql,
-    "q113_scd2_lookup"  -> q113Sql)
+    "q113_scd2_lookup"  -> q113Sql,
+    "q176_ivm_join_view" -> q176Sql)
 }

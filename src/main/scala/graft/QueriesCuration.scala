@@ -532,7 +532,57 @@ object QueriesCuration {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // --- q177: k-anonymity audit over quasi-identifiers ------------------------
+  // The privacy gate a release pipeline runs next to q60's PII scrub:
+  // group the customer table by its quasi-identifier tuple — nation,
+  // market segment, and account-balance band (exact integer cents DIV
+  // the band width, so the band edge is engine-independent) — and
+  // profile the equivalence-class sizes. A row in a class smaller than
+  // K is re-identifiable by joining public attributes; the histogram
+  // (class_size → classes, rows, risky flag) is exactly what a
+  // suppression/generalization pass consumes. Scale: two hash
+  // aggregations, the second over class-size-many rows — one shuffle of
+  // the quasi-id tuple, nothing else; the same shape at 100 TB.
+  private val AnonK = 5L
+  private val BandCents = 100000L // $1000 balance bands
+  private val q177: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).select(
+      col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("segment"),
+      expr(s"""(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+              | - ((CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+              |     % $BandCents + $BandCents) % $BandCents)) DIV $BandCents"""
+        .stripMargin).as("bal_band"))
+    c.groupBy(col("nation"), col("segment"), col("bal_band"))
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"))
+      .withColumn("n_rows", expr("class_size * n_classes"))
+      .withColumn("risky",
+        when(col("class_size") < AnonK, 1L).otherwise(0L))
+      .orderBy(col("class_size"))
+  }
+  private val q177Sql = {
+    val cents = "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    s"""WITH q AS (
+       |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       |    ($cents - (($cents % $BandCents + $BandCents) % $BandCents))
+       |      // $BandCents AS bal_band
+       |  FROM customer
+       |), cls AS (
+       |  SELECT nation, segment, bal_band,
+       |    CAST(COUNT(*) AS BIGINT) AS class_size
+       |  FROM q GROUP BY 1, 2, 3
+       |)
+       |SELECT class_size, CAST(COUNT(*) AS BIGINT) AS n_classes,
+       |  class_size * CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(CASE WHEN class_size < $AnonK THEN 1 ELSE 0 END AS BIGINT)
+       |    AS risky
+       |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q177_kanonymity" -> q177,
     "q73_dup_ngram_coverage" -> q73,
     "q74_normalize_dedup" -> q74,
     "q75_centroid_assign" -> q75,
@@ -543,6 +593,7 @@ object QueriesCuration {
     "q102_bigram_fluency" -> q102)
 
   val oracleSql: Map[String, String] = Map(
+    "q177_kanonymity" -> q177Sql,
     "q73_dup_ngram_coverage" -> q73Sql,
     "q74_normalize_dedup" -> q74Sql,
     "q75_centroid_assign" -> q75Sql,

@@ -485,7 +485,93 @@ object QueriesSimilarity {
        |ORDER BY top.query_id, rank""".stripMargin
   }
 
+  // --- q175: grid-cell neighbor density (DBSCAN-style core points) ----------
+  // Spatial blocking, the missing member of the neighbor-join family:
+  // project each embedding to its first two dims in exact micro-int
+  // coordinates, bucket into eps-sized grid cells, and find every L∞
+  // neighbor within eps via a 3×3 NEIGHBOR-CELL equi-join — one side
+  // explodes its 9 surrounding cells, the other keys by home cell, so a
+  // point pair meets on exactly one (probe cell = home cell) key and the
+  // all-pairs O(n²) never materializes. Output is the neighbor-count
+  // histogram plus the DBSCAN core-point verdict per density level.
+  //
+  // Scale (100 TB): candidate volume is 9× the points, shuffled on cell
+  // id; cell size = eps bounds per-key work to genuinely-near points. A
+  // pathological dense cell is AQE-skew-split territory (same story as
+  // q162); at real scale the cell id doubles as the table's layout key
+  // (the q105/q109 discipline) so the join co-locates at the scan.
+  // Cross-engine exactness: micro coords are floor(double·1e6) of the
+  // same float, cells are floor-division written as the positive-mod
+  // identity ((xi % eps + eps) % eps) — truncation-signed % in both
+  // engines — so every cell id and every |Δ| compare is integer-exact.
+  private val GridEps = 7000L // micro-units; σ≈0.126 ⇒ ~3-5 nbrs at sf0.1
+  private val MinPts  = 4L    // core point: ≥ MinPts neighbors within eps
+  private val q175: Q = (s, dir) => {
+    def cell(c: String) = s"($c - (($c % $GridEps + $GridEps) % $GridEps)) DIV $GridEps"
+    val pts = Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      expr("CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 1000000) AS BIGINT)").as("xi"),
+      expr("CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) * 1000000) AS BIGINT)").as("yi"))
+      .withColumn("cx", expr(cell("xi")))
+      .withColumn("cy", expr(cell("yi")))
+    val probe = pts.select(col("vec_id").as("a"), col("xi").as("ax"),
+        col("yi").as("ay"),
+        explode(expr(
+          """flatten(transform(array(-1, 0, 1), dx ->
+            |  transform(array(-1, 0, 1), dy ->
+            |    struct(cx + dx AS gx, cy + dy AS gy))))""".stripMargin)).as("g"))
+      .select(col("a"), col("ax"), col("ay"),
+        col("g.gx").as("gx"), col("g.gy").as("gy"))
+    val home = pts.select(col("vec_id").as("b"), col("xi").as("bx"),
+      col("yi").as("by"), col("cx").as("gx"), col("cy").as("gy"))
+    val nbrs = probe.join(home, Seq("gx", "gy"))
+      .filter(col("a") =!= col("b") &&
+        abs(col("ax") - col("bx")) <= GridEps &&
+        abs(col("ay") - col("by")) <= GridEps)
+      .groupBy(col("a")).agg(count(lit(1)).as("nbrs"))
+    pts.select(col("vec_id").as("a")).join(nbrs, Seq("a"), "left")
+      .select(coalesce(col("nbrs"), lit(0L)).as("nbrs"))
+      .groupBy(col("nbrs"))
+      .agg(count(lit(1)).as("n_points"))
+      .withColumn("is_core",
+        when(col("nbrs") >= MinPts, 1L).otherwise(0L))
+      .orderBy(col("nbrs"))
+  }
+  private val q175Sql = {
+    def cell(c: String) = s"($c - (($c % $GridEps + $GridEps) % $GridEps)) // $GridEps"
+    s"""WITH pts AS (
+       |  SELECT vec_id,
+       |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS xi,
+       |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS yi
+       |  FROM embeddings
+       |), cells AS (
+       |  SELECT vec_id, xi, yi,
+       |    ${cell("xi")} AS cx, ${cell("yi")} AS cy
+       |  FROM pts
+       |), probe AS (
+       |  SELECT vec_id AS a, xi AS ax, yi AS ay,
+       |    cx + dx.d AS gx, cy + dy.d AS gy
+       |  FROM cells,
+       |    (SELECT unnest(generate_series(-1, 1)) AS d) dx,
+       |    (SELECT unnest(generate_series(-1, 1)) AS d) dy
+       |), nbrs AS (
+       |  SELECT a, CAST(COUNT(*) AS BIGINT) AS nbrs
+       |  FROM probe JOIN cells h ON probe.gx = h.cx AND probe.gy = h.cy
+       |  WHERE a <> h.vec_id
+       |    AND abs(ax - h.xi) <= $GridEps AND abs(ay - h.yi) <= $GridEps
+       |  GROUP BY a
+       |)
+       |SELECT nbrs, CAST(COUNT(*) AS BIGINT) AS n_points,
+       |  CAST(CASE WHEN nbrs >= $MinPts THEN 1 ELSE 0 END AS BIGINT) AS is_core
+       |FROM (
+       |  SELECT coalesce(n.nbrs, CAST(0 AS BIGINT)) AS nbrs
+       |  FROM cells LEFT JOIN nbrs n ON cells.vec_id = n.a
+       |)
+       |GROUP BY nbrs ORDER BY nbrs""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q175_grid_density" -> q175,
     "q31_cosine_topk" -> q31,
     "q32_ann_lsh_bucket" -> q32,
     "q41_ann_ivf_probe" -> q41,
@@ -494,6 +580,7 @@ object QueriesSimilarity {
     "q155_pq_adc" -> q155)
 
   val oracleSql: Map[String, String] = Map(
+    "q175_grid_density" -> q175Sql,
     "q31_cosine_topk" -> q31Sql,
     "q32_ann_lsh_bucket" -> q32Sql,
     "q41_ann_ivf_probe" -> q41Sql,

@@ -883,10 +883,81 @@ object QueriesText {
        |ORDER BY a, b""".stripMargin
   }
 
+  // --- q178: audio activity segmentation (energy islands over real decode) ---
+  // The segmentation step an audio-curation pipeline runs after decode:
+  // REAL WAV decode (ops/Multimodal.syntheticBurstWav plants genuine
+  // activity/silence runs per doc) → 32 window energies → threshold →
+  // gaps-and-islands per doc (the q07 streak discipline lifted onto a
+  // decoded signal) → per-doc segment digest, published as the corpus
+  // histogram by segment count. The oracle replays the integer waveform
+  // formula (q174's convention), so a decode, windowing, threshold, or
+  // islands bug hash-mismatches.
+  // Scale: the codec runs once per doc map-side; the islands window
+  // partitions by doc_id (32 rows each — never a global sort); the final
+  // histogram is a 32-key aggregate.
+  private val SegThresh = 4096L
+  private val q178: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .repartition(Tables.shufflePartitions(s))
+    val wins = Multimodal.audioSegmentWindows(ids).toDF()
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("w"))
+    val segs = wins.filter(col("energy") > SegThresh)
+      .withColumn("grp", col("w") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).cast("long").as("len"))
+    val perDoc = segs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"), max(col("len")).as("max_len"),
+        sum(col("len")).as("active_w"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("max_len"), lit(0L)).as("max_len"),
+        coalesce(col("active_w"), lit(0L)).as("active_w"))
+      .groupBy(col("n_segments"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("active_w")).as("sum_active"),
+        max(col("max_len")).as("max_seg_len"))
+      .orderBy(col("n_segments"))
+  }
+  private val q178Sql = {
+    val av1 = "((((doc_id * 13 + w * 7) % 65536) * 2654435761) % 65536)"
+    val active = s"((($av1 * ($av1 + 1)) // 4096) % 256) < 154"
+    val v0 = "((((doc_id * 104729 + i * 17) % 65536) * 2654435761) % 65536)"
+    val nv = s"((($v0 * ($v0 + 1)) // 4096) % 2048 - 1024)"
+    s"""WITH wins AS (
+       |  SELECT doc_id, w,
+       |    list_sum(list_transform(generate_series(w * 32, w * 32 + 31), i ->
+       |      abs(CASE WHEN $active THEN $nv ELSE $nv % 16 END))) AS energy
+       |  FROM documents, (SELECT unnest(generate_series(0, 31)) AS w)
+       |), act AS (
+       |  SELECT doc_id, w,
+       |    w - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+       |  FROM wins WHERE energy > $SegThresh
+       |), segs AS (
+       |  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+       |  FROM act GROUP BY doc_id, grp
+       |), per_doc AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(p.n_segments, 0) AS n_segments,
+       |    COALESCE(p.max_len, 0) AS max_len,
+       |    COALESCE(p.active_w, 0) AS active_w
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |      MAX(len) AS max_len, CAST(SUM(len) AS BIGINT) AS active_w
+       |    FROM segs GROUP BY doc_id) p ON d.doc_id = p.doc_id
+       |)
+       |SELECT n_segments, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(active_w) AS BIGINT) AS sum_active,
+       |  MAX(max_len) AS max_seg_len
+       |FROM per_doc GROUP BY n_segments ORDER BY n_segments""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q151_pmi_collocations" -> q151,
     "q171_phash_neardup" -> q171,
     "q174_audiofp_neardup" -> q174,
+    "q178_audio_segments" -> q178,
     "q53_decontaminate" -> q53,
     "q55_stratified_sample" -> q55,
     "q56_mixture_sample" -> q56,
@@ -909,6 +980,7 @@ object QueriesText {
     "q151_pmi_collocations" -> q151Sql,
     "q171_phash_neardup" -> q171Sql,
     "q174_audiofp_neardup" -> q174Sql,
+    "q178_audio_segments" -> q178Sql,
     "q53_decontaminate" -> q53Sql,
     "q55_stratified_sample" -> q55Sql,
     "q56_mixture_sample" -> q56Sql,

@@ -484,6 +484,20 @@ object Multimodal {
     * (modulo per-sample floor dust), so gradient signs — and the
     * fingerprint — survive re-volumed copies that byte dedup misses. */
   def audioFingerprint(docId: Long, payload: Array[Byte]): AudioFingerprint = {
+    val e = wavWindowEnergies(docId, payload)
+    var fp = 0L
+    var w = 0
+    while (w < 31) {
+      if (e(w + 1) > e(w)) fp |= 1L << w
+      w += 1
+    }
+    AudioFingerprint(docId, fp)
+  }
+
+  /** REAL decode to the 32-window energy envelope (Σ|s| per 32-sample
+    * window) — the shared reduction under [[audioFingerprint]] and the
+    * q178 segmenter. */
+  def wavWindowEnergies(docId: Long, payload: Array[Byte]): Array[Long] = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     val fmt = ais.getFormat
@@ -501,13 +515,7 @@ object Multimodal {
       e(i / 32) += math.abs(s.toLong)
       i += 1
     }
-    var fp = 0L
-    var w = 0
-    while (w < 31) {
-      if (e(w + 1) > e(w)) fp |= 1L << w
-      w += 1
-    }
-    AudioFingerprint(docId, fp)
+    e
   }
 
   /** Partition-batched synthesize→encode→decode→fingerprint over ids. */
@@ -515,4 +523,53 @@ object Multimodal {
     ids.mapPartitions(_.map { id =>
       audioFingerprint(id, syntheticPairWav(id))
     })(Encoders.product[AudioFingerprint])
+
+  // ----------------------------------------------------- audio segmentation
+
+  /** Speech-like burst waveform for the q178 segmenter: per 32-sample
+    * window, a middle-square mix of (id, window) decides ACTIVE (full
+    * ±1024 noise) vs SILENT (the same noise read mod 16 — dither whose
+    * window energy stays < 500), so every doc carries genuine
+    * activity/silence runs and an energy threshold recovers them. All
+    * integer; the oracle replays the formula exactly. */
+  def syntheticBurstWav(id: Long): Array[Byte] = {
+    val samples = Array.tabulate(WavSamples) { i =>
+      val av0 = (id * 13 + (i / 32).toLong * 7) % 65536
+      val av1 = (av0 * 2654435761L) % 65536
+      // middle-square before the range test — a bare `av1 % k` inherits
+      // the linear per-window walk of av0·C mod 2^16 and yields the same
+      // near-periodic activity pattern for every doc
+      val active = (av1 * (av1 + 1)) / 4096 % 256 < 154
+      val v0 = (id * 104729 + i.toLong * 17) % 65536
+      val v1 = (v0 * 2654435761L) % 65536
+      val nv = (v1 * (v1 + 1)) / 4096 % 2048 - 1024
+      (if (active) nv else nv % 16).toShort
+    }
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      WavRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  case class AudioWindow(doc_id: Long, w: Int, energy: Long)
+
+  /** Partition-batched synthesize→encode→decode→window-energies over ids
+    * (32 rows per doc — the explode happens AFTER the per-doc decode, so
+    * the codec runs once per document). */
+  def audioSegmentWindows(ids: Dataset[Long]): Dataset[AudioWindow] =
+    ids.mapPartitions(_.flatMap { id =>
+      val e = wavWindowEnergies(id, syntheticBurstWav(id))
+      e.iterator.zipWithIndex.map { case (en, w) => AudioWindow(id, w, en) }
+    })(Encoders.product[AudioWindow])
 }
