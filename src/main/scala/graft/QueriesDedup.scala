@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Components, NearDup, TextOps, VectorOps}
@@ -657,7 +658,146 @@ object QueriesDedup {
        |FROM part JOIN labels ON p_name = labels.name
        |GROUP BY entity ORDER BY entity""".stripMargin
 
+  // --- q179: sorted-neighborhood candidate generation ------------------------
+  // The block-width-capped alternative q146's scaladoc promises for
+  // general domains: instead of hash blocks (whose width is data-
+  // dependent and can explode on a hot key), sort the corpus ONCE by a
+  // normalized key and compare each record only to its w−1 successors
+  // in the total order — candidate volume is exactly (w−1)·n by
+  // construction, whatever the key distribution (THE skew-proof
+  // blocking guarantee).
+  // Scale shape: the global rank comes from repartitionByRange +
+  // sortWithinPartitions + zipWithIndex — per-partition counting, NEVER
+  // the single-partition Window.orderBy; range partitioning preserves
+  // total order across partitions, so the index is the rank at any
+  // partition count. Successor pairing is then an EQUI-join of idx+off
+  // against idx (the q175 1D grid trick) — no window, no inequality
+  // join. Confirmation reuses q127's bounded 3-arg levenshtein.
+  private val SnmWindow = 4 // compare to the next 3 records
+  private val SnmEditMax = 2
+  private val q179: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val k = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("sk"))
+    val idxd = k.repartitionByRange(Tables.shufflePartitions(s),
+        col("sk"), col("doc_id"))
+      .sortWithinPartitions(col("sk"), col("doc_id"))
+      .as[(Long, String)].rdd.zipWithIndex()
+      .map { case ((id, sk), i) => (id, sk, i) }
+      .toDF("doc_id", "sk", "idx")
+      .localCheckpoint() // rank is data-deterministic; pin it once
+    val probe = idxd.select(col("doc_id").as("ia"), col("sk").as("ska"),
+      explode(expr(s"transform(sequence(1, ${SnmWindow - 1}), o -> idx + o)"))
+        .as("ridx"))
+    probe.join(idxd.select(col("doc_id").as("ib"), col("sk").as("skb"),
+        col("idx").as("ridx")), "ridx")
+      .filter(levenshtein(col("ska"), col("skb"), SnmEditMax) >= 0)
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"),
+        levenshtein(col("ska"), col("skb")).cast("long").as("dist"))
+      .orderBy(col("a"), col("b"))
+  }
+  private val q179Sql =
+    s"""WITH k AS (
+       |  SELECT doc_id, substr(text, 1, 16) AS sk FROM documents
+       |), r AS (
+       |  SELECT doc_id, sk,
+       |    ROW_NUMBER() OVER (ORDER BY sk, doc_id) - 1 AS idx
+       |  FROM k
+       |), probe AS (
+       |  SELECT doc_id AS ia, sk AS ska, idx + off.o AS ridx
+       |  FROM r, (SELECT unnest(generate_series(1, ${SnmWindow - 1})) AS o) off
+       |)
+       |SELECT LEAST(ia, rr.doc_id) AS a, GREATEST(ia, rr.doc_id) AS b,
+       |  CAST(levenshtein(ska, rr.sk) AS BIGINT) AS dist
+       |FROM probe JOIN r rr ON probe.ridx = rr.idx
+       |WHERE levenshtein(ska, rr.sk) <= $SnmEditMax
+       |ORDER BY a, b""".stripMargin
+
+  // --- q180: multi-signal fusion dedup + canonical election ------------------
+  // The curation capstone the single-signal queries feed: near-dup
+  // evidence from TWO independent detectors — q27's MinHash-LSH pairs
+  // and q74's normalization-exact collisions (as star edges to the
+  // group minimum: |group|−1 edges give the same connectivity as the
+  // |group|² clique for a fraction of the volume) — unioned into one
+  // edge set, clustered transitively (ops/Components), then a canonical
+  // representative ELECTED per cluster: keep the longest text, ties to
+  // the smallest id (the keep-best-copy rule a release pipeline
+  // applies, not just pair detection). Published as the per-cluster
+  // audit: size, canonical id, kept/removed char mass.
+  // Scale: both signals are equi-joins (band keys / norm-hash groups);
+  // the election window partitions by cluster — never global.
+  private val q180: Q = (s, dir) => {
+    graft.functions.TextFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+      .repartition(Tables.shufflePartitions(s))
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val hashed = NearDup.shingleHashed(docs, "doc_id", "text").cache()
+    val lsh = NearDup.pairs(hashed, 0.5).select(col("doc_a"), col("doc_b"))
+    val wNorm = Window.partitionBy(col("norm_h"))
+    val normEdges = docs
+      .withColumn("norm_h", expr(TextOps.hash60(TextOps.normalizeExpr("text"))))
+      .withColumn("m", min(col("doc_id")).over(wNorm))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("m").as("doc_a"), col("doc_id").as("doc_b"))
+    val comp = Components.minLabel(lsh.union(normEdges).distinct(),
+      "doc_a", "doc_b")
+    hashed.unpersist()
+    val members = docs.select(col("doc_id"), col("n_chars"))
+      .join(comp.withColumnRenamed("id", "doc_id"), "doc_id")
+    val wc = Window.partitionBy(col("component"))
+      .orderBy(desc("n_chars"), col("doc_id"))
+    members.withColumn("rk", row_number().over(wc))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(when(col("rk") === 1, col("doc_id"))).as("canonical"),
+        min(when(col("rk") === 1, col("n_chars"))).as("kept_chars"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("component"), col("n_docs"), col("canonical"),
+        col("kept_chars"),
+        (col("total_chars") - col("kept_chars")).as("removed_chars"))
+      .orderBy(col("component"))
+  }
+  private val q180Sql = {
+    val X = TextOps.sql
+    s"""WITH RECURSIVE $lshScoredCtes,
+       |norm AS (
+       |  SELECT doc_id, ${X.hash60(X.normalize("text"))} AS norm_h, n_chars
+       |  FROM documents
+       |), nm AS (
+       |  SELECT norm_h, MIN(doc_id) AS m FROM norm GROUP BY norm_h
+       |), allp AS (
+       |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5
+       |  UNION
+       |  SELECT nm.m, norm.doc_id FROM norm JOIN nm USING (norm_h)
+       |  WHERE norm.doc_id <> nm.m
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM allp
+       |  UNION SELECT doc_b, doc_a FROM allp
+       |), reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.id
+       |), comp AS (
+       |  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+       |), rk AS (
+       |  SELECT c.component, d.doc_id, d.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY c.component
+       |      ORDER BY d.n_chars DESC, d.doc_id) AS rk
+       |  FROM comp c JOIN documents d ON c.id = d.doc_id
+       |)
+       |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(CASE WHEN rk = 1 THEN doc_id END) AS canonical,
+       |  CAST(MIN(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS kept_chars,
+       |  CAST(SUM(n_chars) - MIN(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+       |    AS removed_chars
+       |FROM rk GROUP BY component ORDER BY component""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q180_fusion_dedup" -> q180,
+    "q179_sorted_neighborhood" -> q179,
     "q146_entity_resolution" -> q146,
     "q127_editdist_confirm" -> q127,
     "q137_shingle_containment" -> q137,
@@ -673,6 +813,8 @@ object QueriesDedup {
     "q114_dup_cluster_histogram" -> q114)
 
   val oracleSql: Map[String, String] = Map(
+    "q180_fusion_dedup" -> q180Sql,
+    "q179_sorted_neighborhood" -> q179Sql,
     "q146_entity_resolution" -> q146Sql,
     "q127_editdist_confirm" -> q127Sql,
     "q137_shingle_containment" -> q137Sql,

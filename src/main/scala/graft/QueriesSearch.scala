@@ -436,7 +436,82 @@ object QueriesSearch {
        |FROM dcg, counts, ideal""".stripMargin
   }
 
+  // --- q181: per-query retrieval eval (MRR / recall@k / precision@k) ---------
+  // q173 grades ONE ranking with graded relevance; q181 is the batch
+  // eval harness over a query SET — one ranking per term (posting-list
+  // scoped: only docs containing the term are scored, exactly what an
+  // inverted index serves), binary relevance (lang = 'en'), and the
+  // three workhorse metrics per query in floored ppm: reciprocal rank
+  // of the first relevant hit, recall@k against the corpus-wide
+  // relevant count, precision@k. All integer arithmetic — no
+  // transcendental, no float division.
+  // Scale: tf per (term, doc) from one codegen'd scan; the per-term
+  // rankings are a window PARTITIONED BY term (never a global sort);
+  // the corpus-wide relevant count is one broadcast scalar.
+  private val EvalK = 20
+  private val q181: Q = (s, dir) => {
+    val termStructs = Bm25Terms.map(t =>
+      s"struct('$t' AS term, CAST(size(filter(toks, x -> x = '$t')) AS BIGINT) AS tf)")
+      .mkString(", ")
+    val posting = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr(TextOps.tokensExpr("text")).as("toks"),
+        expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END").as("rel"))
+      .select(col("doc_id"), col("rel"),
+        explode(expr(s"array($termStructs)")).as("e"))
+      .select(col("e.term").as("term"), col("doc_id"), col("e.tf").as("tf"),
+        col("rel"))
+      .filter(col("tf") > 0)
+    val wTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(desc("tf"), col("doc_id"))
+    val topk = posting.withColumn("rank", row_number().over(wTerm))
+      .filter(col("rank") <= EvalK)
+    val nRel = Tables.documents(s, dir)
+      .agg(sum(expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END")).as("n_rel"))
+    topk.groupBy(col("term"))
+      .agg(min(when(col("rel") === 1L, col("rank"))).as("first_rel"),
+        sum(col("rel")).as("rel_in_topk"),
+        count(lit(1)).as("k_eff"))
+      .crossJoin(broadcast(nRel))
+      .select(col("term"),
+        coalesce(expr("1000000 DIV first_rel"), lit(0L)).as("rr_ppm"),
+        expr("(1000000 * rel_in_topk) DIV n_rel").as("recall_ppm"),
+        expr(s"(1000000 * rel_in_topk) DIV $EvalK").as("precision_ppm"),
+        col("rel_in_topk"), col("k_eff"))
+      .orderBy(col("term"))
+  }
+  private val q181Sql = {
+    val termRows = Bm25Terms.map(t =>
+      s"""SELECT '$t' AS term, doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x = '$t'))
+         |    AS BIGINT) AS tf,
+         |  CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS rel
+         |FROM documents""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH posting AS (
+       |  SELECT * FROM ($termRows) WHERE tf > 0
+       |), topk AS (
+       |  SELECT term, doc_id, tf, rel,
+       |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id)
+       |      AS rank
+       |  FROM posting QUALIFY rank <= $EvalK
+       |), nr AS (
+       |  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_rel
+       |  FROM documents
+       |)
+       |SELECT term,
+       |  COALESCE(1000000 // MIN(CASE WHEN rel = 1 THEN rank END),
+       |    CAST(0 AS BIGINT)) AS rr_ppm,
+       |  (1000000 * CAST(SUM(rel) AS BIGINT)) // (SELECT n_rel FROM nr)
+       |    AS recall_ppm,
+       |  (1000000 * CAST(SUM(rel) AS BIGINT)) // $EvalK AS precision_ppm,
+       |  CAST(SUM(rel) AS BIGINT) AS rel_in_topk,
+       |  CAST(COUNT(*) AS BIGINT) AS k_eff
+       |FROM topk GROUP BY term ORDER BY term""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q181_retrieval_eval" -> q181,
     "q173_ndcg_eval" -> q173,
     "q81_fuzzy_search" -> q81,
     "q143_rrf_fusion" -> q143,
@@ -444,6 +519,7 @@ object QueriesSearch {
     "q128_bm25_topk" -> q128)
 
   val oracleSql: Map[String, String] = Map(
+    "q181_retrieval_eval" -> q181Sql,
     "q173_ndcg_eval" -> q173Sql,
     "q81_fuzzy_search" -> q81Sql,
     "q143_rrf_fusion" -> q143Sql,

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.TextOps
@@ -1388,7 +1389,78 @@ object QueriesStats {
     SkewKeys.map(one).mkString("\nUNION ALL\n") + "\nORDER BY key_col"
   }
 
+  // --- q182: Theil–Sen robust trend (median of pairwise slopes) --------------
+  // The robust-regression sibling of q120's least-squares trend: the
+  // slope is the MEDIAN of all pairwise slopes of the monthly revenue
+  // series, so up to half the months can be corrupted before the
+  // estimate moves (q120's OLS breaks at one outlier). All integer:
+  // pairwise slopes as floored ppm of exact cents, the median by the
+  // q46/q121 selection rule (first value whose doubled rank reaches the
+  // pair count — no engine median() call), and the intercept as the
+  // median residual at the chosen slope.
+  // Scale: the corpus-sized work is ONE month-keyed aggregation; the
+  // pair explosion runs on the MONTHS table, whose size is fixed by the
+  // date span (84² pairs at every SF — corpus-independent), so the
+  // global rank windows order dimension-sized data only.
+  private val q182: Q = (s, dir) => {
+    val m = Tables.orders(s, dir)
+      .groupBy(((year(col("o_orderdate")) - 1992) * 12 +
+        month(col("o_orderdate")) - 1).as("x"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("y"))
+      .localCheckpoint() // months-sized; feeds pairs AND the residuals
+    val slopes = m.select(col("x").as("x1"), col("y").as("y1"))
+      .crossJoin(m.select(col("x").as("x2"), col("y").as("y2")))
+      .filter(col("x1") < col("x2"))
+      .select(expr("(1000000 * (y2 - y1)) DIV (x2 - x1)").as("slope_ppm"))
+    val wS = Window.orderBy(col("slope_ppm"))
+    val sm = slopes.withColumn("rn", row_number().over(wS))
+      .crossJoin(broadcast(slopes.agg(count(lit(1)).as("n_pairs"))))
+      .filter(col("rn") * 2 >= col("n_pairs"))
+      .agg(min(col("slope_ppm")).as("slope_ppm"),
+        max(col("n_pairs")).as("n_pairs"))
+    val resid = m.crossJoin(broadcast(sm))
+      .select(col("n_pairs"), col("slope_ppm"),
+        expr("y * 1000000 - slope_ppm * x").as("b0"))
+    val wB = Window.orderBy(col("b0"))
+    resid.withColumn("rn", row_number().over(wB))
+      .crossJoin(broadcast(m.agg(count(lit(1)).as("n_months"))))
+      .filter(col("rn") * 2 >= col("n_months"))
+      .groupBy(col("n_months"), col("n_pairs"), col("slope_ppm"))
+      .agg(min(col("b0")).as("intercept_micro"))
+      .select(col("n_months"), col("n_pairs"), col("slope_ppm"),
+        col("intercept_micro"))
+  }
+  private val q182Sql = {
+    val cents = Exact.sql.cents("o_totalprice")
+    s"""WITH m AS (
+       |  SELECT (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS x,
+       |    CAST(SUM($cents) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1
+       |), p AS (
+       |  SELECT (1000000 * (b.y - a.y)) // (b.x - a.x) AS slope_ppm
+       |  FROM m a JOIN m b ON a.x < b.x
+       |), sc AS (
+       |  SELECT slope_ppm, ROW_NUMBER() OVER (ORDER BY slope_ppm) AS rn,
+       |    COUNT(*) OVER () AS n
+       |  FROM p
+       |), sm AS (
+       |  SELECT MIN(slope_ppm) AS slope_ppm, CAST(MAX(n) AS BIGINT) AS n_pairs
+       |  FROM sc WHERE 2 * rn >= n
+       |), icc AS (
+       |  SELECT m.y * 1000000 - sm.slope_ppm * m.x AS b0,
+       |    ROW_NUMBER() OVER (ORDER BY m.y * 1000000 - sm.slope_ppm * m.x)
+       |      AS rn,
+       |    COUNT(*) OVER () AS n
+       |  FROM m, sm
+       |)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_months,
+       |  sm.n_pairs, sm.slope_ppm,
+       |  (SELECT MIN(b0) FROM icc WHERE 2 * rn >= n) AS intercept_micro
+       |FROM sm""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q182_theilsen_trend" -> q182,
     "q162_skew_audit" -> q162,
     "q153_leadlag_xcorr" -> q153,
     "q148_seasonal_backtest" -> q148,
@@ -1414,6 +1486,7 @@ object QueriesStats {
     "q126_ship_latency" -> q126)
 
   val oracleSql: Map[String, String] = Map(
+    "q182_theilsen_trend" -> q182Sql,
     "q162_skew_audit" -> q162Sql,
     "q153_leadlag_xcorr" -> q153Sql,
     "q148_seasonal_backtest" -> q148Sql,
