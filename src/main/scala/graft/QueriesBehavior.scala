@@ -1132,7 +1132,82 @@ object QueriesBehavior {
       |FROM hist CROSS JOIN tot
       |ORDER BY latency_days""".stripMargin
 
+  // --- q184: event-time disorder audit (watermark sizing) --------------------
+  // The batch audit that DECIDES a streaming job's watermark: replay
+  // events in ARRIVAL order and measure how far each event's time lags
+  // the GLOBAL running event-time maximum — the same high-water mark
+  // Spark's withWatermark tracks (global, not per-key). An event
+  // lagging past the delay would be DROPPED by every watermarked
+  // operator in streaming/; the power-of-10 lateness histogram plus the
+  // would-drop count at the configured delay is the evidence that
+  // chooses the delay. The testdata's ingest order is perfectly time-
+  // sorted, so arrival disorder is PLANTED deterministically (the
+  // q74/q85 fixture-injection convention): every 37th event arrives
+  // 5000 sequence positions late.
+  // Scale: the global running max is the classic TWO-PHASE DISTRIBUTED
+  // PREFIX SCAN, never a single-partition global window — a chunk-keyed
+  // running max within each arrival chunk (distributed window), a
+  // chunks-sized prefix max across chunk maxima (dimension-sized global
+  // window), and a broadcast join combining the two. The oracle computes
+  // the same mark with DuckDB's plain global window, so the hash match
+  // PROVES the two-phase decomposition exact.
+  private val WmDelayUs = 3600L * 1000000L // the 1h delay streaming/ uses
+  private val WmChunk = 4096L
+  private val q184: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("arrival", expr(
+        "event_id + (CASE WHEN event_id % 37 = 0 THEN 5000L ELSE 0L END)"))
+      .withColumn("part", expr(s"arrival DIV $WmChunk"))
+    val wIn = Window.partitionBy(col("part"))
+      .orderBy(col("arrival"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inPart = e.withColumn("run_max", max(col("ts_us")).over(wIn))
+    val wPrev = Window.orderBy(col("part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevMax = e.groupBy(col("part")).agg(max(col("ts_us")).as("pmax"))
+      .withColumn("prev_max", max(col("pmax")).over(wPrev))
+      .select(col("part"), col("prev_max"))
+    val late = inPart.join(broadcast(prevMax), "part")
+      .withColumn("hwm_us",
+        greatest(col("run_max"), coalesce(col("prev_max"), col("run_max"))))
+      .withColumn("late_us", col("hwm_us") - col("ts_us"))
+    // power-of-10 bucket via decimal-digit count (never float log10)
+    late.withColumn("bucket", expr(
+        "CASE WHEN late_us = 0 THEN 0L ELSE CAST(length(CAST(late_us AS STRING)) AS BIGINT) END"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("late_us")).as("max_late_us"),
+        sum(when(col("late_us") > WmDelayUs, 1L).otherwise(0L))
+          .as("would_drop"))
+      .orderBy(col("bucket"))
+  }
+  private val q184Sql =
+    s"""WITH a AS (
+       |  SELECT event_id, epoch_us(ts) AS ts_us,
+       |    event_id + (CASE WHEN event_id % 37 = 0 THEN 5000 ELSE 0 END)
+       |      AS arrival
+       |  FROM events
+       |), l AS (
+       |  SELECT ts_us,
+       |    MAX(ts_us) OVER (ORDER BY arrival, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm_us
+       |  FROM a
+       |), b AS (
+       |  SELECT hwm_us - ts_us AS late_us,
+       |    CASE WHEN hwm_us - ts_us = 0 THEN 0
+       |      ELSE length(CAST(hwm_us - ts_us AS VARCHAR)) END AS bucket
+       |  FROM l
+       |)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+       |  CAST(SUM(CASE WHEN late_us > $WmDelayUs THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS would_drop
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q184_disorder_audit" -> q184,
     "q158_time_to_convert" -> q158,
     "q161_cohort_ltv" -> q161,
     "q152_rfm_segments" -> q152,
@@ -1154,6 +1229,7 @@ object QueriesBehavior {
     "q124_decayed_engagement" -> q124)
 
   val oracleSql: Map[String, String] = Map(
+    "q184_disorder_audit" -> q184Sql,
     "q158_time_to_convert" -> q158Sql,
     "q161_cohort_ltv" -> q161Sql,
     "q152_rfm_segments" -> q152Sql,

@@ -581,7 +581,94 @@ object QueriesCuration {
        |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin
   }
 
+  // --- q187: distribution-matching importance resampler ----------------------
+  // The mixture tool q56/q63 don't cover: reshape the corpus so a
+  // marginal (here: the length-bucket histogram) matches a TARGET
+  // distribution. Per bucket, the acceptance ratio is the classic
+  // importance weight target/actual, normalized so the most-under-
+  // represented bucket keeps everything (max ratio = 1), then applied
+  // as a deterministic content-hash gate (never rand() — same rows
+  // survive on any engine/cluster/partitioning). All integer: weights
+  // in ppm of exact counts, the normalizing max via a broadcast 1-row
+  // aggregate. Published per bucket: before/after counts and shares —
+  // the after-shares ARE the proof the marginal moved toward target.
+  // Scale: two corpus scans (histogram, then the gated filter) + two
+  // buckets-sized aggregates; the gate is map-side codegen.
+  private val MatchTargetPpm = Seq(100000L, 200000L, 300000L, 400000L)
+  private val q187: Q = (s, dir) => {
+    val target = MatchTargetPpm.zipWithIndex
+      .map { case (p, b) => s"WHEN $b THEN ${p}L" }
+      .mkString("CASE bucket ", " ", " ELSE 0L END")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("LEAST(CAST(3 AS BIGINT), n_chars DIV 150)").as("bucket"))
+    val hist = docs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_before"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
+      .withColumn("target_ppm", expr(target))
+      // importance score: target share over actual share, scaled exact
+      .withColumn("score", expr("(target_ppm * n_total) DIV n_before"))
+    val maxScore = hist.agg(max(col("score")).as("max_score"))
+    val rates = hist.crossJoin(broadcast(maxScore))
+      .withColumn("accept_ppm", expr("(score * 1000000) DIV max_score"))
+      .select(col("bucket"), col("n_before"), col("n_total"),
+        col("target_ppm"), col("accept_ppm"))
+      .localCheckpoint() // buckets-sized; feeds the gate AND the report
+    val kept = docs.join(broadcast(rates.select(col("bucket"), col("accept_ppm"))),
+        "bucket")
+      .filter(expr(
+        s"pmod(${TextOps.hash60("concat('dm:', CAST(doc_id AS STRING))")}, 1000000)"
+          + " < accept_ppm"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_after"))
+    rates.join(kept, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_before"),
+        expr("(1000000 * n_before) DIV n_total").as("share_before_ppm"),
+        col("target_ppm"), col("accept_ppm"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .crossJoin(broadcast(kept.agg(sum(col("n_after")).as("kept_total"))))
+      .withColumn("share_after_ppm",
+        expr("(1000000 * n_after) DIV kept_total"))
+      .drop("kept_total")
+      .orderBy(col("bucket"))
+  }
+  private val q187Sql = {
+    val X = TextOps.sql
+    val target = MatchTargetPpm.zipWithIndex
+      .map { case (p, b) => s"WHEN $b THEN $p" }
+      .mkString("CASE bucket ", " ", " ELSE 0 END")
+    s"""WITH docs AS (
+       |  SELECT doc_id, LEAST(CAST(3 AS BIGINT), n_chars // 150) AS bucket
+       |  FROM documents
+       |), hist AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_before,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM docs) AS n_total,
+       |    CAST($target AS BIGINT) AS target_ppm
+       |  FROM docs GROUP BY bucket
+       |), sc AS (
+       |  SELECT *, (target_ppm * n_total) // n_before AS score FROM hist
+       |), rates AS (
+       |  SELECT *, (score * 1000000) // (SELECT MAX(score) FROM sc)
+       |    AS accept_ppm
+       |  FROM sc
+       |), kept AS (
+       |  SELECT d.bucket, CAST(COUNT(*) AS BIGINT) AS n_after
+       |  FROM docs d JOIN rates r ON d.bucket = r.bucket
+       |  WHERE ${X.hash60("concat('dm:', CAST(doc_id AS VARCHAR))")} % 1000000
+       |    < accept_ppm
+       |  GROUP BY d.bucket
+       |)
+       |SELECT r.bucket, n_before,
+       |  (1000000 * n_before) // n_total AS share_before_ppm,
+       |  target_ppm, accept_ppm,
+       |  COALESCE(n_after, 0) AS n_after,
+       |  CAST((1000000 * COALESCE(n_after, 0)) //
+       |    (SELECT SUM(n_after) FROM kept) AS BIGINT) AS share_after_ppm
+       |FROM rates r LEFT JOIN kept k ON r.bucket = k.bucket
+       |ORDER BY r.bucket""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q187_distribution_match" -> q187,
     "q177_kanonymity" -> q177,
     "q73_dup_ngram_coverage" -> q73,
     "q74_normalize_dedup" -> q74,
@@ -593,6 +680,7 @@ object QueriesCuration {
     "q102_bigram_fluency" -> q102)
 
   val oracleSql: Map[String, String] = Map(
+    "q187_distribution_match" -> q187Sql,
     "q177_kanonymity" -> q177Sql,
     "q73_dup_ngram_coverage" -> q73Sql,
     "q74_normalize_dedup" -> q74Sql,

@@ -795,7 +795,82 @@ object QueriesDedup {
        |FROM rk GROUP BY component ORDER BY component""".stripMargin
   }
 
+  // --- q186: dedup-at-ingest — the O(delta) near-dup check -------------------
+  // q27 pairs the WHOLE corpus; a production pipeline dedups each new
+  // batch as it lands. The standing LSH index is the band-signature
+  // table of the existing corpus (at scale: a bucketed table keyed by
+  // (band, key) — the q105 layout); the new batch (docs ≡ 0 mod 13, the
+  // deterministic batch marker) probes it with an equi-join — work
+  // proportional to the BATCH's signatures, never the corpus pairing —
+  // plus a batch-internal self-join (a real ingest dedups within the
+  // batch too, against EARLIER ids only). Jaccard-confirmed ≥ 0.5, and
+  // each dup reports its canonical target (min matching partner).
+  private val IngestMod = 13L
+  private val q186: Q = (s, dir) => {
+    graft.functions.TextFunctions.register(s)
+    val d = Tables.documents(s, dir).repartition(Tables.shufflePartitions(s))
+    val hashed = NearDup.shingleHashed(d, "doc_id", "text").localCheckpoint()
+    val sig = hashed.select(col("doc_id"),
+      posexplode(expr("graft_minhash_bands(hs)")).as(Seq("band", "key")))
+    val probeSig = sig.filter(col("doc_id") % IngestMod === 0)
+    val indexSig = sig.filter(col("doc_id") % IngestMod =!= 0)
+    val candOld = probeSig.as("x").join(indexSig.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("partner"))
+    val candNew = probeSig.as("x").join(probeSig.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("partner"))
+    val cand = candOld.union(candNew).distinct()
+    val a = hashed.select(col("doc_id"), col("hs").as("hs_a"))
+    val b = hashed.select(col("doc_id").as("partner"), col("hs").as("hs_b"))
+    val scored = cand.join(a, "doc_id").join(b, "partner")
+      .withColumn("n_inter", expr("graft_sorted_intersect(hs_a, hs_b)"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("partner"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("partner").as("dup_of"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+  private val q186Sql = {
+    val X = TextOps.sql
+    val bandRows = X.bandKeys("hs").map { case (j, e) =>
+      s"SELECT doc_id, $j AS band, $e AS key FROM h"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH h AS (
+       |  SELECT doc_id, ${X.shingleHashes("text", 3)} AS hs
+       |  FROM documents WHERE length(text) >= 13
+       |), sig AS (
+       |$bandRows
+       |), probe AS (SELECT * FROM sig WHERE doc_id % $IngestMod = 0),
+       |idx AS (SELECT * FROM sig WHERE doc_id % $IngestMod <> 0),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_id, y.doc_id AS partner
+       |  FROM probe x JOIN idx y ON x.band = y.band AND x.key = y.key
+       |  UNION
+       |  SELECT x.doc_id, y.doc_id
+       |  FROM probe x JOIN probe y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id > y.doc_id
+       |), sc AS (
+       |  SELECT cand.doc_id, partner,
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+       |    CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))
+       |      AS DOUBLE) AS jaccard
+       |  FROM cand JOIN h a ON a.doc_id = cand.doc_id
+       |    JOIN h b ON b.doc_id = cand.partner
+       |)
+       |SELECT doc_id, partner AS dup_of, jaccard FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY partner)
+       |    AS rn
+       |  FROM sc WHERE jaccard >= 0.5)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q186_ingest_dedup" -> q186,
     "q180_fusion_dedup" -> q180,
     "q179_sorted_neighborhood" -> q179,
     "q146_entity_resolution" -> q146,
@@ -813,6 +888,7 @@ object QueriesDedup {
     "q114_dup_cluster_histogram" -> q114)
 
   val oracleSql: Map[String, String] = Map(
+    "q186_ingest_dedup" -> q186Sql,
     "q180_fusion_dedup" -> q180Sql,
     "q179_sorted_neighborhood" -> q179Sql,
     "q146_entity_resolution" -> q146Sql,

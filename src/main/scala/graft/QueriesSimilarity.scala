@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{KMeans, TextOps, VectorOps}
+import graft.ops.{Components, KMeans, TextOps, VectorOps}
 
 /** Approximate-nearest-neighbor search over the embedding column
   * (SURVEY.md §7.2 "scale ops" / training-data extensions).
@@ -506,14 +506,27 @@ object QueriesSimilarity {
   // engines — so every cell id and every |Δ| compare is integer-exact.
   private val GridEps = 7000L // micro-units; σ≈0.126 ⇒ ~3-5 nbrs at sf0.1
   private val MinPts  = 4L    // core point: ≥ MinPts neighbors within eps
-  private val q175: Q = (s, dir) => {
-    def cell(c: String) = s"($c - (($c % $GridEps + $GridEps) % $GridEps)) DIV $GridEps"
-    val pts = Tables.embeddings(s, dir).select(
+
+  /** (vec_id, xi, yi, cx, cy): exact micro-int 2D projection + eps-grid
+    * cell ids — shared by q175 (density, fixed eps) and q185 (full
+    * DBSCAN, density-adaptive eps). */
+  private def gridPts(s: SparkSession, dir: String,
+                      eps: Long = GridEps): DataFrame = {
+    def cell(c: String) = s"($c - (($c % $eps + $eps) % $eps)) DIV $eps"
+    Tables.embeddings(s, dir).select(
       col("vec_id"),
       expr("CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 1000000) AS BIGINT)").as("xi"),
       expr("CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) * 1000000) AS BIGINT)").as("yi"))
       .withColumn("cx", expr(cell("xi")))
       .withColumn("cy", expr(cell("yi")))
+  }
+
+  /** Directional neighbor pairs (a, b), a ≠ b, L∞ distance ≤ eps — each
+    * unordered pair appears once per direction. The 3×3 probe-cell
+    * explode meets the home cell on exactly one key, so no distinct. */
+  private def gridNbrPairs(s: SparkSession, dir: String,
+                           eps: Long = GridEps): DataFrame = {
+    val pts = gridPts(s, dir, eps)
     val probe = pts.select(col("vec_id").as("a"), col("xi").as("ax"),
         col("yi").as("ay"),
         explode(expr(
@@ -524,12 +537,17 @@ object QueriesSimilarity {
         col("g.gx").as("gx"), col("g.gy").as("gy"))
     val home = pts.select(col("vec_id").as("b"), col("xi").as("bx"),
       col("yi").as("by"), col("cx").as("gx"), col("cy").as("gy"))
-    val nbrs = probe.join(home, Seq("gx", "gy"))
+    probe.join(home, Seq("gx", "gy"))
       .filter(col("a") =!= col("b") &&
-        abs(col("ax") - col("bx")) <= GridEps &&
-        abs(col("ay") - col("by")) <= GridEps)
+        abs(col("ax") - col("bx")) <= eps &&
+        abs(col("ay") - col("by")) <= eps)
+      .select(col("a"), col("b"))
+  }
+
+  private val q175: Q = (s, dir) => {
+    val nbrs = gridNbrPairs(s, dir)
       .groupBy(col("a")).agg(count(lit(1)).as("nbrs"))
-    pts.select(col("vec_id").as("a")).join(nbrs, Seq("a"), "left")
+    gridPts(s, dir).select(col("vec_id").as("a")).join(nbrs, Seq("a"), "left")
       .select(coalesce(col("nbrs"), lit(0L)).as("nbrs"))
       .groupBy(col("nbrs"))
       .agg(count(lit(1)).as("n_points"))
@@ -570,7 +588,129 @@ object QueriesSimilarity {
        |GROUP BY nbrs ORDER BY nbrs""".stripMargin
   }
 
+  // --- q185: full distributed DBSCAN over the eps-grid ------------------------
+  // q175 found the core points; q185 finishes the algorithm: core-core
+  // neighbor edges cluster transitively (ops/Components — the min-label
+  // fixpoint), an isolated core is its own singleton cluster, every
+  // non-core point with a core neighbor joins that neighbor's cluster
+  // as a BORDER point (ties to the smallest cluster label — DBSCAN's
+  // border assignment is order-dependent in the sequential algorithm;
+  // min is the deterministic parallel rule), and everything else is
+  // NOISE (published as the cluster = −1 row). Per-cluster audit:
+  // core / border / total counts.
+  // Scale: everything downstream of the q175 pair join is keyed by
+  // point id or cluster label; the fixpoint rounds are bounded by the
+  // cluster diameter in cells (ops/Components' localCheckpoint
+  // discipline). The DuckDB twin walks the same core edges with q51's
+  // recursive CTE, so both engines agree at the fixpoint exactly.
+  private val RefN = 2000L // sf0.1 point count — the eps calibration anchor
+  private val q185: Q = (s, dir) => {
+    // density-adaptive radius: eps ∝ 1/sqrt(n) keeps the expected
+    // neighbor count constant as the corpus grows — fixed eps PERCOLATES
+    // at higher density (the sf1 sweep produced one giant component and
+    // a quadratic oracle recursion). sqrt is IEEE-correctly-rounded, so
+    // the Scala and DuckDB computations of the literal agree exactly;
+    // the count is the one driver-side scalar (the q83/q80 discipline).
+    val n = Tables.embeddings(s, dir).count()
+    val eps = math.floor(GridEps * math.sqrt(RefN.toDouble / n)).toLong
+    val pairs = gridNbrPairs(s, dir, eps).localCheckpoint() // feeds 3 consumers
+    val core = pairs.groupBy(col("a")).agg(count(lit(1)).as("nbrs"))
+      .filter(col("nbrs") >= MinPts).select(col("a").as("id"))
+      .localCheckpoint()
+    val coreEdges = pairs.filter(col("a") < col("b"))
+      .join(core.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(core.select(col("id").as("b")), Seq("b"), "left_semi")
+      .select(col("a"), col("b"))
+    val comp = Components.minLabel(coreEdges, "a", "b")
+    val coreLab = core
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+    val border = pairs
+      .join(core.select(col("id").as("a")), Seq("a"), "left_anti")
+      .join(coreLab.select(col("id").as("b"), col("cluster")), Seq("b"))
+      .groupBy(col("a")).agg(min(col("cluster")).as("cluster"))
+    val coreAgg = coreLab.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_core"))
+    val borderAgg = border.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_border"))
+    val clusters = coreAgg.join(borderAgg, Seq("cluster"), "full_outer")
+      .select(col("cluster"),
+        coalesce(col("n_core"), lit(0L)).as("n_core"),
+        coalesce(col("n_border"), lit(0L)).as("n_border"))
+      .withColumn("n_points", expr("n_core + n_border"))
+    val noise = gridPts(s, dir).agg(count(lit(1)).as("n_all"))
+      .crossJoin(broadcast(clusters.agg(
+        coalesce(sum(col("n_points")), lit(0L)).as("n_clustered"))))
+      .select(lit(-1L).as("cluster"), lit(0L).as("n_core"),
+        lit(0L).as("n_border"), (col("n_all") - col("n_clustered")).as("n_points"))
+    clusters.unionByName(noise).orderBy(col("cluster"))
+  }
+  private val q185Sql = {
+    def cell(c: String) = s"($c - (($c % e + e) % e)) // e"
+    s"""WITH RECURSIVE epsv AS (
+       |  SELECT CAST(floor($GridEps * sqrt($RefN.0 / COUNT(*))) AS BIGINT) AS e
+       |  FROM embeddings
+       |), cells AS (
+       |  SELECT vec_id, xi, yi, ${cell("xi")} AS cx, ${cell("yi")} AS cy, e
+       |  FROM (
+       |    SELECT vec_id,
+       |      CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS xi,
+       |      CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS yi
+       |    FROM embeddings), epsv
+       |), pairs AS (
+       |  SELECT p.vec_id AS a, h.vec_id AS b
+       |  FROM cells p,
+       |    (SELECT unnest(generate_series(-1, 1)) AS d) dx,
+       |    (SELECT unnest(generate_series(-1, 1)) AS d) dy,
+       |    cells h
+       |  WHERE p.cx + dx.d = h.cx AND p.cy + dy.d = h.cy
+       |    AND p.vec_id <> h.vec_id
+       |    AND abs(p.xi - h.xi) <= p.e AND abs(p.yi - h.yi) <= p.e
+       |), core AS (
+       |  SELECT a AS id FROM pairs GROUP BY a HAVING COUNT(*) >= $MinPts
+       |), ce AS (
+       |  SELECT p.a, p.b FROM pairs p
+       |  JOIN core ca ON p.a = ca.id JOIN core cb ON p.b = cb.id
+       |  WHERE p.a < p.b
+       |), edges AS (
+       |  SELECT a AS src, b AS dst FROM ce UNION SELECT b, a FROM ce
+       |), reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.id
+       |), comp AS (
+       |  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+       |), corelab AS (
+       |  SELECT core.id, COALESCE(comp.component, core.id) AS cluster
+       |  FROM core LEFT JOIN comp ON core.id = comp.id
+       |), border AS (
+       |  SELECT p.a, MIN(cl.cluster) AS cluster
+       |  FROM pairs p
+       |  LEFT JOIN core ca ON p.a = ca.id
+       |  JOIN corelab cl ON p.b = cl.id
+       |  WHERE ca.id IS NULL
+       |  GROUP BY p.a
+       |), ca2 AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_core
+       |  FROM corelab GROUP BY cluster
+       |), ba AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_border
+       |  FROM border GROUP BY cluster
+       |), cl AS (
+       |  SELECT COALESCE(ca2.cluster, ba.cluster) AS cluster,
+       |    COALESCE(n_core, 0) AS n_core, COALESCE(n_border, 0) AS n_border
+       |  FROM ca2 FULL OUTER JOIN ba ON ca2.cluster = ba.cluster
+       |)
+       |SELECT cluster, n_core, n_border, n_core + n_border AS n_points FROM cl
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) -
+       |  (SELECT CAST(COALESCE(SUM(n_core + n_border), 0) AS BIGINT) FROM cl)
+       |ORDER BY cluster""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q185_dbscan" -> q185,
     "q175_grid_density" -> q175,
     "q31_cosine_topk" -> q31,
     "q32_ann_lsh_bucket" -> q32,
@@ -580,6 +720,7 @@ object QueriesSimilarity {
     "q155_pq_adc" -> q155)
 
   val oracleSql: Map[String, String] = Map(
+    "q185_dbscan" -> q185Sql,
     "q175_grid_density" -> q175Sql,
     "q31_cosine_topk" -> q31Sql,
     "q32_ann_lsh_bucket" -> q32Sql,

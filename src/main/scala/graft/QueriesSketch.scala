@@ -601,7 +601,105 @@ object QueriesSketch {
        |FROM est CROSS JOIN ex""".stripMargin
   }
 
+  // --- q183: portable HyperLogLog — registers AND estimate oracle-verified ---
+  // q40 demonstrates the ENGINE-NATIVE HLL (necessarily rows-only:
+  // Spark's register layout is private); q183 is the portable
+  // counterpart — the from-scratch HLL whose every step is shared
+  // integer arithmetic, so the DuckDB twin reproduces the register
+  // table AND the estimate bit-for-bit. This is the sketch-interchange
+  // property a lakehouse needs: registers computed by ANY engine merge
+  // with any other (MAX per bucket — the same algebra q119's
+  // TypedImperativeAggregate implements for minhash).
+  //   bucket = top-8 bits of the shared 60-bit md5 hash; rho = leading
+  //   zeros of the 52-bit suffix + 1, via an unrolled 52-term
+  //   comparison ladder (never float log2 — its last-ulp rounding near
+  //   powers of two is engine-specific); register = MAX(rho): dup-
+  //   insensitive, map-side combinable, shuffle-order-proof.
+  //   Estimate = α·m²/Σ2^(−r) carried as integers: Σ2^(53−r) per type
+  //   (≤ 2^61), α·m² as a floor-scaled literal embedded identically in
+  //   both engines (the q173 constants convention), one DECIMAL(38,0)
+  //   floored division (the q131 widening). RAW HLL by design — no
+  //   small-range/linear-counting switch (ln is float); the published
+  //   err_pm column shows the resulting small-range bias honestly.
+  private val HllP = 8
+  private val HllM = 1 << HllP
+  private val HllSfx = 52 // 60-bit hash minus the 8 bucket bits
+  private val HllAm2 =
+    math.floor(0.7213 / (1 + 1.079 / HllM) * HllM.toLong * HllM).toLong
+  private val q183: Q = (s, dir) => {
+    val lSum = (0 until HllSfx)
+      .map(k => s"(CASE WHEN suffix >= ${1L << k}L THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val e = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr(TextOps.hash60("CAST(user_id AS STRING)")).as("h"))
+      .withColumn("bucket", expr(s"h DIV ${1L << HllSfx}L"))
+      .withColumn("suffix", expr(s"h % ${1L << HllSfx}L"))
+      .withColumn("rho", expr(s"${HllSfx + 1} - ($lSum)"))
+    val regs = e.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val sk = regs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("used"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllSfx + 1} - r)"))
+          .as("s_present"),
+        sum(col("r")).as("reg_sum"))
+      .withColumn("s_full", expr(
+        s"s_present + ($HllM - used) * ${1L << (HllSfx + 1)}L"))
+      // α·m² floored to an integer literal shared by both engines (its
+      // ~1 ppm quantization is noise next to HLL's ±2% error); the
+      // numerator widens through DECIMAL(38,0) and the SINGLE quotient
+      // fits int64 (Spark's DIV downcasts its result to long — a chain
+      // whose intermediate quotient exceeds int64 wraps silently)
+      .withColumn("est_hll", expr(
+        s"""CAST(($HllAm2 * CAST(${1L << (HllSfx + 1)}L AS DECIMAL(38,0)))
+           |  DIV s_full AS BIGINT)""".stripMargin))
+    val exact = Tables.events(s, dir).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    sk.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("used"),
+        col("reg_sum"), col("est_hll"),
+        expr("(1000000 * abs(est_hll - n_exact)) DIV n_exact").as("err_pm"))
+      .orderBy(col("event_type"))
+  }
+  private val q183Sql = {
+    val X = TextOps.sql
+    val lSum = (0 until HllSfx)
+      .map(k => s"(CASE WHEN suffix >= ${1L << k} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT event_type, ${X.hash60("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events
+       |), b AS (
+       |  SELECT event_type, h // ${1L << HllSfx} AS bucket,
+       |    h % ${1L << HllSfx} AS suffix
+       |  FROM h
+       |), r AS (
+       |  SELECT event_type, bucket, MAX(${HllSfx + 1} - ($lSum)) AS r
+       |  FROM b GROUP BY event_type, bucket
+       |), sk AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS used,
+       |    CAST(SUM(CAST(1 AS BIGINT) << (${HllSfx + 1} - r)) AS BIGINT)
+       |      AS s_present,
+       |    CAST(SUM(r) AS BIGINT) AS reg_sum
+       |  FROM r GROUP BY event_type
+       |), est AS (
+       |  SELECT event_type, used, reg_sum,
+       |    CAST(($HllAm2 * CAST(${1L << (HllSfx + 1)} AS HUGEINT)) //
+       |      (s_present + ($HllM - used) * ${1L << (HllSfx + 1)})
+       |      AS BIGINT) AS est_hll
+       |  FROM sk
+       |), ex AS (
+       |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+       |  FROM events GROUP BY event_type
+       |)
+       |SELECT est.event_type, n_exact, used, reg_sum, est_hll,
+       |  (1000000 * abs(est_hll - n_exact)) // n_exact AS err_pm
+       |FROM est JOIN ex ON est.event_type = ex.event_type
+       |ORDER BY est.event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q183_hll_portable" -> q183,
     "q135_hist_quantiles" -> q135,
     "q136_kmv_setops" -> q136,
     "q138_cms_heavyhitters" -> q138,
@@ -612,6 +710,7 @@ object QueriesSketch {
     "q142_ams_f2" -> q142)
 
   val oracleSql: Map[String, String] = Map(
+    "q183_hll_portable" -> q183Sql,
     "q135_hist_quantiles" -> q135Sql,
     "q136_kmv_setops" -> q136Sql,
     "q138_cms_heavyhitters" -> q138Sql,

@@ -41,8 +41,21 @@ object Components {
     while (changed > 0 && iter < maxIter) {
       val msgs = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component")).union(msgs)
+      val hop = labels.select(col("id"), col("component")).union(msgs)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
+      // POINTER JUMP: also adopt the label OF the label (L(L(v))) — the
+      // shortcutting step that collapses label chains geometrically, so
+      // rounds scale with log(diameter), not diameter. Plain one-hop
+      // propagation needs diameter rounds, and the sf1 sweep produced a
+      // percolated eps-graph whose giant component blew past 50; L(v)
+      // is always a reachable node's id, so min with L(L(v)) preserves
+      // the fixpoint (= component min) exactly.
+      val next = hop.join(
+          hop.select(col("id").as("component"), col("component").as("jump")),
+          Seq("component"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("jump"), col("component")))
+            .as("component"))
         .localCheckpoint()
       changed = next
         .join(labels.select(col("id"), col("component").as("prev")), "id")

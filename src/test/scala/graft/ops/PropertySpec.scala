@@ -138,4 +138,15 @@ class PropertySpec extends SparkSpec {
       assert(got == label)
     }
   }
+
+  test("minLabel collapses a 300-node path within the round budget (pointer jumping)") {
+    // graph diameter 299 — plain one-hop propagation would need 299
+    // rounds and trip the 50-round budget (the q185 sf1 failure mode);
+    // the shortcutting step must converge in O(log diameter)
+    val edges = (0L until 299L).map(i => (i, i + 1))
+    val got = Components.minLabel(edges.toDF("doc_a", "doc_b"),
+        "doc_a", "doc_b")
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(got.size == 300 && got.values.forall(_ == 0L))
+  }
 }
