@@ -692,7 +692,60 @@ object QueriesCorpus {
        |SELECT query_id, vec_id AS neighbor_id, score, rank FROM ranked
        |WHERE rank <= $QTopK ORDER BY query_id, rank""".stripMargin
 
+  // --- q189: source-profile drift (total-variation audit) --------------------
+  // The mixture-health check a multi-source corpus runs every ingest:
+  // does each source's language profile match the corpus-wide profile,
+  // and by how much? Distance is TOTAL VARIATION — Σ|share_src −
+  // share_global| / 2 — computed entirely in floored ppm integers (KL
+  // would need ln; TV is the metric that needs no transcendental and
+  // has the direct reading "fraction of documents mis-allocated").
+  // A source missing a language entirely still pays that language's
+  // global share: the (source × lang) grid is completed by a
+  // dimension-sized cross join before the left join of counts.
+  // Scale: one (source, lang) hash aggregate over the corpus; the grid,
+  // profiles, and distances are all dimension-sized.
+  private val q189: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val cells = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val bySrc = cells.groupBy(col("source")).agg(sum(col("n")).as("n_src"))
+    val byLang = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    val total = cells.agg(sum(col("n")).as("n_total"))
+    val grid = bySrc.crossJoin(byLang).crossJoin(broadcast(total))
+    grid.join(cells, Seq("source", "lang"), "left")
+      .select(col("source"), col("n_src"),
+        expr("(1000000 * coalesce(n, 0L)) DIV n_src").as("src_ppm"),
+        expr("(1000000 * n_lang) DIV n_total").as("glob_ppm"))
+      .groupBy(col("source"), col("n_src"))
+      .agg(sum(abs(col("src_ppm") - col("glob_ppm"))).as("sdev"),
+        max(abs(col("src_ppm") - col("glob_ppm"))).as("max_dev_ppm"))
+      .select(col("source"), col("n_src").as("n_docs"),
+        expr("sdev DIV 2").as("tv_ppm"), col("max_dev_ppm"))
+      .orderBy(col("source"))
+  }
+  private val q189Sql =
+    """WITH cells AS (
+      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY source, lang
+      |), by_src AS (
+      |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_src FROM cells GROUP BY source
+      |), by_lang AS (
+      |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM cells GROUP BY lang
+      |), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cells),
+      |grid AS (
+      |  SELECT source, n_src, lang,
+      |    (1000000 * COALESCE(c.n, 0)) // n_src AS src_ppm,
+      |    (1000000 * n_lang) // n_total AS glob_ppm
+      |  FROM by_src CROSS JOIN by_lang CROSS JOIN tot
+      |  LEFT JOIN cells c USING (source, lang)
+      |)
+      |SELECT source, n_src AS n_docs,
+      |  CAST(SUM(abs(src_ppm - glob_ppm)) // 2 AS BIGINT) AS tv_ppm,
+      |  CAST(MAX(abs(src_ppm - glob_ppm)) AS BIGINT) AS max_dev_ppm
+      |FROM grid GROUP BY source, n_src ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q189_source_drift" -> q189,
     "q71_quantized_topk" -> q71,
     "q70_bpe_pairs" -> q70,
     "q69_classifier_score" -> q69,
@@ -708,6 +761,7 @@ object QueriesCorpus {
     "q64_semantic_dedup" -> q64)
 
   val oracleSql: Map[String, String] = Map(
+    "q189_source_drift" -> q189Sql,
     "q71_quantized_topk" -> q71Sql,
     "q70_bpe_pairs" -> q70Sql,
     "q69_classifier_score" -> q69Sql,

@@ -869,7 +869,119 @@ object QueriesDedup {
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  // --- q188: LSH banding-scheme sweep (the parameter-tuning table) -----------
+  // HOW to choose the banding the whole near-dup family runs on: the
+  // same 16-permutation signature evaluated under r = 1 / 2 / 4 rows
+  // per band (16/8/4 bands). Fewer rows per band → more candidates,
+  // higher recall, worse precision; the published table (candidates,
+  // confirmed, precision, relative recall vs the union of all schemes'
+  // confirmed pairs) is exactly the evidence that picks r. The
+  // 16 minhash minima are computed ONCE and pinned; each scheme only
+  // re-keys them (r = 4 keys via the shared md5 — the two-minima
+  // product trick overflows past r = 2). Jaccard confirmation runs once
+  // over the DISTINCT union of candidate pairs, then every scheme's
+  // candidate set joins the shared scored table.
+  // Scale: three band-keyed equi-self-joins + one confirm join — the
+  // q27 shape ×3; never all-pairs (relative recall, not absolute — the
+  // exact denominator would need the O(n²) verifier).
+  private val SweepRs = Seq(1, 2, 4)
+  private val q188: Q = (s, dir) => {
+    graft.functions.TextFunctions.register(s)
+    val d = Tables.documents(s, dir).repartition(Tables.shufflePartitions(s))
+    val mhCols = TextOps.minhashExprs("hs").zipWithIndex
+      .map { case (e, i) => expr(e).as(s"m$i") }
+    val mat = NearDup.shingleHashed(d, "doc_id", "text")
+      .select(col("doc_id") +: col("hs") +: mhCols: _*)
+      .localCheckpoint() // 16 array_min passes run once, not per scheme
+    def keyExpr(r: Int, j: Int): String = r match {
+      case 1 => s"m$j"
+      case 2 => s"(m${2 * j} * ${TextOps.P}L + m${2 * j + 1})"
+      case 4 => TextOps.hash60(
+        (0 until 4).map(k => s"CAST(m${4 * j + k} AS STRING)")
+          .mkString("concat_ws(':', ", ", ", ")"))
+    }
+    def cands(r: Int): DataFrame = {
+      val bands = (0 until TextOps.NumPerm / r).map(j =>
+        s"struct($j AS band, ${keyExpr(r, j)} AS key)")
+      val sig = mat.select(col("doc_id"),
+        explode(expr(bands.mkString("array(", ", ", ")"))).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"), col("e.key").as("key"))
+      sig.as("x").join(sig.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+        .withColumn("r", lit(r.toLong))
+    }
+    val allCands = SweepRs.map(cands).reduce(_ union _).localCheckpoint()
+    val scored = allCands.select(col("a"), col("b")).distinct()
+      .join(mat.select(col("doc_id").as("a"), col("hs").as("hs_a")), "a")
+      .join(mat.select(col("doc_id").as("b"), col("hs").as("hs_b")), "b")
+      .withColumn("ni", expr("graft_sorted_intersect(hs_a, hs_b)"))
+      .withColumn("conf", when(
+        col("ni").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("ni")).cast("double")
+          >= 0.5, 1L).otherwise(0L))
+      .select(col("a"), col("b"), col("conf"))
+      .localCheckpoint()
+    val ref = scored.agg(sum(col("conf")).as("n_ref"))
+    allCands.join(scored, Seq("a", "b"))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_candidates"), sum(col("conf")).as("n_confirmed"))
+      .crossJoin(broadcast(ref))
+      .select(col("r").as("rows_per_band"),
+        expr(s"${TextOps.NumPerm} DIV r").as("n_bands"),
+        col("n_candidates"), col("n_confirmed"),
+        expr("(1000000 * n_confirmed) DIV n_candidates").as("precision_ppm"),
+        expr("(1000000 * n_confirmed) DIV n_ref").as("recall_ppm"))
+      .orderBy(col("rows_per_band"))
+  }
+  private val q188Sql = {
+    val X = TextOps.sql
+    val ms = X.minhash("hs")
+    def keySql(r: Int, j: Int): String = r match {
+      case 1 => ms(j)
+      case 2 => s"(${ms(2 * j)} * ${TextOps.P} + ${ms(2 * j + 1)})"
+      case 4 => X.hash60(
+        (0 until 4).map(k => s"CAST(${ms(4 * j + k)} AS VARCHAR)")
+          .mkString("concat_ws(':', ", ", ", ")"))
+    }
+    val sigRows = SweepRs.flatMap(r =>
+      (0 until TextOps.NumPerm / r).map(j =>
+        s"SELECT $r AS r, doc_id, $j AS band, ${keySql(r, j)} AS key FROM h"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH h AS (
+       |  SELECT doc_id, ${X.shingleHashes("text", 3)} AS hs
+       |  FROM documents WHERE length(text) >= 13
+       |), sig AS (
+       |$sigRows
+       |), cand AS (
+       |  SELECT DISTINCT x.r, x.doc_id AS a, y.doc_id AS b
+       |  FROM sig x JOIN sig y
+       |    ON x.r = y.r AND x.band = y.band AND x.key = y.key
+       |    AND x.doc_id < y.doc_id
+       |), pairs AS (
+       |  SELECT DISTINCT a, b FROM cand
+       |), scored AS (
+       |  SELECT a, b,
+       |    CASE WHEN CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+       |      CAST(len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))
+       |        AS DOUBLE) >= 0.5 THEN 1 ELSE 0 END AS conf
+       |  FROM pairs JOIN h ha ON ha.doc_id = a JOIN h hb ON hb.doc_id = b
+       |), ref AS (SELECT CAST(SUM(conf) AS BIGINT) AS n_ref FROM scored)
+       |SELECT CAST(r AS BIGINT) AS rows_per_band,
+       |  CAST(${TextOps.NumPerm} // r AS BIGINT) AS n_bands,
+       |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |  CAST(SUM(conf) AS BIGINT) AS n_confirmed,
+       |  (1000000 * CAST(SUM(conf) AS BIGINT)) // COUNT(*) AS precision_ppm,
+       |  (1000000 * CAST(SUM(conf) AS BIGINT)) // (SELECT n_ref FROM ref)
+       |    AS recall_ppm
+       |FROM cand JOIN scored USING (a, b)
+       |GROUP BY r ORDER BY rows_per_band""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q188_lsh_tuning" -> q188,
     "q186_ingest_dedup" -> q186,
     "q180_fusion_dedup" -> q180,
     "q179_sorted_neighborhood" -> q179,
@@ -888,6 +1000,7 @@ object QueriesDedup {
     "q114_dup_cluster_histogram" -> q114)
 
   val oracleSql: Map[String, String] = Map(
+    "q188_lsh_tuning" -> q188Sql,
     "q186_ingest_dedup" -> q186Sql,
     "q180_fusion_dedup" -> q180Sql,
     "q179_sorted_neighborhood" -> q179Sql,

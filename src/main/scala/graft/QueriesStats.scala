@@ -1459,7 +1459,60 @@ object QueriesStats {
        |FROM sm""".stripMargin
   }
 
+  // --- q190: rank transform (empirical-CDF feature normalization) ------------
+  // The feature-engineering step that maps a skewed column onto a
+  // uniform [0, 10000) basis-point scale: rank_bp(v) = ⌊10000·#{rows
+  // below v}/n⌋ — percent_rank, decomposed for scale. A naive
+  // percent_rank is a corpus-wide global sort; the scale-honest form
+  // runs the cumulative window over the DISTINCT-VALUE table (the
+  // cents domain is bounded, so the window input is domain-sized no
+  // matter the corpus) and joins ranks back by value — the same
+  // decomposition as q121's weighted median. Published as the decile
+  // audit (count + value range per decile): near-equal decile counts
+  // ARE the proof the transform uniformized the marginal.
+  private val q190: Q = (s, dir) => {
+    val vals = Tables.customer(s, dir)
+      .select(Exact.cents(col("c_acctbal")).as("v"))
+    val hist = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = hist
+      .withColumn("below", coalesce(sum(col("c")).over(wv), lit(0L)))
+      .crossJoin(broadcast(vals.agg(count(lit(1)).as("n"))))
+      .withColumn("rank_bp", expr("(10000 * below) DIV n"))
+      .select(col("v"), col("rank_bp"))
+    vals.join(ranks, "v")
+      .withColumn("decile", expr("rank_bp DIV 1000"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("min_cents"), max(col("v")).as("max_cents"),
+        min(col("rank_bp")).as("min_bp"), max(col("rank_bp")).as("max_bp"))
+      .orderBy(col("decile"))
+  }
+  private val q190Sql = {
+    val cents = Exact.sql.cents("c_acctbal")
+    s"""WITH vals AS (
+       |  SELECT $cents AS v FROM customer
+       |), hist AS (
+       |  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY v
+       |), ranks AS (
+       |  SELECT v,
+       |    (10000 * COALESCE(SUM(c) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) //
+       |      (SELECT CAST(COUNT(*) AS BIGINT) FROM vals) AS rank_bp
+       |  FROM hist
+       |)
+       |SELECT CAST(rank_bp // 1000 AS BIGINT) AS decile,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MIN(v) AS min_cents, MAX(v) AS max_cents,
+       |  CAST(MIN(rank_bp) AS BIGINT) AS min_bp,
+       |  CAST(MAX(rank_bp) AS BIGINT) AS max_bp
+       |FROM vals JOIN ranks USING (v)
+       |GROUP BY 1 ORDER BY decile""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q190_rank_transform" -> q190,
     "q182_theilsen_trend" -> q182,
     "q162_skew_audit" -> q162,
     "q153_leadlag_xcorr" -> q153,
@@ -1486,6 +1539,7 @@ object QueriesStats {
     "q126_ship_latency" -> q126)
 
   val oracleSql: Map[String, String] = Map(
+    "q190_rank_transform" -> q190Sql,
     "q182_theilsen_trend" -> q182Sql,
     "q162_skew_audit" -> q162Sql,
     "q153_leadlag_xcorr" -> q153Sql,
