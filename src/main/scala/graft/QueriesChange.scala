@@ -394,6 +394,187 @@ object QueriesChange {
        |  CAST(SUM(cents) AS BIGINT) AS total_cents
        |FROM j GROUP BY priority ORDER BY priority""".stripMargin
 
+  // --- q191: incremental sessionization (state carry-over across batches) ----
+  // The batch analog of streaming/StreamSessionize's state discipline,
+  // and q176's IVM story lifted to a NON-algebraic operator: sessions
+  // don't merge by coalesce-sum — a session spanning the batch boundary
+  // must be STITCHED. The incremental run sessionizes each batch
+  // independently, carries each user's LAST session as state, merges a
+  // second-batch session into it only when the boundary gap stays under
+  // the threshold, and renumbers the remainder. The oracle sessionizes
+  // the whole log from scratch, so the hash match proves the carry-over
+  // algebra (stitch + offset) loses nothing at the seam.
+  // Scale: two user-keyed sessionize windows (each batch only — the
+  // point: the closed history is never re-scanned) + user-keyed joins.
+  private val SessCut = "2024-01-16 00:00:00"
+  private val SessGapSec = 7200L
+  private val q191: Q = (s, dir) => {
+    import graft.ops.Sessionize
+    val e = Tables.events(s, dir).select(col("user_id"), col("ts"),
+      col("event_id"), Exact.cents(col("value")).as("cents"))
+    def sess(df: DataFrame): DataFrame =
+      Sessionize.assign(df, col("user_id"), col("ts"), col("event_id"),
+          SessGapSec)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"),
+          sum(col("cents")).as("sum_cents"))
+    val cut = lit(SessCut).cast("timestamp")
+    val s1 = sess(e.filter(col("ts") < cut)).localCheckpoint()
+    val s2 = sess(e.filter(col("ts") >= cut))
+    val wu = Window.partitionBy(col("user_id"))
+    val s1m = s1.withColumn("max_seq", max(col("session_seq")).over(wu))
+    val closed = s1m.filter(col("session_seq") < col("max_seq"))
+      .drop("max_seq")
+    val state = s1m.filter(col("session_seq") === col("max_seq"))
+      .select(col("user_id"), col("session_seq").as("st_seq"),
+        col("n_events").as("st_n"), col("start_us").as("st_start"),
+        col("end_us").as("st_end"), col("sum_cents").as("st_sum"))
+    val j = s2.join(state, Seq("user_id"), "left")
+      .withColumn("merges",
+        col("session_seq") === 1L && col("st_end").isNotNull &&
+          (col("start_us") - col("st_end")) < SessGapSec * 1000000L)
+      .withColumn("user_merges",
+        max(when(col("merges"), 1L).otherwise(0L)).over(wu))
+    val adjusted = j.select(col("user_id"),
+      (coalesce(col("st_seq"), lit(0L)) + col("session_seq")
+        - col("user_merges")).as("session_seq"),
+      when(col("merges"), col("st_n") + col("n_events"))
+        .otherwise(col("n_events")).as("n_events"),
+      when(col("merges"), col("st_start")).otherwise(col("start_us"))
+        .as("start_us"),
+      col("end_us"),
+      when(col("merges"), col("st_sum") + col("sum_cents"))
+        .otherwise(col("sum_cents")).as("sum_cents"))
+    val mergedUsers = j.filter(col("merges"))
+      .select(col("user_id")).distinct()
+    val untouched = state.join(mergedUsers, Seq("user_id"), "left_anti")
+      .select(col("user_id"), col("st_seq").as("session_seq"),
+        col("st_n").as("n_events"), col("st_start").as("start_us"),
+        col("st_end").as("end_us"), col("st_sum").as("sum_cents"))
+    closed.unionByName(untouched).unionByName(adjusted)
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+  private val q191Sql =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    ${Exact.sql.cents("value")} AS cents,
+       |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+       |              >= CAST($SessGapSec AS BIGINT) * 1000000 THEN 1
+       |      ELSE 0 END AS flag
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       |), sq AS (
+       |  SELECT *, CAST(SUM(flag) OVER (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS session_seq
+       |  FROM x
+       |)
+       |SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+       |FROM sq GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+
+  // --- q192: partition-checksum diff (Merkle-style changed-partition scan) ---
+  // q85 diffs at ROW granularity — an O(n) full-outer join every time.
+  // What a lakehouse does first is cheaper: per-PARTITION order-
+  // independent checksums (SUM of bounded row hashes + count — the
+  // commutative digest an engine can maintain incrementally), compared
+  // across versions to find WHICH partitions changed, then only those
+  // re-aggregated (the table-format manifest-diff discipline: the
+  // unchanged months' data is never re-read at refresh). Published: per
+  // month, the verdict (same/changed/added/removed), both row counts,
+  // and the refreshed revenue for non-same months from version B.
+  // Scale: two month-keyed hash aggregates (the checksums), a months-
+  // sized join, and a re-aggregation scanning ONLY changed months.
+  private val q192: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    def rowHash(status: String) = expr(s"pmod(${TextOps.hash60(
+      s"concat_ws('|', CAST(o_orderkey AS STRING), $status, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT))")}, 1000000000)")
+    def sums(df: DataFrame, status: String) = df
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"), sum(rowHash(status)).as("sig"))
+    val va = sums(
+      o.filter(col("o_orderdate") < lit(DiffCutA).cast("timestamp")),
+      "o_orderstatus")
+    val vbRows = o
+      .filter(col("o_orderdate") < lit(DiffCutB).cast("timestamp"))
+      .filter(col("o_orderkey") % 101 =!= 0)
+    val vb = sums(vbRows,
+      "CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END")
+    val diff = va.select(col("month"), col("n").as("n_a"), col("sig").as("sig_a"))
+      .join(vb.select(col("month"), col("n").as("n_b"), col("sig").as("sig_b")),
+        Seq("month"), "full_outer")
+      .withColumn("status",
+        when(col("sig_a").isNull, "added")
+          .when(col("sig_b").isNull, "removed")
+          .when(col("sig_a") === col("sig_b") && col("n_a") === col("n_b"),
+            "same")
+          .otherwise("changed"))
+      .localCheckpoint() // months-sized; feeds the refresh filter + output
+    val changedMonths = diff.filter(col("status") =!= "same")
+      .select(col("month"))
+    // the O(changed) refresh: only non-same months of version B re-read
+    val refreshed = vbRows
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .join(broadcast(changedMonths), Seq("month"))
+      .groupBy(col("month"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("refreshed_cents"))
+    diff.join(refreshed, Seq("month"), "left")
+      .select(col("month"), col("status"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("refreshed_cents"), lit(0L)).as("refreshed_cents"))
+      .orderBy(col("month"))
+  }
+  private val q192Sql = {
+    def h(status: String) = TextOps.sql.hash60(
+      s"concat_ws('|', CAST(o_orderkey AS VARCHAR), $status, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT))") + " % 1000000000"
+    s"""WITH va AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |    CAST(COUNT(*) AS BIGINT) AS n_a,
+       |    CAST(SUM(${h("o_orderstatus")}) AS BIGINT) AS sig_a
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '$DiffCutA'
+       |  GROUP BY 1
+       |), vbr AS (
+       |  SELECT * FROM orders
+       |  WHERE o_orderdate < TIMESTAMP '$DiffCutB' AND o_orderkey % 101 <> 0
+       |), vb AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |    CAST(COUNT(*) AS BIGINT) AS n_b,
+       |    CAST(SUM(${h(
+      "CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END")})
+       |      AS BIGINT) AS sig_b
+       |  FROM vbr GROUP BY 1
+       |), d AS (
+       |  SELECT COALESCE(va.month, vb.month) AS month,
+       |    CASE WHEN sig_a IS NULL THEN 'added'
+       |         WHEN sig_b IS NULL THEN 'removed'
+       |         WHEN sig_a = sig_b AND n_a = n_b THEN 'same'
+       |         ELSE 'changed' END AS status,
+       |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+       |  FROM va FULL OUTER JOIN vb ON va.month = vb.month
+       |), refreshed AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |    CAST(SUM(${Exact.sql.cents("o_totalprice")}) AS BIGINT)
+       |      AS refreshed_cents
+       |  FROM vbr
+       |  WHERE strftime(o_orderdate, '%Y-%m') IN
+       |    (SELECT month FROM d WHERE status <> 'same')
+       |  GROUP BY 1
+       |)
+       |SELECT d.month, status, n_a, n_b,
+       |  COALESCE(refreshed_cents, 0) AS refreshed_cents
+       |FROM d LEFT JOIN refreshed ON d.month = refreshed.month
+       |ORDER BY d.month""".stripMargin
+  }
+
   // --- q113: SCD2 point-in-time lookup (dimension version as-of fact time) ---
   // The consumption side of q86's history build — THE classic warehouse
   // join: each fact row picks the dimension version valid AT ITS OWN
@@ -465,7 +646,9 @@ object QueriesChange {
     "q99_gap_fill"      -> q99,
     "q107_incremental_agg" -> q107,
     "q113_scd2_lookup"  -> q113,
-    "q176_ivm_join_view" -> q176)
+    "q176_ivm_join_view" -> q176,
+    "q191_incr_sessionize" -> q191,
+    "q192_partition_diff" -> q192)
 
   val oracleSql: Map[String, String] = Map(
     "q84_set_ops"       -> q84Sql,
@@ -475,5 +658,7 @@ object QueriesChange {
     "q99_gap_fill"      -> q99Sql,
     "q107_incremental_agg" -> q107Sql,
     "q113_scd2_lookup"  -> q113Sql,
-    "q176_ivm_join_view" -> q176Sql)
+    "q176_ivm_join_view" -> q176Sql,
+    "q191_incr_sessionize" -> q191Sql,
+    "q192_partition_diff" -> q192Sql)
 }
