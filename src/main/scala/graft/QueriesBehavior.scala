@@ -1206,7 +1206,96 @@ object QueriesBehavior {
        |    AS would_drop
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // --- q193: regular-grid resampling with linear interpolation ---------------
+  // The time-series step q99's zero-fill can't do: each user's sparse
+  // measurement series resampled onto the hourly grid by LINEAR
+  // interpolation between the bracketing events (sensor/metric
+  // semantics — a missing hour means "the signal was between its
+  // neighbors", not zero). The bracket lookup is the union trick: grid
+  // rows and event rows interleave in one per-user ordering, prev =
+  // last non-null value/time up to here, next = first from here — two
+  // frames over ONE user-keyed sort, never an inequality join. The
+  // interpolation is exact integer milli math with a same-timestamp
+  // guard. Published as the corpus-level hourly series (bounded rows).
+  // Scale: grid volume = hours-per-user × users (a bounded linear
+  // blow-up set by the grid density knob); one user-keyed shuffle.
+  private val GridUs = 3600L * 1000000L
+  private val q193: Q = (s, dir) => {
+    val e = Tables.events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"),
+      expr("CAST(floor(value * 1000.0D) AS BIGINT)").as("mv"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+      .withColumn("g0", expr(s"(t0 + ${GridUs - 1}) DIV $GridUs"))
+      .withColumn("g1", expr(s"t1 DIV $GridUs"))
+      .filter(col("g0") <= col("g1"))
+      .select(col("user_id"), explode(expr("sequence(g0, g1)")).as("g"))
+      .select(col("user_id"), (col("g") * GridUs).as("ts_us"),
+        lit(null).cast("long").as("mv"), lit(0L).as("ie"),
+        lit(0L).as("event_id"))
+    val uni = e.select(col("user_id"), col("ts_us"), col("mv"), lit(1L).as("ie"),
+        col("event_id"))
+      .unionByName(grid)
+    val ord = Seq(col("ts_us"), desc("ie"), col("event_id"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    uni
+      .withColumn("pv", last(col("mv"), ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(when(col("ie") === 1L, col("ts_us")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("mv"), ignoreNulls = true).over(wNext))
+      .withColumn("nt", first(when(col("ie") === 1L, col("ts_us")), ignoreNulls = true).over(wNext))
+      .filter(col("ie") === 0L && col("pv").isNotNull && col("nv").isNotNull)
+      .withColumn("imv", expr(
+        """CASE WHEN nt = pt THEN pv
+          |  ELSE pv + ((nv - pv) * (ts_us - pt)) DIV (nt - pt) END"""
+          .stripMargin))
+      .groupBy(expr(s"ts_us DIV $GridUs").as("hour"))
+      .agg(count(lit(1)).as("n_users"), sum(col("imv")).as("sum_mv"))
+      .orderBy(col("hour"))
+  }
+  private val q193Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       |    CAST(floor(value * 1000.0) AS BIGINT) AS mv
+       |  FROM events
+       |), bounds AS (
+       |  SELECT user_id,
+       |    (MIN(ts_us) + ${GridUs - 1}) // $GridUs AS g0,
+       |    MAX(ts_us) // $GridUs AS g1
+       |  FROM e GROUP BY user_id
+       |), grid AS (
+       |  SELECT user_id, unnest(generate_series(g0, g1)) * $GridUs AS ts_us,
+       |    CAST(NULL AS BIGINT) AS mv, 0 AS ie, CAST(0 AS BIGINT) AS event_id
+       |  FROM bounds WHERE g0 <= g1
+       |), uni AS (
+       |  SELECT user_id, ts_us, mv, 1 AS ie, event_id FROM e
+       |  UNION ALL SELECT * FROM grid
+       |), br AS (
+       |  SELECT *,
+       |    last_value(mv IGNORE NULLS) OVER wp AS pv,
+       |    last_value(CASE WHEN ie = 1 THEN ts_us END IGNORE NULLS)
+       |      OVER wp AS pt,
+       |    first_value(mv IGNORE NULLS) OVER wn AS nv,
+       |    first_value(CASE WHEN ie = 1 THEN ts_us END IGNORE NULLS)
+       |      OVER wn AS nt
+       |  FROM uni
+       |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts_us, ie DESC, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |  wn AS (PARTITION BY user_id ORDER BY ts_us, ie DESC, event_id
+       |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |)
+       |SELECT ts_us // $GridUs AS hour, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |  CAST(SUM(CASE WHEN nt = pt THEN pv
+       |    ELSE pv + ((nv - pv) * (ts_us - pt)) // (nt - pt) END) AS BIGINT)
+       |    AS sum_mv
+       |FROM br
+       |WHERE ie = 0 AND pv IS NOT NULL AND nv IS NOT NULL
+       |GROUP BY 1 ORDER BY hour""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q193_resample_interp" -> q193,
     "q184_disorder_audit" -> q184,
     "q158_time_to_convert" -> q158,
     "q161_cohort_ltv" -> q161,
@@ -1229,6 +1318,7 @@ object QueriesBehavior {
     "q124_decayed_engagement" -> q124)
 
   val oracleSql: Map[String, String] = Map(
+    "q193_resample_interp" -> q193Sql,
     "q184_disorder_audit" -> q184Sql,
     "q158_time_to_convert" -> q158Sql,
     "q161_cohort_ltv" -> q161Sql,
