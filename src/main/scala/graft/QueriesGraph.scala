@@ -507,7 +507,99 @@ object QueriesGraph {
        |FROM d$WspRounds GROUP BY dist_bucket ORDER BY dist_bucket""".stripMargin
   }
 
+  // --- q194: time-respecting reachability (temporal adoption spread) ---------
+  // The temporal member of the graph family: an edge is only traversable
+  // AFTER you arrive — the path constraint behind influence/contagion
+  // analysis that static BFS (q144) cannot express (a static path may
+  // use an edge that fired before its predecessor). Graph: per part, the
+  // ADOPTION CHAIN — each buyer links to the next buyer in first-
+  // purchase order (linear in buyers; no pair blow-up, no cap needed),
+  // edge time = the later purchase day. Seeds: customers first buying within
+  // the data's first year (threshold relative to the observed minimum). Propagation: MIN-ARRIVAL-TIME frontier expansion — the
+  // right semilattice, since an earlier arrival can only enable MORE
+  // future edges — for a fixed [[TempRounds]] unroll both engines run
+  // (the q144 convention). Published as the arrivals histogram by epoch
+  // month.
+  // Scale: edges from one part-keyed window over the (part, cust,
+  // first-day) aggregate; each round is one cust-keyed equi-join + min
+  // aggregate with localCheckpoint bounding plan depth.
+  private val TempRounds = 3
+  private val TempSeedDay = 365L
+  private val q194: Q = (s, dir) => {
+    val buys = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')")
+          .cast("long").as("d"))
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_partkey").as("pk"), col("o_custkey").as("cust"))
+      .agg(min(col("d")).as("d"))
+    val wp = Window.partitionBy(col("pk")).orderBy(col("d"), col("cust"))
+    val edges = buys
+      .withColumn("ncust", lead(col("cust"), 1).over(wp))
+      .withColumn("nd", lead(col("d"), 1).over(wp))
+      .filter(col("nd").isNotNull && col("nd") > col("d"))
+      .select(col("cust").as("src"), col("ncust").as("dst"), col("nd").as("et"))
+      .localCheckpoint() // scanned every round
+    val first = buys.groupBy(col("cust")).agg(min(col("d")).as("t"))
+    var reach = first
+      .crossJoin(broadcast(first.agg(min(col("t")).as("d_min"))))
+      .filter(col("t") < col("d_min") + TempSeedDay)
+      .select(col("cust"), col("t"))
+      .localCheckpoint()
+    for (_ <- 1 to TempRounds) {
+      val nxt = reach.join(edges, col("cust") === col("src"))
+        .filter(col("et") > col("t"))
+        .select(col("dst").as("cust"), col("et").as("t"))
+      reach = reach.unionByName(nxt)
+        .groupBy(col("cust")).agg(min(col("t")).as("t"))
+        .localCheckpoint()
+    }
+    reach.groupBy(expr("t DIV 30").as("epoch_month"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("cust")).as("cust_sum"))
+      .orderBy(col("epoch_month"))
+  }
+  private val q194Sql = {
+    val rounds = (1 to TempRounds).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT cust, MIN(t) AS t FROM (
+         |    SELECT cust, t FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst, e.et FROM $prev p JOIN edges e
+         |      ON e.src = p.cust AND e.et > p.t
+         |  ) u GROUP BY cust
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH buys AS (
+       |  SELECT l_partkey AS pk, o_custkey AS cust,
+       |    CAST(MIN(date_diff('day', DATE '1992-01-01',
+       |      CAST(o_orderdate AS DATE))) AS BIGINT) AS d
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2
+       |), chain AS (
+       |  SELECT cust, d,
+       |    LEAD(cust) OVER (PARTITION BY pk ORDER BY d, cust) AS ncust,
+       |    LEAD(d) OVER (PARTITION BY pk ORDER BY d, cust) AS nd
+       |  FROM buys
+       |), edges AS MATERIALIZED (
+       |  SELECT cust AS src, ncust AS dst, nd AS et
+       |  FROM chain WHERE ncust IS NOT NULL AND nd > d
+       |), firstb AS (
+       |  SELECT cust, MIN(d) AS t FROM buys GROUP BY cust
+       |), r0 AS MATERIALIZED (
+       |  SELECT cust, t FROM firstb
+       |  WHERE t < (SELECT MIN(t) FROM firstb) + $TempSeedDay
+       |),
+       |$rounds
+       |SELECT t // 30 AS epoch_month, CAST(COUNT(*) AS BIGINT) AS n_custs,
+       |  CAST(SUM(cust) AS BIGINT) AS cust_sum
+       |FROM r$TempRounds GROUP BY 1 ORDER BY epoch_month""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q194_temporal_reach" -> q194,
     "q129_supplier_walk" -> q129,
     "q130_triangle_count" -> q130,
     "q133_kcore" -> q133,
@@ -516,6 +608,7 @@ object QueriesGraph {
     "q167_weighted_paths" -> q167)
 
   val oracleSql: Map[String, String] = Map(
+    "q194_temporal_reach" -> q194Sql,
     "q129_supplier_walk" -> q129Sql,
     "q130_triangle_count" -> q130Sql,
     "q133_kcore" -> q133Sql,
