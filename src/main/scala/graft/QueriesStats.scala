@@ -1511,7 +1511,146 @@ object QueriesStats {
        |GROUP BY 1 ORDER BY decile""".stripMargin
   }
 
+  // --- q195: grouped K-fold assignment (leakage-free CV splits) --------------
+  // The split discipline q78's holdout introduced, generalized to
+  // K-fold cross-validation with a GROUP constraint: every event of a
+  // user lands in the SAME fold (splitting a user across train and
+  // validation leaks their behavior into both — the GroupKFold rule).
+  // Fold = deterministic content hash of the GROUP key, never rand()
+  // and never the row key. The audit publishes per-fold volumes and
+  // class balance AND the structural guarantee itself: spanning_users —
+  // users observed in >1 fold — which the construction forces to 0 (the
+  // column exists so a regression that keys the hash on the row would
+  // fail the oracle loudly, not silently).
+  private val CvK = 5L
+  private val q195: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("fold", expr(
+        s"pmod(${TextOps.hash60("concat('cv:', CAST(user_id AS STRING))")}, $CvK)"))
+    val spanning = e.groupBy(col("user_id"))
+      .agg(countDistinct(col("fold")).as("nf"))
+      .agg(sum(when(col("nf") > 1, 1L).otherwise(0L)).as("spanning_users"))
+    e.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"))
+      .withColumn("purchase_ppm", expr("(1000000 * n_purchase) DIV n_events"))
+      .crossJoin(broadcast(spanning))
+      .orderBy(col("fold"))
+  }
+  private val q195Sql = {
+    val h = TextOps.sql.hash60("concat('cv:', CAST(user_id AS VARCHAR))")
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, $h % $CvK AS fold
+       |  FROM events
+       |), sp AS (
+       |  SELECT CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS spanning_users
+       |  FROM (SELECT user_id, COUNT(DISTINCT fold) AS nf FROM e
+       |        GROUP BY user_id)
+       |)
+       |SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_purchase,
+       |  (1000000 * CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+       |    ELSE 0 END) AS BIGINT)) // COUNT(*) AS purchase_ppm,
+       |  (SELECT spanning_users FROM sp) AS spanning_users
+       |FROM e GROUP BY fold ORDER BY fold""".stripMargin
+  }
+
+  // --- q196: feature-hashing collision audit ----------------------------------
+  // The hashing trick (token → feature index mod 2^k) trades dimension
+  // for collisions; this is the audit that sizes k: the bucket-load
+  // histogram (how many feature buckets carry 1, 2, 3… distinct
+  // tokens) plus the overall collision rate in ppm. Vocabulary comes
+  // from one distinct over the exploded corpus; everything after is
+  // vocabulary-sized.
+  private val FhBuckets = 1024L
+  private val q196: Q = (s, dir) => {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(expr(TextOps.tokensExpr("text"))).as("tok"))
+      .distinct()
+      .withColumn("b", expr(s"pmod(${TextOps.hash60("tok")}, $FhBuckets)"))
+    val loads = vocab.groupBy(col("b")).agg(count(lit(1)).as("load"))
+    val totals = loads.agg(count(lit(1)).as("used"), sum(col("load")).as("v"))
+      .select(col("used"), col("v"),
+        expr("(1000000 * (v - used)) DIV v").as("collision_ppm"))
+    loads.groupBy(col("load")).agg(count(lit(1)).as("n_buckets"))
+      .crossJoin(broadcast(totals))
+      .select(col("load"), col("n_buckets"), col("used").as("used_buckets"),
+        col("v").as("vocab_size"), col("collision_ppm"))
+      .orderBy(col("load"))
+  }
+  private val q196Sql = {
+    val h = TextOps.sql.hash60("tok")
+    s"""WITH vocab AS (
+       |  SELECT DISTINCT tok FROM (
+       |    SELECT unnest(${TextOps.sql.tokens("text")}) AS tok FROM documents)
+       |), bk AS (
+       |  SELECT $h % $FhBuckets AS b, CAST(COUNT(*) AS BIGINT) AS load
+       |  FROM vocab GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS used,
+       |    CAST(SUM(load) AS BIGINT) AS v
+       |  FROM bk
+       |)
+       |SELECT load, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  (SELECT used FROM tot) AS used_buckets,
+       |  (SELECT v FROM tot) AS vocab_size,
+       |  (SELECT (1000000 * (v - used)) // v FROM tot) AS collision_ppm
+       |FROM bk GROUP BY load ORDER BY load""".stripMargin
+  }
+
+  // --- q197: leave-one-out target encoding ------------------------------------
+  // Target encoding with the leakage fix: a row's category is encoded by
+  // the mean target of OTHER rows in its category — (S − x)/(n − 1),
+  // exact floored cents — because including the row's own target leaks
+  // the label into the feature (the naive mean memorizes singletons
+  // perfectly). Two passes: category sums (one combinable aggregate,
+  // broadcast back), then the per-row encode map-side. Published as the
+  // per-category digest of the encoded VALUES (count, min, max, sum) —
+  // enough to pin every row's arithmetic without corpus-sized output.
+  private val q197: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderpriority").as("cat"),
+      Exact.cents(col("o_totalprice")).as("y"))
+    val sums = o.groupBy(col("cat"))
+      .agg(sum(col("y")).as("s"), count(lit(1)).as("n"))
+    o.join(broadcast(sums), "cat")
+      .filter(col("n") > 1)
+      .withColumn("loo", expr("(s - y) DIV (n - 1)"))
+      .groupBy(col("cat"))
+      .agg(count(lit(1)).as("n_rows"), min(col("loo")).as("min_loo"),
+        max(col("loo")).as("max_loo"), sum(col("loo")).as("sum_loo"))
+      .withColumn("mean_cents", expr("(sum_loo + n_rows DIV 2) DIV n_rows"))
+      .orderBy(col("cat"))
+  }
+  private val q197Sql = {
+    val cents = Exact.sql.cents("o_totalprice")
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS cat, $cents AS y FROM orders
+       |), sums AS (
+       |  SELECT cat, CAST(SUM(y) AS BIGINT) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM o GROUP BY cat
+       |), enc AS (
+       |  SELECT o.cat, (s - y) // (n - 1) AS loo
+       |  FROM o JOIN sums USING (cat) WHERE n > 1
+       |)
+       |SELECT cat, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MIN(loo) AS min_loo, MAX(loo) AS max_loo,
+       |  CAST(SUM(loo) AS BIGINT) AS sum_loo,
+       |  (CAST(SUM(loo) AS BIGINT) + COUNT(*) // 2) // COUNT(*) AS mean_cents
+       |FROM enc GROUP BY cat ORDER BY cat""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q195_group_kfold" -> q195,
+    "q196_feature_hashing" -> q196,
+    "q197_loo_target_encoding" -> q197,
     "q190_rank_transform" -> q190,
     "q182_theilsen_trend" -> q182,
     "q162_skew_audit" -> q162,
@@ -1539,6 +1678,9 @@ object QueriesStats {
     "q126_ship_latency" -> q126)
 
   val oracleSql: Map[String, String] = Map(
+    "q195_group_kfold" -> q195Sql,
+    "q196_feature_hashing" -> q196Sql,
+    "q197_loo_target_encoding" -> q197Sql,
     "q190_rank_transform" -> q190Sql,
     "q182_theilsen_trend" -> q182Sql,
     "q162_skew_audit" -> q162Sql,
