@@ -1647,7 +1647,112 @@ object QueriesStats {
        |FROM enc GROUP BY cat ORDER BY cat""".stripMargin
   }
 
+  // --- q198: deterministic negative sampling (contrastive pairs) -------------
+  // The training-pair builder a retrieval/recommendation model needs:
+  // for each customer, K catalog parts they did NOT buy, drawn
+  // deterministically (content hash of (customer, part) — same
+  // negatives on any engine/cluster/partitioning, never rand()).
+  // Scale shape: the naive form is customers × catalog; the scalable
+  // form hashes every part into one of B buckets and probes each
+  // customer's [[NegR]] hash-derived buckets — an EQUI-join (parallel
+  // and skew-free; a single shared small modulus would leave only
+  // pool-divisor-many join keys — measured to serialize at sf1) with
+  // volume customers·catalog·(R/B). B is DATA-ADAPTIVE — catalog/2 —
+  // so the expected pool stays ~2R candidates per customer at EVERY
+  // catalog size (a fixed B was measured at 469M pool pairs / 2 min at
+  // sf1; adaptive B keeps the pool customers-sized) — then owned parts
+  // leave by anti-join and the K smallest pair hashes win per customer
+  // (a customer-partitioned window, never global). Published as the
+  // per-customer digest histogram: how many customers got their full K
+  // (pool-sizing evidence — the Poisson underfill tail surfaces here),
+  // plus a checksum of the actual sampled pairs.
+  private val NegK = 3L
+  private val NegR = 4L
+  private val q198: Q = (s, dir) => {
+    // ranking hash: pure-integer middle-square mix (the Multimodal
+    // discipline) — the pool is the one pool-fraction-sized stage, and
+    // an md5 per pair was measured to dominate the sf1 runtime 5×; the
+    // mix is engine-portable arithmetic (all products < 2^63)
+    def pairHash(c: String, p: String) = {
+      val v1 = s"((($c * 104729 + $p * 7919) % 1000000007) * 2654435761 % 1000000007)"
+      s"($v1 * ($v1 + 1) DIV 2) % 1000000007"
+    }
+    val owned = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("pk"))
+      .distinct()
+    val custs = owned.select(col("cust")).distinct()
+    val parts = Tables.part(s, dir).select(col("p_partkey").as("pk"))
+    // adaptive bucket space: catalog/2 ⇒ ~2R expected candidates per
+    // customer at any SF (the q185 adaptive-eps discipline; the count
+    // is the one driver-side scalar)
+    val negB = math.max(16L, Tables.part(s, dir).count() / 2)
+    val probeHash = TextOps.hash60(
+      "concat('nb:', CAST(cust AS STRING), ':', CAST(j AS STRING))")
+    val probes = custs
+      .select(col("cust"), explode(expr(
+        s"transform(sequence(0, ${NegR - 1}), j -> pmod($probeHash, $negB))"))
+        .as("bk"))
+      .distinct() // two probe slots may hash to the same bucket
+    val pool = probes
+      .join(parts.withColumn("bk", expr(
+        s"pmod(${TextOps.hash60("concat('pb:', CAST(pk AS STRING))")}, $negB)")),
+        "bk")
+      .withColumn("h", expr(pairHash("cust", "pk")))
+    val negs = pool.join(owned, Seq("cust", "pk"), "left_anti")
+    val wc = Window.partitionBy(col("cust")).orderBy(col("h"), col("pk"))
+    val sampled = negs.withColumn("rk", row_number().over(wc))
+      .filter(col("rk") <= NegK)
+    sampled.groupBy(col("cust"))
+      .agg(count(lit(1)).as("k_got"),
+        sum(expr("pmod(h, 1000000000)")).as("sig"))
+      .groupBy(col("k_got"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("sig")).as("pair_sig"))
+      .orderBy(col("k_got"))
+  }
+  private val q198Sql = {
+    val v1 = "(((cust * 104729 + pk * 7919) % 1000000007) * 2654435761 % 1000000007)"
+    val h = s"($v1 * ($v1 + 1) // 2) % 1000000007"
+    s"""WITH owned AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_partkey AS pk
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), custs AS (SELECT DISTINCT cust FROM owned),
+       |bv AS (
+       |  SELECT GREATEST(16, CAST(COUNT(*) // 2 AS BIGINT)) AS b FROM part
+       |), probes AS (
+       |  SELECT DISTINCT cust,
+       |    ${TextOps.sql.hash60(
+      "concat('nb:', CAST(cust AS VARCHAR), ':', CAST(j AS VARCHAR))")}
+       |      % b AS bk
+       |  FROM custs, (SELECT unnest(generate_series(0, ${NegR - 1})) AS j), bv
+       |), pb AS (
+       |  SELECT p_partkey AS pk,
+       |    ${TextOps.sql.hash60("concat('pb:', CAST(p_partkey AS VARCHAR))")}
+       |      % b AS bk
+       |  FROM part, bv
+       |), pool AS (
+       |  SELECT cust, pk, $h AS h FROM probes JOIN pb USING (bk)
+       |), negs AS (
+       |  SELECT pool.cust, pool.pk, pool.h FROM pool
+       |  LEFT JOIN owned o2 ON pool.cust = o2.cust AND pool.pk = o2.pk
+       |  WHERE o2.cust IS NULL
+       |), sampled AS (
+       |  SELECT cust, h,
+       |    ROW_NUMBER() OVER (PARTITION BY cust ORDER BY h, pk) AS rk
+       |  FROM negs QUALIFY rk <= $NegK
+       |), digest AS (
+       |  SELECT cust, CAST(COUNT(*) AS BIGINT) AS k_got,
+       |    CAST(SUM(h % 1000000000) AS BIGINT) AS sig
+       |  FROM sampled GROUP BY cust
+       |)
+       |SELECT k_got, CAST(COUNT(*) AS BIGINT) AS n_custs,
+       |  CAST(SUM(sig) AS BIGINT) AS pair_sig
+       |FROM digest GROUP BY k_got ORDER BY k_got""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q198_negative_sampling" -> q198,
     "q195_group_kfold" -> q195,
     "q196_feature_hashing" -> q196,
     "q197_loo_target_encoding" -> q197,
@@ -1678,6 +1783,7 @@ object QueriesStats {
     "q126_ship_latency" -> q126)
 
   val oracleSql: Map[String, String] = Map(
+    "q198_negative_sampling" -> q198Sql,
     "q195_group_kfold" -> q195Sql,
     "q196_feature_hashing" -> q196Sql,
     "q197_loo_target_encoding" -> q197Sql,
