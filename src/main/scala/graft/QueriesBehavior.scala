@@ -1236,10 +1236,20 @@ object QueriesBehavior {
     val uni = e.select(col("user_id"), col("ts_us"), col("mv"), lit(1L).as("ie"),
         col("event_id"))
       .unionByName(grid)
-    val ord = Seq(col("ts_us"), desc("ie"), col("event_id"))
-    val wPrev = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+    // two orderings, NOT one: a same-timestamp event must be visible to
+    // BOTH brackets — events sort before the grid row in the backward
+    // ordering (prev sees it) and after it in the forward ordering
+    // (next sees it). A single shared ordering makes one bracket blind
+    // at exact-coincidence timestamps: with events-first, a grid point
+    // landing exactly on a user's LAST event found no `next` and was
+    // silently dropped (and the nt = pt guard below was dead code).
+    // Same-ts value: prev picks the max-event_id event, next the min —
+    // nt = pt makes the guard take prev (a documented tie rule).
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), desc("ie"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+    val wNext = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("ie"), col("event_id"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     uni
       .withColumn("pv", last(col("mv"), ignoreNulls = true).over(wPrev))
@@ -1283,7 +1293,7 @@ object QueriesBehavior {
        |  FROM uni
        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts_us, ie DESC, event_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-       |  wn AS (PARTITION BY user_id ORDER BY ts_us, ie DESC, event_id
+       |  wn AS (PARTITION BY user_id ORDER BY ts_us, ie, event_id
        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
        |)
        |SELECT ts_us // $GridUs AS hour, CAST(COUNT(*) AS BIGINT) AS n_users,

@@ -810,8 +810,7 @@ object QueriesDedup {
     graft.functions.TextFunctions.register(s)
     val d = Tables.documents(s, dir).repartition(Tables.shufflePartitions(s))
     val hashed = NearDup.shingleHashed(d, "doc_id", "text").localCheckpoint()
-    val sig = hashed.select(col("doc_id"),
-      posexplode(expr("graft_minhash_bands(hs)")).as(Seq("band", "key")))
+    val sig = NearDup.bandSignatures(hashed)
     val probeSig = sig.filter(col("doc_id") % IngestMod === 0)
     val indexSig = sig.filter(col("doc_id") % IngestMod =!= 0)
     val candOld = probeSig.as("x").join(indexSig.as("y"),
@@ -822,13 +821,7 @@ object QueriesDedup {
           col("x.doc_id") > col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("partner"))
     val cand = candOld.union(candNew).distinct()
-    val a = hashed.select(col("doc_id"), col("hs").as("hs_a"))
-    val b = hashed.select(col("doc_id").as("partner"), col("hs").as("hs_b"))
-    val scored = cand.join(a, "doc_id").join(b, "partner")
-      .withColumn("n_inter", expr("graft_sorted_intersect(hs_a, hs_b)"))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (size(col("hs_a")) + size(col("hs_b")) - col("n_inter")).cast("double"))
+    val scored = NearDup.jaccardScored(cand, hashed, "doc_id", "partner")
       .filter(col("jaccard") >= 0.5)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("partner"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -914,14 +907,10 @@ object QueriesDedup {
         .withColumn("r", lit(r.toLong))
     }
     val allCands = SweepRs.map(cands).reduce(_ union _).localCheckpoint()
-    val scored = allCands.select(col("a"), col("b")).distinct()
-      .join(mat.select(col("doc_id").as("a"), col("hs").as("hs_a")), "a")
-      .join(mat.select(col("doc_id").as("b"), col("hs").as("hs_b")), "b")
-      .withColumn("ni", expr("graft_sorted_intersect(hs_a, hs_b)"))
-      .withColumn("conf", when(
-        col("ni").cast("double") /
-          (size(col("hs_a")) + size(col("hs_b")) - col("ni")).cast("double")
-          >= 0.5, 1L).otherwise(0L))
+    val scored = NearDup.jaccardScored(
+        allCands.select(col("a"), col("b")).distinct(),
+        mat.select(col("doc_id"), col("hs")), "a", "b")
+      .withColumn("conf", when(col("jaccard") >= 0.5, 1L).otherwise(0L))
       .select(col("a"), col("b"), col("conf"))
       .localCheckpoint()
     val ref = scored.agg(sum(col("conf")).as("n_ref"))

@@ -41,8 +41,12 @@ object Components {
     while (changed > 0 && iter < maxIter) {
       val msgs = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("component"))
+      // pinned BEFORE the self-join below — both join inputs read hop,
+      // and an unpinned hop re-runs the edges-join + min-aggregate
+      // (the round's expensive work) once per branch
       val hop = labels.select(col("id"), col("component")).union(msgs)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
       // POINTER JUMP: also adopt the label OF the label (L(L(v))) — the
       // shortcutting step that collapses label chains geometrically, so
       // rounds scale with log(diameter), not diameter. Plain one-hop
@@ -60,9 +64,10 @@ object Components {
       changed = next
         .join(labels.select(col("id"), col("component").as("prev")), "id")
         .filter(col("component") < col("prev")).count()
-      // release the superseded round's checkpoint NOW — otherwise up to
-      // maxIter full label-table copies stay pinned in block storage
+      // release the superseded round's checkpoints NOW — otherwise up
+      // to maxIter full label-table copies stay pinned in block storage
       // until nondeterministic ContextCleaner GC
+      hop.unpersist()
       labels.unpersist()
       labels = next
       iter += 1

@@ -270,8 +270,15 @@ object Multimodal {
     * audio third of the image/audio/video triple the same way
     * [[syntheticPng]] closed images (no external dependency; the
     * [[decodeStub]] seam remains only for codecs the JDK lacks). */
-  def syntheticWav(id: Long): Array[Byte] = {
-    val samples = syntheticSamples(id)
+  def syntheticWav(id: Long): Array[Byte] =
+    encodeWav(syntheticSamples(id))
+
+  /** RIFF/WAVE encode of 16-bit little-endian mono PCM — the shared
+    * codec half of every synthetic-waveform generator (one place to
+    * change sample rate / bit depth / endianness; the analytic oracles
+    * replay the SAMPLE formulas, so a codec drift here must hit all
+    * generators identically or hash-mismatch loudly). */
+  def encodeWav(samples: Array[Short]): Array[Byte] = {
     val pcm = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) { // little-endian PCM16
@@ -457,21 +464,7 @@ object Multimodal {
       else (s * 9) / 8
       out.toShort
     }
-    val pcm = new Array[Byte](samples.length * 2)
-    var i = 0
-    while (i < samples.length) {
-      pcm(2 * i) = (samples(i) & 0xff).toByte
-      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
-      i += 1
-    }
-    val fmt = new javax.sound.sampled.AudioFormat(
-      WavRate.toFloat, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    encodeWav(samples)
   }
 
   case class AudioFingerprint(doc_id: Long, fp: Long)
@@ -545,21 +538,7 @@ object Multimodal {
       val nv = (v1 * (v1 + 1)) / 4096 % 2048 - 1024
       (if (active) nv else nv % 16).toShort
     }
-    val pcm = new Array[Byte](samples.length * 2)
-    var i = 0
-    while (i < samples.length) {
-      pcm(2 * i) = (samples(i) & 0xff).toByte
-      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
-      i += 1
-    }
-    val fmt = new javax.sound.sampled.AudioFormat(
-      WavRate.toFloat, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    encodeWav(samples)
   }
 
   case class AudioWindow(doc_id: Long, w: Int, energy: Long)

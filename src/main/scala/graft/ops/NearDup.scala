@@ -37,10 +37,17 @@ object NearDup {
     * only (doc_id, band, key) triples and the distinct runs on
     * fixed-width id pairs, so this is safe at any corpus size the
     * banding itself can handle. */
-  def candidatePairs(hashed: DataFrame): DataFrame = {
+  /** (doc_id, band, key) signature rows — the LSH probe/index table the
+    * self-join, the dedup-at-ingest split (q186), and any future probe
+    * pattern share; one source for the banding convention. */
+  def bandSignatures(hashed: DataFrame): DataFrame = {
     TextFunctions.register(hashed.sparkSession)
-    val sig = hashed.select(col("doc_id"),
+    hashed.select(col("doc_id"),
       posexplode(expr("graft_minhash_bands(hs)")).as(Seq("band", "key")))
+  }
+
+  def candidatePairs(hashed: DataFrame): DataFrame = {
+    val sig = bandSignatures(hashed)
     sig.as("x").join(sig.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -48,20 +55,28 @@ object NearDup {
       .distinct()
   }
 
-  /** Near-dup pairs with exact Jaccard >= `threshold` among LSH candidates. */
-  def pairs(hashed: DataFrame, threshold: Double): DataFrame = {
+  /** Candidate id pairs (columns `aCol`, `bCol`) + their exact Jaccard —
+    * the shared confirm stage (one source for the score convention; the
+    * q27 pipeline, q186's ingest check, and q188's scheme sweep all
+    * join their own candidate sets through this). */
+  def jaccardScored(cand: DataFrame, hashed: DataFrame,
+                    aCol: String, bCol: String): DataFrame = {
     TextFunctions.register(hashed.sparkSession)
-    val cand = candidatePairs(hashed)
-    val a = hashed.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-    val b = hashed.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-    cand.join(a, "doc_a").join(b, "doc_b")
+    val a = hashed.select(col("doc_id").as(aCol), col("hs").as("hs_a"))
+    val b = hashed.select(col("doc_id").as(bCol), col("hs").as("hs_b"))
+    cand.join(a, aCol).join(b, bCol)
       .withColumn("n_inter", expr("graft_sorted_intersect(hs_a, hs_b)"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (size(col("hs_a")) + size(col("hs_b")) - col("n_inter")).cast("double"))
+      .drop("hs_a", "hs_b", "n_inter")
+  }
+
+  /** Near-dup pairs with exact Jaccard >= `threshold` among LSH candidates. */
+  def pairs(hashed: DataFrame, threshold: Double): DataFrame =
+    jaccardScored(candidatePairs(hashed), hashed, "doc_a", "doc_b")
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /** Containment-aware scoring among LSH candidates — the quote/subset
     * detector Jaccard misses: a short doc fully embedded in a long one

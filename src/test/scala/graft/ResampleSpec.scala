@@ -21,7 +21,12 @@ class ResampleSpec extends SparkSpec {
       (3L, "2024-01-01 01:00:00", 2L, 7.0),
       (4L, "2024-01-01 01:45:00", 2L, 9.0),
       // user 3: single event → no grid point strictly inside its span
-      (5L, "2024-01-01 05:10:00", 3L, 4.0))
+      (5L, "2024-01-01 05:10:00", 3L, 4.0),
+      // user 4: LAST event exactly on the hour — the forward bracket
+      // must still see it (single-ordering windows silently dropped
+      // this grid point; the same-timestamp guard takes the event value)
+      (6L, "2024-01-01 07:30:00", 4L, 2.0),
+      (7L, "2024-01-01 09:00:00", 4L, 8.0))
       .map { case (id, t, u, v) => (id, ts(t), u, "click", v, "{}") }
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$d/events.parquet")
@@ -31,6 +36,9 @@ class ResampleSpec extends SparkSpec {
     // hour 01:00 — user 1 interpolates (1.0→3.0 at 30/120 min) = 1500;
     //              user 2 sits exactly on its 7.0 event = 7000
     // hour 02:00 — user 1 = 2500 (user 2's span ended at 01:45)
-    assert(got == Seq((h0, 2L, 8500L), (h0 + 1, 1L, 2500L)))
+    // hour 08:00 — user 4 interpolates (2.0→8.0 at 30/90 min) = 4000
+    // hour 09:00 — user 4's grid point coincides with its LAST event = 8000
+    assert(got == Seq((h0, 2L, 8500L), (h0 + 1, 1L, 2500L),
+      (h0 + 7, 1L, 4000L), (h0 + 8, 1L, 8000L)))
   }
 }
