@@ -368,6 +368,72 @@ object QueriesDedup {
        |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin
   }
 
+  // --- q199: embedding near-dup with DATA-ADAPTIVE plane count ---------------
+  // q52 gated at production settings: the plane count is not pinned but
+  // DERIVED from the corpus (VectorNearDup.adaptiveNPlanes — smallest k
+  // with 64·2^k >= n, clamped to [8, 20]; one column-pruned COUNT is the
+  // only driver-side scalar). Fixed bits go quadratic in density —
+  // within-bucket candidates ∝ occupancy², the measured q52 sf0.1→sf1
+  // curve was 12× for 10× data — while adaptive bits hold occupancy, and
+  // hence the candidate fan-in per vector, constant at every corpus
+  // size. The DuckDB twin replays the SAME rule in integer arithmetic
+  // (shift-and-compare, never floating log2) and builds the bucket from
+  // the SAME LCG plane formula parameterized by plane index, so the
+  // chosen k and every sign bit match cross-engine; n_planes is
+  // published in the output as the visible proof that the knob moved
+  // (8 at sf0.01/sf0.1, 9 at sf1).
+  private val q199: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    val (prep0, np) = graft.ops.VectorNearDup.preparedAdaptive(
+      Tables.embeddings(s, dir), "vec_id", "embedding", DimND)
+    val prep = prep0.cache()
+    graft.ops.VectorNearDup.pairsMultiprobe(prep, 0.3, np)
+      .orderBy(desc("cosine"), col("vec_a"), col("vec_b"))
+      .limit(20)
+      .withColumn("n_planes", lit(np.toLong))
+  }
+  private val q199Sql = {
+    val X = VectorOps.sql
+    // plane(p)(d) replayed from VectorOps.planes' integer LCG; the
+    // division and subtraction are the same IEEE ops Scala runs, so the
+    // embedded-literal path (Spark) and the computed path (here) agree
+    // bit-for-bit on every sign test
+    val planeList = "list_transform(generate_series(0, 63), d -> " +
+      "CAST(((p * 64 + d + 1) * 2654435761) % 1000003 AS DOUBLE)" +
+      " / 1000003.0 - 0.5)"
+    s"""WITH cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+       |nv AS (
+       |  SELECT LEAST(20, GREATEST(8,
+       |    len(list_filter(generate_series(0, 19),
+       |      k -> (64 * (CAST(1 AS BIGINT) << k)) < n)))) AS np
+       |  FROM cnt
+       |), e AS (
+       |  SELECT vec_id, embedding AS v, ${X.norm("embedding")} AS nrm,
+       |    CAST(list_sum(list_transform(generate_series(0, np - 1), p ->
+       |      CASE WHEN ${X.dot("embedding", planeList)} > 0.0
+       |        THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END))
+       |      AS BIGINT) AS bucket
+       |  FROM embeddings, nv
+       |), probes AS (
+       |  SELECT vec_id,
+       |    CASE WHEN j = 0 THEN bucket
+       |      ELSE xor(bucket, CAST(1 AS BIGINT) << (j - 1)) END AS probe
+       |  FROM e, nv, (SELECT unnest(generate_series(0, 20)) AS j)
+       |  WHERE j <= np
+       |), cand AS (
+       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM probes x JOIN e y ON x.probe = y.bucket AND x.vec_id < y.vec_id
+       |), scored AS (
+       |  SELECT vec_a, vec_b,
+       |    ${X.dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+       |  FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b
+       |)
+       |SELECT vec_a, vec_b, cosine, (SELECT CAST(np AS BIGINT) FROM nv)
+       |  AS n_planes
+       |FROM scored WHERE cosine >= 0.3
+       |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin
+  }
+
   // --- q51: transitive dedup components over near-dup pairs ------------------
   // The survivor-selection fixer (a~b~c is ONE group): connected components
   // by min-label propagation (ops/Components) over the q27 LSH pairs. The
@@ -980,6 +1046,7 @@ object QueriesDedup {
     "q119_source_similarity" -> q119,
     "q54_simhash_neardup" -> q54,
     "q52_embedding_neardup_bucketed" -> q52,
+    "q199_adaptive_lsh_neardup" -> q199,
     "q51_dedup_components" -> q51,
     "q26_exact_dedup" -> q26,
     "q27_minhash_lsh" -> q27,
@@ -999,6 +1066,7 @@ object QueriesDedup {
     "q119_source_similarity" -> q119Sql,
     "q54_simhash_neardup" -> q54Sql,
     "q52_embedding_neardup_bucketed" -> q52Sql,
+    "q199_adaptive_lsh_neardup" -> q199Sql,
     "q51_dedup_components" -> q51Sql,
     "q26_exact_dedup" -> q26Sql,
     "q27_minhash_lsh" -> q27Sql,

@@ -496,7 +496,18 @@ object QueriesQuant {
   // means (value-deterministic, q112's discipline).
   // Scale: the explode is ×B but lands in a map-side-combinable aggregate
   // with B groups — no corpus-sized shuffle; everything after is B rows.
+  // The per-(row, replicate) draw uses the pure-integer middle-square
+  // pair mix (q198's discipline — an md5 here was measured to dominate
+  // the whole bench ledger at 13.7 s sf0.1 / 33.5 s sf1; the ×B stage is
+  // the one place the hash runs per row×replicate, and a CDF lookup only
+  // needs ~13 uniform bits, not md5's 60). All products stay < 2^63:
+  // v1 < 2^30, v1·2654435761 < 2^62, v1·(v1+1) < 2^61.
   private val BootReps = 100
+  private def bootMix(key: String, rep: String, div: String): String = {
+    val v1 = s"((($key * 104729 + $rep * 7919) % 1000000007)" +
+      " * 2654435761 % 1000000007)"
+    s"(($v1 * ($v1 + 1) $div 2) % 1000000007) % 10000"
+  }
   private val q170: Q = (s, dir) => {
     // Poisson(1) CDF · 10000, round-half-up: P(X≤k) for k = 0..6
     val cdf = Seq(3679, 7358, 9197, 9810, 9963, 9994, 9999)
@@ -511,9 +522,7 @@ object QueriesQuant {
       .select(col("cents"),
         explode(expr(s"sequence(0, ${BootReps - 1})")).as("b"),
         col("o_orderkey"))
-      .withColumn("u", expr(TextOps.hash60(
-        "concat(CAST(o_orderkey AS STRING), ':', CAST(b AS STRING))")
-        + " % 10000"))
+      .withColumn("u", expr(bootMix("o_orderkey", "b", "DIV")))
       .withColumn("w", expr(wCase).cast("long"))
       .groupBy(col("b"))
       .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
@@ -535,8 +544,7 @@ object QueriesQuant {
     val wCase = cdf.zipWithIndex
       .map { case (c, k) => s"WHEN u < $c THEN $k" }
       .mkString("CASE ", " ", s" ELSE ${cdf.length} END")
-    val h = TextOps.sql.hash60(
-      "concat(CAST(o_orderkey AS VARCHAR), ':', CAST(b AS VARCHAR))")
+    val h = bootMix("o_orderkey", "b", "//")
     s"""WITH o AS (
        |  SELECT o_orderkey, ${Exact.sql.cents("o_totalprice")} AS cents
        |  FROM orders
@@ -550,7 +558,7 @@ object QueriesQuant {
        |    unnest(generate_series(0, ${BootReps - 1})) AS b
        |  FROM o
        |), drawn AS (
-       |  SELECT cents, b, $h % 10000 AS u FROM ex
+       |  SELECT cents, b, $h AS u FROM ex
        |), weighted AS (
        |  SELECT cents, b, CAST($wCase AS BIGINT) AS w FROM drawn
        |), means AS (

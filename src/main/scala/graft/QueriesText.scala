@@ -811,42 +811,53 @@ object QueriesText {
   // q171's audio twin — "same recording, different volume": each doc's
   // REAL WAV (docs 2k/2k+1 share a base waveform, odd ids re-gained 9/8 —
   // ops/Multimodal.syntheticPairWav) is decoded through
-  // javax.sound.sampled and reduced to a 31-bit energy-envelope
-  // fingerprint (window-energy gradient signs — invariant under uniform
-  // gain modulo per-sample floor dust). Candidates via 3×~10-bit bands
-  // (pigeonhole-lossless for Hamming ≤ [[AfpHamMax]]) + exact popcount.
-  // The oracle predicts the fingerprint analytically from the waveform
-  // formula (the q82/q171 convention), so a PCM, windowing or banding
-  // bug hash-mismatches.
-  private val AfpHamMax = 2
+  // javax.sound.sampled and reduced to a 126-bit energy-envelope
+  // fingerprint in two positive 63-bit words (window-energy gradient
+  // signs — invariant under uniform gain modulo per-sample floor dust;
+  // width is the scale knob — the earlier 31-bit word incidentally
+  // collided as n²/2³¹: 696 k junk pairs at 50 k docs, ~10¹¹ at 10⁹).
+  // Candidates via 4×~32-bit bands (pigeonhole-lossless for Hamming ≤
+  // [[AfpHamMax]]) + exact popcount — the incidental term is now
+  // n²·4/2³², i.e. single-digit pairs at 50 k docs and linear-in-planted
+  // overall. The oracle predicts the fingerprint analytically from the
+  // waveform formula (the q82/q171 convention), so a PCM, windowing or
+  // banding bug hash-mismatches.
+  private val AfpHamMax = 3
   private val q174: Q = (s, dir) => {
     val spark = s
     import spark.implicits._
     val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .repartition(Tables.shufflePartitions(s))
     val fps = Multimodal.audioFpFeatures(ids).toDF().localCheckpoint()
-    val bands = fps.select(col("doc_id"), col("fp"), explode(expr(
-        """array(struct(0 AS bi, fp % 2048 AS bk),
-          |      struct(1 AS bi, fp DIV 2048 % 2048 AS bk),
-          |      struct(2 AS bi, fp DIV 4194304 AS bk))""".stripMargin))
+    val bands = fps.select(col("doc_id"), col("fp1"), col("fp2"),
+      explode(expr(
+        """array(struct(0 AS bi, fp1 % 4294967296 AS bk),
+          |      struct(1 AS bi, fp1 DIV 4294967296 AS bk),
+          |      struct(2 AS bi, fp2 % 4294967296 AS bk),
+          |      struct(3 AS bi, fp2 DIV 4294967296 AS bk))""".stripMargin))
         .as("e"))
-      .select(col("doc_id"), col("fp"),
+      .select(col("doc_id"), col("fp1"), col("fp2"),
         col("e.bi").as("bi"), col("e.bk").as("bk"))
     val l = bands.select(col("bi"), col("bk"), col("doc_id").as("a"),
-      col("fp").as("fpa"))
+      col("fp1").as("fp1a"), col("fp2").as("fp2a"))
     val r = bands.select(col("bi"), col("bk"), col("doc_id").as("b"),
-      col("fp").as("fpb"))
+      col("fp1").as("fp1b"), col("fp2").as("fp2b"))
     l.join(r, Seq("bi", "bk"))
       .filter(col("a") < col("b"))
-      .filter(expr(s"bit_count(fpa ^ fpb) <= $AfpHamMax"))
+      .filter(expr(
+        s"bit_count(fp1a ^ fp1b) + bit_count(fp2a ^ fp2b) <= $AfpHamMax"))
       .select(col("a"), col("b"),
-        expr("CAST(bit_count(fpa ^ fpb) AS BIGINT)").as("hamming"))
+        expr("CAST(bit_count(fp1a ^ fp1b) + bit_count(fp2a ^ fp2b) AS BIGINT)")
+          .as("hamming"))
       .distinct()
       .orderBy(col("a"), col("b"))
   }
   private val q174Sql = {
-    val v0 = "((((base * 7919 + i * 31) % 65536) * 2654435761) % 65536)"
-    val s1 = s"((($v0 * ($v0 + 1)) // 4096) % 2048 - 1024)"
+    val v1 = "((((base * 7919 + i * 31) % 1000000007)" +
+      " * 2654435761) % 1000000007)"
+    val w1 = s"((($v1 * ($v1 + 1)) // 2) % 1000000007)"
+    val w2 = s"(($w1 * 2654435761) % 1000000007)"
+    val s1 = s"(((($w2 * ($w2 + 1)) // 2) % 1000000007) % 2048 - 1024)"
     val sample = s"""CASE WHEN delta = 1 THEN
                     |  CASE WHEN $s1 < 0 THEN -((-$s1 * 9) // 8)
                     |       ELSE ($s1 * 9) // 8 END
@@ -860,26 +871,33 @@ object QueriesText {
        |  FROM p
        |), en AS (
        |  SELECT doc_id,
-       |    list_transform(generate_series(0, 31), w ->
-       |      list_sum(list_transform(generate_series(1, 32), j ->
-       |        abs(s[w * 32 + j])))) AS e
+       |    list_transform(generate_series(0, 127), w ->
+       |      list_sum(list_transform(generate_series(1, 8), j ->
+       |        abs(s[w * 8 + j])))) AS e
        |  FROM sm
        |), fpt AS (
        |  SELECT doc_id,
-       |    CAST(list_sum(list_transform(generate_series(0, 30), w ->
+       |    CAST(list_sum(list_transform(generate_series(0, 62), w ->
        |      CASE WHEN e[w + 2] > e[w + 1] THEN (CAST(1 AS BIGINT) << w)
-       |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+       |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp1,
+       |    CAST(list_sum(list_transform(generate_series(64, 126), w ->
+       |      CASE WHEN e[w + 2] > e[w + 1]
+       |        THEN (CAST(1 AS BIGINT) << (w - 64))
+       |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp2
        |  FROM en
        |), bands AS (
-       |  SELECT doc_id, fp, 0 AS bi, fp % 2048 AS bk FROM fpt
-       |  UNION ALL SELECT doc_id, fp, 1, (fp // 2048) % 2048 FROM fpt
-       |  UNION ALL SELECT doc_id, fp, 2, fp // 4194304 FROM fpt
+       |  SELECT doc_id, fp1, fp2, 0 AS bi, fp1 % 4294967296 AS bk FROM fpt
+       |  UNION ALL SELECT doc_id, fp1, fp2, 1, fp1 // 4294967296 FROM fpt
+       |  UNION ALL SELECT doc_id, fp1, fp2, 2, fp2 % 4294967296 FROM fpt
+       |  UNION ALL SELECT doc_id, fp1, fp2, 3, fp2 // 4294967296 FROM fpt
        |)
        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-       |  CAST(bit_count(xor(l.fp, r.fp)) AS BIGINT) AS hamming
+       |  CAST(bit_count(xor(l.fp1, r.fp1)) + bit_count(xor(l.fp2, r.fp2))
+       |    AS BIGINT) AS hamming
        |FROM bands l JOIN bands r
        |  ON l.bi = r.bi AND l.bk = r.bk AND l.doc_id < r.doc_id
-       |WHERE bit_count(xor(l.fp, r.fp)) <= $AfpHamMax
+       |WHERE bit_count(xor(l.fp1, r.fp1)) + bit_count(xor(l.fp2, r.fp2))
+       |  <= $AfpHamMax
        |ORDER BY a, b""".stripMargin
   }
 

@@ -449,16 +449,28 @@ object Multimodal {
     * waveform, the odd id re-gained by 9/8 (per-sample
     * sign·(|s|·9 DIV 8) — trunc-on-magnitude so both engines agree on
     * negative samples) — "same recording, different volume", the audio
-    * analog of q171's exposure shift. Base samples use the middle-square
-    * mix (see [[syntheticPairPng]]'s trap notes) so window energies vary
-    * pseudo-randomly per base. */
+    * analog of q171's exposure shift. Base samples use TWO rounds of
+    * the square-and-reduce mix (q198's pair mix composed twice) over
+    * the prime modulus 1e9+7. One round is measurably too weak here:
+    * the sample index walks an arithmetic progression, so a single
+    * square is one quadratic per base — two bases differ by a LINEAR
+    * drift in k, and for magic deltas (2·step·Δ mod M small) the drift
+    * is slow enough that whole envelopes track each other and unrelated
+    * docs collide at Hamming ≤ 3 (measured: 18 k structural junk pairs
+    * at sf1 with a 16-bit power-of-2 state, still ~1.5 k with a 31-bit
+    * prime state). The second square-and-reduce makes the alignment
+    * survive two nonlinear folds at once — 0 incidental pairs across
+    * all 25 k sf1 bases. All products stay in int64: each state < 2³⁰,
+    * state·2654435761 < 2⁶², state·(state+1)/2 < 2⁶⁰. */
   def syntheticPairWav(id: Long): Array[Byte] = {
     val base = id / 2
     val gain = id % 2 == 1
     val samples = Array.tabulate(WavSamples) { i =>
-      val v0 = (base * 7919 + i.toLong * 31) % 65536
-      val v1 = (v0 * 2654435761L) % 65536
-      val s = (v1 * (v1 + 1)) / 4096 % 2048 - 1024
+      val v0 = (base * 7919 + i.toLong * 31) % 1000000007L
+      val v1 = (v0 * 2654435761L) % 1000000007L
+      val w1 = (v1 * (v1 + 1) / 2) % 1000000007L
+      val w2 = (w1 * 2654435761L) % 1000000007L
+      val s = (w2 * (w2 + 1) / 2) % 1000000007L % 2048 - 1024
       val out = if (!gain) s
       else if (s < 0) -((-s * 9) / 8)
       else (s * 9) / 8
@@ -467,30 +479,47 @@ object Multimodal {
     encodeWav(samples)
   }
 
-  case class AudioFingerprint(doc_id: Long, fp: Long)
+  /** 126-bit energy-envelope fingerprint in two positive 63-bit words
+    * (fp1 = gradients within windows 0–63, fp2 = within 64–127 — q171's
+    * per-half layout; the one cross-half gradient is skipped so each
+    * word stays a positive BIGINT on every engine). */
+  case class AudioFingerprint(doc_id: Long, fp1: Long, fp2: Long)
 
   /** REAL-decode energy-envelope fingerprint: `javax.sound.sampled`
-    * decodes the WAV, the 1024 samples split into 32 windows of 32, and
-    * each of the 31 energy-gradient signs (Σ|s| per window) becomes one
-    * bit (31 bits, not 15: at 50 k docs a 15-bit space would birthday-
-    * collide its way to millions of false candidates). A uniform gain scales every window energy by the same factor
-    * (modulo per-sample floor dust), so gradient signs — and the
-    * fingerprint — survive re-volumed copies that byte dedup misses. */
+    * decodes the WAV, the 1024 samples split into 128 windows of 8, and
+    * each of the 126 within-half energy-gradient signs (Σ|s| per window)
+    * becomes one bit. Width is the scale knob: the previous 31-bit
+    * single word incidentally collided as n²·bands/2³¹ — 696 k junk
+    * pairs at 50 k docs, ~10¹¹ at 10⁹ — drowning the confirm stage;
+    * 126 bits banded 4×~32 drives the incidental term to n²·4/2³² ≈
+    * single digits at 50 k and keeps the pair volume linear in the
+    * planted duplicates. A uniform gain scales every window energy by
+    * the same factor (modulo per-sample floor dust — windows of 8 carry
+    * ≤ 8 dust against typical inter-window deltas of hundreds), so
+    * gradient signs — and the fingerprint — survive re-volumed copies
+    * that byte dedup misses. */
   def audioFingerprint(docId: Long, payload: Array[Byte]): AudioFingerprint = {
-    val e = wavWindowEnergies(docId, payload)
-    var fp = 0L
+    val e = wavWindowEnergies(docId, payload, 128)
+    var fp1 = 0L
+    var fp2 = 0L
     var w = 0
-    while (w < 31) {
-      if (e(w + 1) > e(w)) fp |= 1L << w
+    while (w < 63) {
+      if (e(w + 1) > e(w)) fp1 |= 1L << w
       w += 1
     }
-    AudioFingerprint(docId, fp)
+    w = 64
+    while (w < 127) {
+      if (e(w + 1) > e(w)) fp2 |= 1L << (w - 64)
+      w += 1
+    }
+    AudioFingerprint(docId, fp1, fp2)
   }
 
-  /** REAL decode to the 32-window energy envelope (Σ|s| per 32-sample
-    * window) — the shared reduction under [[audioFingerprint]] and the
-    * q178 segmenter. */
-  def wavWindowEnergies(docId: Long, payload: Array[Byte]): Array[Long] = {
+  /** REAL decode to the `nw`-window energy envelope (Σ|s| per
+    * `WavSamples/nw`-sample window) — the shared reduction under
+    * [[audioFingerprint]] (128 windows) and the q178 segmenter (32). */
+  def wavWindowEnergies(docId: Long, payload: Array[Byte],
+      nw: Int = 32): Array[Long] = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     val fmt = ais.getFormat
@@ -501,11 +530,12 @@ object Multimodal {
     val bytes = ais.readAllBytes()
     val n = bytes.length / 2
     require(n == WavSamples, s"expected $WavSamples samples, got $n")
-    val e = new Array[Long](32)
+    val win = WavSamples / nw
+    val e = new Array[Long](nw)
     var i = 0
     while (i < n) {
       val s = (((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xff)).toShort
-      e(i / 32) += math.abs(s.toLong)
+      e(i / win) += math.abs(s.toLong)
       i += 1
     }
     e

@@ -29,15 +29,20 @@ object VectorNearDup {
     * shrinks (never shifts) when a corpus re-runs with more bits.
     * Costing one COUNT to choose the plan is the dimension-collect
     * discipline: a column-pruned scan returning a single long.
-    */
+    *
+    * INTEGER-EXACT on purpose: the rule is "smallest k with
+    * target·2^k >= n", computed by shift-and-compare, never floating
+    * log2 — at exact power-of-2 boundaries `ceil(log(n/t)/log(2))`
+    * depends on the last ulp of the two logs, and the q199 oracle twin
+    * replays this rule in DuckDB integer arithmetic, so both engines
+    * must land on the same k for every n. */
   def adaptiveNPlanes(corpusSize: Long, targetPerBucket: Int = 64,
                       floor: Int = 8, cap: Int = 20): Int = {
     require(targetPerBucket >= 1, s"targetPerBucket must be >= 1")
     require(floor >= 1 && cap >= floor, s"need 1 <= floor <= cap")
-    val need = math.ceil(
-      math.log(math.max(corpusSize, 1L).toDouble / targetPerBucket) /
-        math.log(2.0)).toInt
-    math.min(cap, math.max(floor, need))
+    var k = 0
+    while (k < cap && (targetPerBucket.toLong << k) < corpusSize) k += 1
+    math.max(floor, k)
   }
 
   /** [[prepared]] with the plane count chosen by [[adaptiveNPlanes]]
