@@ -1258,8 +1258,14 @@ object QueriesBehavior {
       .withColumn("nt", first(when(col("ie") === 1L, col("ts_us")), ignoreNulls = true).over(wNext))
       .filter(col("ie") === 0L && col("pv").isNotNull && col("nv").isNotNull)
       .withColumn("imv", expr(
+        // q120 convention: the interpolation numerator is value-delta ×
+        // µs-gap — both unbounded by the user's data (mv is 10³-scaled,
+        // gaps are whatever a quiet user leaves), so it runs in
+        // DECIMAL(38,0) (HUGEINT twin); int64 would wrap silently while
+        // DuckDB errors
         """CASE WHEN nt = pt THEN pv
-          |  ELSE pv + ((nv - pv) * (ts_us - pt)) DIV (nt - pt) END"""
+          |  ELSE pv + CAST((CAST(nv - pv AS DECIMAL(38,0)) * (ts_us - pt))
+          |    DIV (nt - pt) AS BIGINT) END"""
           .stripMargin))
       .groupBy(expr(s"ts_us DIV $GridUs").as("hour"))
       .agg(count(lit(1)).as("n_users"), sum(col("imv")).as("sum_mv"))
@@ -1298,7 +1304,8 @@ object QueriesBehavior {
        |)
        |SELECT ts_us // $GridUs AS hour, CAST(COUNT(*) AS BIGINT) AS n_users,
        |  CAST(SUM(CASE WHEN nt = pt THEN pv
-       |    ELSE pv + ((nv - pv) * (ts_us - pt)) // (nt - pt) END) AS BIGINT)
+       |    ELSE pv + CAST((CAST(nv - pv AS HUGEINT) * (ts_us - pt))
+       |      // (nt - pt) AS BIGINT) END) AS BIGINT)
        |    AS sum_mv
        |FROM br
        |WHERE ie = 0 AND pv IS NOT NULL AND nv IS NOT NULL

@@ -744,7 +744,99 @@ object QueriesCorpus {
       |  CAST(MAX(abs(src_ppm - glob_ppm)) AS BIGINT) AS max_dev_ppm
       |FROM grid GROUP BY source, n_src ORDER BY source""".stripMargin
 
+  // --- q200: URL canonicalization + per-domain cap (domain curation) ---------
+  // The stage every public pretraining pipeline (CCNet, RefinedWeb,
+  // Dolma) runs before text-level dedup: canonicalize each doc's URL to
+  // its REGISTERED domain (ops/UrlOps — lowercase, strip scheme /
+  // userinfo / port / path / trailing dot / one leading www., last two
+  // labels or three over a multi-part public suffix) and cap how many
+  // docs any one domain may contribute. Selection under the cap is the
+  // q78 hash-rank discipline: the [[DomainCap]] docs with the smallest
+  // content-hash win (deterministic on any engine/cluster/arrival
+  // order), never first-arrival. The documents table carries no URL, so
+  // the query PLANTS one per doc from an integer mix — the host palette
+  // deliberately exercises every canonicalizer rule (case, www,
+  // subdomains that must collapse, ports, userinfo, trailing dots,
+  // co.uk/com.au/gov.uk multi-part suffixes) and is skewed (share of
+  // host k ∝ 2k+1) so the cap genuinely binds. Published as the
+  // per-domain digest (total, kept, Σ kept doc_id) — enough to pin
+  // every keep/drop decision without corpus-sized output.
+  // Scale: canonicalization is per-row expressions; the cap is ONE
+  // hash-rank window partitioned by domain (the q78 shape); skewed
+  // domains are exactly why the rank key is (hash, id) — the window
+  // shuffles once on domain and never sorts globally.
+  private val DomainCap = 50L
+  private def msq200(x: String, div: String): String = {
+    val v1 = s"((($x) % 1000000007) * 2654435761 % 1000000007)"
+    s"(($v1 * ($v1 + 1) $div 2) % 1000000007)"
+  }
+  // host share of index k is (2k+1)%: CASE thresholds at k² over m%100
+  private def hostIdxCase(mm: String): String =
+    (1 to 9).map(k => s"WHEN $mm < ${k * k} THEN ${k - 1}")
+      .mkString("CASE ", " ", " ELSE 9 END")
+  private val hostCase =
+    """CASE WHEN hi = 0 THEN 'news.example.co.uk'
+      |  WHEN hi = 1 THEN 'Media.Example.com'
+      |  WHEN hi = 2 THEN 'www.blog-platform.com'
+      |  WHEN hi = 3 THEN 'cdn.assets.example.com'
+      |  WHEN hi = 4 THEN 'docs.python.org'
+      |  WHEN hi = 5 THEN 'shop.example.com.au'
+      |  WHEN hi = 6 THEN 'example.io'
+      |  WHEN hi = 7 THEN 'api.service.gov.uk'
+      |  WHEN hi = 8 THEN 'forum.community.net:8080'
+      |  ELSE 'wiki.knowledge.org.' END""".stripMargin
+  private val q200: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("mm", expr(msq200("doc_id * 7919 + 31", "DIV") + " % 100"))
+      .withColumn("hi", expr(hostIdxCase("mm")))
+      .withColumn("host", expr(hostCase))
+      .withColumn("url", expr(
+        """concat('https://', CASE WHEN hi = 6 THEN 'user:pw@' ELSE '' END,
+          |  host, '/p/', CAST(doc_id AS STRING))""".stripMargin))
+      .withColumn("domain", expr(graft.ops.UrlOps.registeredDomainExpr("url")))
+      .withColumn("h", expr(msq200("doc_id * 104729 + 13", "DIV")))
+    val w = Window.partitionBy(col("domain")).orderBy(col("h"), col("doc_id"))
+    d.withColumn("rk", row_number().over(w))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= DomainCap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= DomainCap, col("doc_id")).otherwise(0L))
+          .as("kept_sig"))
+      .orderBy(col("domain"))
+  }
+  private val q200Sql = {
+    val dom = graft.ops.UrlOps.sql.registeredDomain("url")
+    s"""WITH base AS (
+       |  SELECT doc_id, ${msq200("doc_id * 7919 + 31", "//")} % 100 AS mm
+       |  FROM documents
+       |), hx AS (
+       |  SELECT doc_id, ${hostIdxCase("mm")} AS hi FROM base
+       |), hosted AS (
+       |  SELECT doc_id, hi, $hostCase AS host FROM hx
+       |), urls AS (
+       |  SELECT doc_id,
+       |    concat('https://', CASE WHEN hi = 6 THEN 'user:pw@' ELSE '' END,
+       |      host, '/p/', CAST(doc_id AS VARCHAR)) AS url
+       |  FROM hosted
+       |), dm AS (
+       |  SELECT doc_id, $dom AS domain,
+       |    ${msq200("doc_id * 104729 + 13", "//")} AS h
+       |  FROM urls
+       |), ranked AS (
+       |  SELECT doc_id, domain,
+       |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rk
+       |  FROM dm
+       |)
+       |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN rk <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(CASE WHEN rk <= $DomainCap THEN doc_id ELSE 0 END)
+       |    AS BIGINT) AS kept_sig
+       |FROM ranked GROUP BY domain ORDER BY domain""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q200_domain_cap" -> q200,
     "q189_source_drift" -> q189,
     "q71_quantized_topk" -> q71,
     "q70_bpe_pairs" -> q70,
@@ -761,6 +853,7 @@ object QueriesCorpus {
     "q64_semantic_dedup" -> q64)
 
   val oracleSql: Map[String, String] = Map(
+    "q200_domain_cap" -> q200Sql,
     "q189_source_drift" -> q189Sql,
     "q71_quantized_topk" -> q71Sql,
     "q70_bpe_pairs" -> q70Sql,

@@ -477,9 +477,14 @@ object QueriesSketch {
   // The production traffic alarm q141 is not: q141's change-point scan
   // uses the WHOLE series (offline diagnosis); an alarm may only look
   // BACKWARD. Per (event_type, day): flag a burst when the day's count
-  // exceeds 3× the median of the trailing 7 FULL days — median (not
-  // mean) so one prior burst day doesn't poison the baseline, full-
-  // history gate so the first week never alarms on a cold start.
+  // exceeds 3× the median of the trailing 7 OBSERVED days — the ROWS
+  // frame walks the per-type daily grid, so calendar days with zero
+  // events are absent and a sparse type's baseline can span more than
+  // 7 calendar days (deliberate: a type that fires weekly gets a
+  // baseline of its own cadence, and a zero-filled grid would drive
+  // the median to 0 and disable the med > 0 gate). Median (not mean)
+  // so one prior burst day doesn't poison the baseline; the full-
+  // history gate (exactly 7 observations) keeps a cold start quiet.
   // Everything integer: the median of 7 is the exact 4th smallest
   // (sort_array(collect_list) over a ROWS 7-PRECEDING frame — 7-element
   // arrays on the days×types table), burst = x > 3·med, severity as

@@ -1411,7 +1411,13 @@ object QueriesStats {
     val slopes = m.select(col("x").as("x1"), col("y").as("y1"))
       .crossJoin(m.select(col("x").as("x2"), col("y").as("y2")))
       .filter(col("x1") < col("x2"))
-      .select(expr("(1000000 * (y2 - y1)) DIV (x2 - x1)").as("slope_ppm"))
+      .select(expr(
+        // q120 convention: y are cents SUMS that grow with the corpus,
+        // so the 10⁶-scaled numerator runs in DECIMAL(38,0) (HUGEINT
+        // twin) — int64 would wrap silently around month diffs ≈ 9e12
+        // cents while DuckDB errors, a silent engine-side divergence
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (y2 - y1)) DIV (x2 - x1)" +
+          " AS BIGINT)").as("slope_ppm"))
     val wS = Window.orderBy(col("slope_ppm"))
     val sm = slopes.withColumn("rn", row_number().over(wS))
       .crossJoin(broadcast(slopes.agg(count(lit(1)).as("n_pairs"))))
@@ -1420,7 +1426,8 @@ object QueriesStats {
         max(col("n_pairs")).as("n_pairs"))
     val resid = m.crossJoin(broadcast(sm))
       .select(col("n_pairs"), col("slope_ppm"),
-        expr("y * 1000000 - slope_ppm * x").as("b0"))
+        expr("CAST(y AS DECIMAL(38,0)) * 1000000" +
+          " - CAST(slope_ppm AS DECIMAL(38,0)) * x").as("b0"))
     val wB = Window.orderBy(col("b0"))
     resid.withColumn("rn", row_number().over(wB))
       .crossJoin(broadcast(m.agg(count(lit(1)).as("n_months"))))
@@ -1428,7 +1435,9 @@ object QueriesStats {
       .groupBy(col("n_months"), col("n_pairs"), col("slope_ppm"))
       .agg(min(col("b0")).as("intercept_micro"))
       .select(col("n_months"), col("n_pairs"), col("slope_ppm"),
-        col("intercept_micro"))
+        // published bound: |intercept| <= max monthly cents · 10⁶ — back
+        // in int64 for any plausible corpus ($92 B/month crosses it)
+        col("intercept_micro").cast("long").as("intercept_micro"))
   }
   private val q182Sql = {
     val cents = Exact.sql.cents("o_totalprice")
@@ -1437,7 +1446,8 @@ object QueriesStats {
        |    CAST(SUM($cents) AS BIGINT) AS y
        |  FROM orders GROUP BY 1
        |), p AS (
-       |  SELECT (1000000 * (b.y - a.y)) // (b.x - a.x) AS slope_ppm
+       |  SELECT CAST((CAST(1000000 AS HUGEINT) * (b.y - a.y))
+       |    // (b.x - a.x) AS BIGINT) AS slope_ppm
        |  FROM m a JOIN m b ON a.x < b.x
        |), sc AS (
        |  SELECT slope_ppm, ROW_NUMBER() OVER (ORDER BY slope_ppm) AS rn,
@@ -1447,15 +1457,17 @@ object QueriesStats {
        |  SELECT MIN(slope_ppm) AS slope_ppm, CAST(MAX(n) AS BIGINT) AS n_pairs
        |  FROM sc WHERE 2 * rn >= n
        |), icc AS (
-       |  SELECT m.y * 1000000 - sm.slope_ppm * m.x AS b0,
-       |    ROW_NUMBER() OVER (ORDER BY m.y * 1000000 - sm.slope_ppm * m.x)
-       |      AS rn,
+       |  SELECT CAST(m.y AS HUGEINT) * 1000000
+       |      - CAST(sm.slope_ppm AS HUGEINT) * m.x AS b0,
+       |    ROW_NUMBER() OVER (ORDER BY CAST(m.y AS HUGEINT) * 1000000
+       |      - CAST(sm.slope_ppm AS HUGEINT) * m.x) AS rn,
        |    COUNT(*) OVER () AS n
        |  FROM m, sm
        |)
        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_months,
        |  sm.n_pairs, sm.slope_ppm,
-       |  (SELECT MIN(b0) FROM icc WHERE 2 * rn >= n) AS intercept_micro
+       |  (SELECT CAST(MIN(b0) AS BIGINT) FROM icc WHERE 2 * rn >= n)
+       |    AS intercept_micro
        |FROM sm""".stripMargin
   }
 

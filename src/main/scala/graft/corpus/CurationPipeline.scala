@@ -22,7 +22,14 @@ import graft.ops.{CurationDedup, Inference, Mixture, NearDup, TextOps}
   *                   dedup misses
   *   4. neardup    — MinHash+LSH pairs → TRANSITIVE survivors
   *                   ([[graft.ops.NearDup]], q27/q51); docs shorter than
-  *                   the shingle minimum (13 chars) pass through unpaired
+  *                   the shingle minimum (13 chars) pass through unpaired;
+  *                   [[Config.editDistanceMax]] adds q127's bounded
+  *                   edit-distance confirm before any pair counts
+  *   4b. domain cap — registered-domain canonicalization
+  *                   ([[graft.ops.UrlOps]], q200) + per-domain survivor
+  *                   cap by content-hash rank, when
+  *                   [[Config.domainCap]] is set and the corpus carries
+  *                   a URL column
   *   5. scrub      — exact-substring dedup removal pass
   *                   ([[graft.ops.CurationDedup.scrubbed]], q79): token
   *                   runs covered by a corpus-duplicated 8-gram drop,
@@ -68,6 +75,21 @@ object CurationPipeline {
       jaccardThreshold: Double = 0.5,
       budgetToksPerSource: Long = 800L,
       batchSize: Int = 64,
+      // Some(k) enables the domain-level curation stage (the CCNet /
+      // RefinedWeb / Dolma URL stage): docs whose `urlCol` canonicalizes
+      // to the same REGISTERED domain ([[graft.ops.UrlOps]]) are capped
+      // at k survivors, chosen by content-hash rank (q78's discipline —
+      // deterministic on any engine/cluster/arrival order). Docs with no
+      // parseable URL are never capped. No-op when the input has no
+      // `urlCol` column.
+      domainCap: Option[Long] = None,
+      urlCol: String = "url",
+      // bounded edit-distance confirm for the near-dup stage (q127's
+      // precision pass): Some(k) keeps a candidate pair a duplicate only
+      // if Levenshtein(a, b) <= k — high-Jaccard bag-of-shingles look-
+      // alikes with many small real edits stop collapsing. None keeps
+      // the Jaccard-only gate.
+      editDistanceMax: Option[Int] = None,
       // Some(α) switches the mixture stage from the fixed token budget
       // to temperature-scaled rates ∝ mass^α (q89's policy): flatten
       // source imbalance rather than cap each source — the knob a
@@ -93,9 +115,13 @@ object CurationPipeline {
 
     // 4. transitive near-dup survivors over LSH pairs (shingleHashed's
     // contract: the caller caches — pairs() references the hashed frame
-    // four times, and the shingle hashing is the dominant per-row cost)
+    // four times, and the shingle hashing is the dominant per-row cost).
+    // With cfg.editDistanceMax set, candidates additionally pass the
+    // bounded edit-distance confirm (q127's precision stage) before any
+    // doc is declared a duplicate.
     val hashed = NearDup.shingleHashed(norm, "doc_id", "text").cache()
-    val pairs = NearDup.pairs(hashed, cfg.jaccardThreshold)
+    val pairs = confirmPairs(NearDup.pairs(hashed, cfg.jaccardThreshold),
+      norm, cfg)
     val near = NearDup.transitiveSurvivors(norm, col("doc_id"), pairs).cache()
 
     val (curated, tail, releaseCaches) = releaseStages(near, docs.columns, cfg)
@@ -138,22 +164,72 @@ object CurationPipeline {
     (ruled, quality)
   }
 
-  /** Stages 5–7 from the near-dup survivor set — the corpus-global
-    * RELEASE stages (scrub counts grams across the whole survivor set,
-    * mixture rates are corpus totals), shared verbatim by the batch run
-    * and the incremental loop's release
+  /** The q127 precision stage as a pair filter: with
+    * `cfg.editDistanceMax = Some(k)`, a candidate pair survives only if
+    * the bounded Levenshtein distance between the two texts is <= k —
+    * high-Jaccard bag-of-shingles look-alikes with many small distinct
+    * edits (the boilerplate-variant failure mode) stop collapsing into
+    * one survivor. Spark's 3-arg levenshtein early-exits the DP past k
+    * (O(k·len), map-side, after the id join — q127's documented shape),
+    * so the confirm costs candidates·k·len, never len². Shared by the
+    * batch run and the incremental tick so the pair state stays
+    * batch-identical. */
+  private[corpus] def confirmPairs(pairs: DataFrame, docs: DataFrame,
+      cfg: Config): DataFrame = cfg.editDistanceMax match {
+    case Some(k) =>
+      val t = docs.select(col("doc_id"), col("text"))
+      pairs
+        .join(t.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+          "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+          "doc_b")
+        .withColumn("dist",
+          levenshtein(col("text_a"), col("text_b"), k).cast("long"))
+        .filter(col("dist") >= 0 && col("dist") <= k)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    case None => pairs
+  }
+
+  /** Stages 4b–7 from the near-dup survivor set — the corpus-global
+    * RELEASE stages (the domain cap ranks within whole-corpus domains,
+    * scrub counts grams across the whole survivor set, mixture rates
+    * are corpus totals), shared verbatim by the batch run and the
+    * incremental loop's release
     * ([[StreamingCuration.release]]). Returns (curated, audit tail,
     * caches for the caller to unpersist after counting). */
   private[corpus] def releaseStages(near: DataFrame, outCols: Seq[String],
       cfg: Config): (DataFrame, Seq[(String, Long)], Seq[DataFrame]) = {
     val toks = TextOps.tokensExpr("text")
+
+    // 4b. domain-level cap (the CCNet/RefinedWeb/Dolma URL stage): docs
+    // sharing a registered domain (ops/UrlOps canonicalization) keep at
+    // most cfg.domainCap survivors, chosen by CONTENT-hash rank (q78's
+    // discipline — deterministic under any arrival order), tie-broken by
+    // doc_id. Docs with no parseable URL are never capped. One window
+    // shuffle partitioned by domain; the canonicalization is per-row.
+    val (afterCap, capTail, capCaches) = cfg.domainCap match {
+      case Some(cap) if near.columns.contains(cfg.urlCol) =>
+        val dom = graft.ops.UrlOps.registeredDomainExpr(cfg.urlCol)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_domain"))
+          .orderBy(col("_h"), col("doc_id"))
+        val capped = near
+          .withColumn("_domain", coalesce(expr(dom), lit("")))
+          .withColumn("_h", expr(TextOps.hash60("text")))
+          .withColumn("_rk", row_number().over(w))
+          .filter(col("_domain") === "" || col("_rk") <= cap)
+          .drop("_domain", "_h", "_rk")
+          .cache()
+        (capped, Seq(("domain_cap", capped.count())), Seq(capped))
+      case _ => (near, Seq.empty[(String, Long)], Seq.empty[DataFrame])
+    }
     // 5. exact-substring scrub over the dedup survivors: residual
     // corpus-duplicated 8-gram runs are cross-doc boilerplate — drop the
     // covered tokens; docs scrubbed below the quality floor drop
     // entirely (a doc that was pure boilerplate has nothing left to
     // train on)
     val gramHashed = CurationDedup.gramHashed(
-      near, "text", cfg.scrubGramK).cache()
+      afterCap, "text", cfg.scrubGramK).cache()
     // the explicit text != '' guard matters at minToks = 1: splitting an
     // empty string yields ONE empty token, so a fully-scrubbed doc would
     // otherwise pass the size() floor with a phantom token
@@ -189,10 +265,10 @@ object CurationPipeline {
     }).select(outCols.map(col): _*) // input column order, untouched
       .cache()
 
-    val tail = Seq(("substring_scrub", scrub.count()),
+    val tail = capTail ++ Seq(("substring_scrub", scrub.count()),
       ("pii_redact", redacted.count()),
       ("mixture_sample", curated.count()))
-    (curated, tail, Seq(gramHashed, scrub, redacted))
+    (curated, tail, capCaches ++ Seq(gramHashed, scrub, redacted))
   }
 
   /** Materialize a curation run the way a dataset release ships: the

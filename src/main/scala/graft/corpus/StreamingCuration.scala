@@ -141,7 +141,7 @@ object StreamingCuration {
     val bad = batch.filter(col("_corrupt_record").isNotNull ||
         col("doc_id").isNull || col("text").isNull)
       .select(coalesce(col("_corrupt_record"), to_json(struct(
-        col("doc_id"), col("text"), col("lang"), col("source"))))
+        col("doc_id"), col("text"), col("lang"), col("source"), col("url"))))
         .as("raw_line"))
     if (!bad.isEmpty)
       bad.write.mode("append").json(quarantineDir)
@@ -222,7 +222,7 @@ object StreamingCuration {
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    val newPairs = cand
+    val newPairs0 = cand
       .join(allSigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(allSigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .withColumn("n_inter", expr("graft_sorted_intersect(hs_a, hs_b)"))
@@ -231,6 +231,13 @@ object StreamingCuration {
           (size(col("hs_a")) + size(col("hs_b")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= cfg.jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // the q127 confirm (when configured) runs on the SAME pair set the
+    // batch pipeline would test — texts come from prior normdocs state
+    // plus this delta, and every new edge is incident to a delta doc —
+    // so the accumulated pair state stays batch-identical
+    val allNormDocs = readState(spark, s"$stateDir/normdocs")
+      .fold(normDocs)(_.unionByName(normDocs))
+    val newPairs = CurationPipeline.confirmPairs(newPairs0, allNormDocs, cfg)
 
     // append the tick's state (pairs written even when empty so the
     // state dir exists from the first curation tick on)

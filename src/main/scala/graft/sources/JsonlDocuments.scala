@@ -23,12 +23,17 @@ import org.apache.spark.sql.types._
   */
 object JsonlDocuments {
 
-  /** The documents-table wire schema (doc_id, text, lang, source). */
+  /** The documents-table wire schema (doc_id, text, lang, source, url).
+    * `url` is nullable — corpus drops without provenance URLs ingest
+    * unchanged; when present it feeds the domain-level curation stage
+    * ([[graft.ops.UrlOps]] + [[graft.corpus.CurationPipeline]]'s
+    * domain cap). */
   val schema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("text", StringType, nullable = false),
     StructField("lang", StringType, nullable = true),
-    StructField("source", StringType, nullable = true)))
+    StructField("source", StringType, nullable = true),
+    StructField("url", StringType, nullable = true)))
 
   /** The admit-and-audit split shared by every hardened reader
     * ([[JsonlDocuments]], [[CsvDocuments]]): clean = parsed AND required
@@ -47,7 +52,8 @@ object JsonlDocuments {
       .filter(col("_corrupt_record").isNotNull ||
         col("doc_id").isNull || col("text").isNull)
       .select(coalesce(col("_corrupt_record"),
-        to_json(struct(col("doc_id"), col("text"), col("lang"), col("source"))))
+        to_json(struct(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("url"))))
         .as("raw_line"))
     (clean, quarantined)
   }

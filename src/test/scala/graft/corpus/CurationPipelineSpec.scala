@@ -136,6 +136,83 @@ class CurationPipelineSpec extends SparkSpec {
     assert(ids.contains(2L) && ids.contains(3L))
   }
 
+  test("domain cap: one registered domain keeps cap survivors, chosen " +
+      "by content hash, independent of arrival order") {
+    // five hosts that all canonicalize to example.com (subdomains, www,
+    // case, port) + one other domain + one null URL (never capped)
+    def doc(id: Long, url: String) =
+      (id, (1 to 12).map(j => s"tok${id}_$j").mkString(" "), "en", "s0", 0L,
+        url)
+    val docs = Seq(
+      doc(1L, "https://cdn.assets.example.com/a"),
+      doc(2L, "https://www.example.com/b"),
+      doc(3L, "https://Media.Example.COM/c"),
+      doc(4L, "https://example.com:8443/d"),
+      doc(5L, "https://shop.example.com/e?q=1"),
+      doc(6L, "https://docs.python.org/3/"),
+      (7L, (1 to 12).map(j => s"tok7_$j").mkString(" "), "en", "s0", 0L,
+        null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "url")
+    val cfg = CurationPipeline.Config(minToks = 1, maxDupTokFrac = 1.0,
+      minScore = 0.0, budgetToksPerSource = 1000000L, domainCap = Some(2L))
+
+    val (curated, audit) = CurationPipeline.run(docs, cfg)
+    val kept = curated.select("doc_id").as[Long].collect().toSet
+    val exampleKept = kept.intersect(Set(1L, 2L, 3L, 4L, 5L))
+    assert(exampleKept.size == 2,
+      s"example.com must keep exactly cap=2 docs, kept $exampleKept")
+    assert(kept.contains(6L), "the other domain is under its cap")
+    assert(kept.contains(7L), "a null URL is never capped")
+    assert(audit.as[(String, Long)].collect().toMap.apply("domain_cap") == 4L)
+    // determinism: reversed arrival order selects the SAME survivors
+    // (content-hash rank, not first-arrival)
+    val (curated2, _) = CurationPipeline.run(
+      docs.orderBy(col("doc_id").desc).coalesce(1), cfg)
+    assert(curated2.select("doc_id").as[Long].collect().toSet == kept)
+    // without the knob the audit carries no domain_cap row and nothing
+    // is capped
+    val (curatedOff, auditOff) = CurationPipeline.run(docs,
+      cfg.copy(domainCap = None))
+    assert(curatedOff.count() == 7L)
+    assert(!auditOff.as[(String, Long)].collect().toMap.contains("domain_cap"))
+  }
+
+  test("edit-distance confirm rejects the sentence-swap pair that " +
+      "Jaccard alone collapses") {
+    // A and B are the SAME two long sentences in swapped order: the
+    // shingle bags nearly coincide (high Jaccard -> LSH candidate +
+    // Jaccard pass) but the character-level distance is huge — the
+    // boilerplate-variant failure mode q127 exists for
+    val s1 = (1 to 30).map(j => s"alpha$j").mkString(" ")
+    val s2 = (1 to 30).map(j => s"omega$j").mkString(" ")
+    val docs = Seq(
+      (1L, s"$s1 $s2", "en", "s0", 0L),
+      (2L, s"$s2 $s1", "en", "s0", 0L),
+      (3L, (1 to 12).map(j => s"other$j").mkString(" "), "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // scrubMinCount is raised past the corpus so the substring scrub
+    // stays inert: when the confirm KEEPS both swap twins, every 8-gram
+    // they share is corpus-duplicated, and the scrub would annihilate
+    // both (the documented stage-order hazard) — this test isolates the
+    // near-dup decision itself
+    val base = CurationPipeline.Config(minToks = 1, maxDupTokFrac = 1.0,
+      minScore = 0.0, budgetToksPerSource = 1000000L, scrubMinCount = 99)
+
+    // Jaccard-only: the swapped pair collapses to one survivor
+    val (curatedOff, auditOff) = CurationPipeline.run(docs, base)
+    assert(curatedOff.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 3L))
+    assert(auditOff.as[(String, Long)].collect().toMap.apply("near_dedup") == 2L)
+
+    // with the confirm: the pair's edit distance (hundreds) exceeds the
+    // bound, so BOTH docs survive — the audit shows the confirm drop
+    val (curatedOn, auditOn) = CurationPipeline.run(docs,
+      base.copy(editDistanceMax = Some(40)))
+    assert(curatedOn.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+    assert(auditOn.as[(String, Long)].collect().toMap.apply("near_dedup") == 3L)
+  }
+
   test("temperature mixture keeps the heaviest source whole and thins the rest") {
     // s_big: 160 docs × 20 tokens; s_small: 40 docs × 20 tokens.
     // α = 0.5 → rate(s_big) = 100%, rate(s_small) = floor(100·√(1/4)) = 50%.
