@@ -835,7 +835,75 @@ object QueriesCorpus {
        |FROM ranked GROUP BY domain ORDER BY domain""".stripMargin
   }
 
+  // --- q201: benchmark decontamination (eval-set n-gram overlap) -------------
+  // The stage every published pretraining pipeline runs LAST (GPT-3
+  // appendix C, PaLM, Dolma — public): find training documents that
+  // leak evaluation data, measured as distinct k-gram overlap with the
+  // eval set's gram pool. The eval set here is the deterministic ~1%
+  // id-slice (doc_id % 97 = 0 — the q44 hash-split discipline would
+  // work too; the modulus keeps the oracle trivial), and the planted
+  // near-dup classes in the corpus guarantee real contamination to
+  // find: an eval doc's duplicate twins sit in the training split.
+  // Published as the overlap histogram (shared-gram count capped at 10)
+  // with a per-bucket doc-id checksum — the contamination decision at
+  // any threshold is readable off the bucket row, and every doc's
+  // bucket is pinned without corpus-sized output.
+  // Scale: gram hashing is per-row map work (hashed once via
+  // localCheckpoint and shared by both splits) — the tokens are SPLIT
+  // ONCE into a column and the grams built by position over it
+  // (q73's gramHashed shape): higher-order lambdas are interpreted
+  // (CodegenFallback), so an expression that re-derives split(text)
+  // inside the gram lambda pays k·grams splits per document — measured
+  // 8.6 s vs 1.3 s for the same gram sets at sf0.1. The overlap is an
+  // EQUI-join on the 60-bit gram hash — eval grams are a
+  // ~1%-of-corpus table, never broadcast-assumed, and the join keys are
+  // content hashes (uniform, skew-free). One doc-keyed count, one
+  // 11-row histogram aggregate.
+  private val DecontK = 8
+  private val DecontMod = 97
+  private val q201: Q = (s, dir) => {
+    val g = Tables.documents(s, dir)
+      .withColumn("_toks", expr("split(text, ' ')"))
+      .select(col("doc_id"),
+        expr("array_distinct(" +
+          TextOps.posGramHashesExpr("_toks", DecontK) + ")").as("ghs"))
+      .repartition(Tables.shufflePartitions(s))
+      .localCheckpoint() // one gram pass feeds both splits
+    val evalG = g.filter(col("doc_id") % DecontMod === 0)
+      .select(explode(col("ghs")).as("gh")).distinct()
+    val train = g.filter(col("doc_id") % DecontMod =!= 0)
+    val ov = train.select(col("doc_id"), explode(col("ghs")).as("gh"))
+      .join(evalG, "gh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("ov"))
+    train.select(col("doc_id")).join(ov, Seq("doc_id"), "left")
+      .withColumn("overlap_bucket",
+        expr("least(coalesce(ov, CAST(0 AS BIGINT)), CAST(10 AS BIGINT))"))
+      .groupBy(col("overlap_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("doc_sig"))
+      .orderBy(col("overlap_bucket"))
+  }
+  private val q201Sql =
+    s"""WITH g AS (
+       |  SELECT doc_id, ${TextOps.sql.shingleHashes("text", DecontK)} AS ghs
+       |  FROM documents
+       |), ev AS (
+       |  SELECT DISTINCT unnest(ghs) AS gh FROM g WHERE doc_id % $DecontMod = 0
+       |), tr AS (
+       |  SELECT doc_id, ghs FROM g WHERE doc_id % $DecontMod <> 0
+       |), tg AS (
+       |  SELECT doc_id, unnest(ghs) AS gh FROM tr
+       |), ov AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ov
+       |  FROM tg JOIN ev USING (gh) GROUP BY doc_id
+       |)
+       |SELECT LEAST(COALESCE(ov, 0), 10) AS overlap_bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tr.doc_id) AS BIGINT) AS doc_sig
+       |FROM tr LEFT JOIN ov USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q201_decontamination" -> q201,
     "q200_domain_cap" -> q200,
     "q189_source_drift" -> q189,
     "q71_quantized_topk" -> q71,
@@ -853,6 +921,7 @@ object QueriesCorpus {
     "q64_semantic_dedup" -> q64)
 
   val oracleSql: Map[String, String] = Map(
+    "q201_decontamination" -> q201Sql,
     "q200_domain_cap" -> q200Sql,
     "q189_source_drift" -> q189Sql,
     "q71_quantized_topk" -> q71Sql,
