@@ -40,19 +40,31 @@ object UrlOps {
   private def suffixInList: String =
     multiPartSuffixes.map(s => s"'$s'").mkString("(", ", ", ")")
 
-  /** Host extraction regex: optional scheme, optional userinfo, host up
-    * to the first `/ ? # :` — anchored, lowercase input assumed. Works
-    * identically under Java regex (Spark) and RE2 (DuckDB). */
-  private val hostRegex = "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)"
+  /** Host extraction regex: optional scheme, optional userinfo, then
+    * either a bracketed IPv6 literal (colons inside the brackets must
+    * not be read as a port separator) or a host up to the first
+    * `/ ? # :` — anchored, lowercase input assumed. Works identically
+    * under Java regex (Spark) and RE2 (DuckDB). */
+  private val hostRegex =
+    "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/?#:]+)"
+
+  /** Spark SQL string literals process backslash escapes; DuckDB's do
+    * not — the same regex needs its backslashes doubled for Spark and
+    * embedded verbatim for DuckDB. */
+  private def sparkLit(regex: String): String = regex.replace("\\", "\\\\")
 
   /** Spark SQL: canonical host of a URL column — lowercased, scheme /
-    * userinfo / port / path stripped, trailing dot and one leading
-    * `www.` removed. '' when nothing parses. */
+    * userinfo / port / path stripped (IPv6 brackets preserved),
+    * trailing dot and one leading `www.` removed. '' when nothing
+    * parses. */
   def hostExpr(url: String): String =
     s"regexp_replace(regexp_replace(regexp_extract(lower($url), " +
-      s"'$hostRegex', 1), '\\\\.$$', ''), '^www\\\\.', '')"
+      s"'${sparkLit(hostRegex)}', 1), '\\\\.$$', ''), '^www\\\\.', '')"
 
-  /** Spark SQL: registered domain (eTLD+1) of a URL column. */
+  /** Spark SQL: registered domain (eTLD+1) of a URL column. IP-literal
+    * hosts (dotted-quad IPv4, bracketed IPv6) have no registrable
+    * label structure — they canonicalize to themselves, never to their
+    * "last two octets". */
   def registeredDomainExpr(url: String): String = {
     val h = hostExpr(url)
     // labels via literal-dot split; element_at is 1-based, negatives
@@ -62,7 +74,9 @@ object UrlOps {
       s"concat(element_at($labels, -2), '.', element_at($labels, -1))"
     val last3 =
       s"concat(element_at($labels, -3), '.', $last2)"
-    s"""CASE WHEN size($labels) <= 2 THEN $h
+    s"""CASE WHEN $h RLIKE '^[0-9.]+$$' OR substring($h, 1, 1) = '['
+       |    THEN $h
+       |  WHEN size($labels) <= 2 THEN $h
        |  WHEN $last2 IN $suffixInList THEN $last3
        |  ELSE $last2 END""".stripMargin
   }
@@ -79,7 +93,9 @@ object UrlOps {
       val labels = s"string_split($h, '.')"
       val last2 = s"concat(($labels)[-2], '.', ($labels)[-1])"
       val last3 = s"concat(($labels)[-3], '.', $last2)"
-      s"""CASE WHEN len($labels) <= 2 THEN $h
+      s"""CASE WHEN regexp_matches($h, '^[0-9.]+$$')
+         |    OR substring($h, 1, 1) = '[' THEN $h
+         |  WHEN len($labels) <= 2 THEN $h
          |  WHEN $last2 IN ${UrlOps.suffixInList} THEN $last3
          |  ELSE $last2 END""".stripMargin
     }

@@ -33,7 +33,10 @@ class UrlOpsSpec extends SparkSpec {
       "https://shop.example.com.au/k" -> "example.com.au",
       "example.com/pathonly" -> "example.com",
       "https://localhost:9000/x" -> "localhost",
-      "https://deep.sub.tree.example.com" -> "example.com")
+      "https://deep.sub.tree.example.com" -> "example.com",
+      // IP literals have no registrable labels — never "last two octets"
+      "https://93.184.216.34:8080/x" -> "93.184.216.34",
+      "http://[2001:db8::1]/p" -> "[2001:db8::1]")
     val got = domains(cases.map(_._1))
     cases.zip(got).foreach { case ((url, want), d) =>
       assert(d == want, s"$url -> $d, wanted $want")
