@@ -119,4 +119,64 @@ class StreamingCurationSpec extends SparkSpec {
     assert(texts(9L) == unique9 && texts(17L) == unique10)
     incCurated.unpersist(); batchCurated.unpersist()
   }
+
+  test("incremental == batch with the domain cap AND the edit-distance " +
+      "confirm enabled") {
+    val landing = Files.createTempDirectory("graft_dc_landing")
+    val ckpt = Files.createTempDirectory("graft_dc_ckpt")
+    val store = Files.createTempDirectory("graft_dc_store").toString + "/docs"
+    val quar = Files.createTempDirectory("graft_dc_quar").toString + "/bad"
+    val state = Files.createTempDirectory("graft_dc_state").toString + "/state"
+    // scrubMinCount past the corpus: the swap twins share every 8-gram,
+    // and an active scrub would annihilate both (the documented
+    // stage-order hazard) — this test isolates the two new knobs
+    val cfg = CurationPipeline.Config(minToks = 1, maxDupTokFrac = 1.0,
+      minScore = 0.0, budgetToksPerSource = 1000000L, scrubMinCount = 99,
+      domainCap = Some(2L), editDistanceMax = Some(40))
+    def tick(): Unit = StreamingCuration.curationTick(
+      spark, landing.toString, ckpt.toString, store, quar, state, cfg)
+
+    val s1 = (1 to 30).map(j => s"alpha$j").mkString(" ")
+    val s2 = (1 to 30).map(j => s"omega$j").mkString(" ")
+    def line(id: Long, text: String, url: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en",""" +
+        s""" "source": "s0", "url": "$url"}"""
+
+    // tick 1: swap-twin A + two docs of the capped domain
+    Files.writeString(landing.resolve("drop1.jsonl"), Seq(
+      line(1, s"$s1 $s2", "https://docs.python.org/a"),
+      line(2, (1 to 12).map(j => s"cap2_$j").mkString(" "),
+        "https://cdn.assets.example.com/x"),
+      line(3, (1 to 12).map(j => s"cap3_$j").mkString(" "),
+        "https://www.example.com/y")).mkString("\n"))
+    tick()
+    // tick 2: swap-twin B (cross-tick LSH candidate, huge edit distance
+    // — the confirm must reject the pair in the DELTA path too) + a
+    // third example.com doc that pushes the domain over its cap of 2
+    Files.writeString(landing.resolve("drop2.jsonl"), Seq(
+      line(4, s"$s2 $s1", "https://docs.python.org/b"),
+      line(5, (1 to 12).map(j => s"cap5_$j").mkString(" "),
+        "https://Media.Example.COM/z")).mkString("\n"))
+    tick()
+
+    val (incCurated, incAudit) = StreamingCuration.release(spark, store, state, cfg)
+    val (batchCurated, batchAudit) =
+      CurationPipeline.run(spark.read.parquet(store), cfg)
+    val incA = incAudit.as[(String, Long)].collect().toMap
+    val batchA = batchAudit.as[(String, Long)].collect().toMap
+    assert(incA == batchA)
+    // the confirm kept both swap twins (near_dedup drops nothing)...
+    assert(batchA("near_dedup") == 5L)
+    // ...and the domain cap dropped exactly one of the three
+    // example.com variants
+    assert(batchA("domain_cap") == 4L)
+    val incIds = incCurated.select("doc_id").as[Long].collect().sorted.toSeq
+    val batchIds = batchCurated.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(incIds == batchIds)
+    assert(incIds.contains(1L) && incIds.contains(4L),
+      "both swap twins must survive with the confirm on")
+    assert(incIds.intersect(Seq(2L, 3L, 5L)).size == 2,
+      "example.com must keep exactly cap=2 docs")
+    incCurated.unpersist(); batchCurated.unpersist()
+  }
 }
