@@ -99,4 +99,30 @@ class QuantSpec2 extends SparkSpec {
     // the bootstrap CI should bracket the point estimate here
     assert(p05 <= point && point <= p95)
   }
+
+  test("q170: the middle-square pair mix draws uniform basis points " +
+      "and Poisson-correct weight frequencies") {
+    // independent Scala replay of the draw (the md5 replacement must
+    // still be a fair uniform source — a biased u skews every
+    // replicate's Poisson weights): u over keys × replicates should
+    // fill each decile of [0, 10000) with ~10%, and the CDF thresholds
+    // should recover Poisson(1) pmf — P(w=0) ≈ 36.8%, P(w=1) ≈ 36.8%
+    val P = 1000000007L
+    def u(key: Long, rep: Long): Long = {
+      val v1 = ((key * 104729 + rep * 7919) % P) * 2654435761L % P
+      ((v1 * (v1 + 1) / 2) % P) % 10000
+    }
+    val n = 50000
+    val draws = (1 to n).map(k => u(k.toLong, k.toLong % 100))
+    val dec = draws.groupBy(_ / 1000).view.mapValues(_.size).toMap
+    (0L to 9L).foreach { d =>
+      val share = dec.getOrElse(d, 0).toDouble / n
+      assert(share > 0.092 && share < 0.108,
+        s"decile $d share $share outside uniformity band")
+    }
+    val w0 = draws.count(_ < 3679).toDouble / n
+    val w1 = draws.count(x => x >= 3679 && x < 7358).toDouble / n
+    assert(w0 > 0.355 && w0 < 0.38, s"P(w=0) = $w0, want ~0.368")
+    assert(w1 > 0.355 && w1 < 0.38, s"P(w=1) = $w1, want ~0.368")
+  }
 }
