@@ -73,6 +73,13 @@ class PlanSpec extends SparkSpec {
       "the bucketed path must not enumerate all pairs")
   }
 
+  test("q199 adaptive-plane near-dup stays equi-join at the derived " +
+      "plane count, never all-pairs") {
+    val p = plan("q199_adaptive_lsh_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the adaptive bucketed path must not enumerate all pairs")
+  }
+
   test("q29 candidate join keys on the content-derived prefix hash, not length bands") {
     val p = plan("q29_ngram_jaccard")
     assert(p.contains("pk"), "join key must include the prefix-hash content component")
