@@ -766,10 +766,7 @@ object QueriesCorpus {
   // domains are exactly why the rank key is (hash, id) — the window
   // shuffles once on domain and never sorts globally.
   private val DomainCap = 50L
-  private def msq200(x: String, div: String): String = {
-    val v1 = s"((($x) % 1000000007) * 2654435761 % 1000000007)"
-    s"(($v1 * ($v1 + 1) $div 2) % 1000000007)"
-  }
+  private def msq200(x: String, div: String): String = TextOps.sqMix(x, div)
   // host share of index k is (2k+1)%: CASE thresholds at k² over m%100
   private def hostIdxCase(mm: String): String =
     (1 to 9).map(k => s"WHEN $mm < ${k * k} THEN ${k - 1}")

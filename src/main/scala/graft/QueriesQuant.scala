@@ -503,11 +503,8 @@ object QueriesQuant {
   // needs ~13 uniform bits, not md5's 60). All products stay < 2^63:
   // v1 < 2^30, v1·2654435761 < 2^62, v1·(v1+1) < 2^61.
   private val BootReps = 100
-  private def bootMix(key: String, rep: String, div: String): String = {
-    val v1 = s"((($key * 104729 + $rep * 7919) % 1000000007)" +
-      " * 2654435761 % 1000000007)"
-    s"(($v1 * ($v1 + 1) $div 2) % 1000000007) % 10000"
-  }
+  private def bootMix(key: String, rep: String, div: String): String =
+    TextOps.sqMix(s"$key * 104729 + $rep * 7919", div) + " % 10000"
   private val q170: Q = (s, dir) => {
     // Poisson(1) CDF · 10000, round-half-up: P(X≤k) for k = 0..6
     val cdf = Seq(3679, 7358, 9197, 9810, 9963, 9994, 9999)

@@ -1685,10 +1685,8 @@ object QueriesStats {
     // discipline) — the pool is the one pool-fraction-sized stage, and
     // an md5 per pair was measured to dominate the sf1 runtime 5×; the
     // mix is engine-portable arithmetic (all products < 2^63)
-    def pairHash(c: String, p: String) = {
-      val v1 = s"((($c * 104729 + $p * 7919) % 1000000007) * 2654435761 % 1000000007)"
-      s"($v1 * ($v1 + 1) DIV 2) % 1000000007"
-    }
+    def pairHash(c: String, p: String) =
+      TextOps.sqMix(s"$c * 104729 + $p * 7919", "DIV")
     val owned = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -1724,8 +1722,7 @@ object QueriesStats {
       .orderBy(col("k_got"))
   }
   private val q198Sql = {
-    val v1 = "(((cust * 104729 + pk * 7919) % 1000000007) * 2654435761 % 1000000007)"
-    val h = s"($v1 * ($v1 + 1) // 2) % 1000000007"
+    val h = TextOps.sqMix("cust * 104729 + pk * 7919", "//")
     s"""WITH owned AS (
        |  SELECT DISTINCT o_custkey AS cust, l_partkey AS pk
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey

@@ -173,8 +173,10 @@ object CurationPipeline {
     * (O(k·len), map-side, after the id join — q127's documented shape),
     * so the confirm costs candidates·k·len, never len². Shared by the
     * batch run and the incremental tick so the pair state stays
-    * batch-identical. */
-  private[corpus] def confirmPairs(pairs: DataFrame, docs: DataFrame,
+    * batch-identical. `docs` is BY-NAME so a caller's possibly-costly
+    * text source (the incremental path unions normdocs state) is never
+    * even constructed when the knob is off. */
+  private[corpus] def confirmPairs(pairs: DataFrame, docs: => DataFrame,
       cfg: Config): DataFrame = cfg.editDistanceMax match {
     case Some(k) =>
       val t = docs.select(col("doc_id"), col("text"))
@@ -213,13 +215,19 @@ object CurationPipeline {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("_domain"))
           .orderBy(col("_h"), col("doc_id"))
-        val capped = near
-          .withColumn("_domain", coalesce(expr(dom), lit("")))
+        val withDom = near.withColumn("_domain", coalesce(expr(dom), lit("")))
+        // cap-exempt docs (null/unparseable URL) NEVER enter the window:
+        // on a mostly-url-less corpus they would all share the one ''
+        // partition and a single task would sort nearly the whole
+        // survivor set — the exempt rows bypass, the window shuffles
+        // only genuinely-domained docs
+        val exempt = withDom.filter(col("_domain") === "").drop("_domain")
+        val ranked = withDom.filter(col("_domain") =!= "")
           .withColumn("_h", expr(TextOps.hash60("text")))
           .withColumn("_rk", row_number().over(w))
-          .filter(col("_domain") === "" || col("_rk") <= cap)
+          .filter(col("_rk") <= cap)
           .drop("_domain", "_h", "_rk")
-          .cache()
+        val capped = ranked.unionByName(exempt).cache()
         (capped, Seq(("domain_cap", capped.count())), Seq(capped))
       case _ => (near, Seq.empty[(String, Long)], Seq.empty[DataFrame])
     }

@@ -234,10 +234,15 @@ object StreamingCuration {
     // the q127 confirm (when configured) runs on the SAME pair set the
     // batch pipeline would test — texts come from prior normdocs state
     // plus this delta, and every new edge is incident to a delta doc —
-    // so the accumulated pair state stays batch-identical
-    val allNormDocs = readState(spark, s"$stateDir/normdocs")
-      .fold(normDocs)(_.unionByName(normDocs))
-    val newPairs = CurationPipeline.confirmPairs(newPairs0, allNormDocs, cfg)
+    // so the accumulated pair state stays batch-identical. The docs
+    // param is BY-NAME: with the knob off, the state read + union never
+    // evaluates (and a state dir written before a wire-schema column
+    // was added still resumes — allowMissingColumns admits old parquet
+    // with typed nulls; the confirm only reads doc_id/text)
+    val newPairs = CurationPipeline.confirmPairs(newPairs0,
+      readState(spark, s"$stateDir/normdocs")
+        .fold(normDocs)(_.unionByName(normDocs, allowMissingColumns = true)),
+      cfg)
 
     // append the tick's state (pairs written even when empty so the
     // state dir exists from the first curation tick on)

@@ -45,6 +45,23 @@ object TextOps {
   def hash60(e: String): String =
     s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
 
+  /** Square-and-reduce integer mix over the prime 1e9+7 — THE cheap
+    * deterministic-draw primitive for per-row×replicate/pair stages
+    * where an md5 measurably dominates (q198's 5× lesson, q170's 13.7 s
+    * line): multiply-reduce, then the triangular square, reduced again.
+    * ONE function serves both engines (`div` = "DIV" for Spark, "//"
+    * for DuckDB) so a constant tweak can never drift between a query
+    * and its oracle twin. All products stay in int64 for any `x` with
+    * \|x\| < 2⁶³/7919. Result in [0, 1e9+7). NOT for join/bucket keys
+    * that need 60-bit quality — that stays [[hash60]]. A SINGLE round
+    * is also measurably too weak to decorrelate arithmetic-progression
+    * inputs (see ops/Multimodal.syntheticPairWav) — compose it twice
+    * for generator use. */
+  def sqMix(x: String, div: String): String = {
+    val v1 = s"((($x) % 1000000007) * 2654435761 % 1000000007)"
+    s"(($v1 * ($v1 + 1) $div 2) % 1000000007)"
+  }
+
   /** Whitespace tokens (documents are single-space separated). */
   def tokensExpr(text: String): String = s"split($text, ' ')"
 

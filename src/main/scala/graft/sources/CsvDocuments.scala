@@ -30,13 +30,39 @@ object CsvDocuments {
     * NULL fields) is [[JsonlDocuments.split]], shared so a hardening
     * change applies to every reader at once. */
   def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val byName = JsonlDocuments.schema.fields.map(f => f.name -> f).toMap
+    // wire columns matched case-insensitively: Spark's own resolution is
+    // case-insensitive and the pre-header-driven reader was positional,
+    // so a drop with `Doc_ID,Text,...` must keep admitting — the parse
+    // schema carries the canonical wire names (positional under the
+    // default enforceSchema), unknown columns ride along as strings
+    val byName =
+      JsonlDocuments.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     // header names only — inferSchema stays off, so this touches the
     // first line, not the data (drops share one header by contract)
-    val headerCols = spark.read.option("header", "true").csv(path)
-      .schema.fieldNames
+    val headerCols =
+      try spark.read.option("header", "true").csv(path).schema.fieldNames
+      catch {
+        // an EMPTY drop (no files, or only 0-byte parts) has no header
+        // to read — the hardened contract is (empty clean, empty
+        // quarantine), never a dead ingest job
+        case _: org.apache.spark.sql.AnalysisException => Array.empty[String]
+      }
+    if (headerCols.isEmpty) {
+      val cleanSchema = StructType(JsonlDocuments.schema.fields :+
+        StructField("n_chars", org.apache.spark.sql.types.LongType,
+          nullable = true))
+      val quarSchema = StructType(
+        Seq(StructField("raw_line", StringType, nullable = true)))
+      return (
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          cleanSchema),
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          quarSchema))
+    }
     val parseSchema = StructType(headerCols.map(n =>
-      byName.getOrElse(n, StructField(n, StringType, nullable = true))))
+      byName.getOrElse(n.toLowerCase, StructField(n, StringType, nullable = true))))
     val parsed = spark.read
       .schema(parseSchema.add("_corrupt_record", "string"))
       .option("mode", "PERMISSIVE")
@@ -44,7 +70,7 @@ object CsvDocuments {
       .option("header", "true")
       .option("multiLine", "false")
       .csv(path)
-    val present = headerCols.toSet
+    val present = headerCols.map(_.toLowerCase).toSet
     val projected = parsed.select(JsonlDocuments.schema.fields.map { f =>
       (if (present.contains(f.name)) col(f.name)
        else lit(null).cast(f.dataType)).as(f.name)

@@ -33,6 +33,27 @@ class CsvDocumentsSpec extends SparkSpec {
     assert(quar.exists(_.contains("not_a_number")))
   }
 
+  test("an empty drop reads as (empty clean, empty quarantine), never a " +
+      "dead ingest") {
+    val dir = Files.createTempDirectory("graft_csv_empty")
+    Files.writeString(dir.resolve("part0.csv"), "")
+    val (clean, quarantined) = CsvDocuments.read(spark, dir.toString)
+    assert(clean.count() == 0L && quarantined.count() == 0L)
+    assert(clean.columns.contains("doc_id") && clean.columns.contains("n_chars"))
+  }
+
+  test("case-variant headers admit: wire columns match case-insensitively") {
+    val dir = Files.createTempDirectory("graft_csv_case")
+    Files.writeString(dir.resolve("part0.csv"), Seq(
+      "Doc_ID,Text,Lang,Source",
+      "7,seven words here,en,s0").mkString("\n"))
+    val (clean, quarantined) = CsvDocuments.read(spark, dir.toString)
+    assert(quarantined.count() == 0L)
+    val got = clean.select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((7L, "seven words here", 16L)))
+  }
+
   test("round-trip: a written corpus re-reads clean") {
     val dir = Files.createTempDirectory("graft_csv_rt").toString
     val docs = Seq(
