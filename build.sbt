@@ -1,6 +1,14 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "codstatsspark"
+// graft.Bench's machine-readable summary must be the LAST stdout line of
+// an `sbt "runMain graft.Bench"` invocation — the bench artifact keeps a
+// stdout tail and parses the final line. sbt's own "[success] Total
+// time:" epilogue would otherwise trail it.
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not a task — silence the
+// spurious unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

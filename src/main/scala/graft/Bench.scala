@@ -48,8 +48,15 @@ object Bench {
     // (at sf1, q120's overflowing cross-products benched 0.42 s under
     // count() while Verify, which writes every column, threw). toRdd
     // materializes every output column, like any real sink would.
+    // Variance protocol: the shared-VM host swings untouched queries by
+    // ±25% round-over-round (the iterative graph family especially), so
+    // per-query deltas were unreadable from a best-of-2 alone. A query
+    // whose best-of-2 spread exceeds 15% earns a THIRD rep (best-of-3),
+    // and the per-query relative spread (max-min)/min over all reps taken
+    // is published next to the timing in BENCH_DETAIL.json — a delta on a
+    // high-spread query is host noise until it clears the spread.
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      def rep(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count()
           Some((System.nanoTime() - t0) / 1e9) }
@@ -57,20 +64,36 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
       }
-      // drop cache residue BETWEEN queries (not between the two reps):
-      // a query that caches internally keeps its best-of-2 semantics,
-      // but its InMemoryRelations never age the session for later
-      // queries — the '93rd query measured in a tired JVM' effect
+      val two = (1 to 2).flatMap(_ => rep())
+      val noisy = two.size == 2 && (two.max - two.min) / two.min > 0.15
+      val times = if (noisy) two ++ rep() else two
+      // drop cache residue BETWEEN queries (not between reps): a query
+      // that caches internally keeps its best-of-N semantics, but its
+      // InMemoryRelations never age the session for later queries — the
+      // '93rd query measured in a tired JVM' effect
       spark.catalog.clearCache()
-      name -> times.minOption.getOrElse(-1.0)
+      // published spread = steady-state repeatability: when the third
+      // rep ran, rep 1 (the escalation trigger — usually this query's
+      // codegen warmup, not host noise) is excluded, so the column
+      // reads "how repeatable is a warm run", which is the question a
+      // round-over-round delta needs answered
+      val steady = if (times.size >= 3) times.drop(1) else times
+      val spread =
+        if (steady.size < 2) -1.0
+        else (steady.max - steady.min) / steady.min
+      (name, times.minOption.getOrElse(-1.0), spread)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+    val errors = results.collect { case (k, v, _) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
+    val spreads = results
+      .map { case (k, _, sp) =>
+        s"\"" + k + "\":" + (math.round(sp * 1000) / 1000.0) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"errors":$errors,"sf":"$sfDir"}"""
     // Full-map line first: any capture that keeps the whole stream gets
     // every per-query timing on stdout.
     println(line)
@@ -82,7 +105,7 @@ object Bench {
     // audits), and an explicit pointer to the committed full map.
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
-      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$errors,"slowest":$slowest,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""

@@ -503,8 +503,16 @@ object QueriesQuant {
   // needs ~13 uniform bits, not md5's 60). All products stay < 2^63:
   // v1 < 2^30, v1·2654435761 < 2^62, v1·(v1+1) < 2^61.
   private val BootReps = 100
+  // sqMix COMPOSED TWICE (its own scaladoc's rule for generator use —
+  // the draw input walks an arithmetic progression in b, and a single
+  // square leaves the 100 within-key replicate draws quadratically
+  // related, which could correlate replicate weights and narrow the CI;
+  // Multimodal.syntheticPairWav measured the single-round failure).
+  // Bounds hold for the composition: sqMix output < 1e9+7 < 2^30, so the
+  // outer round's products stay under 2^62.
   private def bootMix(key: String, rep: String, div: String): String =
-    TextOps.sqMix(s"$key * 104729 + $rep * 7919", div) + " % 10000"
+    TextOps.sqMix(TextOps.sqMix(s"$key * 104729 + $rep * 7919", div),
+      div) + " % 10000"
   private val q170: Q = (s, dir) => {
     // Poisson(1) CDF · 10000, round-half-up: P(X≤k) for k = 0..6
     val cdf = Seq(3679, 7358, 9197, 9810, 9963, 9994, 9999)

@@ -229,7 +229,16 @@ object CurationPipeline {
           .drop("_domain", "_h", "_rk")
         val capped = ranked.unionByName(exempt).cache()
         (capped, Seq(("domain_cap", capped.count())), Seq(capped))
-      case _ => (near, Seq.empty[(String, Long)], Seq.empty[DataFrame])
+      // domainCap configured but the corpus has no `urlCol` column (absent
+      // or misspelled): a silently-skipped stage would ship a release the
+      // operator believes is capped, uncapped, with no signal. The audit
+      // carries an explicit -1 sentinel row (never a real docs_after
+      // count) so the miss is visible in the release audit itself.
+      case Some(_) =>
+        System.err.println(s"[curation] domainCap is set but column " +
+          s"'${cfg.urlCol}' is absent — domain-cap stage SKIPPED")
+        (near, Seq(("domain_cap", -1L)), Seq.empty[DataFrame])
+      case None => (near, Seq.empty[(String, Long)], Seq.empty[DataFrame])
     }
     // 5. exact-substring scrub over the dedup survivors: residual
     // corpus-duplicated 8-gram runs are cross-doc boilerplate — drop the

@@ -38,10 +38,18 @@ object CsvDocuments {
     val byName =
       JsonlDocuments.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     // header names only — inferSchema stays off, so this touches the
-    // first line, not the data (drops share one header by contract)
+    // first line, not the data (drops share one header by contract).
+    // The probe reads the RAW first line (header=false + limit 1) rather
+    // than asking Spark for the header schema: Spark's own header read
+    // renames case-insensitively-colliding names (`text,TEXT` comes back
+    // `text1,TEXT2`), which would hide the real wire column from the
+    // byName match below and quarantine every row of the drop
     val headerCols =
-      try spark.read.option("header", "true").csv(path).schema.fieldNames
-      catch {
+      try {
+        val first = spark.read.csv(path).limit(1).collect()
+        if (first.isEmpty) Array.empty[String]
+        else first(0).toSeq.map(v => if (v == null) "" else v.toString).toArray
+      } catch {
         // an EMPTY drop (no files, or only 0-byte parts) has no header
         // to read — the hardened contract is (empty clean, empty
         // quarantine), never a dead ingest job
@@ -61,8 +69,20 @@ object CsvDocuments {
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           quarSchema))
     }
-    val parseSchema = StructType(headerCols.map(n =>
-      byName.getOrElse(n.toLowerCase, StructField(n, StringType, nullable = true))))
+    // duplicate header names after case-folding (e.g. `text,TEXT`) would
+    // put two identical canonical fields in the parse schema and make the
+    // later select(col("text")) an ambiguous-reference AnalysisException —
+    // a dead ingest, against the hardened-reader contract. The FIRST
+    // occurrence keeps the wire name (and its type); later duplicates are
+    // carried as uniquely-renamed string columns (positional parsing under
+    // the default enforceSchema keeps every value attached to its column).
+    val seen = scala.collection.mutable.Set.empty[String]
+    val parseSchema = StructType(headerCols.zipWithIndex.map { case (n, i) =>
+      val canon = n.toLowerCase
+      if (seen.add(canon))
+        byName.getOrElse(canon, StructField(n, StringType, nullable = true))
+      else StructField(s"_dup_${i}_$n", StringType, nullable = true)
+    })
     val parsed = spark.read
       .schema(parseSchema.add("_corrupt_record", "string"))
       .option("mode", "PERMISSIVE")

@@ -106,12 +106,17 @@ class QuantSpec2 extends SparkSpec {
     // still be a fair uniform source — a biased u skews every
     // replicate's Poisson weights): u over keys × replicates should
     // fill each decile of [0, 10000) with ~10%, and the CDF thresholds
-    // should recover Poisson(1) pmf — P(w=0) ≈ 36.8%, P(w=1) ≈ 36.8%
+    // should recover Poisson(1) pmf — P(w=0) ≈ 36.8%, P(w=1) ≈ 36.8%.
+    // The replay is sqMix COMPOSED TWICE, matching bootMix — the single
+    // round's within-key draws walk a quadratic in b (sqMix's documented
+    // arithmetic-progression weakness).
     val P = 1000000007L
-    def u(key: Long, rep: Long): Long = {
-      val v1 = ((key * 104729 + rep * 7919) % P) * 2654435761L % P
-      ((v1 * (v1 + 1) / 2) % P) % 10000
+    def sq(x: Long): Long = {
+      val v1 = (x % P) * 2654435761L % P
+      (v1 * (v1 + 1) / 2) % P
     }
+    def u(key: Long, rep: Long): Long =
+      sq(sq(key * 104729 + rep * 7919)) % 10000
     val n = 50000
     val draws = (1 to n).map(k => u(k.toLong, k.toLong % 100))
     val dec = draws.groupBy(_ / 1000).view.mapValues(_.size).toMap
@@ -124,5 +129,43 @@ class QuantSpec2 extends SparkSpec {
     val w1 = draws.count(x => x >= 3679 && x < 7358).toDouble / n
     assert(w0 > 0.355 && w0 < 0.38, s"P(w=0) = $w0, want ~0.368")
     assert(w1 > 0.355 && w1 < 0.38, s"P(w=1) = $w1, want ~0.368")
+  }
+
+  test("q170: within-key draws are decorrelated across replicates") {
+    // the failure mode the double composition exists to kill: for a
+    // FIXED order key the 100 replicate draws walk an arithmetic
+    // progression in b, and one sqMix round leaves them on a single
+    // quadratic — consecutive replicate draws carry structure that
+    // correlates the Poisson weights within a key and narrows the
+    // bootstrap CI. Checks on the composed draw: (a) lag-1 serial
+    // correlation of u(k, b) across b, pooled over keys, is ~0;
+    // (b) consecutive-draw pairs fill a 10×10 decile grid uniformly
+    // (each cell ~1% ± 0.35pp over 49,500 pairs).
+    val P = 1000000007L
+    def sq(x: Long): Long = {
+      val v1 = (x % P) * 2654435761L % P
+      (v1 * (v1 + 1) / 2) % P
+    }
+    def u(key: Long, rep: Long): Long =
+      sq(sq(key * 104729 + rep * 7919)) % 10000
+    val keys = (1 to 500).map(_.toLong)
+    val pairs = keys.flatMap { k =>
+      val d = (0L until 100L).map(b => u(k, b))
+      d.dropRight(1).zip(d.drop(1))
+    }
+    val xs = pairs.map(_._1.toDouble); val ys = pairs.map(_._2.toDouble)
+    val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val sx = math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum)
+    val sy = math.sqrt(ys.map(b => (b - my) * (b - my)).sum)
+    val r = cov / (sx * sy)
+    assert(math.abs(r) < 0.02, s"lag-1 within-key correlation $r, want ~0")
+    val grid = pairs.groupBy { case (a, b) => (a / 1000, b / 1000) }
+      .view.mapValues(_.size).toMap
+    for (i <- 0L to 9L; j <- 0L to 9L) {
+      val share = grid.getOrElse((i, j), 0).toDouble / pairs.size
+      assert(share > 0.0065 && share < 0.0135,
+        s"joint decile cell ($i,$j) share $share outside band")
+    }
   }
 }

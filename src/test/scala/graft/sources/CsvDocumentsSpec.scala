@@ -54,6 +54,22 @@ class CsvDocumentsSpec extends SparkSpec {
     assert(got == Seq((7L, "seven words here", 16L)))
   }
 
+  test("duplicate headers after case-folding admit: first occurrence is " +
+      "the wire column, later ones ride along renamed") {
+    // `text,TEXT` used to build a parse schema with two identical
+    // canonical fields — the select(col("text")) then died on an
+    // ambiguous reference and killed the whole ingest
+    val dir = Files.createTempDirectory("graft_csv_dup")
+    Files.writeString(dir.resolve("part0.csv"), Seq(
+      "doc_id,text,TEXT,lang,source",
+      "3,first copy,second copy,en,s0").mkString("\n"))
+    val (clean, quarantined) = CsvDocuments.read(spark, dir.toString)
+    assert(quarantined.count() == 0L)
+    val got = clean.select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((3L, "first copy", 10L)))
+  }
+
   test("round-trip: a written corpus re-reads clean") {
     val dir = Files.createTempDirectory("graft_csv_rt").toString
     val docs = Seq(
