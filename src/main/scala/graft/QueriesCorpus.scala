@@ -747,21 +747,26 @@ object QueriesCorpus {
   // --- q200: URL canonicalization + per-domain cap (domain curation) ---------
   // The stage every public pretraining pipeline (CCNet, RefinedWeb,
   // Dolma) runs before text-level dedup: canonicalize each doc's URL to
-  // its REGISTERED domain (ops/UrlOps — lowercase, strip scheme /
-  // userinfo / port / path / trailing dot / one leading www., last two
-  // labels or three over a multi-part public suffix) and cap how many
-  // docs any one domain may contribute. Selection under the cap is the
-  // q78 hash-rank discipline: the [[DomainCap]] docs with the smallest
-  // content-hash win (deterministic on any engine/cluster/arrival
-  // order), never first-arrival. The documents table carries no URL, so
-  // the query PLANTS one per doc from an integer mix — the host palette
-  // deliberately exercises every canonicalizer rule (case, www,
-  // subdomains that must collapse, ports, userinfo, trailing dots,
-  // co.uk/com.au/gov.uk multi-part suffixes) and is skewed (share of
-  // host k ∝ 2k+1) so the cap genuinely binds. Published as the
-  // per-domain digest (total, kept, Σ kept doc_id) — enough to pin
-  // every keep/drop decision without corpus-sized output.
-  // Scale: canonicalization is per-row expressions; the cap is ONE
+  // its REGISTERED domain via the public-suffix list ([[graft.ops.Psl]]
+  // — host canonicalization shared with ops/UrlOps, then the published
+  // PSL longest-match over plain/wildcard/exception rules as a
+  // broadcast lookup) and cap how many docs any one domain may
+  // contribute. Selection under the cap is the q78 hash-rank
+  // discipline: the [[DomainCap]] docs with the smallest content-hash
+  // win (deterministic on any engine/cluster/arrival order), never
+  // first-arrival. The documents table carries no URL, so the query
+  // PLANTS one per doc from an integer mix — the host palette exercises
+  // every canonicalizer rule (case, userinfo, ports, trailing dots,
+  // subdomains that must collapse) AND every PSL rule form: private
+  // suffixes whose subdomains are DISTINCT publishers (user1/user2
+  // .github.io must not merge under the cap, Sub.Web.DE.com groups at
+  // web.de.com), a whole-TLD wildcard (*.ck), multi-part ICANN rules
+  // (co.uk/gov.uk/com.au). Shares are skewed (host k ∝ 2k+1) so the
+  // cap genuinely binds. Published as the per-domain digest (total,
+  // kept, Σ kept doc_id) — enough to pin every keep/drop decision
+  // without corpus-sized output.
+  // Scale: canonicalization is per-row expressions + 4 broadcast joins
+  // against the KiB-sized rule table (no shuffle); the cap is ONE
   // hash-rank window partitioned by domain (the q78 shape); skewed
   // domains are exactly why the rank key is (hash, id) — the window
   // shuffles once on domain and never sorts globally.
@@ -771,26 +776,32 @@ object QueriesCorpus {
   private def hostIdxCase(mm: String): String =
     (1 to 9).map(k => s"WHEN $mm < ${k * k} THEN ${k - 1}")
       .mkString("CASE ", " ", " ELSE 9 END")
+  // the palette exercises the PSL path's rule forms end-to-end: private
+  // suffixes where each subdomain is a distinct publisher (two github.io
+  // users that must NOT merge, a CentralNic de.com host), a whole-TLD
+  // wildcard (*.ck), multi-part ICANN rules, plus the canonicalizer
+  // edges (case, userinfo, ports, trailing dots)
   private val hostCase =
     """CASE WHEN hi = 0 THEN 'news.example.co.uk'
       |  WHEN hi = 1 THEN 'Media.Example.com'
-      |  WHEN hi = 2 THEN 'www.blog-platform.com'
-      |  WHEN hi = 3 THEN 'cdn.assets.example.com'
-      |  WHEN hi = 4 THEN 'docs.python.org'
+      |  WHEN hi = 2 THEN 'user1.github.io'
+      |  WHEN hi = 3 THEN 'user2.github.io'
+      |  WHEN hi = 4 THEN 'docs.python.org.'
       |  WHEN hi = 5 THEN 'shop.example.com.au'
-      |  WHEN hi = 6 THEN 'example.io'
+      |  WHEN hi = 6 THEN 'Sub.Web.DE.com'
       |  WHEN hi = 7 THEN 'api.service.gov.uk'
       |  WHEN hi = 8 THEN 'forum.community.net:8080'
-      |  ELSE 'wiki.knowledge.org.' END""".stripMargin
+      |  ELSE 'blog.shop.example.ck' END""".stripMargin
   private val q200: Q = (s, dir) => {
-    val d = Tables.documents(s, dir).select(col("doc_id"))
+    val urls = Tables.documents(s, dir).select(col("doc_id"))
       .withColumn("mm", expr(msq200("doc_id * 7919 + 31", "DIV") + " % 100"))
       .withColumn("hi", expr(hostIdxCase("mm")))
       .withColumn("host", expr(hostCase))
       .withColumn("url", expr(
         """concat('https://', CASE WHEN hi = 6 THEN 'user:pw@' ELSE '' END,
           |  host, '/p/', CAST(doc_id AS STRING))""".stripMargin))
-      .withColumn("domain", expr(graft.ops.UrlOps.registeredDomainExpr("url")))
+    val d = graft.ops.Psl
+      .withRegisteredDomain(urls, "url", "domain")
       .withColumn("h", expr(msq200("doc_id * 104729 + 13", "DIV")))
     val w = Window.partitionBy(col("domain")).orderBy(col("h"), col("doc_id"))
     d.withColumn("rk", row_number().over(w))
@@ -802,7 +813,6 @@ object QueriesCorpus {
       .orderBy(col("domain"))
   }
   private val q200Sql = {
-    val dom = graft.ops.UrlOps.sql.registeredDomain("url")
     s"""WITH base AS (
        |  SELECT doc_id, ${msq200("doc_id * 7919 + 31", "//")} % 100 AS mm
        |  FROM documents
@@ -815,10 +825,11 @@ object QueriesCorpus {
        |    concat('https://', CASE WHEN hi = 6 THEN 'user:pw@' ELSE '' END,
        |      host, '/p/', CAST(doc_id AS VARCHAR)) AS url
        |  FROM hosted
-       |), dm AS (
-       |  SELECT doc_id, $dom AS domain,
+       |), ${graft.ops.Psl.sql.domainCtes("urls", "url", Seq("doc_id"))},
+       |dm AS (
+       |  SELECT doc_id, domain,
        |    ${msq200("doc_id * 104729 + 13", "//")} AS h
-       |  FROM urls
+       |  FROM psl_dm
        |), ranked AS (
        |  SELECT doc_id, domain,
        |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rk
@@ -899,7 +910,52 @@ object QueriesCorpus {
        |FROM tr LEFT JOIN ov USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q202: exact line-grain dedup (first occurrence survives) --------------
+  // The RefinedWeb/Dolma corpus-wide LINE pass via [[graft.ops.LineDedup]]:
+  // a line recurring beyond [[LineMaxCount]] keeps only its globally-first
+  // occurrence (min (doc_id, pos) — deterministic, arrival-order-free) and
+  // every document reassembles from its surviving lines in order. This
+  // corpus is single-line, so the query RECASTS each document into
+  // pseudo-lines first — fixed 4-token windows joined by newline (the q61
+  // "recast on tokens" discipline); the tiny vocabulary makes genuinely
+  // repeated windows common, and the planted near-dup classes guarantee
+  // cross-document repeats for the keep-first rule to arbitrate.
+  // Published as the per-doc digest (line counts + rebuilt-text hash) —
+  // every keep/drop decision and the reassembly order are pinned.
+  // Scale: see LineDedup's scaladoc — one combinable per-hash aggregate
+  // (count + packed arg-min, never a window), one equi-join back, one
+  // doc-keyed reassembly; heavy-hitter lines are agg-tree-safe.
+  private val LineW = 4
+  private val LineMaxCount = 1L
+  private val q202: Q = (s, dir) => {
+    val toks = TextOps.tokensExpr("text")
+    val recast = Tables.documents(s, dir).select(col("doc_id"),
+      expr(s"""array_join(transform(
+        |  sequence(0, (size($toks) + ${LineW - 1}) DIV $LineW - 1),
+        |  i -> array_join(slice($toks, i * $LineW + 1, $LineW), ' ')),
+        |  chr(10))""".stripMargin).as("ltext"))
+    graft.ops.LineDedup.dedupLines(recast, "doc_id", "ltext", LineMaxCount)
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+        expr(TextOps.hash60("ltext")).as("rebuilt_h"))
+      .orderBy(col("doc_id"))
+  }
+  private val q202Sql = {
+    val toks = TextOps.sql.tokens("text")
+    s"""WITH recast AS (
+       |  SELECT doc_id, array_to_string(list_transform(
+       |    generate_series(0, (len($toks) + ${LineW - 1}) // $LineW - 1),
+       |    i -> array_to_string($toks[i * $LineW + 1 : i * $LineW + $LineW],
+       |      ' ')), chr(10)) AS ltext
+       |  FROM documents
+       |), ${graft.ops.LineDedup.sql.ctes("recast", "doc_id", "ltext",
+             LineMaxCount)}
+       |SELECT doc_id, n_lines, n_kept_lines,
+       |  ${TextOps.sql.hash60("ltext")} AS rebuilt_h
+       |FROM ld_out ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q202_line_dedup" -> q202,
     "q201_decontamination" -> q201,
     "q200_domain_cap" -> q200,
     "q189_source_drift" -> q189,
@@ -918,6 +974,7 @@ object QueriesCorpus {
     "q64_semantic_dedup" -> q64)
 
   val oracleSql: Map[String, String] = Map(
+    "q202_line_dedup" -> q202Sql,
     "q201_decontamination" -> q201Sql,
     "q200_domain_cap" -> q200Sql,
     "q189_source_drift" -> q189Sql,

@@ -30,6 +30,11 @@ import graft.ops.{CurationDedup, Inference, Mixture, NearDup, TextOps}
   *                   cap by content-hash rank, when
   *                   [[Config.domainCap]] is set and the corpus carries
   *                   a URL column
+  *   5a. line dedup — corpus-wide line-grain dedup
+  *                   ([[graft.ops.LineDedup]], q202): over-duplicated
+  *                   lines keep only their globally-first occurrence,
+  *                   docs reassemble in order, when
+  *                   [[Config.lineDedupMaxCount]] is set
   *   5. scrub      — exact-substring dedup removal pass
   *                   ([[graft.ops.CurationDedup.scrubbed]], q79): token
   *                   runs covered by a corpus-duplicated 8-gram drop,
@@ -90,6 +95,14 @@ object CurationPipeline {
       // alikes with many small real edits stop collapsing. None keeps
       // the Jaccard-only gate.
       editDistanceMax: Option[Int] = None,
+      // Some(k) enables the corpus-wide LINE-grain dedup release stage
+      // (the RefinedWeb/Dolma pass; [[graft.ops.LineDedup]], q202): a
+      // line occurring more than k times across the corpus keeps only
+      // its globally-first occurrence — recurring navigation chrome /
+      // cookie banners / license boilerplate drop from every doc IN
+      // PLACE, each doc reassembling from its surviving lines in order.
+      // Docs whose surviving text falls below `minToks` drop entirely.
+      lineDedupMaxCount: Option[Long] = None,
       // Some(α) switches the mixture stage from the fixed token budget
       // to temperature-scaled rates ∝ mass^α (q89's policy): flatten
       // source imbalance rather than cap each source — the knob a
@@ -204,18 +217,21 @@ object CurationPipeline {
     val toks = TextOps.tokensExpr("text")
 
     // 4b. domain-level cap (the CCNet/RefinedWeb/Dolma URL stage): docs
-    // sharing a registered domain (ops/UrlOps canonicalization) keep at
-    // most cfg.domainCap survivors, chosen by CONTENT-hash rank (q78's
-    // discipline — deterministic under any arrival order), tie-broken by
-    // doc_id. Docs with no parseable URL are never capped. One window
-    // shuffle partitioned by domain; the canonicalization is per-row.
+    // sharing a registered domain (public-suffix-list extraction,
+    // [[graft.ops.Psl]] — `user1.github.io`/`user2.github.io` stay
+    // DISTINCT publishers, `a.co.uk`/`b.co.uk` distinct registrants)
+    // keep at most cfg.domainCap survivors, chosen by CONTENT-hash rank
+    // (q78's discipline — deterministic under any arrival order),
+    // tie-broken by doc_id. Docs with no parseable URL are never capped.
+    // One window shuffle partitioned by domain; the canonicalization is
+    // per-row work + 4 broadcast joins against the KiB rule table.
     val (afterCap, capTail, capCaches) = cfg.domainCap match {
       case Some(cap) if near.columns.contains(cfg.urlCol) =>
-        val dom = graft.ops.UrlOps.registeredDomainExpr(cfg.urlCol)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("_domain"))
           .orderBy(col("_h"), col("doc_id"))
-        val withDom = near.withColumn("_domain", coalesce(expr(dom), lit("")))
+        val withDom =
+          graft.ops.Psl.withRegisteredDomain(near, cfg.urlCol, "_domain")
         // cap-exempt docs (null/unparseable URL) NEVER enter the window:
         // on a mostly-url-less corpus they would all share the one ''
         // partition and a single task would sort nearly the whole
@@ -240,13 +256,32 @@ object CurationPipeline {
         (near, Seq(("domain_cap", -1L)), Seq.empty[DataFrame])
       case None => (near, Seq.empty[(String, Long)], Seq.empty[DataFrame])
     }
+    // 5a. corpus-wide line-grain dedup (q202's pass): a line recurring
+    // beyond cfg.lineDedupMaxCount keeps only its globally-first
+    // occurrence (min (doc_id, pos) — deterministic under any arrival
+    // order, so the incremental release replays it identically) and each
+    // doc reassembles in order. Runs BEFORE the 8-gram scrub — published
+    // composite order, and dropping whole duplicated lines first keeps
+    // their grams out of the scrub's corpus counts. Docs reduced below
+    // the quality floor drop, same rule as the scrub below.
+    val (afterLines, lineTail, lineCaches) = cfg.lineDedupMaxCount match {
+      case Some(k) =>
+        val toksOf = TextOps.tokensExpr("text")
+        val deduped = graft.ops.LineDedup
+          .dedupLines(afterCap, "doc_id", "text", k)
+          .filter(col("text") =!= "" && expr(s"size($toksOf)") >= cfg.minToks)
+          .drop("n_lines", "n_kept_lines")
+          .cache()
+        (deduped, Seq(("line_dedup", deduped.count())), Seq(deduped))
+      case None => (afterCap, Seq.empty[(String, Long)], Seq.empty[DataFrame])
+    }
     // 5. exact-substring scrub over the dedup survivors: residual
     // corpus-duplicated 8-gram runs are cross-doc boilerplate — drop the
     // covered tokens; docs scrubbed below the quality floor drop
     // entirely (a doc that was pure boilerplate has nothing left to
     // train on)
     val gramHashed = CurationDedup.gramHashed(
-      afterCap, "text", cfg.scrubGramK).cache()
+      afterLines, "text", cfg.scrubGramK).cache()
     // the explicit text != '' guard matters at minToks = 1: splitting an
     // empty string yields ONE empty token, so a fully-scrubbed doc would
     // otherwise pass the size() floor with a phantom token
@@ -282,10 +317,11 @@ object CurationPipeline {
     }).select(outCols.map(col): _*) // input column order, untouched
       .cache()
 
-    val tail = capTail ++ Seq(("substring_scrub", scrub.count()),
+    val tail = capTail ++ lineTail ++ Seq(("substring_scrub", scrub.count()),
       ("pii_redact", redacted.count()),
       ("mixture_sample", curated.count()))
-    (curated, tail, capCaches ++ Seq(gramHashed, scrub, redacted))
+    (curated, tail,
+      capCaches ++ lineCaches ++ Seq(gramHashed, scrub, redacted))
   }
 
   /** Materialize a curation run the way a dataset release ships: the

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact LINE-grain deduplication — the corpus-wide pass RefinedWeb and
+  * Dolma run alongside document-level dedup: a line (navigation chrome,
+  * cookie banner, license boilerplate) that recurs across the corpus is
+  * dropped from every document IN PLACE, and each document is reassembled
+  * from its surviving lines in original order. Document dedup can't catch
+  * this — the documents differ; 8-gram scrubbing catches only runs ≥ k
+  * tokens — the line grain is the published middle ground.
+  *
+  * Keep rule (deterministic, arrival-order-free — unlike the
+  * bloom-filter "first writer wins" of a streaming pass): a line whose
+  * corpus-wide occurrence count exceeds `maxCount` keeps ONLY its
+  * globally-first occurrence — min (doc_id, position) — and every other
+  * occurrence drops; lines at or under `maxCount` keep all occurrences.
+  * `maxCount = 1` is classic exact line dedup (any repeated line
+  * collapses to one surviving copy corpus-wide). BLANK lines never
+  * dedup — they are formatting, not content, and dropping "all but the
+  * corpus-first empty line" would mangle every multi-paragraph document.
+  *
+  * Lines are newline-separated (the interchange grain of every published
+  * line-dedup pass); a corpus with a different record separator
+  * normalizes to newlines upstream.
+  *
+  * Plan shape (100 TB): explode lines with positions (map-side) → ONE
+  * combinable aggregate per line hash (count + integer arg-min — never a
+  * window, so a line occurring 10⁸ times costs a partial-agg tree, not a
+  * single-task sort) → equi-join lines to their hash stats (content-hash
+  * keys; heavy hitters are exactly the lines being dropped, and AQE's
+  * skew split handles their join fan-out) → per-doc ordered reassembly
+  * (sort_array over collected (pos, line) structs, q61's discipline).
+  * Two shuffles total: line-hash agg+join, doc-keyed reassembly.
+  *
+  * The occurrence key packs (doc_id, pos) into one BIGINT
+  * (doc_id · 2²⁰ + pos) so the arg-min is a plain MIN — exact while
+  * pos < 2²⁰ (a million lines per document) and doc_id < 2⁴³.
+  */
+object LineDedup {
+
+  /** Max lines per document the packed occurrence key supports. */
+  val MaxLinesPerDoc: Long = 1L << 20
+
+  /** Rewrites `textCol` with over-`maxCount` duplicated lines removed
+    * (globally-first occurrence survives), preserving line order.
+    * Returns the input columns plus `n_lines`/`n_kept_lines` audit
+    * columns. `idCol` must be a BIGINT document key. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 maxCount: Long): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(expr(s"split($textCol, chr(10), -1)"))
+        .as(Seq("_ld_pos", "_ld_line")))
+      .withColumn("_ld_h", expr(TextOps.hash60("_ld_line")))
+      .withColumn("_ld_occ",
+        expr(s"$idCol * ${MaxLinesPerDoc}L + _ld_pos"))
+    val stats = lines.filter(col("_ld_line") =!= "")
+      .groupBy(col("_ld_h"))
+      .agg(count(lit(1)).as("_ld_cnt"), min(col("_ld_occ")).as("_ld_first"))
+    val kept = lines.join(stats, Seq("_ld_h"), "left")
+      .filter(col("_ld_cnt").isNull || col("_ld_cnt") <= maxCount ||
+        col("_ld_occ") === col("_ld_first"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept_lines"),
+        expr("""array_join(transform(
+          |  array_sort(collect_list(struct(_ld_pos, _ld_line))),
+          |  x -> x._ld_line), chr(10))""".stripMargin).as("_ld_rebuilt"))
+    docs
+      .withColumn("n_lines",
+        expr(s"CAST(size(split($textCol, chr(10), -1)) AS BIGINT)"))
+      .join(kept, Seq(idCol), "left")
+      .withColumn("n_kept_lines", coalesce(col("n_kept_lines"), lit(0L)))
+      .withColumn(textCol, coalesce(col("_ld_rebuilt"), lit("")))
+      .drop("_ld_rebuilt")
+  }
+
+  /** DuckDB twin of [[dedupLines]] as a CTE chain over relation `src`
+    * (columns: `idCol` BIGINT, `textCol`). Terminal CTE:
+    * `ld_out(idCol, textCol, n_lines, n_kept_lines)` — text rebuilt. */
+  object sql {
+    def ctes(src: String, idCol: String, textCol: String,
+             maxCount: Long): String = {
+      val split = s"string_split($textCol, chr(10))"
+      val h = TextOps.sql.hash60("_ld_line")
+      s"""ld_lines AS (
+         |  SELECT $idCol, unnest($split) AS _ld_line,
+         |    unnest(generate_series(1, len($split))) AS _ld_pos
+         |  FROM $src
+         |), ld_hashed AS (
+         |  SELECT $idCol, _ld_pos, _ld_line, $h AS _ld_h,
+         |    $idCol * ${MaxLinesPerDoc} + _ld_pos AS _ld_occ
+         |  FROM ld_lines
+         |), ld_stats AS (
+         |  SELECT _ld_h, CAST(COUNT(*) AS BIGINT) AS _ld_cnt,
+         |    MIN(_ld_occ) AS _ld_first
+         |  FROM ld_hashed WHERE _ld_line <> '' GROUP BY _ld_h
+         |), ld_kept AS (
+         |  SELECT l.$idCol, CAST(COUNT(*) AS BIGINT) AS n_kept_lines,
+         |    string_agg(l._ld_line, chr(10) ORDER BY l._ld_pos)
+         |      AS _ld_rebuilt
+         |  FROM ld_hashed l LEFT JOIN ld_stats s ON l._ld_h = s._ld_h
+         |  WHERE s._ld_cnt IS NULL OR s._ld_cnt <= $maxCount
+         |    OR l._ld_occ = s._ld_first
+         |  GROUP BY l.$idCol
+         |), ld_out AS (
+         |  SELECT d.$idCol,
+         |    COALESCE(k._ld_rebuilt, '') AS $textCol,
+         |    CAST(len($split) AS BIGINT) AS n_lines,
+         |    COALESCE(k.n_kept_lines, CAST(0 AS BIGINT)) AS n_kept_lines
+         |  FROM $src d LEFT JOIN ld_kept k USING ($idCol)
+         |)""".stripMargin
+    }
+  }
+}

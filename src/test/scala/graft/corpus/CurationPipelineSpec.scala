@@ -213,6 +213,39 @@ class CurationPipelineSpec extends SparkSpec {
     assert(auditOn.as[(String, Long)].collect().toMap.apply("near_dedup") == 3L)
   }
 
+  test("line dedup stage: a corpus-recurring line drops from every doc " +
+      "but its globally-first carrier, and a boilerplate-only doc drops") {
+    // the same cookie-banner line planted in three docs; doc 3 is nothing
+    // but the banner. Paragraph break in doc 1 must survive reassembly.
+    val banner = "we value your privacy accept all cookies"
+    val docs = Seq(
+      (1L, s"alpha story one\n\n$banner\nalpha story two", "en", "s0", 0L),
+      (2L, s"beta report one\n$banner\nbeta report two", "en", "s1", 0L),
+      (3L, banner, "en", "s0", 0L),
+      (4L, "gamma notes stand alone here", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // scrubMinCount past the corpus keeps the 8-gram scrub inert — this
+    // test isolates the line-grain decision
+    val cfg = CurationPipeline.Config(minToks = 1, maxDupTokFrac = 1.0,
+      minScore = 0.0, budgetToksPerSource = 1000000L, scrubMinCount = 99,
+      lineDedupMaxCount = Some(1L))
+    val (curated, audit) = CurationPipeline.run(docs, cfg)
+    val texts = curated.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert(texts.keySet == Set(1L, 2L, 4L),
+      "the banner-only doc must drop once its one line dedups away")
+    assert(texts(1L) == s"alpha story one\n\n$banner\nalpha story two",
+      "the first carrier keeps the line AND its paragraph break")
+    assert(texts(2L) == "beta report one\nbeta report two")
+    assert(texts(4L) == "gamma notes stand alone here")
+    val got = audit.as[(String, Long)].collect().toMap
+    assert(got("line_dedup") == 3L && got("mixture_sample") == 3L)
+    // knob off: no audit row, nothing dropped
+    val (_, auditOff) = CurationPipeline.run(docs,
+      cfg.copy(lineDedupMaxCount = None))
+    assert(!auditOff.as[(String, Long)].collect().toMap.contains("line_dedup"))
+  }
+
   test("temperature mixture keeps the heaviest source whole and thins the rest") {
     // s_big: 160 docs × 20 tokens; s_small: 40 docs × 20 tokens.
     // α = 0.5 → rate(s_big) = 100%, rate(s_small) = floor(100·√(1/4)) = 50%.

@@ -43,6 +43,80 @@ class UrlOpsSpec extends SparkSpec {
     }
   }
 
+  private def pslDomains(urls: Seq[String]): Seq[String] = {
+    Psl.withRegisteredDomain(urls.toDF("url"), "url", "d")
+      .select("d").as[String].collect().toSeq
+  }
+
+  test("PSL path: private suffixes keep subdomain publishers distinct; " +
+      "wildcard and exception rules resolve per the published algorithm") {
+    val cases = Seq(
+      // private-section suffixes: each subdomain is its own publisher
+      "https://user1.github.io/p/1" -> "user1.github.io",
+      "https://user2.github.io/p/2" -> "user2.github.io",
+      "https://Sub.Web.DE.com/x" -> "web.de.com",
+      "https://myblog.blogspot.co.uk" -> "myblog.blogspot.co.uk",
+      "https://b.s3.amazonaws.com/key" -> "b.s3.amazonaws.com",
+      // wildcard *.compute.amazonaws.com: region label extends the suffix
+      "https://vm.us-east-1.compute.amazonaws.com" ->
+        "vm.us-east-1.compute.amazonaws.com",
+      // whole-TLD wildcard *.ck, and its !www.ck exception
+      "https://shop.example.ck/x" -> "shop.example.ck",
+      "https://a.www.ck/x" -> "www.ck",
+      // JP city wildcard *.kawasaki.jp and !city.kawasaki.jp exception
+      "https://blog.foo.kawasaki.jp" -> "blog.foo.kawasaki.jp",
+      "https://x.city.kawasaki.jp" -> "city.kawasaki.jp",
+      // prefecture plain rule
+      "https://metro.tokyo.jp/x" -> "metro.tokyo.jp",
+      // ICANN multi-part rules agree with the UrlOps fallback subset
+      "https://news.example.co.uk/s" -> "example.co.uk",
+      "https://api.service.gov.uk" -> "service.gov.uk",
+      "https://shop.example.com.au/k" -> "example.com.au",
+      "https://cdn.assets.example.com/a" -> "example.com",
+      "http://www.example.com" -> "example.com",
+      "https://wiki.knowledge.org./page" -> "knowledge.org",
+      // a host that IS a public suffix canonicalizes to itself
+      "https://github.io" -> "github.io",
+      "https://co.uk/x" -> "co.uk",
+      // unmatched TLD: default rule (last two labels)
+      "https://deep.sub.tree.example.xyz" -> "example.xyz",
+      "https://localhost:9000/x" -> "localhost",
+      // IP literals never grow "registrable" structure
+      "https://93.184.216.34:8080/x" -> "93.184.216.34",
+      "http://[2001:db8::1]/p" -> "[2001:db8::1]")
+    val got = pslDomains(cases.map(_._1))
+    cases.zip(got).foreach { case ((url, want), d) =>
+      assert(d == want, s"$url -> $d, wanted $want")
+    }
+  }
+
+  test("PSL path: null and unparseable URLs yield '', and caller columns " +
+      "pass through untouched") {
+    val df = Seq((1L, Some("https://a.co.uk/x")), (2L, None))
+      .toDF("doc_id", "url")
+    val got = Psl.withRegisteredDomain(df, "url", "domain")
+      .orderBy("doc_id")
+      .select("doc_id", "domain").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a.co.uk"), (2L, "")))
+  }
+
+  test("PSL rule table is well-formed: lowercase, no stars/bangs, no " +
+      "duplicate suffix rows, within the label bound") {
+    val suffixes = Psl.rules.map(_._1)
+    assert(suffixes.distinct.size == suffixes.size)
+    suffixes.foreach { s =>
+      assert(s == s.toLowerCase && !s.contains("*") && !s.contains("!"))
+      assert(s.nonEmpty && !s.startsWith(".") && !s.endsWith("."))
+    }
+    // wildcard bases extend by one label; everything stays <= the bound
+    Psl.rules.foreach { case (s, kind) =>
+      val labels = s.split('.').length
+      val eff = if ((kind & Psl.Wild) != 0) labels + 1 else labels
+      assert(eff <= Psl.MaxSuffixLabels, s"$s exceeds label bound")
+    }
+    assert(Psl.rules.size >= 500, s"rule subset shrank: ${Psl.rules.size}")
+  }
+
   test("unparseable and null URLs yield empty/null, never a crash") {
     // '' extracts an empty host -> one empty label -> <= 2 labels ->
     // the empty host itself; the pipeline's domain-cap stage reads both
