@@ -568,27 +568,31 @@ object QueriesCorpus {
       |    i -> abs(v[i] - q[i] / scale))) AS max_abs_err
       |FROM qz ORDER BY vec_id""".stripMargin
 
-  // --- q69: batched classifier-inference plumbing ----------------------------
+  // --- q69: batched classifier inference with IN-ENGINE-TRAINED weights ------
   // The model-scoring step (quality classifier over every document) via
-  // ops/Inference: partition-batched map-side iteration, stub scorer whose
-  // arithmetic the oracle reproduces — so the cross-engine check verifies
-  // the batching plumbing preserves every row exactly once, unreordered
-  // within (doc_id sort), undropped, unduplicated. Batch size 64 is the
+  // ops/Inference — and since r10 the model it batches is no stub: the
+  // closure scores with weights TRAINED by ops/LinearTrain (q203's
+  // fixed-iteration standardized LS-GD) in the same query. The oracle
+  // replays training as unrolled CTEs and scoring as the folded sparse
+  // margin, so the cross-engine check verifies the batching plumbing
+  // (every row exactly once, unreordered, undropped) AND the
+  // train-then-serve handoff: score = integer margin / 2³⁰, one final
+  // IEEE division (the Exact discipline). Batch size 64 is the
   // vectorization grain; InferenceSpec pins the slicing itself.
   private val q69: Q = (s, dir) => {
     val spark = s
     import spark.implicits._
+    val st = graft.ops.LinearTrain.train(Tables.documents(s, dir))
     val ds = Tables.documents(s, dir)
       .select(col("doc_id"), col("text")).as[graft.ops.Inference.DocIn]
-    graft.ops.Inference.scoreBatched(ds, 64, graft.ops.Inference.stubModel)
+    graft.ops.Inference.scoreBatched(ds, 64, graft.ops.LinearTrain.scorer(st))
       .toDF().orderBy(col("doc_id"))
   }
-  private val q69Sql = {
-    val toks = TextOps.sql.tokens("text")
-    s"""SELECT doc_id,
-       |  CAST(2 * len(list_distinct($toks)) AS DOUBLE) / len($toks) AS score
-       |FROM documents ORDER BY doc_id""".stripMargin
-  }
+  private val q69Sql =
+    s"""WITH ${graft.ops.LinearTrain.sql.trainingCtes}
+       |SELECT doc_id, CAST(m AS DOUBLE)
+       |  / ${graft.ops.LinearTrain.W * graft.ops.LinearTrain.Q} AS score
+       |FROM lt_mf ORDER BY doc_id""".stripMargin
 
   // --- q70: BPE merge-candidate counting (tokenizer training, step 1) --------
   // The first round of byte-pair-encoding training: count adjacent
@@ -954,7 +958,80 @@ object QueriesCorpus {
        |FROM ld_out ORDER BY doc_id""".stripMargin
   }
 
+  // --- q203: quality-classifier TRAINING state (the q83 convention) ----------
+  // The training half q69 was missing: ops/LinearTrain's fixed-iteration
+  // standardized LS-GD over hashed-token features (q196's space),
+  // label = the document-length quality gate. Published state = per-
+  // bucket moments (sx, sxx), the integer-sqrt standardization scale d,
+  // and the final fixed-point weight — every truncation point of the
+  // loop is pinned, so a hash match proves BOTH engines learned
+  // bit-identical weights (which is what lets q69/q204 serve them).
+  // Scale: see LinearTrain's scaladoc — per round two sparse equi-joins
+  // against a broadcast 65-row dim + two partial-agg trees, driver state
+  // 65 longs; the q83/q108 loop shape.
+  private val q203: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val B = graft.ops.LinearTrain.B
+    val st = graft.ops.LinearTrain.train(Tables.documents(s, dir))
+    ((0 until B).map(b => (b.toLong, st.sx(b), st.sxx(b), st.d(b), st.w(b)))
+      :+ ((B.toLong, 0L, 0L, 0L, st.w(B))))
+      .toDF("b", "sx", "sxx", "d", "w").orderBy(col("b"))
+  }
+  private val q203Sql = {
+    val B = graft.ops.LinearTrain.B
+    s"""WITH ${graft.ops.LinearTrain.sql.trainingCtes}
+       |SELECT s.b, s.sx, s.sxx, CAST(s.d AS BIGINT) AS d,
+       |  CAST(w.w AS BIGINT) AS w
+       |FROM lt_stats s JOIN lt_wf w USING (b)
+       |UNION ALL
+       |SELECT CAST($B AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |  CAST(0 AS BIGINT),
+       |  CAST((SELECT w FROM lt_wf WHERE b = $B) AS BIGINT)
+       |ORDER BY b""".stripMargin
+  }
+
+  // --- q204: trained-classifier evaluation (confusion matrix) ----------------
+  // The weights q203 trains, consumed through the RELATIONAL path
+  // (LinearTrain.marginDf — one broadcast-dim join + one doc-keyed
+  // aggregate, the complement of q69's batched-closure path): per
+  // (label, prediction) doc counts + overall accuracy in ppm. The
+  // standardized 4-round model lands ≥ 98% at every oracle SF —
+  // the training loop demonstrably learns, not just terminates.
+  private val q204: Q = (s, dir) => {
+    val m = graft.ops.LinearTrain
+      .marginDf(Tables.documents(s, dir), graft.ops.LinearTrain.train(
+        Tables.documents(s, dir)))
+      .select(col("y").cast("long").as("y"),
+        when(col("m") > 0, 1L).otherwise(-1L).as("pred"))
+      .localCheckpoint() // consumed twice (counts + accuracy); one compute
+    val acc = m.agg(
+        (sum(when(col("y") === col("pred"), 1L).otherwise(0L)) * 1000000L)
+          .as("ok"), count(lit(1)).as("nn"))
+      .select(expr("ok DIV nn").as("accuracy_ppm"))
+    m.groupBy(col("y"), col("pred")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(acc))
+      .orderBy(col("y"), col("pred"))
+  }
+  private val q204Sql =
+    s"""WITH ${graft.ops.LinearTrain.sql.trainingCtes},
+       |ev AS (
+       |  SELECT CAST(y AS BIGINT) AS y,
+       |    CASE WHEN m > 0 THEN 1 ELSE -1 END AS pred
+       |  FROM lt_mf
+       |), acc AS (
+       |  SELECT (1000000 * CAST(SUM(CASE WHEN y = pred THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // COUNT(*) AS accuracy_ppm
+       |  FROM ev
+       |)
+       |SELECT y, CAST(pred AS BIGINT) AS pred,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  (SELECT accuracy_ppm FROM acc) AS accuracy_ppm
+       |FROM ev GROUP BY y, pred ORDER BY y, pred""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q204_classifier_eval" -> q204,
+    "q203_classifier_train" -> q203,
     "q202_line_dedup" -> q202,
     "q201_decontamination" -> q201,
     "q200_domain_cap" -> q200,
@@ -974,6 +1051,8 @@ object QueriesCorpus {
     "q64_semantic_dedup" -> q64)
 
   val oracleSql: Map[String, String] = Map(
+    "q204_classifier_eval" -> q204Sql,
+    "q203_classifier_train" -> q203Sql,
     "q202_line_dedup" -> q202Sql,
     "q201_decontamination" -> q201Sql,
     "q200_domain_cap" -> q200Sql,

@@ -1,0 +1,320 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-engine linear-classifier TRAINING over hashed bag-of-words
+  * features — the missing half of the quality-classifier stage
+  * ([[Inference]] scores; this trains the weights it scores with). The
+  * published quality-filter recipe (a linear model over hashed n-gram
+  * features, GPT-3 appendix A / CCNet style) as a fixed-iteration
+  * gradient loop whose every step is EXACT integer arithmetic, so the
+  * DuckDB oracle replays training bit-for-bit (the q83/q108 discipline:
+  * per round a handful of combinable aggregates + a dimension-sized
+  * driver collect; twin = unrolled CTEs).
+  *
+  * Model: least-squares regression of y ∈ {−1,+1} on STANDARDIZED
+  * hashed-token counts + bias, by gradient descent with the safe step
+  * 1/trace(ZᵀZ). Standardization is what makes fixed-count GD actually
+  * learn: raw counts put the discriminating direction in the tail of the
+  * spectrum (measured: 12 rounds of raw-count GD stay at the majority
+  * class; 3 standardized rounds reach 99%), and trace(ZᵀZ) = n·(nb+1)
+  * bounds the top eigenvalue so the step size needs no eigensolve.
+  *
+  * Exactness: z_ib = (n·x_ib − sx_b)/d_b with d_b = isqrt(n·sxx_b −
+  * sx_b²) — integer square root, ±1-exact on both engines (Newton here,
+  * float-sqrt + integer correction in the twin). The per-round algebra
+  * never materializes dense z: margins fold the standardization into
+  * per-bucket integer coefficients A_b = ⌊w_b·n·Q/d_b⌋ (truncation
+  * toward zero, sign-split in SQL) so the corpus-side work stays SPARSE
+  * — Σ A_b·x_ib over a doc's occupied buckets plus constants. Gradient
+  * reads two combinable aggregates: Sxr_b = Σᵢ x_ib·rᵢ and R = Σᵢ rᵢ
+  * (absent features contribute x = 0 exactly, so sparse aggregation IS
+  * the dense gradient). Scales: features ×Q (2¹⁰), weights ×W (2²⁰);
+  * per-term products stay < 2⁴⁵ at the oracle SFs (measured), corpus
+  * sums ride DECIMAL(38,0)/HUGEINT, and the per-bucket update division
+  * runs driver-side in BigInt (B+1 values) — at 10¹²-doc scale only the
+  * driver math widens, the distributed plan is unchanged.
+  *
+  * Scale shape (100 TB): the feature pass is one explode + groupBy
+  * (content-hash bucket keys, skew-free); each round is two sparse
+  * equi-joins against a BROADCAST (B+1)-row dim + two partial-agg trees;
+  * the driver state is B+1 longs — the same loop shape as
+  * [[KMeans.train]] and q108's power iteration.
+  */
+object LinearTrain {
+
+  /** Hashed feature buckets; the bias term lives at index [[B]]. */
+  val B = 64
+  /** Fixed-point scale of standardized features. */
+  val Q: Long = 1L << 10
+  /** Fixed-point scale of weights. */
+  val W: Long = 1L << 20
+  /** Fixed GD rounds (standardized LS-GD plateaus by round 3; one spare). */
+  val Iters = 4
+
+  /** The label rule both engines train against: the document-length
+    * quality gate (q34's band discipline — long-enough docs are the
+    * positive class). One string serves Spark and DuckDB. */
+  val LabelExpr = "CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END"
+
+  /** Exact ⌊√v⌋ (Newton; v < 2¹²⁶). */
+  def isqrt(v: BigInt): BigInt =
+    if (v <= 0) BigInt(0)
+    else {
+      var x = BigInt(1) << ((v.bitLength + 1) / 2)
+      var y = (x + v / x) >> 1
+      while (y < x) { x = y; y = (x + v / x) >> 1 }
+      x
+    }
+
+  /** Integer division truncating toward ZERO for either sign — BigInt's
+    * `/` semantics, mirrored sign-split in the SQL twin (DuckDB `//`
+    * floors, so the twin divides magnitudes — the q108 discipline). */
+  private def tdiv(a: BigInt, b: BigInt): BigInt = a / b
+
+  /** Trained state: per-bucket first/second moments, the isqrt scale
+    * d_b (1 for zero-variance buckets), doc count, the trace step
+    * denominator t0 = n·(nb+1), and the final fixed-point weights
+    * (indices 0..B−1 features, B bias). */
+  case class State(n: Long, sx: IndexedSeq[Long], sxx: IndexedSeq[Long],
+                   d: IndexedSeq[Long], t0: BigInt, w: IndexedSeq[Long])
+
+  /** Sparse feature rows (doc_id, y, b, cnt) — one explode + count,
+    * bucket = 60-bit hash mod [[B]] (q196's feature-hashing space). */
+  def featureRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(LabelExpr).as("y"),
+        explode(expr(TextOps.tokensExpr("text"))).as("tok"))
+      .withColumn("b", expr(s"pmod(${TextOps.hash60("tok")}, $B)"))
+      .groupBy(col("doc_id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Runs the full training loop on a documents table. Actions: one
+    * count, one B-row stats collect, then per round one (B+1)-row
+    * collect off two sparse aggregates. */
+  def train(docs: DataFrame): State = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = featureRows(docs).cache()
+    val n = docs.count()
+
+    val sraw = rows.groupBy(col("b"))
+      .agg(sum(col("cnt")).as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val sx = (0 until B).map(b => sraw.get(b).map(_._1).getOrElse(0L))
+    val sxx = (0 until B).map(b => sraw.get(b).map(_._2).getOrElse(0L))
+    val variance = (0 until B).map(b =>
+      BigInt(n) * sxx(b) - BigInt(sx(b)) * sx(b))
+    val d = (0 until B).map(b =>
+      if (variance(b) > 0) isqrt(variance(b)).toLong else 1L)
+    val nb = variance.count(_ > 0)
+    val t0 = BigInt(n) * (nb + 1)
+
+    var w: IndexedSeq[BigInt] = IndexedSeq.fill(B + 1)(BigInt(0))
+    if (n > 0) for (_ <- 1 to Iters) {
+      // fold standardization into sparse per-bucket coefficients
+      val a = (0 until B).map(b => tdiv(w(b) * n * Q, d(b)))
+      val cTot = (0 until B).map(b => tdiv(w(b) * sx(b) * Q, d(b))).sum
+      val aDf = a.zipWithIndex.map { case (v, b) =>
+        require(v.isValidLong, s"coefficient overflow: $v")
+        (b, v.toLong)
+      }.toDF("b", "a")
+      val constsB = w(B) * Q - cTot // |m| < 2^32 measured at the oracle SFs
+      require(constsB.isValidLong, s"constant overflow: $constsB")
+      val consts = constsB.toLong
+      val margins = rows.join(broadcast(aDf), "b")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("cnt") * col("a")).as("ax"))
+        .select(col("doc_id"), col("y"),
+          (col("ax") + lit(consts) - col("y") * lit(W * Q)).cast("long")
+            .as("r"))
+        .cache()
+      // the dense gradient from two sparse combinable aggregates
+      val sxr = rows.join(margins.select(col("doc_id"), col("r")), "doc_id")
+        .groupBy(col("b"))
+        .agg(sum(col("cnt").cast("decimal(38,0)") * col("r")).as("sxr"))
+        .collect()
+        .map(r2 => r2.getLong(0).toInt -> BigInt(r2.getDecimal(1).toBigInteger))
+        .toMap
+      val bigR = margins.agg(sum(col("r").cast("decimal(38,0)")).as("rr"))
+        .collect()(0).getDecimal(0)
+      val r = BigInt(bigR.toBigInteger)
+      margins.unpersist()
+      w = (0 until B).map { b =>
+        val num = 2 * (BigInt(n) * sxr.getOrElse(b, BigInt(0)) - BigInt(sx(b)) * r)
+        w(b) - tdiv(num, BigInt(d(b)) * Q * t0)
+      } :+ (w(B) - tdiv(2 * r, BigInt(Q) * t0))
+    }
+    rows.unpersist()
+    State(n, sx, sxx, d, if (t0 > 0) t0 else BigInt(1),
+      w.map { v =>
+        require(v.isValidLong, s"weight overflow: $v")
+        v.toLong
+      })
+  }
+
+  /** Standardization folded into sparse scoring constants: per-bucket
+    * integer coefficient a_b = ⌊w_b·n·Q/d_b⌋ and the additive constant
+    * w_bias·Q − Σ_b ⌊w_b·sx_b·Q/d_b⌋ — margin = Σ_{b∈doc} a_b·x_b +
+    * const, sparse in the doc's occupied buckets. */
+  def foldedCoeffs(st: State): (IndexedSeq[Long], Long) = {
+    val a = (0 until B).map { b =>
+      val v = tdiv(BigInt(st.w(b)) * st.n * Q, BigInt(st.d(b)))
+      require(v.isValidLong, s"coefficient overflow: $v"); v.toLong
+    }
+    val cTot = (0 until B).map(b =>
+      tdiv(BigInt(st.w(b)) * st.sx(b) * Q, BigInt(st.d(b)))).sum
+    val consts = BigInt(st.w(B)) * Q - cTot
+    require(consts.isValidLong, s"constant overflow: $consts")
+    (a, consts.toLong)
+  }
+
+  /** Fixed-point margins of every doc under the trained weights, via the
+    * relational path: (doc_id, y, m) — one sparse join against the
+    * broadcast coefficient dim, one doc-keyed aggregate. */
+  def marginDf(docs: DataFrame, st: State): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (a, consts) = foldedCoeffs(st)
+    val aDf = a.zipWithIndex.map { case (v, b) => (b, v) }.toDF("b", "a")
+    featureRows(docs).join(broadcast(aDf), "b")
+      .groupBy(col("doc_id"), col("y"))
+      .agg((sum(col("cnt") * col("a")) + lit(consts)).as("m"))
+  }
+
+  /** The trained model as a text scorer for [[Inference.scoreBatched]]:
+    * score = fixed-point margin / (W·Q) — integer numerator, ONE final
+    * IEEE division (the graft.Exact discipline), so the batched-closure
+    * path and the SQL twin agree to the bit. */
+  def scorer(st: State): Seq[String] => Seq[Double] = {
+    val (a, consts) = foldedCoeffs(st)
+    texts => texts.map { t =>
+      val m = t.split(" ", -1).foldLeft(consts) { (acc, tok) =>
+        acc + a(hashBucket(tok))
+      }
+      m.toDouble / (W * Q).toDouble
+    }
+  }
+
+  /** Scala twin of `pmod(hash60(tok), B)` — MD5 first 15 hex digits,
+    * byte-stable with Spark's md5() and DuckDB's md5() on UTF-8. */
+  def hashBucket(tok: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tok.getBytes("UTF-8"))
+      .map(b2 => f"${b2 & 0xff}%02x").mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % B).toInt
+  }
+
+  // ------------------------------------------------------------- DuckDB
+
+  /** Unrolled-CTE twin of [[train]] over relation `documents`. Terminal
+    * CTEs: `lt_stats(b, sx, sxx, d)` (b 0..B−1), `lt_wf(b, w)`
+    * (b 0..B, B = bias) and `lt_mf(doc_id, y, m)` — final fixed-point
+    * margins for scoring/eval consumers. */
+  object sql {
+
+    private def sdiv(a: String, b: String): String =
+      s"(CASE WHEN ($a) < 0 THEN -1 ELSE 1 END) * (abs($a) // ($b))"
+
+    /** Exact ⌊√v⌋ from float sqrt + ±2 integer correction (float error
+      * on a 2⁶³ input is under 2 ulps; each branch re-checks with exact
+      * integer products). */
+    private def isqrtExpr(v: String): String = {
+      val s0 = s"CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT)"
+      s"""(CASE
+         |  WHEN CAST(($s0) + 2 AS HUGEINT) * (($s0) + 2) <= ($v) THEN ($s0) + 2
+         |  WHEN CAST(($s0) + 1 AS HUGEINT) * (($s0) + 1) <= ($v) THEN ($s0) + 1
+         |  WHEN CAST(($s0) AS HUGEINT) * ($s0) <= ($v) THEN ($s0)
+         |  WHEN CAST(($s0) - 1 AS HUGEINT) * (($s0) - 1) <= ($v) THEN ($s0) - 1
+         |  ELSE greatest(($s0) - 2, 0) END)""".stripMargin
+    }
+
+    private def iter(k: Int): String = {
+      val pw = s"lt_w${k - 1}"
+      s"""lt_co$k AS (
+         |  SELECT s.b,
+         |    ${sdiv(s"CAST(w.w AS HUGEINT) * s.n * $Q", "s.d")} AS a,
+         |    ${sdiv(s"CAST(w.w AS HUGEINT) * s.sx * $Q", "s.d")} AS c
+         |  FROM lt_stats s JOIN $pw w USING (b)
+         |), lt_ct$k AS (
+         |  SELECT (SELECT SUM(c) FROM lt_co$k)
+         |    - (SELECT w FROM $pw WHERE b = $B) * $Q AS negc
+         |), lt_r$k AS MATERIALIZED (
+         |  SELECT f.doc_id, f.y,
+         |    SUM(f.cnt * co.a) - (SELECT negc FROM lt_ct$k)
+         |      - f.y * (${W}::HUGEINT * $Q) AS r
+         |  FROM lt_feats f JOIN lt_co$k co USING (b)
+         |  GROUP BY f.doc_id, f.y
+         |), lt_ag$k AS (
+         |  SELECT f.b, SUM(CAST(f.cnt AS HUGEINT) * r.r) AS sxr
+         |  FROM lt_feats f JOIN lt_r$k r USING (doc_id) GROUP BY f.b
+         |), lt_rr$k AS (SELECT SUM(r) AS rr FROM lt_r$k),
+         |lt_w$k AS MATERIALIZED (
+         |  SELECT s.b, w.w - ${sdiv(
+             s"2 * (s.n * COALESCE(g.sxr, 0) - CAST(s.sx AS HUGEINT) * t.rr)",
+             s"CAST(s.d AS HUGEINT) * $Q * s.t0")} AS w
+         |  FROM lt_stats s JOIN $pw w USING (b)
+         |    LEFT JOIN lt_ag$k g USING (b), lt_rr$k t
+         |  UNION ALL
+         |  SELECT $B, (SELECT w FROM $pw WHERE b = $B)
+         |    - ${sdiv("2 * t.rr", s"${Q}::HUGEINT * (SELECT t0 FROM lt_t0)")}
+         |  FROM lt_rr$k t
+         |)""".stripMargin
+    }
+
+    /** The full training chain; append consumers after it. */
+    def trainingCtes: String = {
+      val h = TextOps.sql.hash60("tok")
+      val mf =
+        s"""lt_cof AS (
+           |  SELECT s.b,
+           |    ${sdiv(s"CAST(w.w AS HUGEINT) * s.n * $Q", "s.d")} AS a,
+           |    ${sdiv(s"CAST(w.w AS HUGEINT) * s.sx * $Q", "s.d")} AS c
+           |  FROM lt_stats s JOIN lt_wf w USING (b)
+           |), lt_mf AS (
+           |  SELECT f.doc_id, f.y,
+           |    SUM(f.cnt * co.a) - (SELECT SUM(c) FROM lt_cof)
+           |      + (SELECT w FROM lt_wf WHERE b = $B) * $Q AS m
+           |  FROM lt_feats f JOIN lt_cof co USING (b)
+           |  GROUP BY f.doc_id, f.y
+           |)""".stripMargin
+      s"""lt_docs AS (
+         |  SELECT doc_id, $LabelExpr AS y, text FROM documents
+         |), lt_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lt_docs),
+         |lt_tok AS (
+         |  SELECT doc_id, y, unnest(string_split(text, ' ')) AS tok
+         |  FROM lt_docs
+         |), lt_feats AS MATERIALIZED (
+         |  SELECT doc_id, y, $h % $B AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM lt_tok GROUP BY 1, 2, 3
+         |), lt_sraw AS (
+         |  SELECT b, CAST(SUM(cnt) AS BIGINT) AS sx,
+         |    CAST(SUM(cnt * cnt) AS BIGINT) AS sxx
+         |  FROM lt_feats GROUP BY b
+         |), lt_var AS (
+         |  SELECT bk.b, COALESCE(s.sx, 0) AS sx, COALESCE(s.sxx, 0) AS sxx,
+         |    n.n,
+         |    CAST(n.n AS HUGEINT) * COALESCE(s.sxx, 0)
+         |      - CAST(COALESCE(s.sx, 0) AS HUGEINT) * COALESCE(s.sx, 0)
+         |      AS var
+         |  FROM (SELECT unnest(generate_series(0, ${B - 1})) AS b) bk
+         |  LEFT JOIN lt_sraw s USING (b) CROSS JOIN lt_n n
+         |), lt_t0 AS (
+         |  SELECT greatest((SELECT n FROM lt_n)
+         |    * ((SELECT COUNT(*) FROM lt_var WHERE var > 0) + 1), 1) AS t0
+         |), lt_stats AS MATERIALIZED (
+         |  SELECT b, sx, sxx, n,
+         |    CASE WHEN var > 0 THEN ${isqrtExpr("var")} ELSE 1 END AS d,
+         |    (SELECT t0 FROM lt_t0) AS t0
+         |  FROM lt_var
+         |), lt_w0 AS (
+         |  SELECT unnest(generate_series(0, $B)) AS b, 0::HUGEINT AS w
+         |),
+         |${(1 to Iters).map(iter).mkString(",\n")},
+         |lt_wf AS (SELECT b, w FROM lt_w$Iters),
+         |$mf""".stripMargin
+    }
+  }
+}

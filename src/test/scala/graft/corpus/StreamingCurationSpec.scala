@@ -179,4 +179,50 @@ class StreamingCurationSpec extends SparkSpec {
       "example.com must keep exactly cap=2 docs")
     incCurated.unpersist(); batchCurated.unpersist()
   }
+
+  test("incremental == batch with LINE dedup on: a line duplicated " +
+      "ACROSS ticks keeps only its globally-first carrier at release") {
+    val landing = Files.createTempDirectory("graft_ld_landing")
+    val ckpt = Files.createTempDirectory("graft_ld_ckpt")
+    val store = Files.createTempDirectory("graft_ld_store").toString + "/docs"
+    val quar = Files.createTempDirectory("graft_ld_quar").toString + "/bad"
+    val state = Files.createTempDirectory("graft_ld_state").toString + "/state"
+    val cfg = CurationPipeline.Config(minToks = 1, maxDupTokFrac = 1.0,
+      minScore = 0.0, budgetToksPerSource = 1000000L, scrubMinCount = 99,
+      lineDedupMaxCount = Some(1L))
+    def tick(): Unit = StreamingCuration.curationTick(
+      spark, landing.toString, ckpt.toString, store, quar, state, cfg)
+
+    val banner = "we value your privacy accept all cookies"
+    def line(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s0"}"""
+    // tick 1: the banner's first carrier + a banner-only doc
+    Files.writeString(landing.resolve("drop1.jsonl"), Seq(
+      line(1, s"alpha story one\\n$banner\\nalpha story two"),
+      line(3, banner)).mkString("\n"))
+    tick()
+    // tick 2: another carrier — the line's survivor was fixed in tick 1,
+    // and the release (corpus-global recount) must strip it here too
+    Files.writeString(landing.resolve("drop2.jsonl"), Seq(
+      line(2, s"beta report one\\n$banner\\nbeta report two"),
+      line(4, "gamma notes stand alone here")).mkString("\n"))
+    tick()
+
+    val (incCurated, incAudit) = StreamingCuration.release(spark, store, state, cfg)
+    val (batchCurated, batchAudit) =
+      CurationPipeline.run(spark.read.parquet(store), cfg)
+    assert(incAudit.as[(String, Long)].collect().toMap ==
+      batchAudit.as[(String, Long)].collect().toMap)
+    val incRows = incCurated.select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(incRows == batchCurated.select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq)
+    // doc 1 (globally first) keeps the banner; the tick-2 carrier loses
+    // it; the banner-only doc drops entirely
+    assert(incRows.map(_._1) == Seq(1L, 2L, 4L))
+    val texts = incRows.toMap
+    assert(texts(1L) == s"alpha story one\n$banner\nalpha story two")
+    assert(texts(2L) == "beta report one\nbeta report two")
+    incCurated.unpersist(); batchCurated.unpersist()
+  }
 }

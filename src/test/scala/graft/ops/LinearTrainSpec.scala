@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[LinearTrain]] — exact-integer standardized LS-GD classifier
+  * training: isqrt exactness, the Scala/SQL hash-bucket twin, learning
+  * on a planted concept, determinism, and closure-vs-relational scoring
+  * parity. */
+class LinearTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("isqrt is exactly floor(sqrt) incl. perfect-square boundaries") {
+    val cases = Seq[BigInt](0, 1, 2, 3, 4, 8, 9, 10, 15, 16, 17,
+      BigInt(Long.MaxValue), BigInt("123456789012345678901234567890")) ++
+      (1 to 50).map(i => BigInt(i) * i) ++
+      (1 to 50).map(i => BigInt(i) * i - 1) ++
+      (1 to 50).map(i => BigInt(i) * i + 1)
+    cases.filter(_ >= 0).foreach { v =>
+      val s = LinearTrain.isqrt(v)
+      assert(s * s <= v && (s + 1) * (s + 1) > v, s"isqrt($v) = $s")
+    }
+  }
+
+  test("hashBucket matches the Spark pmod(hash60) expression token for token") {
+    val toks = Seq("the", "a", "join", "hash", "", "Ünïcode", "x y",
+      "0", "9999999", "tok_with_underscores")
+    val spark2 = spark
+    import spark2.implicits._
+    val got = toks.toDF("tok")
+      .withColumn("b", expr(s"pmod(${TextOps.hash60("tok")}, ${LinearTrain.B})"))
+      .select("tok", "b").as[(String, Long)].collect().toMap
+    toks.foreach { t =>
+      assert(LinearTrain.hashBucket(t).toLong == got(t),
+        s"bucket mismatch for '$t'")
+    }
+  }
+
+  // a corpus where the label rule (n_chars >= 300) tracks doc length:
+  // short docs of 20 tokens, long docs of 80, from a 12-word vocabulary
+  private def corpus(nDocs: Int) = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    (1 to nDocs).map { i =>
+      val len = if (i % 2 == 0) 80 else 20
+      val text = (0 until len).map(j => vocab((i * 7 + j * 3) % 12))
+        .mkString(" ")
+      (i.toLong, text, text.length.toLong)
+    }
+  }
+
+  test("the fixed-iteration loop learns the length gate on a planted " +
+      "corpus, and weights are identical under reversed arrival order") {
+    val docs = corpus(120).toDF("doc_id", "text", "n_chars")
+    val st = LinearTrain.train(docs)
+    assert(st.n == 120L)
+    assert(st.w.exists(_ != 0L), "training must move off the zero vector")
+    val m = LinearTrain.marginDf(docs, st)
+      .select(col("y").cast("long"), (col("m") > 0).cast("int") * 2 - 1)
+      .as[(Long, Long)].collect()
+    val acc = m.count { case (y, p) => y == p }.toDouble / m.length
+    assert(acc >= 0.95, s"planted length gate should be learned, acc=$acc")
+    // determinism: reversed, single-partition input trains the SAME state
+    val st2 = LinearTrain.train(
+      docs.orderBy(col("doc_id").desc).coalesce(1))
+    assert(st2 == st)
+  }
+
+  test("the batched-closure scorer and the relational margin path agree " +
+      "on every document (score * W * Q == integer margin)") {
+    val docs = corpus(40).toDF("doc_id", "text", "n_chars")
+    val st = LinearTrain.train(docs)
+    val viaDf = LinearTrain.marginDf(docs, st)
+      .select(col("doc_id"), col("m").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val ds = docs.select(col("doc_id"), col("text"))
+      .as[Inference.DocIn]
+    val viaClosure = Inference
+      .scoreBatched(ds, 7, LinearTrain.scorer(st))
+      .collect().map(s2 => s2.doc_id -> s2.score).toMap
+    viaDf.foreach { case (id, m) =>
+      assert(viaClosure(id) == m.toDouble / (LinearTrain.W * LinearTrain.Q),
+        s"doc $id: closure ${viaClosure(id)} vs margin $m")
+    }
+  }
+
+  test("an empty corpus trains to the zero vector without dividing by zero") {
+    val docs = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "text", "n_chars")
+    val st = LinearTrain.train(docs)
+    assert(st.n == 0L && st.w.forall(_ == 0L) && st.t0 == BigInt(1))
+  }
+}
