@@ -81,13 +81,18 @@ object LinearTrain {
                    d: IndexedSeq[Long], t0: BigInt, w: IndexedSeq[Long])
 
   /** Sparse feature rows (doc_id, y, b, cnt) — one explode + count,
-    * bucket = 60-bit hash mod [[B]] (q196's feature-hashing space). */
+    * bucket = 60-bit hash mod [[B]] (q196's feature-hashing space) —
+    * PLUS one bias row (b = [[B]], cnt = 1) per doc: the bias as an
+    * explicit feature makes the per-round gradient ONE combinable
+    * aggregate (Σᵢrᵢ arrives as bucket B's sum) instead of two. */
   def featureRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), expr(LabelExpr).as("y"),
         explode(expr(TextOps.tokensExpr("text"))).as("tok"))
       .withColumn("b", expr(s"pmod(${TextOps.hash60("tok")}, $B)"))
       .groupBy(col("doc_id"), col("y"), col("b"))
       .agg(count(lit(1)).as("cnt"))
+      .unionByName(docs.select(col("doc_id"), expr(LabelExpr).as("y"),
+        lit(B.toLong).as("b"), lit(1L).as("cnt")))
 
   /** Runs the full training loop on a documents table. Actions: one
     * count, one B-row stats collect, then per round one (B+1)-row
@@ -114,34 +119,31 @@ object LinearTrain {
 
     var w: IndexedSeq[BigInt] = IndexedSeq.fill(B + 1)(BigInt(0))
     if (n > 0) for (_ <- 1 to Iters) {
-      // fold standardization into sparse per-bucket coefficients
-      val a = (0 until B).map(b => tdiv(w(b) * n * Q, d(b)))
+      // fold standardization into sparse per-bucket coefficients; the
+      // bias coefficient rides the dim at index B (its row has cnt = 1)
+      val a = (0 until B).map(b => tdiv(w(b) * n * Q, d(b))) :+ (w(B) * Q)
       val cTot = (0 until B).map(b => tdiv(w(b) * sx(b) * Q, d(b))).sum
       val aDf = a.zipWithIndex.map { case (v, b) =>
         require(v.isValidLong, s"coefficient overflow: $v")
         (b, v.toLong)
       }.toDF("b", "a")
-      val constsB = w(B) * Q - cTot // |m| < 2^32 measured at the oracle SFs
-      require(constsB.isValidLong, s"constant overflow: $constsB")
-      val consts = constsB.toLong
+      require(cTot.isValidLong, s"constant overflow: $cTot")
+      val consts = -cTot.toLong // |m| < 2^32 measured at the oracle SFs
       val margins = rows.join(broadcast(aDf), "b")
         .groupBy(col("doc_id"), col("y"))
         .agg(sum(col("cnt") * col("a")).as("ax"))
-        .select(col("doc_id"), col("y"),
+        .select(col("doc_id"),
           (col("ax") + lit(consts) - col("y") * lit(W * Q)).cast("long")
             .as("r"))
-        .cache()
-      // the dense gradient from two sparse combinable aggregates
-      val sxr = rows.join(margins.select(col("doc_id"), col("r")), "doc_id")
+      // the dense gradient from ONE sparse combinable aggregate —
+      // bucket B's sum IS Σᵢrᵢ (bias rows have x = 1)
+      val sxr = rows.join(margins, "doc_id")
         .groupBy(col("b"))
         .agg(sum(col("cnt").cast("decimal(38,0)") * col("r")).as("sxr"))
         .collect()
         .map(r2 => r2.getLong(0).toInt -> BigInt(r2.getDecimal(1).toBigInteger))
         .toMap
-      val bigR = margins.agg(sum(col("r").cast("decimal(38,0)")).as("rr"))
-        .collect()(0).getDecimal(0)
-      val r = BigInt(bigR.toBigInteger)
-      margins.unpersist()
+      val r = sxr.getOrElse(B, BigInt(0))
       w = (0 until B).map { b =>
         val num = 2 * (BigInt(n) * sxr.getOrElse(b, BigInt(0)) - BigInt(sx(b)) * r)
         w(b) - tdiv(num, BigInt(d(b)) * Q * t0)
@@ -173,15 +175,17 @@ object LinearTrain {
 
   /** Fixed-point margins of every doc under the trained weights, via the
     * relational path: (doc_id, y, m) — one sparse join against the
-    * broadcast coefficient dim, one doc-keyed aggregate. */
+    * broadcast coefficient dim (bias rides index B), one doc-keyed
+    * aggregate. */
   def marginDf(docs: DataFrame, st: State): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val (a, consts) = foldedCoeffs(st)
-    val aDf = a.zipWithIndex.map { case (v, b) => (b, v) }.toDF("b", "a")
+    val aDf = (a :+ (st.w(B) * Q)).zipWithIndex
+      .map { case (v, b) => (b, v) }.toDF("b", "a")
     featureRows(docs).join(broadcast(aDf), "b")
       .groupBy(col("doc_id"), col("y"))
-      .agg((sum(col("cnt") * col("a")) + lit(consts)).as("m"))
+      .agg((sum(col("cnt") * col("a")) + lit(consts - st.w(B) * Q)).as("m"))
   }
 
   /** The trained model as a text scorer for [[Inference.scoreBatched]]:
@@ -199,12 +203,23 @@ object LinearTrain {
   }
 
   /** Scala twin of `pmod(hash60(tok), B)` — MD5 first 15 hex digits,
-    * byte-stable with Spark's md5() and DuckDB's md5() on UTF-8. */
+    * byte-stable with Spark's md5() and DuckDB's md5() on UTF-8. The
+    * digest is thread-cached and the 60-bit value assembled from the
+    * first 7.5 bytes directly (no hex round-trip) — this sits in the
+    * scoring closure's per-token hot path. */
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
   def hashBucket(tok: String): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(tok.getBytes("UTF-8"))
-      .map(b2 => f"${b2 & 0xff}%02x").mkString.substring(0, 15)
-    (java.lang.Long.parseLong(hex, 16) % B).toInt
+    val md = mdLocal.get()
+    md.reset()
+    val dig = md.digest(tok.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((dig(7) & 0xf0L) >> 4)
+    (v % B).toInt
   }
 
   // ------------------------------------------------------------- DuckDB
