@@ -933,11 +933,16 @@ object QueriesCorpus {
   private val LineMaxCount = 1L
   private val q202: Q = (s, dir) => {
     val toks = TextOps.tokensExpr("text")
+    // localCheckpoint: the operator's stats-and-join-back shape scans its
+    // input twice (plus the n_lines audit) — materialize the window
+    // recast once instead of paying the transform/slice/join 3x (q201's
+    // materialize-the-derived-column discipline; 20.9 -> 9.5 s at sf1)
     val recast = Tables.documents(s, dir).select(col("doc_id"),
       expr(s"""array_join(transform(
         |  sequence(0, (size($toks) + ${LineW - 1}) DIV $LineW - 1),
         |  i -> array_join(slice($toks, i * $LineW + 1, $LineW), ' ')),
         |  chr(10))""".stripMargin).as("ltext"))
+      .localCheckpoint()
     graft.ops.LineDedup.dedupLines(recast, "doc_id", "ltext", LineMaxCount)
       .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
         expr(TextOps.hash60("ltext")).as("rebuilt_h"))
@@ -999,12 +1004,14 @@ object QueriesCorpus {
   // standardized 4-round model lands ≥ 98% at every oracle SF —
   // the training loop demonstrably learns, not just terminates.
   private val q204: Q = (s, dir) => {
-    val m = graft.ops.LinearTrain
-      .marginDf(Tables.documents(s, dir), graft.ops.LinearTrain.train(
-        Tables.documents(s, dir)))
+    val docs = Tables.documents(s, dir)
+    val rows = graft.ops.LinearTrain.featureRows(docs).cache()
+    val st = graft.ops.LinearTrain.trainOnRows(rows, docs.count())
+    val m = graft.ops.LinearTrain.marginsFromRows(rows, st)
       .select(col("y").cast("long").as("y"),
         when(col("m") > 0, 1L).otherwise(-1L).as("pred"))
       .localCheckpoint() // consumed twice (counts + accuracy); one compute
+    rows.unpersist()
     val acc = m.agg(
         (sum(when(col("y") === col("pred"), 1L).otherwise(0L)) * 1000000L)
           .as("ok"), count(lit(1)).as("nn"))

@@ -102,7 +102,10 @@ object CurationPipeline {
       // cookie banners / license boilerplate drop from every doc IN
       // PLACE, each doc reassembling from its surviving lines in order.
       // Docs whose surviving text falls below `minToks` drop entirely.
+      // `lineDedupSep` picks the grain: "\n" = line (default), "\n\n" =
+      // paragraph (the Dolma dedupe grain).
       lineDedupMaxCount: Option[Long] = None,
+      lineDedupSep: String = "\n",
       // Some(α) switches the mixture stage from the fixed token budget
       // to temperature-scaled rates ∝ mass^α (q89's policy): flatten
       // source imbalance rather than cap each source — the knob a
@@ -268,7 +271,7 @@ object CurationPipeline {
       case Some(k) =>
         val toksOf = TextOps.tokensExpr("text")
         val deduped = graft.ops.LineDedup
-          .dedupLines(afterCap, "doc_id", "text", k)
+          .dedupLines(afterCap, "doc_id", "text", k, cfg.lineDedupSep)
           .filter(col("text") =!= "" && expr(s"size($toksOf)") >= cfg.minToks)
           .drop("n_lines", "n_kept_lines")
           .cache()

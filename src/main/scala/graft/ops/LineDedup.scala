@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   * dedup — they are formatting, not content, and dropping "all but the
   * corpus-first empty line" would mangle every multi-paragraph document.
   *
-  * Lines are newline-separated (the interchange grain of every published
-  * line-dedup pass); a corpus with a different record separator
-  * normalizes to newlines upstream.
+  * The grain is the `sep` separator: newline (the default) gives the
+  * classic line pass, a blank line (`"\n\n"`) gives the PARAGRAPH
+  * grain Dolma's dedupe runs — the same operator serves both ends of
+  * the published spectrum. `sep` must be regex-neutral (control/plain
+  * characters): it reaches Spark's `split` as a pattern.
   *
   * Plan shape (100 TB): explode lines with positions (map-side) → ONE
   * combinable aggregate per line hash (count + integer arg-min — never a
@@ -43,14 +45,23 @@ object LineDedup {
   /** Max lines per document the packed occurrence key supports. */
   val MaxLinesPerDoc: Long = 1L << 20
 
+  /** A separator string as an engine-neutral chr() concat — the same
+    * literal bytes on both engines with no quoting hazards. */
+  private def sepExpr(sep: String): String = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    if (sep.length == 1) s"chr(${sep.head.toInt})"
+    else sep.map(c => s"chr(${c.toInt})").mkString("concat(", ", ", ")")
+  }
+
   /** Rewrites `textCol` with over-`maxCount` duplicated lines removed
     * (globally-first occurrence survives), preserving line order.
     * Returns the input columns plus `n_lines`/`n_kept_lines` audit
     * columns. `idCol` must be a BIGINT document key. */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
-                 maxCount: Long): DataFrame = {
+                 maxCount: Long, sep: String = "\n"): DataFrame = {
+    val sp = sepExpr(sep)
     val lines = docs.select(col(idCol),
-      posexplode(expr(s"split($textCol, chr(10), -1)"))
+      posexplode(expr(s"split($textCol, $sp, -1)"))
         .as(Seq("_ld_pos", "_ld_line")))
       .withColumn("_ld_h", expr(TextOps.hash60("_ld_line")))
       .withColumn("_ld_occ",
@@ -63,12 +74,12 @@ object LineDedup {
         col("_ld_occ") === col("_ld_first"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept_lines"),
-        expr("""array_join(transform(
+        expr(s"""array_join(transform(
           |  array_sort(collect_list(struct(_ld_pos, _ld_line))),
-          |  x -> x._ld_line), chr(10))""".stripMargin).as("_ld_rebuilt"))
+          |  x -> x._ld_line), $sp)""".stripMargin).as("_ld_rebuilt"))
     docs
       .withColumn("n_lines",
-        expr(s"CAST(size(split($textCol, chr(10), -1)) AS BIGINT)"))
+        expr(s"CAST(size(split($textCol, $sp, -1)) AS BIGINT)"))
       .join(kept, Seq(idCol), "left")
       .withColumn("n_kept_lines", coalesce(col("n_kept_lines"), lit(0L)))
       .withColumn(textCol, coalesce(col("_ld_rebuilt"), lit("")))
@@ -77,11 +88,13 @@ object LineDedup {
 
   /** DuckDB twin of [[dedupLines]] as a CTE chain over relation `src`
     * (columns: `idCol` BIGINT, `textCol`). Terminal CTE:
-    * `ld_out(idCol, textCol, n_lines, n_kept_lines)` — text rebuilt. */
+    * `ld_out(idCol, textCol, n_lines, n_kept_lines)` — text rebuilt.
+    * DuckDB's string_split is literal (not regex) — agrees with the
+    * Spark side exactly for regex-neutral separators. */
   object sql {
     def ctes(src: String, idCol: String, textCol: String,
-             maxCount: Long): String = {
-      val split = s"string_split($textCol, chr(10))"
+             maxCount: Long, sep: String = "\n"): String = {
+      val split = s"string_split($textCol, ${sepExpr(sep)})"
       val h = TextOps.sql.hash60("_ld_line")
       s"""ld_lines AS (
          |  SELECT $idCol, unnest($split) AS _ld_line,
@@ -97,7 +110,7 @@ object LineDedup {
          |  FROM ld_hashed WHERE _ld_line <> '' GROUP BY _ld_h
          |), ld_kept AS (
          |  SELECT l.$idCol, CAST(COUNT(*) AS BIGINT) AS n_kept_lines,
-         |    string_agg(l._ld_line, chr(10) ORDER BY l._ld_pos)
+         |    string_agg(l._ld_line, ${sepExpr(sep)} ORDER BY l._ld_pos)
          |      AS _ld_rebuilt
          |  FROM ld_hashed l LEFT JOIN ld_stats s ON l._ld_h = s._ld_h
          |  WHERE s._ld_cnt IS NULL OR s._ld_cnt <= $maxCount

@@ -98,10 +98,16 @@ object LinearTrain {
     * count, one B-row stats collect, then per round one (B+1)-row
     * collect off two sparse aggregates. */
   def train(docs: DataFrame): State = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val rows = featureRows(docs).cache()
-    val n = docs.count()
+    try trainOnRows(rows, docs.count()) finally rows.unpersist()
+  }
+
+  /** The loop itself over pre-built (cached) [[featureRows]] — callers
+    * that also score relationally ([[marginDf]]) pass the same cached
+    * rows so the explode+hash feature pass runs once, not twice. */
+  def trainOnRows(rows: DataFrame, n: Long): State = {
+    val spark = rows.sparkSession
+    import spark.implicits._
 
     val sraw = rows.groupBy(col("b"))
       .agg(sum(col("cnt")).as("sx"),
@@ -149,7 +155,6 @@ object LinearTrain {
         w(b) - tdiv(num, BigInt(d(b)) * Q * t0)
       } :+ (w(B) - tdiv(2 * r, BigInt(Q) * t0))
     }
-    rows.unpersist()
     State(n, sx, sxx, d, if (t0 > 0) t0 else BigInt(1),
       w.map { v =>
         require(v.isValidLong, s"weight overflow: $v")
@@ -177,13 +182,18 @@ object LinearTrain {
     * relational path: (doc_id, y, m) — one sparse join against the
     * broadcast coefficient dim (bias rides index B), one doc-keyed
     * aggregate. */
-  def marginDf(docs: DataFrame, st: State): DataFrame = {
-    val spark = docs.sparkSession
+  def marginDf(docs: DataFrame, st: State): DataFrame =
+    marginsFromRows(featureRows(docs), st)
+
+  /** [[marginDf]] over pre-built [[featureRows]] (share the cached rows
+    * with [[trainOnRows]] to score without a second feature pass). */
+  def marginsFromRows(rows: DataFrame, st: State): DataFrame = {
+    val spark = rows.sparkSession
     import spark.implicits._
     val (a, consts) = foldedCoeffs(st)
     val aDf = (a :+ (st.w(B) * Q)).zipWithIndex
       .map { case (v, b) => (b, v) }.toDF("b", "a")
-    featureRows(docs).join(broadcast(aDf), "b")
+    rows.join(broadcast(aDf), "b")
       .groupBy(col("doc_id"), col("y"))
       .agg((sum(col("cnt") * col("a")) + lit(consts - st.w(B) * Q)).as("m"))
   }

@@ -64,6 +64,21 @@ class LineDedupSpec extends SparkSpec {
     assert(got(2L)._3 == 5L && got(2L)._4 == 5L)
   }
 
+  test("paragraph grain: sep = blank line dedups whole paragraphs and " +
+      "leaves intra-paragraph newlines untouched") {
+    val para = s"licensed under${nl}the same terms"
+    val docs = Seq(
+      (1L, s"intro one$nl$nl$para$nl${nl}outro one"),
+      (2L, s"intro two$nl$nl$para"))
+      .toDF("doc_id", "text")
+    val got = LineDedup.dedupLines(docs, "doc_id", "text", 1L, sep = "\n\n")
+      .select("doc_id", "text", "n_lines", "n_kept_lines")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == s"intro one$nl$nl$para$nl${nl}outro one")
+    assert(got(2L)._2 == "intro two", "the repeated PARAGRAPH drops whole")
+    assert(got(1L)._3 == 3L && got(2L)._3 == 2L && got(2L)._4 == 1L)
+  }
+
   test("deterministic under arrival order and partitioning: the same " +
       "survivors from a reversed, single-partition input") {
     val docs = (1L to 40L).map(i =>
