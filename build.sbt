@@ -19,6 +19,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run inherits stdout directly instead of going through sbt's
+// logger: Bench/Verify JSON lines must reach the caller without an
+// "[info] " prefix, or a tail-parse of the final line sees non-JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
