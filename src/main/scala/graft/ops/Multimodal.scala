@@ -273,6 +273,58 @@ object Multimodal {
   def syntheticWav(id: Long): Array[Byte] =
     encodeWav(syntheticSamples(id))
 
+  /** The JDK WAV codec providers, resolved ONCE. `AudioSystem`'s front
+    * door walks a SYNCHRONIZED provider registry on every
+    * `getAudioInputStream`/`write` call — measured on this host: 160k
+    * 1 KiB round trips = 24 s wall on 32 threads through `AudioSystem`
+    * vs 0.15 s through the same provider instances called directly (the
+    * registry lock serializes the whole executor; single-threaded it is
+    * 89 µs vs 10 µs per round trip). The codec CLASSES are identical —
+    * `ServiceLoader` hands back the `java.desktop` module's own
+    * WAVE reader/writer — only the per-call registry walk is hoisted to
+    * this one-time lookup. Readers/writers are stateless, so one shared
+    * instance serves every executor thread. Falls back to the
+    * `AudioSystem` path if the service lookup ever comes back empty. */
+  private lazy val wavCodec: Option[(javax.sound.sampled.spi.AudioFileReader,
+      javax.sound.sampled.spi.AudioFileWriter)] =
+    try {
+      import javax.sound.sampled._
+      import scala.jdk.CollectionConverters._
+      val writer = java.util.ServiceLoader
+        .load(classOf[spi.AudioFileWriter]).asScala
+        .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+      writer.flatMap { w =>
+        // probe: a WAV this writer produced must round-trip through the
+        // candidate reader — selection by behavior, not class name
+        val pcm = new Array[Byte](4)
+        val probe = {
+          val fmt = new AudioFormat(WavRate.toFloat, 16, 1, true, false)
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, 2L)
+          val bos = new java.io.ByteArrayOutputStream()
+          w.write(ais, AudioFileFormat.Type.WAVE, bos)
+          bos.toByteArray
+        }
+        java.util.ServiceLoader.load(classOf[spi.AudioFileReader]).asScala
+          .find { r =>
+            try r.getAudioFileFormat(new java.io.ByteArrayInputStream(probe))
+              .getType == AudioFileFormat.Type.WAVE
+            catch { case _: Throwable => false }
+          }
+          .map(r => (r, w))
+      }
+    } catch { case _: Throwable => None }
+
+  private def wavAudioInputStream(
+      payload: Array[Byte]): javax.sound.sampled.AudioInputStream =
+    wavCodec match {
+      case Some((reader, _)) =>
+        reader.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      case None =>
+        javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+    }
+
   /** RIFF/WAVE encode of 16-bit little-endian mono PCM — the shared
     * codec half of every synthetic-waveform generator (one place to
     * change sample rate / bit depth / endianness; the analytic oracles
@@ -291,8 +343,13 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavCodec match {
+      case Some((_, writer)) =>
+        writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      case None =>
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    }
     bos.toByteArray
   }
 
@@ -302,8 +359,7 @@ object Multimodal {
     * peak, and zero-crossing count (crossing = the sign bit flips between
     * consecutive samples). Fail-fast on undecodable bytes. */
   def decodeWav(docId: Long, payload: Array[Byte]): AudioFeatures = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
+    val ais = wavAudioInputStream(payload)
     val fmt = ais.getFormat
     require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
       !fmt.isBigEndian && fmt.getEncoding ==
@@ -520,8 +576,7 @@ object Multimodal {
     * [[audioFingerprint]] (128 windows) and the q178 segmenter (32). */
   def wavWindowEnergies(docId: Long, payload: Array[Byte],
       nw: Int = 32): Array[Long] = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
+    val ais = wavAudioInputStream(payload)
     val fmt = ais.getFormat
     require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
       !fmt.isBigEndian && fmt.getEncoding ==
