@@ -614,6 +614,9 @@ object QueriesDedup {
   // after the join. DuckDB twin: unbounded levenshtein, same filter —
   // identical integer distances where dist <= EditMax, and rows past the
   // bound are filtered on both sides, so results hash-match.
+  // The confirm itself (length prefilter, DP parallelism fence) lives in
+  // NearDup.confirmEditDistance — see its scaladoc for the measured
+  // plan hazards.
   private val EditMax = 80
   private val q127: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
@@ -622,13 +625,8 @@ object QueriesDedup {
     val hashed = NearDup
       .shingleHashed(d.repartition(Tables.shufflePartitions(s)), "doc_id", "text")
       .cache()
-    val texts = d.select(col("doc_id"), col("text"))
-    NearDup.candidatePairs(hashed)
-      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
-      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
-      .withColumn("dist",
-        levenshtein(col("text_a"), col("text_b"), EditMax).cast("long"))
-      .filter(col("dist") >= 0 && col("dist") <= EditMax)
+    NearDup.confirmEditDistance(NearDup.candidatePairs(hashed), d, EditMax,
+        Tables.shufflePartitions(s))
       .select(col("doc_a"), col("doc_b"), col("dist"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

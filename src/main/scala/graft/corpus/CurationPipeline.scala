@@ -185,25 +185,18 @@ object CurationPipeline {
     * the bounded Levenshtein distance between the two texts is <= k —
     * high-Jaccard bag-of-shingles look-alikes with many small distinct
     * edits (the boilerplate-variant failure mode) stop collapsing into
-    * one survivor. Spark's 3-arg levenshtein early-exits the DP past k
-    * (O(k·len), map-side, after the id join — q127's documented shape),
-    * so the confirm costs candidates·k·len, never len². Shared by the
-    * batch run and the incremental tick so the pair state stays
-    * batch-identical. `docs` is BY-NAME so a caller's possibly-costly
+    * one survivor. The confirm mechanics (length prefilter, bounded-DP
+    * parallelism fence) are [[graft.ops.NearDup.confirmEditDistance]] —
+    * q127's shape, shared so the pipeline inherits its plan fixes.
+    * Shared by the batch run and the incremental tick so the pair state
+    * stays batch-identical. `docs` is BY-NAME so a caller's possibly-costly
     * text source (the incremental path unions normdocs state) is never
     * even constructed when the knob is off. */
   private[corpus] def confirmPairs(pairs: DataFrame, docs: => DataFrame,
       cfg: Config): DataFrame = cfg.editDistanceMax match {
     case Some(k) =>
-      val t = docs.select(col("doc_id"), col("text"))
-      pairs
-        .join(t.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
-          "doc_a")
-        .join(t.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
-          "doc_b")
-        .withColumn("dist",
-          levenshtein(col("text_a"), col("text_b"), k).cast("long"))
-        .filter(col("dist") >= 0 && col("dist") <= k)
+      graft.ops.NearDup.confirmEditDistance(pairs, docs, k,
+          graft.Tables.shufflePartitions(pairs.sparkSession))
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     case None => pairs
   }

@@ -103,6 +103,40 @@ object NearDup {
         col("jaccard_pct"))
   }
 
+  /** Edit-distance confirm over candidate id pairs — the q127 precision
+    * stage, shared with the curation pipeline's `editDistanceMax` knob.
+    * Joins texts back for candidates only, then keeps pairs whose
+    * bounded Levenshtein distance is <= `k` (emitted as `dist`); every
+    * other column of `pairs` rides through.
+    *
+    * Two measured plan hazards shape this:
+    *  - a length prefilter (|len_a - len_b| <= k, exact — distance is
+    *    at least the length gap) runs inside the join, so far pairs
+    *    never reach the DP (70% of sf1's candidates die here);
+    *  - the DP is fenced behind repartition + localCheckpoint. Without
+    *    the barrier Catalyst folds the dist filter INTO the join
+    *    condition, where it is (a) evaluated twice per row and (b) run
+    *    on the join's AQE-coalesced output — candidate pairs are a few
+    *    MB, AQE coalesces them to ONE partition, and the whole DP goes
+    *    single-threaded (measured 25.6 s -> 3.4 s at sf1 from this
+    *    fence alone). The checkpoint materializes only fixed-width id
+    *    pairs + two texts for length-surviving candidates, exactly the
+    *    hand-off a production LSH->verify pipeline persists anyway. */
+  def confirmEditDistance(pairs: DataFrame, texts: DataFrame, k: Int,
+      parts: Int): DataFrame = {
+    val t = texts.select(col("doc_id"), col("text"))
+    val joined = pairs
+      .join(t.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .filter(abs(length(col("text_a")) - length(col("text_b"))) <= k)
+      .repartition(parts)
+      .localCheckpoint(false)
+    joined
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b"), k).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= k)
+      .drop("text_a", "text_b")
+  }
+
   /** Greedy survivor selection: keep a doc unless some near-dup with a
     * lower id exists (one-hop rule). Cheap — a single anti-join — but NOT
     * transitive: a chain a~b~c keeps BOTH a and c even though the three
