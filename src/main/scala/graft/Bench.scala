@@ -66,7 +66,8 @@ object Bench {
       }
       val two = (1 to 2).flatMap(_ => rep())
       val noisy = two.size == 2 && (two.max - two.min) / two.min > 0.15
-      val times = if (noisy) two ++ rep() else two
+      val third = if (noisy) Some(rep()) else None
+      val times = two ++ third.flatten
       // drop cache residue BETWEEN queries (not between reps): a query
       // that caches internally keeps its best-of-N semantics, but its
       // InMemoryRelations never age the session for later queries — the
@@ -78,8 +79,13 @@ object Bench {
       // reads "how repeatable is a warm run", which is the question a
       // round-over-round delta needs answered
       val steady = if (times.size >= 3) times.drop(1) else times
+      // -1 = "steady-state spread unknown": fewer than 2 steady reps, OR
+      // the escalation rep itself failed (a transient crash must not let
+      // the warmup-contaminated trigger spread masquerade as the
+      // steady-state column — the failure is on stderr, the sentinel is
+      // in the artifact)
       val spread =
-        if (steady.size < 2) -1.0
+        if (third.exists(_.isEmpty) || steady.size < 2) -1.0
         else (steady.max - steady.min) / steady.min
       (name, times.minOption.getOrElse(-1.0), spread)
     }

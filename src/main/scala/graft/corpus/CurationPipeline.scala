@@ -210,7 +210,15 @@ object CurationPipeline {
     * caches for the caller to unpersist after counting). */
   private[corpus] def releaseStages(near: DataFrame, outCols: Seq[String],
       cfg: Config): (DataFrame, Seq[(String, Long)], Seq[DataFrame]) = {
-    val toks = TextOps.tokensExpr("text")
+    // The release stages' token COUNT is a whitespace-class word count,
+    // not the space-only split: after the line-dedup stage reassembles a
+    // multi-line doc, every kept line boundary is a '\n' between words —
+    // a space-only split would fuse the two adjacent words into one
+    // token and systematically undercount exactly the corpora the line
+    // stage exists for (dropping floor-meeting docs at minToks, and
+    // underfunding them in the mixture budget). For single-spaced
+    // single-line text the two counts are identical.
+    val nToks = "size(split(trim(text), '\\\\s+'))"
 
     // 4b. domain-level cap (the CCNet/RefinedWeb/Dolma URL stage): docs
     // sharing a registered domain (public-suffix-list extraction,
@@ -262,10 +270,9 @@ object CurationPipeline {
     // the quality floor drop, same rule as the scrub below.
     val (afterLines, lineTail, lineCaches) = cfg.lineDedupMaxCount match {
       case Some(k) =>
-        val toksOf = TextOps.tokensExpr("text")
         val deduped = graft.ops.LineDedup
           .dedupLines(afterCap, "doc_id", "text", k, cfg.lineDedupSep)
-          .filter(col("text") =!= "" && expr(s"size($toksOf)") >= cfg.minToks)
+          .filter(col("text") =!= "" && expr(nToks) >= cfg.minToks)
           .drop("n_lines", "n_kept_lines")
           .cache()
         (deduped, Seq(("line_dedup", deduped.count())), Seq(deduped))
@@ -283,7 +290,7 @@ object CurationPipeline {
     // otherwise pass the size() floor with a phantom token
     val scrub = CurationDedup.scrubbed(gramHashed, "doc_id", "text",
         cfg.scrubGramK, cfg.scrubMinCount)
-      .filter(col("text") =!= "" && expr(s"size($toks)") >= cfg.minToks)
+      .filter(col("text") =!= "" && expr(nToks) >= cfg.minToks)
       .drop("n_toks_orig", "n_removed_toks")
       .cache()
 
@@ -300,7 +307,7 @@ object CurationPipeline {
     // 7. mixture over post-scrub token counts — the tokens a training
     // run would see; policy: fixed token budget (q63) by default, or
     // temperature-scaled rates (q89) when cfg.temperatureAlpha is set
-    val withToks = redacted.withColumn("n_toks", expr(s"CAST(size($toks) AS BIGINT)"))
+    val withToks = redacted.withColumn("n_toks", expr(s"CAST($nToks AS BIGINT)"))
     val curated = (cfg.temperatureAlpha match {
       case Some(a) =>
         val rates = Mixture.temperatureRates(withToks, "source", "n_toks", a)

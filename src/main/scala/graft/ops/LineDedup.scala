@@ -38,7 +38,13 @@ import org.apache.spark.sql.functions._
   *
   * The occurrence key packs (doc_id, pos) into one BIGINT
   * (doc_id · 2²⁰ + pos) so the arg-min is a plain MIN — exact while
-  * pos < 2²⁰ (a million lines per document) and doc_id < 2⁴³.
+  * pos < 2²⁰ (a million lines per document) and 0 ≤ doc_id < 2⁴³. The
+  * bounds are ENFORCED per row: an id scheme past them (snowflake-style
+  * 10¹⁸ ids, a concatenated-log doc with > 2²⁰ lines) raises on the
+  * Spark side instead of silently wrapping the key and electing an
+  * arbitrary occurrence as "globally first" — the DuckDB twin already
+  * errors loudly on the same BIGINT overflow, so the engines fail
+  * together rather than diverge.
   */
 object LineDedup {
 
@@ -64,8 +70,13 @@ object LineDedup {
       posexplode(expr(s"split($textCol, $sp, -1)"))
         .as(Seq("_ld_pos", "_ld_line")))
       .withColumn("_ld_h", expr(TextOps.hash60("_ld_line")))
-      .withColumn("_ld_occ",
-        expr(s"$idCol * ${MaxLinesPerDoc}L + _ld_pos"))
+      .withColumn("_ld_occ", expr(
+        s"""IF($idCol >= 0 AND $idCol < ${1L << 43}L
+           |     AND _ld_pos < ${MaxLinesPerDoc}L,
+           |   $idCol * ${MaxLinesPerDoc}L + _ld_pos,
+           |   raise_error(concat('LineDedup packed key out of range: ',
+           |     'doc_id=', CAST($idCol AS STRING),
+           |     ' pos=', CAST(_ld_pos AS STRING))))""".stripMargin))
     val stats = lines.filter(col("_ld_line") =!= "")
       .groupBy(col("_ld_h"))
       .agg(count(lit(1)).as("_ld_cnt"), min(col("_ld_occ")).as("_ld_first"))

@@ -135,12 +135,18 @@ object LinearTrain {
       }.toDF("b", "a")
       require(cTot.isValidLong, s"constant overflow: $cTot")
       val consts = -cTot.toLong // |m| < 2^32 measured at the oracle SFs
+      // DECIMAL(38,0) like the sxr aggregate below: the per-doc dot
+      // product Σ cnt·a has no per-term require() protecting it (a_b
+      // alone can reach ~2^62), and the HUGEINT twin is exact — an
+      // unchecked LongType sum would wrap silently past 2^63 and train
+      // divergent weights with no error. Decimal stays exact to 10^38
+      // and fails loudly (null → collect NPE) beyond, matching the
+      // twin's loud HUGEINT discipline.
       val margins = rows.join(broadcast(aDf), "b")
         .groupBy(col("doc_id"), col("y"))
-        .agg(sum(col("cnt") * col("a")).as("ax"))
+        .agg(sum(col("cnt").cast("decimal(38,0)") * col("a")).as("ax"))
         .select(col("doc_id"),
-          (col("ax") + lit(consts) - col("y") * lit(W * Q)).cast("long")
-            .as("r"))
+          (col("ax") + lit(consts) - col("y") * lit(W * Q)).as("r"))
       // the dense gradient from ONE sparse combinable aggregate —
       // bucket B's sum IS Σᵢrᵢ (bias rows have x = 1)
       val sxr = rows.join(margins, "doc_id")
@@ -193,9 +199,13 @@ object LinearTrain {
     val (a, consts) = foldedCoeffs(st)
     val aDf = (a :+ (st.w(B) * Q)).zipWithIndex
       .map { case (v, b) => (b, v) }.toDF("b", "a")
+    // decimal(38,0) for the same reason as the training margins: the
+    // folded coefficients are individually long-guarded but their
+    // per-doc dot product is not
     rows.join(broadcast(aDf), "b")
       .groupBy(col("doc_id"), col("y"))
-      .agg((sum(col("cnt") * col("a")) + lit(consts - st.w(B) * Q)).as("m"))
+      .agg((sum(col("cnt").cast("decimal(38,0)") * col("a")) +
+        lit(consts - st.w(B) * Q)).as("m"))
   }
 
   /** The trained model as a text scorer for [[Inference.scoreBatched]]:

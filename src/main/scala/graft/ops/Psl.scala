@@ -276,16 +276,20 @@ object Psl {
     * bitmask the candidate of that length matched (NULL = no match).
     * Precedence per the published algorithm: exceptions first (longest
     * wins; suffix = rule minus leftmost label), then the longest of
-    * {plain k, wildcard base k-1 — the candidate of length k existing
-    * already guarantees the starred label}, default 1. */
+    * {plain k, wildcard base k-1}, default 1. A wildcard base matched
+    * by the candidate of length k only counts when the host HAS a label
+    * in the starred position (`_psl_n > k`) — the published `*.foo`
+    * never matches the bare base `foo` itself (which, absent any other
+    * rule, falls to the default-`*` branch like any unlisted host). */
   def pubLenCase: String = {
     def has(k: Int, bit: Int) = s"(coalesce(_psl_k$k, 0) & $bit) != 0"
+    def wild(k: Int) = s"(${has(k, Wild)} AND _psl_n > $k)"
     s"""CASE WHEN ${has(4, Exc)} THEN 3
        |  WHEN ${has(3, Exc)} THEN 2
        |  WHEN ${has(2, Exc)} THEN 1
-       |  WHEN ${has(4, Plain)} OR ${has(3, Wild)} THEN 4
-       |  WHEN ${has(3, Plain)} OR ${has(2, Wild)} THEN 3
-       |  WHEN ${has(2, Plain)} OR ${has(1, Wild)} THEN 2
+       |  WHEN ${has(4, Plain)} OR ${wild(3)} THEN 4
+       |  WHEN ${has(3, Plain)} OR ${wild(2)} THEN 3
+       |  WHEN ${has(2, Plain)} OR ${wild(1)} THEN 2
        |  ELSE 1 END""".stripMargin
   }
 
@@ -314,7 +318,11 @@ object Psl {
       if (k == 1) parts else s"concat($parts)"
     }
     var out = df
-      .withColumn("_psl_host", expr(UrlOps.hostExpr(urlCol)))
+      // the RAW host — the published algorithm is defined over the real
+      // label sequence; a pre-stripped `www.` would erase the label the
+      // `!www.ck`-class exception rules and private-suffix publisher
+      // grouping (`www.github.io`) key on
+      .withColumn("_psl_host", expr(UrlOps.rawHostExpr(urlCol)))
       .withColumn("_psl_labels", expr("split(_psl_host, '\\\\.')"))
       .withColumn("_psl_n", expr("size(_psl_labels)"))
     (1 to 5).foreach { k =>
@@ -371,7 +379,7 @@ object Psl {
       s"""psl_rules(suffix, kind) AS (VALUES
          |    $valuesRelation
          |), psl_h AS (
-         |  SELECT $carry, ${UrlOps.sql.host(urlExpr)} AS _psl_host
+         |  SELECT $carry, ${UrlOps.sql.rawHost(urlExpr)} AS _psl_host
          |  FROM $src
          |), psl_l AS (
          |  SELECT *, string_split(_psl_host, '.') AS _psl_labels,

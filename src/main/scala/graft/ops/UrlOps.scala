@@ -58,8 +58,19 @@ object UrlOps {
     * trailing dot and one leading `www.` removed. '' when nothing
     * parses. */
   def hostExpr(url: String): String =
-    s"regexp_replace(regexp_replace(regexp_extract(lower($url), " +
-      s"'${sparkLit(hostRegex)}', 1), '\\\\.$$', ''), '^www\\\\.', '')"
+    s"regexp_replace(${rawHostExpr(url)}, '^www\\\\.', '')"
+
+  /** Spark SQL: the host EXACTLY as the URL names it (lowercased,
+    * scheme/userinfo/port/path/trailing-dot stripped) — NO `www.`
+    * strip. The published PSL algorithm is defined over this host:
+    * stripping `www.` first mis-resolves hosts where `www` sits
+    * directly on a rule boundary (`www.ck` has its own exception rule;
+    * `www.github.io` is a distinct private-suffix publisher), so
+    * [[Psl]] consumes this form and derives the registered domain from
+    * the real label sequence. */
+  def rawHostExpr(url: String): String =
+    s"regexp_replace(regexp_extract(lower($url), " +
+      s"'${sparkLit(hostRegex)}', 1), '\\\\.$$', '')"
 
   /** Spark SQL: registered domain (eTLD+1) of a URL column. IP-literal
     * hosts (dotted-quad IPv4, bracketed IPv6) have no registrable
@@ -85,8 +96,12 @@ object UrlOps {
   object sql {
 
     def host(url: String): String =
-      s"regexp_replace(regexp_replace(regexp_extract(lower($url), " +
-        s"'${UrlOps.hostRegex}', 1), '\\.$$', ''), '^www\\.', '')"
+      s"regexp_replace(${rawHost(url)}, '^www\\.', '')"
+
+    /** DuckDB twin of [[UrlOps.rawHostExpr]] — no `www.` strip. */
+    def rawHost(url: String): String =
+      s"regexp_replace(regexp_extract(lower($url), " +
+        s"'${UrlOps.hostRegex}', 1), '\\.$$', '')"
 
     def registeredDomain(url: String): String = {
       val h = host(url)

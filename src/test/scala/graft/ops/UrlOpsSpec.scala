@@ -63,6 +63,16 @@ class UrlOpsSpec extends SparkSpec {
       // whole-TLD wildcard *.ck, and its !www.ck exception
       "https://shop.example.ck/x" -> "shop.example.ck",
       "https://a.www.ck/x" -> "www.ck",
+      // the exception host ITSELF: PSL runs on the raw label sequence,
+      // so the leading www is a real label here, not display noise
+      "https://www.ck/x" -> "www.ck",
+      // ...and a www-labeled publisher on a private suffix stays its
+      // own publisher, never the bare suffix
+      "https://www.github.io/p" -> "www.github.io",
+      // a bare wildcard BASE is not matched by its own `*.` rule —
+      // published behavior falls through to the default-`*` branch
+      "https://compute.amazonaws.com/x" -> "amazonaws.com",
+      "https://sch.uk/x" -> "sch.uk",
       // JP city wildcard *.kawasaki.jp and !city.kawasaki.jp exception
       "https://blog.foo.kawasaki.jp" -> "blog.foo.kawasaki.jp",
       "https://x.city.kawasaki.jp" -> "city.kawasaki.jp",
