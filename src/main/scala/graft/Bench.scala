@@ -71,8 +71,16 @@ object Bench {
       // drop cache residue BETWEEN queries (not between reps): a query
       // that caches internally keeps its best-of-N semantics, but its
       // InMemoryRelations never age the session for later queries — the
-      // '93rd query measured in a tired JVM' effect
+      // '93rd query measured in a tired JVM' effect. clearCache() only
+      // drops SQL-cached relations; localCheckpoint blocks (the fence
+      // several operators use to pin a rank or cut a self-join's lineage)
+      // live as plain persistent RDDs until the GC-driven ContextCleaner
+      // happens to collect them — across 200 queries they squat on
+      // storage memory and tax every later query's execution memory, so
+      // they are released explicitly and deterministically here
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       // published spread = steady-state repeatability: when the third
       // rep ran, rep 1 (the escalation trigger — usually this query's
       // codegen warmup, not host noise) is excluded, so the column

@@ -127,6 +127,36 @@ class UrlOpsSpec extends SparkSpec {
     assert(Psl.rules.size >= 500, s"rule subset shrank: ${Psl.rules.size}")
   }
 
+  test("PSL property sweep: EVERY rule row resolves per the published " +
+      "algorithm under synthetic prefixes") {
+    // Synthetic prefix labels (ax/bx/cx) collide with no real rule, so
+    // the expected registered domain is derivable from the rule kind
+    // alone: plain s -> one label past s survives; wildcard base s ->
+    // the starred label extends the suffix, so TWO labels past s
+    // survive; exception s -> s itself is the registered domain. One
+    // Spark job over ~3 x |rules| hosts — a rule-table typo (wrong
+    // kind, misspelled suffix) fails here wholesale.
+    val cases = Psl.rules.flatMap { case (s, kind) =>
+      if ((kind & Psl.Exc) != 0) Seq(
+        s"https://$s/x" -> s,
+        s"https://ax.$s/x" -> s)
+      else if ((kind & Psl.Wild) != 0) Seq(
+        // bare base: unmatched by its own `*.` rule -> default branch
+        // (only asserted when no shorter plain rule would catch it —
+        // synthetic prefixes keep the longer cases unambiguous)
+        s"https://ax.bx.cx.$s/x" -> s"bx.cx.$s",
+        s"https://ax.bx.$s/x" -> s"ax.bx.$s")
+      else Seq(
+        s"https://$s/x" -> s,
+        s"https://ax.$s/x" -> s"ax.$s",
+        s"https://ax.bx.$s/x" -> s"bx.$s")
+    }
+    val got = pslDomains(cases.map(_._1))
+    cases.zip(got).foreach { case ((url, want), d) =>
+      assert(d == want, s"$url -> $d, wanted $want")
+    }
+  }
+
   test("unparseable and null URLs yield empty/null, never a crash") {
     // '' extracts an empty host -> one empty label -> <= 2 labels ->
     // the empty host itself; the pipeline's domain-cap stage reads both
