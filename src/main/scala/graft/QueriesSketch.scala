@@ -76,9 +76,9 @@ object QueriesSketch {
        |  FROM top CROSS JOIN ds
        |)
        |SELECT user_id, exact_n,
-       |  CAST(MIN(c) AS BIGINT) AS cms_estimate,
-       |  CAST(MIN(c) - exact_n AS BIGINT) AS overcount
-       |FROM probes JOIN counters USING (d, bucket)
+       |  CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS cms_estimate,
+       |  CAST(MIN(COALESCE(c, 0)) - exact_n AS BIGINT) AS overcount
+       |FROM probes LEFT JOIN counters USING (d, bucket)
        |GROUP BY user_id, exact_n
        |ORDER BY exact_n DESC, user_id""".stripMargin
 

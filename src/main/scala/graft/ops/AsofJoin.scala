@@ -50,6 +50,14 @@ object AsofJoin {
     val clash = (left.columns ++ payloadCols).filter(reserved)
     require(clash.isEmpty,
       s"column names ${clash.toSeq} are reserved by AsofJoin internals; rename them first")
+    // output-name collisions too: a left column literally named
+    // asof_<payload> (e.g. a previous asof join's output fed back in)
+    // would emit a duplicate column name — legal to build, but any
+    // downstream col() reference throws AMBIGUOUS_REFERENCE far from
+    // the cause; fail here instead
+    val outClash = payloadCols.map(n => s"asof_$n").filter(left.columns.contains)
+    require(outClash.isEmpty,
+      s"left side already has ${outClash} — the asof_<payload> output names collide")
     val right = right0.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
     val leftOther  = left.schema.filter(f => f.name != keyCol && f.name != tsCol)
     val payload    = payloadCols.map(n => right0.schema(n))

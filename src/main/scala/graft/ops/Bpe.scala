@@ -97,23 +97,27 @@ object Bpe {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var v = vocab(docs, textCol).cache()
-    var r = 1
-    var exhausted = false
-    while (r <= nMerges && !exhausted) {
-      topPair(v) match {
-        case Some((l, rt, n)) =>
-          merges += Merge(r, l, rt, n)
-          var nv = applyMerge(v, l, rt)
-          if (r % 32 == 0) nv = nv.localCheckpoint(false)
-          nv = nv.cache()
-          nv.count() // materialize before releasing the parent cache
-          v.unpersist()
-          v = nv
-        case None => exhausted = true
+    // try/finally like LinearTrain.train: an action throwing mid-loop
+    // (executor loss, a bad merge) must not leave the current vocab
+    // cache pinned for the rest of the session
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= nMerges && !exhausted) {
+        topPair(v) match {
+          case Some((l, rt, n)) =>
+            merges += Merge(r, l, rt, n)
+            var nv = applyMerge(v, l, rt)
+            if (r % 32 == 0) nv = nv.localCheckpoint(false)
+            nv = nv.cache()
+            nv.count() // materialize before releasing the parent cache
+            v.unpersist()
+            v = nv
+          case None => exhausted = true
+        }
+        r += 1
       }
-      r += 1
-    }
-    v.unpersist()
+    } finally v.unpersist()
     merges.toSeq
   }
 }

@@ -31,11 +31,23 @@ object Cms {
   def bucketSql(keyExpr: String, w: Int): String =
     s"${TextOps.sql.hash60(s"concat('cm', CAST(d AS VARCHAR), ':', $keyExpr)")} % $w"
 
+  /** The operator's reserved working names — same guard discipline as
+    * [[ShardPlan]]/[[AsofJoin]]: silently overwriting a caller's `d` (a
+    * perfectly plausible user column name) would corrupt the group keys
+    * with no error. */
+  private def requireNoReserved(df: DataFrame, who: String): Unit =
+    Seq("d", "bucket").foreach { c =>
+      require(!df.columns.contains(c),
+        s"Cms.$who: input already has a column named '$c' (reserved)")
+    }
+
   /** (d, bucket) rows for every item — the map-side sketch update. */
-  def updates(items: DataFrame, keyExpr: String, d: Int, w: Int): DataFrame =
+  def updates(items: DataFrame, keyExpr: String, d: Int, w: Int): DataFrame = {
+    requireNoReserved(items, "updates")
     items
       .withColumn("d", explode(expr(s"sequence(0, ${d - 1})")))
       .select(col("d"), expr(bucketExpr(keyExpr, w)).as("bucket"))
+  }
 
   /** The batch counter table: (d, bucket, c). ≤ d·w rows. */
   def counters(items: DataFrame, keyExpr: String, d: Int, w: Int): DataFrame =
@@ -45,15 +57,21 @@ object Cms {
 
   /** Point estimates for `probes` (must carry the key column):
     * min over the d rows of each probe's counter cells. `counters`
-    * is broadcast — it is ≤ d·w rows by construction. */
+    * is broadcast — it is ≤ d·w rows by construction. LEFT join +
+    * coalesce-to-0: a probe key the stream never touched has empty
+    * counter cells, and the CMS estimate of an empty cell is 0 — an
+    * inner join would silently DROP a fully-unseen probe (and
+    * overestimate a partially-collided one from its surviving cells
+    * only), exactly wrong for membership-style probing. */
   def estimate(probes: DataFrame, countersDf: DataFrame, keyExpr: String,
                d: Int, w: Int, estCol: String = "cms_estimate"): DataFrame = {
+    requireNoReserved(probes, "estimate")
     val keyed = probes
       .withColumn("d", explode(expr(s"sequence(0, ${d - 1})")))
       .withColumn("bucket", expr(bucketExpr(keyExpr, w)))
     val groupCols = probes.columns.map(col).toSeq
-    keyed.join(broadcast(countersDf), Seq("d", "bucket"))
+    keyed.join(broadcast(countersDf), Seq("d", "bucket"), "left")
       .groupBy(groupCols: _*)
-      .agg(min(col("c")).as(estCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as(estCol))
   }
 }

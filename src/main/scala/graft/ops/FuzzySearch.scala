@@ -34,10 +34,14 @@ object FuzzySearch {
   def topK(names: DataFrame, nameCol: String, query: String, k: Int,
            maxDist: Option[Int] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // Spark's length()/levenshtein() count CODE POINTS; String.length
+    // counts UTF-16 units — a query with supplementary characters would
+    // inflate the length bound and over-prune true matches
+    val queryLen = query.codePointCount(0, query.length)
     val scored = maxDist match {
       case Some(md) =>
         names
-          .filter(abs(length(col(nameCol)) - lit(query.length)) <= md)
+          .filter(abs(length(col(nameCol)) - lit(queryLen)) <= md)
           .withColumn("dist", levenshtein(col(nameCol), lit(query), md))
           .filter(col("dist") >= 0 && col("dist") <= md) // 3-arg returns -1 past the bound
       case None =>

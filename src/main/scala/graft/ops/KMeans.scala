@@ -99,7 +99,9 @@ object KMeans {
     val withCd = em.select(col(codesCol).as("_q"))
       .withColumn("_cd", expr("transform(_q, x -> CAST(x AS DOUBLE))"))
       .cache()
-    for (_ <- 1 to iters) {
+    // try/finally like LinearTrain.train: a mid-iteration failure must
+    // not leave the corpus-scale codes cache pinned for the session
+    try for (_ <- 1 to iters) {
       val scores = scoreExprs("_cd", cents)
         .zipWithIndex.map { case (e, i) => expr(e).as(s"s$i") }
       val assigned = withCd
@@ -126,7 +128,7 @@ object KMeans {
         }
       }
     }
-    withCd.unpersist()
+    finally withCd.unpersist()
     cents
   }
 

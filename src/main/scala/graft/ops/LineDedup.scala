@@ -112,8 +112,17 @@ object LineDedup {
          |    unnest(generate_series(1, len($split))) AS _ld_pos
          |  FROM $src
          |), ld_hashed AS (
+         |  -- the same packed-key range guard the Spark side enforces
+         |  -- (pos here is 1-based, so <= where Spark's 0-based is <):
+         |  -- BIGINT alone only overflows loudly past doc_id 2^43, NOT at
+         |  -- pos >= 2^20 where keys would silently bleed into the next
+         |  -- doc_id's range — error() keeps the engines failing together
          |  SELECT $idCol, _ld_pos, _ld_line, $h AS _ld_h,
-         |    $idCol * ${MaxLinesPerDoc} + _ld_pos AS _ld_occ
+         |    CASE WHEN $idCol >= 0 AND $idCol < ${1L << 43}
+         |           AND _ld_pos <= ${MaxLinesPerDoc}
+         |      THEN $idCol * ${MaxLinesPerDoc} + _ld_pos
+         |      ELSE CAST(error('LineDedup packed key out of range') AS BIGINT)
+         |      END AS _ld_occ
          |  FROM ld_lines
          |), ld_stats AS (
          |  SELECT _ld_h, CAST(COUNT(*) AS BIGINT) AS _ld_cnt,

@@ -85,10 +85,17 @@ object Multimodal {
         require(payload.length - pos >= 8, s"truncated chunk header at byte $pos")
         val len = ((payload(pos) & 0xff) << 24) | ((payload(pos + 1) & 0xff) << 16) |
           ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+        // the 4-byte length parses SIGNED: a corrupt high bit would read
+        // negative (stalling the walk in place — an executor-task hang,
+        // not the contracted fail-fast), and a near-MaxValue length would
+        // overflow `pos` past the truncation require; bound it first and
+        // advance in Long
+        require(len >= 0, s"negative chunk length $len at byte $pos")
         val isEnd = payload(pos + 4) == 'I' && payload(pos + 5) == 'E' &&
           payload(pos + 6) == 'N' && payload(pos + 7) == 'D'
-        pos += 8 + len + 4 // header + data + CRC
-        require(pos <= payload.length, s"truncated chunk body ending at byte $pos")
+        val next = pos.toLong + 8L + len + 4L // header + data + CRC
+        require(next <= payload.length, s"truncated chunk body ending at byte $next")
+        pos = next.toInt
         if (isEnd) done = true
       }
       out += java.util.Arrays.copyOfRange(payload, start, pos)

@@ -156,10 +156,19 @@ object OverlapCount {
           col("g1") >= col("start_us") && col("g2") <= col("end_us"))
       .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("g"))
 
-    ranked.join(contained, keyCols, "left")
+    // Components' release discipline: the interval frame `s` is cached
+    // (read by six stages above) but a lazy return would pin it until
+    // GC-driven cleanup — materialize the result (ONE small row per
+    // overlapping interval), then release the corpus-scale intermediate
+    // deterministically. The returned frame is localCheckpoint-pinned
+    // like any Components result; loop-callers unpersist it when done.
+    val out = ranked.join(contained, keyCols, "left")
       .select(col("entity"), col("seq"),
         (col("n_intersect") - coalesce(col("g"), lit(0L)) - 1L)
           .as("n_overlap_users"))
       .filter(col("n_overlap_users") >= 1L)
+      .localCheckpoint()
+    s.unpersist()
+    out
   }
 }

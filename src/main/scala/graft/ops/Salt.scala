@@ -26,6 +26,9 @@ object Salt {
   def saltedAgg(df: DataFrame, keys: Seq[Column], saltSource: Column,
                 saltBuckets: Int, partials: Seq[Column],
                 merges: Seq[Column]): DataFrame = {
+    // same reserved-name guard discipline as ShardPlan/AsofJoin/Cms
+    require(!df.columns.contains("_salt"),
+      "Salt.saltedAgg: input already has a column named '_salt' (reserved)")
     val salted = df.withColumn("_salt", pmod(hash(saltSource), lit(saltBuckets)))
     salted.groupBy(keys :+ col("_salt"): _*)
       .agg(partials.head, partials.tail: _*)

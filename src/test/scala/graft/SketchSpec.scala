@@ -64,6 +64,24 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("CMS probe of an unseen key survives and reads its true 0 when " +
+      "any cell is empty") {
+    import graft.ops.Cms
+    // ONE inserted key, tiny sketch: an unseen probe whose cells are all
+    // empty must come back with estimate 0 (never vanish from the
+    // output), and the seen key keeps its exact count. An inner join
+    // would drop the unseen probe entirely — the membership-probe bug.
+    val items = Seq("k1").toDF("k")
+    val counters = Cms.counters(items, "k", d = 4, w = 64)
+    val probes = Seq("k1", "never-inserted-key").toDF("k")
+    val got = Cms.estimate(probes, counters, "k", d = 4, w = 64)
+      .as[(String, Long)].collect().toMap
+    assert(got.size == 2, s"a probe row vanished: $got")
+    assert(got("k1") == 1L)
+    assert(got("never-inserted-key") == 0L,
+      "an unseen key with an empty cell must estimate 0 (min over cells)")
+  }
+
   test("q139: bloom audit — zero false negatives, members all predicted") {
     val d = java.nio.file.Files.createTempDirectory("graft_bloom").toString
     // every 10th customer is in debt → 20 members of 200
