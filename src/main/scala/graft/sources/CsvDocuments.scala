@@ -50,10 +50,15 @@ object CsvDocuments {
         if (first.isEmpty) Array.empty[String]
         else first(0).toSeq.map(v => if (v == null) "" else v.toString).toArray
       } catch {
-        // an EMPTY drop (no files, or only 0-byte parts) has no header
-        // to read — the hardened contract is (empty clean, empty
-        // quarantine), never a dead ingest job
-        case _: org.apache.spark.sql.AnalysisException => Array.empty[String]
+        // an EMPTY drop (a dir with only 0-byte parts) has no header to
+        // read — the hardened contract is (empty clean, empty
+        // quarantine), never a dead ingest job. ONLY that case maps to
+        // empty: a nonexistent/mistyped path must still FAIL the job —
+        // swallowing PATH_NOT_FOUND would report a typo'd mount as a
+        // clean zero-row ingest, silent total data loss
+        case ae: org.apache.spark.sql.AnalysisException
+            if Option(ae.getCondition).exists(_.contains("UNABLE_TO_INFER_SCHEMA")) =>
+          Array.empty[String]
       }
     if (headerCols.isEmpty) {
       val cleanSchema = StructType(JsonlDocuments.schema.fields :+
@@ -95,6 +100,7 @@ object CsvDocuments {
       (if (present.contains(f.name)) col(f.name)
        else lit(null).cast(f.dataType)).as(f.name)
     } :+ col("_corrupt_record"): _*)
-    JsonlDocuments.split(projected.cache())
+    // not cached — the caller decides (see JsonlDocuments.read)
+    JsonlDocuments.split(projected)
   }
 }

@@ -51,19 +51,25 @@ object JsonlDocuments {
     val quarantined = parsed
       .filter(col("_corrupt_record").isNotNull ||
         col("doc_id").isNull || col("text").isNull)
+      // ignoreNullFields=false: to_json DROPS null fields by default,
+      // which would serialize a doc_id-less row without the very field
+      // a repair pass needs to see was null — the "nulls explicit"
+      // contract above requires the option
       .select(coalesce(col("_corrupt_record"),
         to_json(struct(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("url"))))
+          col("url")), Map("ignoreNullFields" -> "false")))
         .as("raw_line"))
     (clean, quarantined)
   }
 
-  /** @return (clean documents with recomputed n_chars, quarantined lines) */
+  /** @return (clean documents with recomputed n_chars, quarantined lines).
+    * NOT cached here: an unconditional cache had no release path, so a
+    * long-lived ingest session pinned one full parse per drop forever —
+    * caching is the CALLER's choice (and cost), per the scaladoc above. */
   def read(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     split(spark.read
       .schema(schema.add(StructField("_corrupt_record", StringType, nullable = true)))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
-      .cache())
+      .json(path))
 }

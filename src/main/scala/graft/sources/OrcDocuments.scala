@@ -30,13 +30,21 @@ object OrcDocuments {
     * the job with an unresolved-column error. */
   def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val raw = spark.read.orc(path)
-    val present = raw.columns.toSet
+    // CASE-INSENSITIVE presence check, first occurrence wins — Spark's
+    // own column resolution is case-insensitive and CsvDocuments pins
+    // the same contract: a drop written as `Doc_ID`/`TEXT` must keep
+    // admitting, not null out every required field and quarantine the
+    // whole drop as unrecoverable '{}' rows
+    val present = raw.columns.groupBy(_.toLowerCase).map {
+      case (lc, cols) => lc -> cols.head
+    }
     val projected = raw.select(JsonlDocuments.schema.fields.map { f =>
-      val c = if (present.contains(f.name)) col(f.name)
-              else lit(null)
+      val c = present.get(f.name.toLowerCase)
+        .map(actual => col(s"`$actual`")).getOrElse(lit(null))
       c.cast(f.dataType).as(f.name)
     }: _*)
+    // not cached — the caller decides (see JsonlDocuments.read)
     JsonlDocuments.split(
-      projected.withColumn("_corrupt_record", lit(null).cast("string")).cache())
+      projected.withColumn("_corrupt_record", lit(null).cast("string")))
   }
 }

@@ -40,6 +40,22 @@ object StreamDebounce {
   case class Kept(user_id: Long, event_type: String, ts_us: Long,
                   event_id: Long)
 
+  /** The core keep/drop sweep shared VERBATIM by both API wrappers (one
+    * body — the two cannot drift): (sorted events, last kept ts or
+    * Long.MinValue) → (kept events, new last-kept ts). */
+  private[streaming] def sweep(gapUs: Long, sorted: Array[Event],
+      lastKept0: Long): (Seq[Kept], Long) = {
+    var lastKept = lastKept0
+    val kept = Seq.newBuilder[Kept]
+    sorted.foreach { e =>
+      if (lastKept == Long.MinValue || e.ts_us - lastKept >= gapUs) {
+        kept += Kept(e.user_id, e.event_type, e.ts_us, e.event_id)
+        lastKept = e.ts_us
+      }
+    }
+    (kept.result(), lastKept)
+  }
+
   /** Apply to an event stream; key = (user_id, event_type). */
   def debounce(events: Dataset[Event], gapUs: Long): Dataset[Kept] = {
     implicit val ke = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
@@ -57,16 +73,10 @@ object StreamDebounce {
       key: (Long, String), it: Iterator[Event],
       state: GroupState[DebState]): Iterator[Kept] = {
     val sorted = it.toArray.sortBy(e => (e.ts_us, e.event_id))
-    var lastKept = state.getOption.map(_.lastKeptUs).getOrElse(Long.MinValue)
-    val kept = Seq.newBuilder[Kept]
-    sorted.foreach { e =>
-      if (lastKept == Long.MinValue || e.ts_us - lastKept >= gapUs) {
-        kept += Kept(e.user_id, e.event_type, e.ts_us, e.event_id)
-        lastKept = e.ts_us
-      }
-    }
+    val (kept, lastKept) = sweep(gapUs, sorted,
+      state.getOption.map(_.lastKeptUs).getOrElse(Long.MinValue))
     if (lastKept != Long.MinValue) state.update(DebState(lastKept))
-    kept.result().iterator
+    kept.iterator
   }
 
   /** The same debounce on the modern `transformWithState` API (carries
@@ -83,16 +93,10 @@ object StreamDebounce {
     override def handleInputRows(key: (Long, String), rows: Iterator[Event],
                                  timerValues: TimerValues): Iterator[Kept] = {
       val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
-      var lastKept = if (st.exists()) st.get().lastKeptUs else Long.MinValue
-      val kept = Seq.newBuilder[Kept]
-      sorted.foreach { e =>
-        if (lastKept == Long.MinValue || e.ts_us - lastKept >= gapUs) {
-          kept += Kept(e.user_id, e.event_type, e.ts_us, e.event_id)
-          lastKept = e.ts_us
-        }
-      }
+      val (kept, lastKept) = sweep(gapUs, sorted,
+        if (st.exists()) st.get().lastKeptUs else Long.MinValue)
       if (lastKept != Long.MinValue) st.update(DebState(lastKept))
-      kept.result().iterator
+      kept.iterator
     }
   }
 

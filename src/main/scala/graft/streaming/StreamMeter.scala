@@ -26,10 +26,16 @@ object StreamMeter {
 
   /** @param sourceCol grouping column naming the ingest source
     * @param tokensOf  per-row token-count expression over the text column
-    *                  (defaults to whitespace tokens, the corpus contract) */
+    *                  (defaults to the whitespace-CLASS word count —
+    *                  the same contract as CurationPipeline's release
+    *                  stages, so the meter's n_toks agrees with the
+    *                  pipeline's token budget on multi-line and
+    *                  multi-space text instead of fusing '\n'-joined
+    *                  words or counting empty tokens) */
   def tokenRates(docs: DataFrame, tsCol: String, windowDur: String,
                  delay: String, sourceCol: String = "source",
-                 tokensOf: Column = expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+                 tokensOf: Column =
+                   expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"))
       : DataFrame =
     docs.withWatermark(tsCol, delay)
       .groupBy(window(col(tsCol), windowDur), col(sourceCol).as("source"))

@@ -27,12 +27,12 @@ import graft.ops.Cms
 object StreamSketch {
 
   /** The live counter table (d, bucket, c) for a streaming `items`
-    * source; write with outputMode("complete"). */
+    * source; write with outputMode("complete"). Delegates to
+    * [[Cms.counters]] — every transformation there is streaming-safe,
+    * and ONE body means the batch build, this stream, and the
+    * reserved-name guard ('d'/'bucket' caller columns would silently
+    * corrupt the sketch) can never drift. */
   def cmsCounters(items: DataFrame, keyExpr: String, d: Int, w: Int)
       : DataFrame =
-    items
-      .withColumn("d", explode(expr(s"sequence(0, ${d - 1})")))
-      .select(col("d"), expr(Cms.bucketExpr(keyExpr, w)).as("bucket"))
-      .groupBy(col("d"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+    Cms.counters(items, keyExpr, d, w)
 }

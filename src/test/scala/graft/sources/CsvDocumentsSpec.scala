@@ -42,6 +42,13 @@ class CsvDocumentsSpec extends SparkSpec {
     assert(clean.columns.contains("doc_id") && clean.columns.contains("n_chars"))
   }
 
+  test("a NONEXISTENT path still fails the job: a typo'd mount must not " +
+      "read as a clean zero-row ingest") {
+    intercept[org.apache.spark.sql.AnalysisException] {
+      CsvDocuments.read(spark, "/no/such/graft/drop/path")
+    }
+  }
+
   test("case-variant headers admit: wire columns match case-insensitively") {
     val dir = Files.createTempDirectory("graft_csv_case")
     Files.writeString(dir.resolve("part0.csv"), Seq(

@@ -32,7 +32,8 @@ class StreamSessionizeSpec extends SparkSpec {
     assert(state.get.seq == 2L && state.get.nEvents == 1L)
   }
 
-  test("transition function: timeout flushes the open session") {
+  test("transition function: timeout flushes the open session and keeps " +
+      "the ordinal; a returning user continues at seq + 1, never restarts") {
     val open = SessionState(lastTsUs = 5L, seq = 3L, nEvents = 4L,
       startUs = 1L, sumCents = 10L)
     val state = TestGroupState.create[SessionState](
@@ -41,7 +42,27 @@ class StreamSessionizeSpec extends SparkSpec {
       hasTimedOut = true)
     val out = flatMapFn(GapUs)(1L, Iterator.empty, state).toSeq
     assert(out == Seq(Session(1L, 3L, 4L, 1L, 5L, 10L)))
-    assert(state.isRemoved)
+    // state persists as the flushed sentinel (nEvents = 0, seq kept):
+    // removing it would renumber a returning user's next session as 1,
+    // colliding with the session 1 already emitted
+    assert(!state.isRemoved && state.get.nEvents == 0L && state.get.seq == 3L)
+
+    // the returning user: next event opens session 4, not session 1
+    val state2 = TestGroupState.create[SessionState](
+      optionalState = Optional.of(state.get), timeoutConf = GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = false)
+    val out2 = flatMapFn(GapUs)(1L,
+      Iterator(Event(1L, 999999999L, 7L)), state2).toSeq
+    assert(out2.isEmpty, "an opening session emits only when it closes")
+    assert(state2.get.seq == 4L && state2.get.nEvents == 1L)
+
+    // a second timeout on an already-flushed sentinel emits nothing
+    val state3 = TestGroupState.create[SessionState](
+      optionalState = Optional.of(state.get), timeoutConf = GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(6L),
+      hasTimedOut = true)
+    assert(flatMapFn(GapUs)(1L, Iterator.empty, state3).isEmpty)
   }
 
   test("batch-mode flatMapGroupsWithState matches the gap semantics") {
