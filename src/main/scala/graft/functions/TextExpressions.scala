@@ -35,6 +35,52 @@ private[functions] object InputCheck {
       .getOrElse(TypeCheckResult.TypeCheckSuccess)
 }
 
+/** Exact-arity wrapper for function-registry builders: Spark hands the
+  * builder whatever argument list the SQL call wrote, and a bare
+  * `c(0)/c(1)` body would silently DROP extra arguments (a 3-way
+  * `graft_sorted_intersect(a, b, c)` returning a plausible 2-way count)
+  * or die with a raw IndexOutOfBoundsException on missing ones. */
+private[functions] object Arity {
+  def apply(n: Int, name: String)(f: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    c => {
+      if (c.size != n) throw new IllegalArgumentException(
+        s"$name expects exactly $n argument(s), got ${c.size}")
+      f(c)
+    }
+}
+
+/** The 60-bit MD5-prefix content hash (first 15 hex digits == first 60
+  * bits big-endian) — ONE implementation for every native expression, so
+  * the oracle-parity-load-bearing convention can never drift between
+  * copies. Thread-cached digest: expression instances are shared across
+  * executor threads under whole-stage codegen. */
+private[functions] object Hash60 {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def apply(s: String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Drain a TreeSet of boxed longs to a sorted primitive array. */
+  def drain(set: java.util.TreeSet[java.lang.Long]): Array[Long] = {
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    out
+  }
+}
+
 import graft.ops.TextOps
 
 /** Native Catalyst expressions for the text-dedup hot paths.
@@ -71,6 +117,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val n = x.numElements(); val m = y.numElements()
     var i = 0; var j = 0; var c = 0L
     while (i < n && j < m) {
+      // fail-fast on null ELEMENTS (ArrayMinAgg's discipline): getLong on
+      // a null slot reads a silent 0 on UnsafeArrayData and NPEs on
+      // GenericArrayData — neither is an answer
+      if (x.isNullAt(i) || y.isNullAt(j)) throw new IllegalArgumentException(
+        s"$prettyName: null array element (null elements are unsupported)")
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv < yv) i += 1
       else if (xv > yv) j += 1
@@ -89,6 +140,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $n = $x.numElements(); int $m = $y.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $n && $j < $m) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($j))
+         |    throw new IllegalArgumentException(
+         |      "graft_sorted_intersect: null array element (null elements are unsupported)");
          |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
          |  if ($xv < $yv) $i++;
          |  else if ($xv > $yv) $j++;
@@ -140,6 +194,8 @@ case class MinhashBandKeys(child: Expression)
     val ms = Array.fill(nPerm)(Long.MaxValue)
     var i = 0
     while (i < n) {
+      if (hs.isNullAt(i)) throw new IllegalArgumentException(
+        s"$prettyName: null array element (null elements are unsupported)")
       val hp = hs.getLong(i) % P
       var k = 0
       while (k < nPerm) {
@@ -200,17 +256,18 @@ object TextFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_sorted_intersect",
-      (c: Seq[Expression]) => SortedIntersectCount(c(0), c(1)), "built-in")
+      Arity(2, "graft_sorted_intersect")(c => SortedIntersectCount(c(0), c(1))),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_bands",
-      (c: Seq[Expression]) => MinhashBandKeys(c(0)), "built-in")
+      Arity(1, "graft_minhash_bands")(c => MinhashBandKeys(c(0))), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes3",
-      (c: Seq[Expression]) => ShingleHashes(c(0), 3), "built-in")
+      Arity(1, "graft_shingle_hashes3")(c => ShingleHashes(c(0), 3)), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow_7_4",
-      (c: Seq[Expression]) => WinnowFingerprints(c(0), 7, 4), "built-in")
+      Arity(1, "graft_winnow_7_4")(c => WinnowFingerprints(c(0), 7, 4)), "built-in")
     reg.createOrReplaceTempFunction("graft_nfc",
-      (c: Seq[Expression]) => NfcNormalize(c(0)), "built-in")
+      Arity(1, "graft_nfc")(c => NfcNormalize(c(0))), "built-in")
     reg.createOrReplaceTempFunction("graft_array_min_agg",
-      (c: Seq[Expression]) => ArrayMinAgg(c(0)), "built-in")
+      Arity(1, "graft_array_min_agg")(c => ArrayMinAgg(c(0))), "built-in")
   }
 }
 
@@ -228,21 +285,12 @@ case class ShingleHashes(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_shingle_hashes"
+  // matches the REGISTERED name (graft_shingle_hashes3) so analysis
+  // errors cite a function the user can actually find
+  override def prettyName: String = s"graft_shingle_hashes$k"
 
   override def checkInputDataTypes(): TypeCheckResult =
     InputCheck.result(InputCheck.string(child, prettyName, 1))
-
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
-
-  private def hash60(s: String): Long = {
-    md.reset()
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    var acc = 0L
-    var i = 0
-    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
-    (acc << 4) | ((d(7) & 0xf0L) >> 4)
-  }
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.toString
@@ -260,14 +308,10 @@ case class ShingleHashes(child: Expression, k: Int)
         sb.append(toks(i + j))
         j += 1
       }
-      set.add(hash60(sb.toString))
+      set.add(Hash60(sb.toString))
       i += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var p = 0
-    while (it.hasNext) { out(p) = it.next(); p += 1 }
-    new GenericArrayData(out)
+    new GenericArrayData(Hash60.drain(set))
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
@@ -277,35 +321,43 @@ case class ShingleHashes(child: Expression, k: Int)
 /** Winnowing fingerprints: distinct minima of every w-window over the
   * rolling k-char-gram 60-bit hashes of a text column — the q36 chain in
   * one eval. Returns the distinct minima SORTED (the consumer explodes and
-  * re-sorts, so order never reaches results). */
+  * re-sorts, so order never reaches results).
+  *
+  * Grams are CODE-POINT grams: the DuckDB oracle's `substr`/`length` and
+  * Spark's own `length()` count code points, so a UTF-16 code-unit walk
+  * would both miscount the grams of astral-character text AND split
+  * surrogate pairs (whose lone halves UTF-8-encode as '?', aliasing
+  * distinct characters into one hash). BMP-only text (the overwhelmingly
+  * common case) takes the allocation-free code-unit fast path — the two
+  * walks are identical there. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_winnow"
+  // matches the REGISTERED name (graft_winnow_7_4)
+  override def prettyName: String = s"graft_winnow_${k}_$w"
 
   override def checkInputDataTypes(): TypeCheckResult =
     InputCheck.result(InputCheck.string(child, prettyName, 1))
 
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
-
-  private def hash60(s: String): Long = {
-    md.reset()
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    var acc = 0L
-    var i = 0
-    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
-    (acc << 4) | ((d(7) & 0xf0L) >> 4)
-  }
-
   override def nullSafeEval(input: Any): Any = {
     val text = input.toString
-    val nGrams = text.length - k + 1
+    // fast path: no surrogate pairs -> code units ARE code points
+    val cps: Array[Int] =
+      if (text.length == text.codePointCount(0, text.length)) null
+      else text.codePoints().toArray
+    val nChars = if (cps == null) text.length else cps.length
+    val nGrams = nChars - k + 1
     val nWin = nGrams - w + 1
     if (nWin <= 0) return new GenericArrayData(Array.emptyLongArray)
     val hs = new Array[Long](nGrams)
     var i = 0
-    while (i < nGrams) { hs(i) = hash60(text.substring(i, i + k)); i += 1 }
+    while (i < nGrams) {
+      val gram = if (cps == null) text.substring(i, i + k)
+                 else new String(cps, i, k)
+      hs(i) = Hash60(gram)
+      i += 1
+    }
     val set = new java.util.TreeSet[java.lang.Long]()
     var p = 0
     while (p < nWin) {
@@ -315,11 +367,7 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       set.add(m)
       p += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var q = 0
-    while (it.hasNext) { out(q) = it.next(); q += 1 }
-    new GenericArrayData(out)
+    new GenericArrayData(Hash60.drain(set))
   }
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =

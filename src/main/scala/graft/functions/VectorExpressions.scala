@@ -32,8 +32,12 @@ case class DotProduct(left: Expression, right: Expression)
   // Registered session-wide, so wrong-typed SQL calls must fail at analysis
   // time instead of reading garbage through ArrayData.getDouble. (No
   // ExpectsInputTypes outside org.apache.spark — AbstractDataType is
-  // private[sql].) Ragged same-typed inputs still fold over the shorter
-  // length: engine callers (VectorOps) always construct equal-dim arrays.
+  // private[sql].) Ragged inputs FAIL at runtime (ArrayMinAgg's
+  // discipline): a 384-dim embedding dotted against a 768-dim one is a
+  // mixed-model-version mistake, and a silently truncated partial sum
+  // looks exactly like a valid similarity score. Engine callers
+  // (VectorOps) always construct equal-dim arrays, so the check never
+  // fires on the oracle paths.
   override def checkInputDataTypes(): TypeCheckResult = {
     // containsNull accepted either way (lambda-derived arrays are typed
     // containsNull=true even when provably null-free); null ELEMENTS are
@@ -51,7 +55,9 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"$prettyName: array lengths differ ($n vs ${y.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -64,7 +70,10 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements())
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: array lengths differ (" + $n + " vs " + $y.numElements() + ")");
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $x.getDouble($i) * $y.getDouble($i);
@@ -86,6 +95,6 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)),
+      Arity(2, "graft_dot")(c => DotProduct(c(0), c(1))),
       "built-in")
 }

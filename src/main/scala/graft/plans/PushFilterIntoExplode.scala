@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{And, ArrayFilter, Attribute,
   Explode, Expression, LambdaFunction, NamedLambdaVariable, PlanExpression,
-  PredicateHelper}
+  PredicateHelper, Unevaluable}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.ArrayType
@@ -56,7 +56,18 @@ object PushFilterIntoExplode extends Rule[LogicalPlan] with PredicateHelper {
   private def pushable(cond: Expression, el: Attribute): Boolean =
     cond.deterministic &&
       cond.references.size == 1 && cond.references.head.semanticEquals(el) &&
-      !cond.exists(_.isInstanceOf[PlanExpression[_]])
+      !cond.exists(_.isInstanceOf[PlanExpression[_]]) &&
+      // non-attribute Unevaluables (PythonUDF is the real case: it is
+      // deterministic and references only el) must stay ABOVE the
+      // Generate — inside an ArrayFilter lambda the Python-UDF extractor
+      // cannot hoist them and the query dies with "Cannot evaluate
+      // expression". Attributes are themselves Unevaluable, so exempt
+      // them — they become the bound lambda variable.
+      !cond.exists {
+        case _: Attribute => false
+        case _: Unevaluable => true
+        case _ => false
+      }
 
   private def enabled: Boolean =
     conf.getConfString("spark.graft.explodePushdown", "true").toBoolean

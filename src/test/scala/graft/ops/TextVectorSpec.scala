@@ -69,6 +69,26 @@ class TextOpsSpec extends SparkSpec {
     assert(native == composed && native.nonEmpty)
   }
 
+  test("native winnow matches the composed form on ASTRAL text: grams " +
+      "are code-point grams, never split surrogate pairs") {
+    TextFunctions.register(spark)
+    // two different astral chars (surrogate pairs in UTF-16): a code-UNIT
+    // walk would miscount the grams AND alias both chars to '?' when a
+    // lone surrogate half UTF-8-encodes — Spark's substring/length (and
+    // the DuckDB oracle) count code POINTS, the contract pinned here
+    val astral = "ab𝒜cd😀efghijklm nopq"
+    val df = onDoc(astral)
+    val native = df.select(expr("graft_winnow_7_4(text)").as("f"))
+      .as[Seq[Long]].head().toSet
+    val hs = s"transform(sequence(1, length(text) - 6), i -> ${TextOps.hash60("substring(text, i, 7)")})"
+    val composed = df.select(expr(hs).as("hs"))
+      .select(expr("""array_distinct(transform(sequence(1, size(hs) - 3),
+        p -> least(element_at(hs, p), element_at(hs, p + 1),
+                   element_at(hs, p + 2), element_at(hs, p + 3))))""").as("f"))
+      .as[Seq[Long]].head().toSet
+    assert(native == composed && native.nonEmpty)
+  }
+
   test("sorted intersect count == size(array_intersect) on sorted inputs") {
     TextFunctions.register(spark)
     val df = Seq((Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L))).toDF("a", "b")
