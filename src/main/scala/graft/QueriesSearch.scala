@@ -510,7 +510,124 @@ object QueriesSearch {
        |FROM topk GROUP BY term ORDER BY term""".stripMargin
   }
 
+  // --- q205: generation-eval n-gram overlap (ROUGE-N / BLEU-style) ----------
+  // The retrieval family (q128/q143/q173/q181) grades RANKINGS; nothing
+  // graded generated TEXT against a reference — the other half of every
+  // eval harness (summarization/translation eval, and the self-BLEU
+  // diversity audit run on synthetic pretraining corpora). Classic
+  // clipped n-gram overlap (public: Papineni et al. BLEU, Lin ROUGE):
+  // candidate = odd doc_id, reference = its even predecessor (pair_id =
+  // doc_id DIV 2 — deterministic, no generator dependency; the planted
+  // near-dup classes guarantee some high-overlap pairs). Per pair and
+  // n ∈ {1,2}: clipped count Σ_g min(cnt_cand g, cnt_ref g), modified
+  // precision clip/|cand grams| (BLEU's building block), recall
+  // clip/|ref grams| (ROUGE-N), F1 — all floored ppm, zero floats.
+  // Published as the per-(n, precision-decile) histogram with pair-id
+  // checksums and corpus-level micro sums — every pair's bucket is
+  // pinned without corpus-sized output.
+  // Scale: grams hashed ONCE from a pre-split token array (the q201
+  // lesson: higher-order lambdas are interpreted, so the split must be
+  // a materialized column, and one localCheckpoint feeds counts AND
+  // totals); the clip is an EQUI-join on (pair, n, gram-hash) — content
+  // keys, uniform, never all-pairs; histogram is an 11×2-row aggregate.
+  private val q205: Q = (s, dir) => {
+    val base = Tables.documents(s, dir)
+      .select(expr("doc_id DIV 2").as("pid"), expr("doc_id % 2").as("side"),
+        expr(TextOps.tokensExpr("text")).as("toks"))
+      .withColumn("g1", expr(TextOps.posGramHashesExpr("toks", 1)))
+      .withColumn("g2", expr(TextOps.posGramHashesExpr("toks", 2)))
+      .select(col("pid"), col("side"), explode(expr(
+        "array(struct(CAST(1 AS BIGINT) AS n, g1 AS ghs), " +
+        "struct(CAST(2 AS BIGINT) AS n, g2 AS ghs))")).as("e"))
+      .select(col("pid"), col("side"), col("e.n").as("n"), col("e.ghs").as("ghs"))
+      .repartition(Tables.shufflePartitions(s))
+      .localCheckpoint() // one gram pass feeds the counts AND the totals
+    val tot = base.select(col("pid"), col("side"), col("n"),
+      size(col("ghs")).cast("long").as("total"))
+    val cnt = base.select(col("pid"), col("side"), col("n"),
+        explode(col("ghs")).as("gh"))
+      .groupBy(col("pid"), col("side"), col("n"), col("gh"))
+      .agg(count(lit(1)).as("c"))
+    val clip = cnt.filter(col("side") === 1)
+      .select(col("pid"), col("n"), col("gh"), col("c").as("cc"))
+      .join(cnt.filter(col("side") === 0)
+        .select(col("pid"), col("n"), col("gh"), col("c").as("cr")),
+        Seq("pid", "n", "gh"))
+      .groupBy(col("pid"), col("n"))
+      .agg(sum(least(col("cc"), col("cr"))).as("clip"))
+    tot.filter(col("side") === 1)
+      .select(col("pid"), col("n"), col("total").as("cand_total"))
+      .join(tot.filter(col("side") === 0)
+        .select(col("pid"), col("n"), col("total").as("ref_total")),
+        Seq("pid", "n")) // inner: a candidate without its reference drops
+      .join(clip, Seq("pid", "n"), "left")
+      .withColumn("clip", coalesce(col("clip"), lit(0L)))
+      .withColumn("p_ppm", expr(
+        "CASE WHEN cand_total = 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE (1000000 * clip) DIV cand_total END"))
+      .withColumn("r_ppm", expr(
+        "CASE WHEN ref_total = 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE (1000000 * clip) DIV ref_total END"))
+      .withColumn("f1_ppm", expr(
+        "CASE WHEN p_ppm + r_ppm = 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE (2 * p_ppm * r_ppm) DIV (p_ppm + r_ppm) END"))
+      .withColumn("bucket", expr("p_ppm DIV 100000"))
+      .groupBy(col("n"), col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("pid")).as("pair_sig"),
+        sum(col("clip")).as("sum_clip"), sum(col("cand_total")).as("sum_cand"),
+        sum(col("ref_total")).as("sum_ref"), sum(col("f1_ppm")).as("sum_f1_ppm"))
+      .orderBy(col("n"), col("bucket"))
+  }
+  private val q205Sql = {
+    def grams(k: Int) = TextOps.sql.posGramHashes("toks", k)
+    s"""WITH t AS (
+       |  SELECT doc_id // 2 AS pid, doc_id % 2 AS side,
+       |    string_split(text, ' ') AS toks
+       |  FROM documents
+       |), g AS (
+       |  SELECT pid, side, CAST(1 AS BIGINT) AS n, ${grams(1)} AS ghs FROM t
+       |  UNION ALL
+       |  SELECT pid, side, CAST(2 AS BIGINT) AS n, ${grams(2)} AS ghs FROM t
+       |), tot AS (
+       |  SELECT pid, side, n, CAST(len(ghs) AS BIGINT) AS total FROM g
+       |), cnt AS (
+       |  SELECT pid, side, n, gh, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT pid, side, n, unnest(ghs) AS gh FROM g)
+       |  GROUP BY pid, side, n, gh
+       |), clip AS (
+       |  SELECT a.pid, a.n, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clip
+       |  FROM (SELECT * FROM cnt WHERE side = 1) a
+       |  JOIN (SELECT * FROM cnt WHERE side = 0) b USING (pid, n, gh)
+       |  GROUP BY a.pid, a.n
+       |), pairs AS (
+       |  SELECT pid, n, ct.total AS cand_total, rt.total AS ref_total,
+       |    COALESCE(clip.clip, 0) AS clip
+       |  FROM (SELECT pid, n, total FROM tot WHERE side = 1) ct
+       |  JOIN (SELECT pid, n, total FROM tot WHERE side = 0) rt
+       |    USING (pid, n)
+       |  LEFT JOIN clip USING (pid, n)
+       |), m AS (
+       |  SELECT pid, n, clip, cand_total, ref_total,
+       |    CASE WHEN cand_total = 0 THEN 0
+       |      ELSE (1000000 * clip) // cand_total END AS p_ppm,
+       |    CASE WHEN ref_total = 0 THEN 0
+       |      ELSE (1000000 * clip) // ref_total END AS r_ppm
+       |  FROM pairs
+       |)
+       |SELECT n, p_ppm // 100000 AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(pid) AS BIGINT) AS pair_sig,
+       |  CAST(SUM(clip) AS BIGINT) AS sum_clip,
+       |  CAST(SUM(cand_total) AS BIGINT) AS sum_cand,
+       |  CAST(SUM(ref_total) AS BIGINT) AS sum_ref,
+       |  CAST(SUM(CASE WHEN p_ppm + r_ppm = 0 THEN 0
+       |    ELSE (2 * p_ppm * r_ppm) // (p_ppm + r_ppm) END) AS BIGINT)
+       |    AS sum_f1_ppm
+       |FROM m GROUP BY n, bucket ORDER BY n, bucket""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q205_rouge_bleu" -> q205,
     "q181_retrieval_eval" -> q181,
     "q173_ndcg_eval" -> q173,
     "q81_fuzzy_search" -> q81,
@@ -519,6 +636,7 @@ object QueriesSearch {
     "q128_bm25_topk" -> q128)
 
   val oracleSql: Map[String, String] = Map(
+    "q205_rouge_bleu" -> q205Sql,
     "q181_retrieval_eval" -> q181Sql,
     "q173_ndcg_eval" -> q173Sql,
     "q81_fuzzy_search" -> q81Sql,

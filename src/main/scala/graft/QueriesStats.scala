@@ -532,6 +532,123 @@ object QueriesStats {
        |  MAX(ck) - MIN(ck) AS ck_span, MAX(dy) - MIN(dy) AS dy_span
        |FROM zed GROUP BY block ORDER BY block""".stripMargin
 
+  // --- q206: zone-map prune audit (layout × predicate workload) --------------
+  // q109 PLANS the z-order layout and proves span confinement; q206
+  // closes the loop with the number a storage engineer actually tunes
+  // on: for a WORKLOAD of range predicates, how many row-group-sized
+  // blocks does each layout let min/max zone maps skip? Two layouts
+  // over the same (customer-bucket x, day-bucket y) grid — the classic
+  // time-sorted layout (blocks = y-ranges) vs the q109 Morton layout
+  // (blocks = z-ranges) — and 16 deterministic predicates (x-range /
+  // y-range / box, bounds an arithmetic progression over the bucket
+  // space). A block is scanned iff its per-block [min,max] box
+  // intersects the predicate box — exactly parquet row-group pruning
+  // semantics. Published per (layout, predicate): nonempty-block total,
+  // blocks hit, rows scanned, true rows matched — the z-layout's
+  // two-sided wins and its y-only losses are both readable off the rows.
+  // Scale: ONE corpus aggregate to the ≤2^16-cell (x, y) grid (z is a
+  // FUNCTION of the cell, derived post-agg); block stats, the
+  // block×predicate intersection, and the true-selectivity sums are all
+  // grid-sized; the predicate table is a 16-row broadcast (intended
+  // BNLJ). Nothing downstream of the first aggregate touches the corpus.
+  private val prunePreds: Seq[(Int, Int, Int, Int, Int)] =
+    (0 until 16).map { w =>
+      val lo = (w * 53) % 200; val lo2 = (w * 29) % 200
+      w % 3 match {
+        case 0 => (w, lo, lo + 40, 0, 255)   // customer-range scan
+        case 1 => (w, 0, 255, lo2, lo2 + 40) // date-range scan
+        case _ => (w, lo, lo + 40, lo2, lo2 + 40) // box scan
+      }
+    }
+  private val pruneHit =
+    "min_x <= xhi AND max_x >= xlo AND min_y <= yhi AND max_y >= ylo"
+  private val q206: Q = (s, dir) => {
+    import s.implicits._
+    val predsDf = prunePreds.toDF("pred_id", "xlo", "xhi", "ylo", "yhi")
+      .withColumn("pred_id", col("pred_id").cast("long"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey").as("ck"),
+        expr(s"unix_micros(o_orderdate) DIV $DayUs").as("dy"))
+    val bounds = o.agg(min(col("ck")).as("ck0"), max(col("ck")).as("ck1"),
+      min(col("dy")).as("dy0"), max(col("dy")).as("dy1"))
+    val cells = o.crossJoin(broadcast(bounds))
+      .withColumn("x", expr("((ck - ck0) * 256) DIV (ck1 - ck0 + 1)"))
+      .withColumn("y", expr("((dy - dy0) * 256) DIV (dy1 - dy0 + 1)"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cn"))
+      .withColumn("z", expr(zInterleave("x", "y", "DIV")))
+    val blk = cells.select(col("x"), col("y"), col("cn"), explode(expr(
+        "array(struct('lin' AS layout, y DIV 4 AS block), " +
+        "struct('z' AS layout, z DIV 1024 AS block))")).as("e"))
+      .groupBy(col("e.layout").as("layout"), col("e.block").as("block"))
+      .agg(sum(col("cn")).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    val scans = blk.crossJoin(broadcast(predsDf))
+      .groupBy(col("layout"), col("pred_id"))
+      .agg(count(lit(1)).as("blocks_total"),
+        sum(expr(s"CASE WHEN $pruneHit THEN CAST(1 AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END")).as("blocks_hit"),
+        sum(expr(s"CASE WHEN $pruneHit THEN n " +
+          "ELSE CAST(0 AS BIGINT) END")).as("rows_scanned"))
+    val matched = cells.crossJoin(broadcast(predsDf))
+      .groupBy(col("pred_id"))
+      .agg(sum(expr("CASE WHEN x >= xlo AND x <= xhi AND y >= ylo " +
+        "AND y <= yhi THEN cn ELSE CAST(0 AS BIGINT) END"))
+        .as("rows_matched"))
+    scans.join(matched, Seq("pred_id"))
+      .select(col("layout"), col("pred_id"), col("blocks_total"),
+        col("blocks_hit"), col("rows_scanned"), col("rows_matched"))
+      .orderBy(col("layout"), col("pred_id"))
+  }
+  private val q206Sql = {
+    val predRows = prunePreds.map { case (id, xlo, xhi, ylo, yhi) =>
+      s"(CAST($id AS BIGINT), $xlo, $xhi, $ylo, $yhi)" }.mkString(",\n    ")
+    s"""WITH o AS (
+       |  SELECT o_custkey AS ck, epoch_us(o_orderdate) // $DayUs AS dy
+       |  FROM orders
+       |), bounds AS (
+       |  SELECT MIN(ck) AS ck0, MAX(ck) AS ck1,
+       |         MIN(dy) AS dy0, MAX(dy) AS dy1 FROM o
+       |), cells0 AS (
+       |  SELECT ((ck - ck0) * 256) // (ck1 - ck0 + 1) AS x,
+       |         ((dy - dy0) * 256) // (dy1 - dy0 + 1) AS y,
+       |         CAST(COUNT(*) AS BIGINT) AS cn
+       |  FROM o, bounds GROUP BY 1, 2
+       |), cells AS (
+       |  SELECT x, y, cn, ${zInterleave("x", "y", "//")} AS z FROM cells0
+       |), blk AS (
+       |  SELECT layout, block, CAST(SUM(cn) AS BIGINT) AS n,
+       |    MIN(x) AS min_x, MAX(x) AS max_x,
+       |    MIN(y) AS min_y, MAX(y) AS max_y
+       |  FROM (
+       |    SELECT 'lin' AS layout, y // 4 AS block, x, y, cn FROM cells
+       |    UNION ALL
+       |    SELECT 'z' AS layout, z // 1024 AS block, x, y, cn FROM cells
+       |  ) GROUP BY layout, block
+       |), preds AS (
+       |  SELECT * FROM (VALUES
+       |    $predRows) AS p(pred_id, xlo, xhi, ylo, yhi)
+       |), scans AS (
+       |  SELECT layout, pred_id,
+       |    CAST(COUNT(*) AS BIGINT) AS blocks_total,
+       |    CAST(SUM(CASE WHEN $pruneHit THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS blocks_hit,
+       |    CAST(SUM(CASE WHEN $pruneHit THEN n ELSE 0 END) AS BIGINT)
+       |      AS rows_scanned
+       |  FROM blk, preds GROUP BY layout, pred_id
+       |), matched AS (
+       |  SELECT pred_id,
+       |    CAST(SUM(CASE WHEN x >= xlo AND x <= xhi
+       |      AND y >= ylo AND y <= yhi THEN cn ELSE 0 END) AS BIGINT)
+       |      AS rows_matched
+       |  FROM cells, preds GROUP BY pred_id
+       |)
+       |SELECT layout, pred_id, blocks_total, blocks_hit, rows_scanned,
+       |  rows_matched
+       |FROM scans JOIN matched USING (pred_id)
+       |ORDER BY layout, pred_id""".stripMargin
+  }
+
   // --- q111: chi-square independence audit (exact-integer core) --------------
   // Is order priority independent of customer nation? The contingency
   // audit every segmentation claim needs. Per cell the deviation
@@ -1781,6 +1898,7 @@ object QueriesStats {
     "q105_shard_plan"       -> q105,
     "q106_mad_outliers"     -> q106,
     "q109_zorder_layout"    -> q109,
+    "q206_zonemap_prune"    -> q206,
     "q111_chisq_audit"      -> q111,
     "q112_revenue_concentration" -> q112,
     "q118_copurchase" -> q118,
@@ -1812,6 +1930,7 @@ object QueriesStats {
     "q105_shard_plan"       -> q105Sql,
     "q106_mad_outliers"     -> q106Sql,
     "q109_zorder_layout"    -> q109Sql,
+    "q206_zonemap_prune"    -> q206Sql,
     "q111_chisq_audit"      -> q111Sql,
     "q112_revenue_concentration" -> q112Sql,
     "q118_copurchase" -> q118Sql,

@@ -113,4 +113,43 @@ class RetrievalSpec extends SparkSpec {
     val d3 = got.find(_._2 == 3L).get
     assert(d3._5 == -1, "no-term doc must not appear in the coverage retriever")
   }
+
+  /** q205 rows keyed for assertion: (n, bucket) → the five count columns. */
+  private def rougeRows(dir: String): Map[(Long, Long), (Long, Long, Long, Long, Long, Long)] =
+    SparkEntry.queries("q205_rouge_bleu")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map { case (n, b, np, sig, clip, cand, ref, f1) =>
+        (n, b) -> ((np, sig, clip, cand, ref, f1)) }.toMap
+
+  test("q205: clipped counts, ppm metrics, and buckets match hand computation") {
+    // pair 0: ref "the cat sat on the mat" / cand "the cat the cat mat"
+    //   1-grams: clip = min-count overlap the:2 cat:1 mat:1 = 4 of cand 5,
+    //   ref 6 → p = 800000 (bucket 8), r = 666666, f1 = 727272
+    //   2-grams: cand has "the cat"x2, ref x1 → clip CLIPPED to 1 (not 2)
+    //   of cand 4, ref 5 → p = 250000 (bucket 2), r = 200000, f1 = 222222
+    // pair 1: zero overlap → bucket 0 at both n
+    // doc 4: even id with no odd partner → must not appear in any pair
+    val dir = docsDir(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat the cat mat"),
+      (2L, "aaa bbb"),
+      (3L, "ccc ddd"),
+      (4L, "xxx yyy"))
+    val got = rougeRows(dir)
+    assert(got((1L, 8L)) == ((1L, 0L, 4L, 5L, 6L, 727272L)))
+    assert(got((2L, 2L)) == ((1L, 0L, 1L, 4L, 5L, 222222L)))
+    assert(got((1L, 0L)) == ((1L, 1L, 0L, 2L, 2L, 0L)))
+    assert(got((2L, 0L)) == ((1L, 1L, 0L, 1L, 1L, 0L)))
+    assert(got.keySet == Set((1L, 8L), (1L, 0L), (2L, 2L), (2L, 0L)),
+      "unpaired doc 4 must contribute no row")
+  }
+
+  test("q205: identical one-token pair hits bucket 10; empty bigram sets guard the division") {
+    val dir = docsDir((0L, "alpha"), (1L, "alpha"))
+    val got = rougeRows(dir)
+    // 1-gram: perfect overlap → p = r = f1 = 1000000, bucket 10
+    assert(got((1L, 10L)) == ((1L, 0L, 1L, 1L, 1L, 1000000L)))
+    // 2-gram: both gram sets empty → totals 0, metrics 0 (no divide-by-zero)
+    assert(got((2L, 0L)) == ((1L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }

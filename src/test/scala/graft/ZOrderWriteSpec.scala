@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
   * numOutputRows metric counts rows surviving parquet-level filtering,
   * so fewer rows out of the scan == row groups skipped. */
 class ZOrderWriteSpec extends SparkSpec {
+  import spark.implicits._
 
   // AQE wraps stages as traversal leaves; descend explicitly (PruningSpec)
   private def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
@@ -70,6 +71,43 @@ class ZOrderWriteSpec extends SparkSpec {
       assert(scannedZ * 2 <= scannedP,
         s"z-order scan should skip at least half vs 1-D layout: " +
           s"z=$scannedZ plain=$scannedP for $pred")
+    }
+  }
+
+  test("q206: zone-map hit logic on a hand grid — corner cells, both layouts") {
+    // Four orders at the bucket-grid corners: (ck,dy) ∈ {0,255}².
+    // Bounds make bucketing the identity (x=ck, y=dy), so the cells and
+    // every block's min/max box are known exactly:
+    //   lin (y DIV 4):   block 0  = {(0,0),(255,0)}   box x[0,255] y[0,0]
+    //                    block 63 = {(0,255),(255,255)} box x[0,255] y[255,255]
+    //   z  (z DIV 1024): four singleton blocks 0/21/42/63
+    //     (z of (255,0) = Σ4^b = 21845 → 21; (0,255) → 43690 → 42;
+    //      (255,255) → 65535 → 63)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zonemap").toString
+    Seq((1L, 0L, 0L), (2L, 255L, 0L), (3L, 0L, 255L), (4L, 255L, 255L))
+      .toDF("o_orderkey", "o_custkey", "dy")
+      .withColumn("o_orderdate", timestamp_seconds(col("dy") * 86400L))
+      .drop("dy")
+      .write.parquet(s"$tmp/orders.parquet")
+    val rows = SparkEntry.queries("q206_zonemap_prune")(spark, tmp)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map { case (l, p, bt, bh, rs, rm) => (l, p) -> ((bt, bh, rs, rm)) }
+      .toMap
+    // pred 0 = x ∈ [0,40], y unconstrained: the time-sorted layout's two
+    // blocks both span x[0,255] → zero pruning (scan all 4 rows); the z
+    // layout prunes to the two x=0 singletons
+    assert(rows(("lin", 0L)) == ((2L, 2L, 4L, 2L)))
+    assert(rows(("z", 0L)) == ((4L, 2L, 2L, 2L)))
+    // pred 1 = y ∈ [29,69]: no cell matches; lin prunes BOTH blocks
+    // (y-boxes are tight), z likewise hits nothing
+    assert(rows(("lin", 1L)) == ((2L, 0L, 0L, 0L)))
+    assert(rows(("z", 1L)) == ((4L, 0L, 0L, 0L)))
+    // every predicate: layouts agree on true matches, and a zone-map scan
+    // never reads fewer rows than it returns
+    for (p <- 0L until 16L) {
+      assert(rows(("lin", p))._4 == rows(("z", p))._4)
+      assert(rows(("lin", p))._3 >= rows(("lin", p))._4)
+      assert(rows(("z", p))._3 >= rows(("z", p))._4)
     }
   }
 }
