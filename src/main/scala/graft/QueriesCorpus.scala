@@ -696,6 +696,126 @@ object QueriesCorpus {
        |SELECT query_id, vec_id AS neighbor_id, score, rank FROM ranked
        |WHERE rank <= $QTopK ORDER BY query_id, rank""".stripMargin
 
+  // --- q207: MMR diversified top-k (maximal marginal relevance) --------------
+  // The diversified-retrieval op RAG stacks and eval-set builders run on
+  // top of a similarity index: plain top-k (q71) returns k near-copies
+  // of the best hit when the corpus has near-dup clusters; MMR
+  // (Carbonell & Goldstein '98, public) greedily picks
+  // argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), trading relevance
+  // against redundancy with the already-selected set S. Everything runs
+  // on q71's int8 quantization with INTEGER dot products and λ = 0.7 as
+  // the exact integer form 7·rel − 3·maxsim (scores ≤ 7·2²⁰ — orders are
+  // engine-exact, ties broken by vec_id). The first pick has S = ∅ (the
+  // penalty term is 0), so rank 1 is the plain relevance argmax.
+  // Scale: the CORPUS-sized work is one scored scan + TakeOrdered into a
+  // fixed m=50 candidate pool — identical shape to q71; the greedy loop
+  // is O(k·m) arithmetic over a broadcast-sized pool and m² pool-pair
+  // sims (both collected once — FIXED size at any corpus scale, the
+  // k·dim driver-collect discipline of q83/q108). The DuckDB twin
+  // replays all 10 selection rounds as unrolled CTEs (the q203
+  // convention), so the greedy path itself is oracle-gated bit-for-bit.
+  private val MmrPoolM = 50
+  private val MmrK = 10
+  private val q207: Q = (s, dir) => {
+    import s.implicits._
+    val quantized = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
+      .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("scale", expr("CASE WHEN mx = 0.0D THEN 1.0D ELSE 127.0D / mx END"))
+      .withColumn("q", expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS BIGINT))"))
+      .select(col("vec_id"), col("q"))
+    val qv = quantized.filter(col("vec_id") === 0L)
+      .select(col("q").as("qq"))
+    val intDot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), " +
+      "CAST(0 AS BIGINT), (acc, p) -> acc + p)"
+    val pool = quantized.filter(col("vec_id") > 0L)
+      .crossJoin(broadcast(qv))
+      .withColumn("rel", expr(intDot.format("qq", "q")))
+      .orderBy(desc("rel"), col("vec_id")).limit(MmrPoolM)
+      .select(col("vec_id"), col("q"), col("rel"))
+      .localCheckpoint() // the corpus is gone past this point
+    val sims = pool.select(col("vec_id").as("a"), col("q").as("qa"))
+      .join(pool.select(col("vec_id").as("b"), col("q").as("qb")),
+        col("a") =!= col("b"))
+      .withColumn("s", expr(intDot.format("qa", "qb")))
+      .select(col("a"), col("b"), col("s"))
+    // fixed-size collects: m rels + m·(m−1) pair sims, constant in the corpus
+    val rels = pool.select(col("vec_id"), col("rel"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val simMap = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // a pool smaller than k exhausts early: emit min(k, |pool|) rows (the
+    // twin's empty round-i CTEs produce the same truncation)
+    for (rank <- 1 to math.min(MmrK, rels.size)) {
+      val best = rels.keysIterator.filterNot(chosen.contains)
+        .map { c =>
+          val pen = if (chosen.isEmpty) 0L
+                    else chosen.map(sel => simMap((c, sel))).max
+          (7L * rels(c) - 3L * pen, c)
+        }
+        .minBy { case (score, id) => (-score, id) }
+      selected += ((rank.toLong, best._2, rels(best._2), best._1))
+      chosen += best._2
+    }
+    selected.toSeq.toDF("rank", "vec_id", "rel", "mmr_score")
+      .orderBy(col("rank"))
+  }
+  private val q207Sql = {
+    val dot =
+      """list_reduce([CAST(0 AS BIGINT)] ||
+        |      list_transform(generate_series(1, len(%s)), i -> %s[i] * %s[i]),
+        |      (acc, p) -> acc + p)""".stripMargin
+    val rounds = (2 to MmrK).map { i =>
+      s"""cand$i AS (
+         |  SELECT p.vec_id, p.rel, 7 * p.rel - 3 * MAX(s.s) AS mmr_score
+         |  FROM pool p
+         |  JOIN sims s ON s.a = p.vec_id
+         |    AND s.b IN (SELECT vec_id FROM selall${i - 1})
+         |  WHERE p.vec_id NOT IN (SELECT vec_id FROM selall${i - 1})
+         |  GROUP BY p.vec_id, p.rel
+         |), sel$i AS (
+         |  SELECT vec_id, rel, mmr_score, CAST($i AS BIGINT) AS rank
+         |  FROM cand$i ORDER BY mmr_score DESC, vec_id LIMIT 1
+         |), selall$i AS MATERIALIZED (
+         |  SELECT vec_id FROM selall${i - 1}
+         |  UNION ALL SELECT vec_id FROM sel$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to MmrK)
+      .map(i => s"SELECT rank, vec_id, rel, mmr_score FROM sel$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), qz AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> CAST(floor(x *
+       |      (CASE WHEN list_max(list_transform(v, y -> abs(y))) = 0.0 THEN 1.0
+       |            ELSE 127.0 / list_max(list_transform(v, y -> abs(y))) END)
+       |      + 0.5) AS BIGINT)) AS q
+       |  FROM e
+       |), pool AS MATERIALIZED (
+       |  SELECT c.vec_id, c.q, ${dot.format("qs.q", "qs.q", "c.q")} AS rel
+       |  FROM qz c, qz qs
+       |  WHERE qs.vec_id = 0 AND c.vec_id > 0
+       |  ORDER BY rel DESC, c.vec_id LIMIT $MmrPoolM
+       |), sims AS MATERIALIZED (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    ${dot.format("a.q", "a.q", "b.q")} AS s
+       |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+       |), sel1 AS (
+       |  SELECT vec_id, rel, 7 * rel AS mmr_score, CAST(1 AS BIGINT) AS rank
+       |  FROM pool ORDER BY mmr_score DESC, vec_id LIMIT 1
+       |), selall1 AS MATERIALIZED (
+       |  SELECT vec_id FROM sel1
+       |),
+       |$rounds
+       |$unionAll
+       |ORDER BY rank""".stripMargin
+  }
+
   // --- q189: source-profile drift (total-variation audit) --------------------
   // The mixture-health check a multi-source corpus runs every ingest:
   // does each source's language profile match the corpus-wide profile,
@@ -1044,6 +1164,7 @@ object QueriesCorpus {
     "q200_domain_cap" -> q200,
     "q189_source_drift" -> q189,
     "q71_quantized_topk" -> q71,
+    "q207_mmr_diversify" -> q207,
     "q70_bpe_pairs" -> q70,
     "q69_classifier_score" -> q69,
     "q68_embedding_quantize" -> q68,
@@ -1065,6 +1186,7 @@ object QueriesCorpus {
     "q200_domain_cap" -> q200Sql,
     "q189_source_drift" -> q189Sql,
     "q71_quantized_topk" -> q71Sql,
+    "q207_mmr_diversify" -> q207Sql,
     "q70_bpe_pairs" -> q70Sql,
     "q69_classifier_score" -> q69Sql,
     "q68_embedding_quantize" -> q68Sql,

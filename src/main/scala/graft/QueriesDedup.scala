@@ -470,6 +470,103 @@ object QueriesDedup {
        |SELECT id AS doc_id, MIN(r) AS component
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // --- q208: leakage-free split by near-dup component ------------------------
+  // The published failure mode of q44's per-doc hash split: near-dup
+  // TWINS land in different splits, so eval grams sit in train and
+  // held-out metrics read inflated (the contamination C4/GPT-3 appendix
+  // C decontaminate AFTER the fact; group-wise splitting prevents it —
+  // same principle as q195's group k-fold, with the group = the thing
+  // that actually leaks: the q51 dedup component). Assignment hashes the
+  // GROUP key (component min-id; singleton docs key on themselves), so a
+  // whole near-dup cluster moves as one unit. Published per (strategy ∈
+  // {by_doc, by_group}, split): doc/group counts, doc-id checksum, and
+  // the strategy's LEAKED-PAIR count — near-dup pairs straddling splits.
+  // by_doc shows the real leak on the planted classes; by_group is 0 by
+  // construction, and the query PROVES it rather than asserting it.
+  // Scale: the corpus work is the same banded LSH join + log-diameter
+  // components q51 already pays; the split assignment is per-row hash
+  // arithmetic, and the leakage audit joins the fixed-width pair list
+  // to two split columns — equi-joins on doc ids, 6-row output.
+  private val q208: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val hashed = NearDup
+      .shingleHashed(d.repartition(Tables.shufflePartitions(s)), "doc_id", "text")
+      .cache()
+    // pinned: reused by the component loop AND the leakage audit
+    val pairs = NearDup.pairs(hashed, 0.5).localCheckpoint()
+    val comp = Components.minLabel(pairs, "doc_a", "doc_b")
+    hashed.unpersist()
+    val bDoc = TextOps.docBucketExpr("CAST(doc_id AS STRING)")
+    val bGrp = TextOps.docBucketExpr("CAST(gkey AS STRING)")
+    def splitCase(b: String) =
+      s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
+    val asg = d.select(col("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .withColumn("gkey", coalesce(col("component"), col("doc_id")))
+      .select(col("doc_id"), col("gkey"), explode(expr(
+        s"array(struct('by_doc' AS strategy, ${splitCase(bDoc)} AS split), " +
+        s"struct('by_group' AS strategy, ${splitCase(bGrp)} AS split))"))
+        .as("e"))
+      .select(col("doc_id"), col("gkey"),
+        col("e.strategy").as("strategy"), col("e.split").as("split"))
+      .localCheckpoint() // feeds the per-split counts AND both leak sides
+    val leak = pairs
+      .join(asg.select(col("doc_id").as("doc_a"), col("strategy"),
+        col("split").as("split_a")), Seq("doc_a"))
+      .join(asg.select(col("doc_id").as("doc_b"), col("strategy"),
+        col("split").as("split_b")), Seq("doc_b", "strategy"))
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy(col("strategy")).agg(count(lit(1)).as("leaked_pairs"))
+    asg.groupBy(col("strategy"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("gkey")).as("n_groups"),
+        sum(col("doc_id")).as("doc_sig"))
+      .join(broadcast(leak), Seq("strategy"), "left")
+      .withColumn("leaked_pairs", coalesce(col("leaked_pairs"), lit(0L)))
+      .orderBy(col("strategy"), col("split"))
+  }
+  private val q208Sql = {
+    val bDoc = TextOps.sql.docBucket("CAST(doc_id AS VARCHAR)")
+    val bGrp = TextOps.sql.docBucket("CAST(gkey AS VARCHAR)")
+    def splitCase(b: String) =
+      s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
+    s"""WITH RECURSIVE $lshScoredCtes,
+       |p AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION SELECT doc_b, doc_a FROM p
+       |), reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.id
+       |), comp AS (
+       |  SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+       |), g AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS gkey
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)
+       |), asg AS (
+       |  SELECT doc_id, gkey, 'by_doc' AS strategy,
+       |    ${splitCase(bDoc)} AS split FROM g
+       |  UNION ALL
+       |  SELECT doc_id, gkey, 'by_group', ${splitCase(bGrp)} FROM g
+       |), leak AS (
+       |  SELECT sa.strategy, CAST(COUNT(*) AS BIGINT) AS leaked_pairs
+       |  FROM p
+       |  JOIN asg sa ON sa.doc_id = p.doc_a
+       |  JOIN asg sb ON sb.doc_id = p.doc_b AND sb.strategy = sa.strategy
+       |  WHERE sa.split <> sb.split
+       |  GROUP BY sa.strategy
+       |)
+       |SELECT strategy, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT gkey) AS BIGINT) AS n_groups,
+       |  CAST(SUM(doc_id) AS BIGINT) AS doc_sig,
+       |  COALESCE(l.leaked_pairs, 0) AS leaked_pairs
+       |FROM asg LEFT JOIN leak l USING (strategy)
+       |GROUP BY strategy, split, l.leaked_pairs
+       |ORDER BY strategy, split""".stripMargin
+  }
+
   // --- q114: near-dup cluster-size histogram (the dedup AUDIT) ---------------
   // What q51's components look like in aggregate — the question a
   // curation run actually asks: is duplication pairwise noise (clusters
@@ -1046,6 +1143,7 @@ object QueriesDedup {
     "q52_embedding_neardup_bucketed" -> q52,
     "q199_adaptive_lsh_neardup" -> q199,
     "q51_dedup_components" -> q51,
+    "q208_leakage_split" -> q208,
     "q26_exact_dedup" -> q26,
     "q27_minhash_lsh" -> q27,
     "q28_simhash" -> q28,
@@ -1066,6 +1164,7 @@ object QueriesDedup {
     "q52_embedding_neardup_bucketed" -> q52Sql,
     "q199_adaptive_lsh_neardup" -> q199Sql,
     "q51_dedup_components" -> q51Sql,
+    "q208_leakage_split" -> q208Sql,
     "q26_exact_dedup" -> q26Sql,
     "q27_minhash_lsh" -> q27Sql,
     "q28_simhash" -> q28Sql,

@@ -59,4 +59,55 @@ class MlPrepSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("A", 3L, 1500L, 2500L, 6000L, 2000L)))
   }
+
+  test("q208: group split keeps a planted near-dup cluster atomic; per-doc split leaks") {
+    val d = java.nio.file.Files.createTempDirectory("graft_leak").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // ids 0..19: one 20-doc near-dup cluster (jaccard ≈ 20/21 pairwise);
+    // ids 100..109: ten mutually-distinct singletons
+    val cluster = (0L until 20L).map(i => (i, s"$base extra$i"))
+    val singles = (0L until 10L).map(i =>
+      (100L + i, (0 until 15).map(j => s"w${i}_$j").mkString(" ")))
+    (cluster ++ singles).map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q208_leakage_split")(spark, d)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    val byGroup = got.filter(_._1 == "by_group")
+    val byDoc = got.filter(_._1 == "by_doc")
+    assert(byGroup.forall(_._6 == 0L), "group-wise split must never leak a pair")
+    assert(byDoc.forall(_._6 > 0L),
+      "the 20-doc cluster must straddle per-doc splits (hash is deterministic)")
+    // docs conserved per strategy; the cluster is ONE group under by_group
+    // (sum of per-split distinct groups = 1 cluster + 10 singletons), while
+    // under by_doc the straddling cluster is counted once per split touched
+    assert(byGroup.map(_._3).sum == 30L && byDoc.map(_._3).sum == 30L)
+    assert(byGroup.map(_._4).sum == 11L, "cluster atomic under by_group")
+    assert(byDoc.map(_._4).sum > 11L, "cluster straddles under by_doc")
+  }
+
+  test("q207: MMR demotes the near-duplicate of the top hit; pool < k truncates") {
+    val d = java.nio.file.Files.createTempDirectory("graft_mmr").toString
+    // max-abs 127 integer vectors → int8 quantization is the identity, so
+    // every score is hand-checkable: query [127,102]; v1 ≈ v2 (near-dups
+    // aligned with the query), v3 orthogonal to them but relevant via the
+    // query's second component. Plain rel order: v1, v2, v3 — MMR must
+    // pick v3 over the near-dup v2 at rank 2 (λ=0.7 integer form).
+    Seq(
+      (0L, Array(127f, 102f), 0),
+      (1L, Array(127f, 1f), 0),
+      (2L, Array(127f, 0f), 0),
+      (3L, Array(0f, 127f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val got = SparkEntry.queries("q207_mmr_diversify")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 1L, 16231L, 7L * 16231L),                 // pure relevance argmax
+      (2L, 3L, 12954L, 7L * 12954L - 3L * 127L),     // orthogonal beats near-dup
+      (3L, 2L, 16129L, 7L * 16129L - 3L * 16129L)),  // near-dup last, penalized
+      s"got $got")
+    assert(got.size == 3, "pool of 3 candidates truncates k=10 to 3 rows")
+  }
 }
