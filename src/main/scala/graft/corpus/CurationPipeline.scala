@@ -45,6 +45,9 @@ import graft.ops.{CurationDedup, Inference, Mixture, NearDup, TextOps}
   *                   sampling: token-budget policy (q63) by default, or
   *                   temperature-scaled ∝ mass^α (q89) via
   *                   [[Config.temperatureAlpha]]
+  *   8. split      — leakage-aware train/val/test assignment (q208's
+  *                   rule, domain-keyed when a URL column exists), when
+  *                   [[Config.assignSplit]] is set; drops nothing
   *
   * Stage order: document-level dedups run cheapest-first (exact, then
   * normalized — same shuffle key discipline, raw hash cheaper than NFC
@@ -110,7 +113,17 @@ object CurationPipeline {
       // to temperature-scaled rates ∝ mass^α (q89's policy): flatten
       // source imbalance rather than cap each source — the knob a
       // pretraining mix uses when small sources should survive
-      temperatureAlpha: Option[Double] = None)
+      temperatureAlpha: Option[Double] = None,
+      // true appends a `split` column (train/val/test, 80/10/10) to the
+      // release — the q208 leakage-aware rule: the assignment hashes the
+      // REGISTERED DOMAIN (PSL extraction) when the corpus carries
+      // `urlCol`, so a publisher's pages move as one unit (the standard
+      // leakage control — same-site pages correlate even below the
+      // near-dup threshold the dedup stages already collapse); docs with
+      // no parseable URL (or a url-less corpus) key on their own doc_id.
+      // Pure per-row hash arithmetic — the incremental release replays
+      // it bit-identically by construction.
+      assignSplit: Boolean = false)
 
   /** @return (curated corpus, audit of (stage, docs_after)) */
   def run(docs: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
@@ -308,7 +321,7 @@ object CurationPipeline {
     // run would see; policy: fixed token budget (q63) by default, or
     // temperature-scaled rates (q89) when cfg.temperatureAlpha is set
     val withToks = redacted.withColumn("n_toks", expr(s"CAST($nToks AS BIGINT)"))
-    val curated = (cfg.temperatureAlpha match {
+    val mixed = (cfg.temperatureAlpha match {
       case Some(a) =>
         val rates = Mixture.temperatureRates(withToks, "source", "n_toks", a)
         Mixture.sampleAtRates(withToks, "source", rates,
@@ -318,11 +331,36 @@ object CurationPipeline {
           cfg.budgetToksPerSource)
         Mixture.sampleAtRates(withToks, "source", rates)
     }).select(outCols.map(col): _*) // input column order, untouched
-      .cache()
 
+    // 8. leakage-aware split assignment (q208's rule): hash the registered
+    // domain when a URL is present — a publisher's pages land in ONE split
+    // — else the doc's own id; thresholds are q44's 80/10/10. Per-row
+    // arithmetic (the PSL join is 4 broadcast lookups), drops nothing —
+    // the audit row pins that invariant like pii_redact's does.
+    val curated = (if (!cfg.assignSplit) mixed else {
+      require(!mixed.columns.contains("split"),
+        "assignSplit reserves output column 'split'; rename or drop the input's")
+      val keyed =
+        if (mixed.columns.contains(cfg.urlCol))
+          graft.ops.Psl.withRegisteredDomain(mixed, cfg.urlCol, "_sdom")
+            .withColumn("_skey",
+              when(col("_sdom") === "", col("doc_id").cast("string"))
+                .otherwise(col("_sdom")))
+            .drop("_sdom")
+        else mixed.withColumn("_skey", col("doc_id").cast("string"))
+      val b = TextOps.docBucketExpr("_skey")
+      keyed.withColumn("split", expr(
+          s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' " +
+          "ELSE 'test' END"))
+        .drop("_skey")
+    }).cache()
+
+    val splitTail =
+      if (cfg.assignSplit) Seq(("split_assign", curated.count()))
+      else Seq.empty[(String, Long)]
     val tail = capTail ++ lineTail ++ Seq(("substring_scrub", scrub.count()),
       ("pii_redact", redacted.count()),
-      ("mixture_sample", curated.count()))
+      ("mixture_sample", curated.count())) ++ splitTail
     (curated, tail,
       capCaches ++ lineCaches ++ Seq(gramHashed, scrub, redacted))
   }

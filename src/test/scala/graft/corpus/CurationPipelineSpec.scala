@@ -262,4 +262,32 @@ class CurationPipelineSpec extends SparkSpec {
     assert(bySrc("s_small") < 40L && bySrc("s_small") > 0L,
       s"lighter source should thin to ~50%, got ${bySrc("s_small")}")
   }
+
+  test("split stage: domain-keyed assignment keeps a publisher in one split; drops nothing") {
+    // 12 docs across 3 registered domains (4 pages each) + 2 url-less docs
+    def doc(id: Long, url: String) =
+      (id, (1 to 12).map(j => s"w${id}_$j").mkString(" "), "en", "s0", 0L, url)
+    val docs = ((for (d <- 0L until 3L; p <- 0L until 4L) yield
+      doc(d * 10 + p, s"https://page$p.site$d.co.uk/x")) ++
+      Seq(doc(100L, null.asInstanceOf[String]), doc(101L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "url")
+    val cfg = CurationPipeline.Config(minToks = 1, maxDupTokFrac = 1.0,
+      minScore = 0.0, budgetToksPerSource = 1000000L, assignSplit = true)
+    val (curated, audit) = CurationPipeline.run(docs, cfg)
+    val rows = curated.select(col("doc_id"), col("split"), col("url"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(rows.size == 14, "split assignment must drop nothing")
+    assert(rows.forall(r => Set("train", "val", "test")(r._2)))
+    // all 4 pages of each siteN.co.uk publisher share one split
+    for (d <- 0L until 3L) {
+      val splits = rows.filter(r => r._1 / 10 == d && r._1 < 100).map(_._2).toSet
+      assert(splits.size == 1, s"publisher site$d straddles splits: $splits")
+    }
+    val am = audit.as[(String, Long)].collect().toMap
+    assert(am("split_assign") == 14L && am("mixture_sample") == 14L)
+    // knob off: no split column, no audit row
+    val (off, auditOff) = CurationPipeline.run(docs, cfg.copy(assignSplit = false))
+    assert(!off.columns.contains("split"))
+    assert(!auditOff.as[(String, Long)].collect().toMap.contains("split_assign"))
+  }
 }

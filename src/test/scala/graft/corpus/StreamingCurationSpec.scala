@@ -132,7 +132,7 @@ class StreamingCurationSpec extends SparkSpec {
     // stage-order hazard) — this test isolates the two new knobs
     val cfg = CurationPipeline.Config(minToks = 1, maxDupTokFrac = 1.0,
       minScore = 0.0, budgetToksPerSource = 1000000L, scrubMinCount = 99,
-      domainCap = Some(2L), editDistanceMax = Some(40))
+      domainCap = Some(2L), editDistanceMax = Some(40), assignSplit = true)
     def tick(): Unit = StreamingCuration.curationTick(
       spark, landing.toString, ckpt.toString, store, quar, state, cfg)
 
@@ -177,6 +177,15 @@ class StreamingCurationSpec extends SparkSpec {
       "both swap twins must survive with the confirm on")
     assert(incIds.intersect(Seq(2L, 3L, 5L)).size == 2,
       "example.com must keep exactly cap=2 docs")
+    // split stage parity: per-doc assignments identical across paths, and
+    // the surviving example.com pages (one registered domain) share a split
+    val incSplit = incCurated.select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    val batchSplit = batchCurated.select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    assert(incSplit == batchSplit)
+    assert(Seq(2L, 3L, 5L).flatMap(incSplit.get).toSet.size == 1,
+      "one publisher's pages must land in one split")
     incCurated.unpersist(); batchCurated.unpersist()
   }
 
