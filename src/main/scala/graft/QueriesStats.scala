@@ -576,6 +576,10 @@ object QueriesStats {
       .withColumn("y", expr("((dy - dy0) * 256) DIV (dy1 - dy0 + 1)"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cn"))
       .withColumn("z", expr(zInterleave("x", "y", "DIV")))
+      // grid-sized pin: blk, scans AND matched all read the cell table —
+      // unpinned, each branch re-scans the corpus (4 parquet scans in the
+      // plan where the bounds pattern's inherent 2 suffice)
+      .localCheckpoint()
     val blk = cells.select(col("x"), col("y"), col("cn"), explode(expr(
         "array(struct('lin' AS layout, y DIV 4 AS block), " +
         "struct('z' AS layout, z DIV 1024 AS block))")).as("e"))

@@ -152,4 +152,40 @@ class RetrievalSpec extends SparkSpec {
     // 2-gram: both gram sets empty → totals 0, metrics 0 (no divide-by-zero)
     assert(got((2L, 0L)) == ((1L, 0L, 0L, 0L, 0L, 0L)))
   }
+
+  test("q205 property: histogram equals a STRING-level multiset reference on a 5-token vocab") {
+    // tokens from a 5-word vocabulary → heavy within-doc repetition, so
+    // the clip genuinely clips (min of counts > 1 both sides). The
+    // reference implementation counts grams AS STRINGS — independent of
+    // the query's 60-bit hashing — and rebuilds the whole histogram.
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (0L until 60L).map { id =>
+      val n = 1 + rnd.nextInt(30)
+      (id, (1 to n).map(_ => vocab(rnd.nextInt(5))).mkString(" "))
+    }
+    val dir = docsDir(docs: _*)
+    def grams(toks: Seq[String], k: Int): Map[Seq[String], Long] =
+      toks.sliding(k).filter(_.size == k).toSeq.groupBy(identity)
+        .map { case (g, o) => g -> o.size.toLong }
+    val byId = docs.toMap.map { case (id, t) => id -> t.split(" ").toSeq }
+    val expect = (for {
+      pid <- 0L until 30L
+      n <- Seq(1, 2)
+      ref = byId.get(pid * 2); cand = byId.get(pid * 2 + 1)
+      if ref.isDefined && cand.isDefined
+    } yield {
+      val (gr, gc) = (grams(ref.get, n), grams(cand.get, n))
+      val clip = gc.map { case (g, c) => math.min(c, gr.getOrElse(g, 0L)) }.sum
+      val (ct, rt) = (gc.values.sum, gr.values.sum)
+      val p = if (ct == 0) 0L else 1000000L * clip / ct
+      val r = if (rt == 0) 0L else 1000000L * clip / rt
+      val f1 = if (p + r == 0) 0L else 2 * p * r / (p + r)
+      (n.toLong, p / 100000L, pid, clip, ct, rt, f1)
+    }).groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+      k -> ((rows.size.toLong, rows.map(_._3).sum, rows.map(_._4).sum,
+        rows.map(_._5).sum, rows.map(_._6).sum, rows.map(_._7).sum))
+    }
+    assert(rougeRows(dir) == expect)
+  }
 }
