@@ -584,6 +584,274 @@ object QueriesQuant {
        |) ci""".stripMargin
   }
 
+  // --- q209/q210 shared: pairwise-preference matrix --------------------------
+  // The raw material of RLHF preference aggregation: a corpus of pairwise
+  // "A beat B" judgments. Derived deterministically from events — for each
+  // user and each pair of event types the user triggered, the type with
+  // the larger exact per-user value total wins (per-row round-half-up
+  // micros BEFORE the sum, so the comparison is integer-exact and
+  // summation-order-free; exact ties are discarded, not coin-flipped).
+  // Scale: the (user, type) aggregate is combinable; the pair join fans
+  // out ≤ k(k−1)/2 rows per user for k event types (k is dimension-sized,
+  // NOT corpus-sized), shuffled by user_id; the output matrix is k² rows.
+  private def prefWins(s: SparkSession, dir: String): DataFrame = {
+    val tot = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)").as("v"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("v")).as("tot"))
+    val a = tot.select(col("user_id"), col("event_type").as("ia"),
+      col("tot").as("ta"))
+    val b = tot.select(col("user_id").as("ub"), col("event_type").as("ib"),
+      col("tot").as("tb"))
+    a.join(b, col("user_id") === col("ub") && col("ia") < col("ib"))
+      .filter(col("ta") =!= col("tb"))
+      .select(
+        when(col("ta") > col("tb"), col("ia")).otherwise(col("ib"))
+          .as("winner"),
+        when(col("ta") > col("tb"), col("ib")).otherwise(col("ia"))
+          .as("loser"))
+      .groupBy(col("winner"), col("loser")).agg(count(lit(1)).as("w"))
+  }
+  private val prefWinsSql =
+    """tot AS (
+      |  SELECT user_id, event_type,
+      |    CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS tot
+      |  FROM events GROUP BY user_id, event_type
+      |), wins AS MATERIALIZED (
+      |  SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS w FROM (
+      |    SELECT
+      |      CASE WHEN a.tot > b.tot THEN a.event_type ELSE b.event_type END
+      |        AS winner,
+      |      CASE WHEN a.tot > b.tot THEN b.event_type ELSE a.event_type END
+      |        AS loser
+      |    FROM tot a JOIN tot b
+      |      ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |    WHERE a.tot <> b.tot
+      |  ) GROUP BY winner, loser
+      |)""".stripMargin
+
+  // --- q209: Bradley–Terry preference ratings (MM iterations) ----------------
+  // Item strengths from pairwise comparisons — the model behind RLHF
+  // reward-data aggregation, chess Elo's maximum-likelihood cousin
+  // (Bradley & Terry 1952; minorize–maximize form per Hunter 2004):
+  //   p_i ← W_i / Σ_{j≠i} n_ij / (p_i + p_j),  then rescale.
+  // Float MM can't cross-engine-hash (compounded division order), so the
+  // whole recurrence runs in scaled integers: p is an int rating at scale
+  // S = 10⁶, each round computes D_i = Σ_j (n_ij·S²) DIV (p_i + p_j),
+  // p'_i = (W_i·S²) DIV D_i (keep p when D = 0), then renormalizes by
+  // max(p') DIV S + 1 so magnitudes stay in [0, 2S). All values are
+  // non-negative, so Spark DIV (trunc), DuckDB // (floor), and BigInt /
+  // agree (the q93/q108 discipline). n_ij·S² clears int64 at ~9×10⁶
+  // comparisons — under the 100 TB design point — so the oracle runs
+  // HUGEINT and the driver loop BigInt (exact at any scale).
+  // Scale: ONE combinable corpus aggregate builds the k²-row matrix;
+  // the MM loop runs on that collected matrix (dimension-sized collect,
+  // the KMeans.train discipline — k = distinct event types, not rows).
+  private val BtIters = 8
+  private val BtScale = 1000000L
+  private val q209: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val winRows = prefWins(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val ranked: Seq[(String, Long, Long, Long, Long)] =
+      if (winRows.isEmpty) Seq.empty
+      else {
+        val items = winRows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+        val wTot = items.map(i =>
+          i -> BigInt(winRows.filter(_._1 == i).map(_._3).sum)).toMap
+        val games: Map[(String, String), BigInt] = winRows
+          .flatMap { case (i, j, w) =>
+            Seq((i, j) -> BigInt(w), (j, i) -> BigInt(w)) }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        val gTot = items.map(i =>
+          i -> games.collect { case ((a, _), n) if a == i => n }.sum).toMap
+        val s2 = BigInt(BtScale) * BigInt(BtScale)
+        var p: Map[String, BigInt] = items.map(_ -> BigInt(BtScale)).toMap
+        for (_ <- 1 to BtIters) {
+          val r = items.map { i =>
+            val d = items.filter(j => games.contains((i, j)))
+              .map(j => games((i, j)) * s2 / (p(i) + p(j))).sum
+            i -> (if (d > 0) wTot(i) * s2 / d else p(i))
+          }.toMap
+          val qdiv = r.values.max / BigInt(BtScale) + 1
+          p = r.map { case (i, v) => i -> v / qdiv }
+        }
+        items
+          .map(i => (i, wTot(i).toLong, gTot(i).toLong, p(i).toLong))
+          .sortBy { case (i, _, _, rating) => (-rating, i) }
+          .zipWithIndex
+          .map { case ((i, w, g, rt), ix) => (i, w, g, rt, (ix + 1).toLong) }
+          .toSeq
+      }
+    ranked.toDF("item", "w_total", "n_games", "rating", "rnk")
+      .orderBy(col("rnk"))
+  }
+  private val q209Sql = {
+    val s2 = s"CAST($BtScale AS HUGEINT) * $BtScale"
+    def iter(k: Int): String = {
+      val prev = s"p${k - 1}"
+      s"""d$k AS (
+         |  SELECT g.i AS item,
+         |    SUM((CAST(g.n AS HUGEINT) * $BtScale * $BtScale)
+         |      // (pi.p + pj.p)) AS d
+         |  FROM g JOIN $prev pi ON g.i = pi.item
+         |         JOIN $prev pj ON g.j = pj.item
+         |  GROUP BY g.i
+         |),
+         |r$k AS (
+         |  SELECT p.item,
+         |    CASE WHEN d.d IS NULL OR d.d = 0 THEN p.p
+         |      ELSE (CAST(w.wt AS HUGEINT) * $BtScale * $BtScale) // d.d
+         |    END AS p
+         |  FROM $prev p
+         |  LEFT JOIN d$k d ON p.item = d.item
+         |  JOIN wtot w ON p.item = w.item
+         |),
+         |m$k AS (SELECT MAX(p) // $BtScale + 1 AS qd FROM r$k),
+         |p$k AS MATERIALIZED (SELECT item, p // qd AS p FROM r$k, m$k)"""
+        .stripMargin
+    }
+    // every p$k is referenced 3× by the next round (pi, pj, and the
+    // D=0 fallback) — WITHOUT materialization DuckDB's CTE inlining
+    // re-expands the whole upstream tree 3^BtIters times
+    s"""WITH $prefWinsSql,
+       |it AS (
+       |  SELECT DISTINCT item FROM (
+       |    SELECT winner AS item FROM wins
+       |    UNION ALL SELECT loser FROM wins)
+       |),
+       |g AS (
+       |  SELECT i, j, CAST(SUM(w) AS BIGINT) AS n FROM (
+       |    SELECT winner AS i, loser AS j, w FROM wins
+       |    UNION ALL SELECT loser AS i, winner AS j, w FROM wins
+       |  ) GROUP BY i, j
+       |),
+       |wtot AS (
+       |  SELECT it.item, COALESCE(CAST(SUM(wins.w) AS BIGINT), 0) AS wt
+       |  FROM it LEFT JOIN wins ON wins.winner = it.item GROUP BY it.item
+       |),
+       |gtot AS (SELECT i AS item, CAST(SUM(n) AS BIGINT) AS gt FROM g
+       |  GROUP BY i),
+       |p0 AS MATERIALIZED (SELECT item, CAST($BtScale AS HUGEINT) AS p
+       |  FROM it),
+       |${(1 to BtIters).map(iter).mkString(",\n")}
+       |SELECT it.item, w.wt AS w_total, COALESCE(gt.gt, 0) AS n_games,
+       |  CAST(p.p AS BIGINT) AS rating,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY p.p DESC, it.item) AS BIGINT)
+       |    AS rnk
+       |FROM it JOIN p$BtIters p ON it.item = p.item
+       |JOIN wtot w ON it.item = w.item
+       |LEFT JOIN gtot gt ON it.item = gt.item
+       |ORDER BY rnk""".stripMargin
+  }
+
+  // --- q210: preference-transitivity audit (cyclic triads) -------------------
+  // Is the preference corpus even consistent enough to fit? A majority
+  // tournament with cyclic triads (A beats B beats C beats A) caps any
+  // single-scalar rating's fit quality — the data-quality gate run BEFORE
+  // q209's model. Per unordered pair: both directed win counts, the
+  // majority direction ('tie' when exactly split), and whether the
+  // majority edge sits on any directed 3-cycle (each cycle found once by
+  // anchoring at its smallest item; its 3 edges are then all flagged).
+  // Scale: everything after prefWins' combinable aggregate runs on the
+  // k²-row matrix — the triple join is k³ over a dimension-sized table,
+  // broadcast by the planner, never corpus-touching.
+  private val q210: Q = (s, dir) => {
+    val wins = prefWins(s, dir)
+    val pair = wins.select(
+      when(col("winner") < col("loser"), col("winner")).otherwise(col("loser"))
+        .as("a"),
+      when(col("winner") < col("loser"), col("loser")).otherwise(col("winner"))
+        .as("b"),
+      when(col("winner") < col("loser"), col("w")).otherwise(lit(0L))
+        .as("wab"),
+      when(col("winner") < col("loser"), lit(0L)).otherwise(col("w"))
+        .as("wba"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("wab")).as("w_ab"), sum(col("wba")).as("w_ba"))
+    val maj = pair.filter(col("w_ab") =!= col("w_ba")).select(
+      when(col("w_ab") > col("w_ba"), col("a")).otherwise(col("b")).as("src"),
+      when(col("w_ab") > col("w_ba"), col("b")).otherwise(col("a")).as("dst"))
+    val e1 = maj.select(col("src").as("x"), col("dst").as("y"))
+    val e2 = maj.select(col("src").as("y2"), col("dst").as("z"))
+    val e3 = maj.select(col("src").as("z2"), col("dst").as("x2"))
+    val cyc = e1
+      .join(e2, col("y") === col("y2"))
+      .join(e3, col("z") === col("z2") && col("x") === col("x2"))
+      .filter(col("x") < col("y") && col("x") < col("z"))
+    val cycEdges = cyc.select(col("x").as("s"), col("y").as("d"))
+      .union(cyc.select(col("y").as("s"), col("z").as("d")))
+      .union(cyc.select(col("z").as("s"), col("x").as("d")))
+      .distinct()
+      .withColumn("cyc", lit(1L))
+    // the pair's own majority edge is computable inline (no re-join with
+    // maj needed): equi-join against the cycle-edge set only
+    pair
+      .withColumn("m_src",
+        when(col("w_ab") > col("w_ba"), col("a"))
+          .when(col("w_ba") > col("w_ab"), col("b")))
+      .withColumn("m_dst",
+        when(col("w_ab") > col("w_ba"), col("b"))
+          .when(col("w_ba") > col("w_ab"), col("a")))
+      .join(cycEdges,
+        col("s") === col("m_src") && col("d") === col("m_dst"), "left")
+      .select(col("a").as("item_a"), col("b").as("item_b"),
+        col("w_ab"), col("w_ba"),
+        coalesce(col("m_src"), lit("tie")).as("majority"),
+        coalesce(col("cyc"), lit(0L)).as("in_cycle"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+  private val q210Sql =
+    s"""WITH $prefWinsSql,
+       |pair AS (
+       |  SELECT a, b, CAST(SUM(wab) AS BIGINT) AS w_ab,
+       |    CAST(SUM(wba) AS BIGINT) AS w_ba
+       |  FROM (
+       |    SELECT
+       |      CASE WHEN winner < loser THEN winner ELSE loser END AS a,
+       |      CASE WHEN winner < loser THEN loser ELSE winner END AS b,
+       |      CASE WHEN winner < loser THEN w ELSE 0 END AS wab,
+       |      CASE WHEN winner < loser THEN 0 ELSE w END AS wba
+       |    FROM wins
+       |  ) GROUP BY a, b
+       |),
+       |maj AS (
+       |  SELECT CASE WHEN w_ab > w_ba THEN a ELSE b END AS src,
+       |    CASE WHEN w_ab > w_ba THEN b ELSE a END AS dst
+       |  FROM pair WHERE w_ab <> w_ba
+       |),
+       |cyc AS (
+       |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+       |  FROM maj e1 JOIN maj e2 ON e1.dst = e2.src
+       |       JOIN maj e3 ON e2.dst = e3.src AND e3.dst = e1.src
+       |  WHERE e1.src < e1.dst AND e1.src < e2.dst
+       |),
+       |cyc_edges AS (
+       |  SELECT DISTINCT s, d FROM (
+       |    SELECT x AS s, y AS d FROM cyc
+       |    UNION ALL SELECT y AS s, z AS d FROM cyc
+       |    UNION ALL SELECT z AS s, x AS d FROM cyc
+       |  )
+       |),
+       |pm AS (
+       |  SELECT a, b, w_ab, w_ba,
+       |    CASE WHEN w_ab > w_ba THEN a
+       |         WHEN w_ba > w_ab THEN b END AS m_src,
+       |    CASE WHEN w_ab > w_ba THEN b
+       |         WHEN w_ba > w_ab THEN a END AS m_dst
+       |  FROM pair
+       |)
+       |SELECT pm.a AS item_a, pm.b AS item_b, pm.w_ab, pm.w_ba,
+       |  COALESCE(pm.m_src, 'tie') AS majority,
+       |  CASE WHEN ce.s IS NOT NULL THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS in_cycle
+       |FROM pm
+       |LEFT JOIN cyc_edges ce ON ce.s = pm.m_src AND ce.d = pm.m_dst
+       |ORDER BY item_a, item_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q163_survival_hazard" -> q163,
     "q164_mannwhitney_auc" -> q164,
@@ -591,7 +859,9 @@ object QueriesQuant {
     "q166_heaps_curve" -> q166,
     "q168_calibration_bins" -> q168,
     "q169_rater_kappa" -> q169,
-    "q170_bootstrap_ci" -> q170)
+    "q170_bootstrap_ci" -> q170,
+    "q209_bradley_terry" -> q209,
+    "q210_pref_cycles" -> q210)
 
   val oracleSql: Map[String, String] = Map(
     "q163_survival_hazard" -> q163Sql,
@@ -600,5 +870,7 @@ object QueriesQuant {
     "q166_heaps_curve" -> q166Sql,
     "q168_calibration_bins" -> q168Sql,
     "q169_rater_kappa" -> q169Sql,
-    "q170_bootstrap_ci" -> q170Sql)
+    "q170_bootstrap_ci" -> q170Sql,
+    "q209_bradley_terry" -> q209Sql,
+    "q210_pref_cycles" -> q210Sql)
 }

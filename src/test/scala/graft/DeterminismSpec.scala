@@ -21,13 +21,19 @@ class DeterminismSpec extends SparkSpec {
   // stats (q100), windowed smoothing (q08), double division in dedup
   // scoring (q27), BM25 float scoring + top-k ties (q128), ratio-of-sums
   // (q23), percentile element selection (q121)
+  // ... plus the r10 additions whose determinism is load-bearing: the
+  // greedy MMR argmax over a TakeOrdered pool (q207 — pool-boundary and
+  // in-loop ties), and the leakage audit whose group keys come from an
+  // iterative component loop (q208)
   private val targets = Seq(
     "q100_exact_corr",
     "q08_smoothed_series",
     "q27_minhash_lsh",
     "q128_bm25_topk",
     "q23_guarded_ratios",
-    "q121_weighted_median")
+    "q121_weighted_median",
+    "q207_mmr_diversify",
+    "q208_leakage_split")
 
   private def runAt(name: String, partitions: Int): Seq[Row] = {
     val conf = spark.conf
