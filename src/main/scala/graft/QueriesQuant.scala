@@ -760,7 +760,9 @@ object QueriesQuant {
   // k²-row matrix — the triple join is k³ over a dimension-sized table,
   // broadcast by the planner, never corpus-touching.
   private val q210: Q = (s, dir) => {
-    val wins = prefWins(s, dir)
+    // k²-sized; referenced by pair/maj/cyc branches — pin it so the
+    // corpus aggregate runs once, not once per downstream branch
+    val wins = prefWins(s, dir).localCheckpoint()
     val pair = wins.select(
       when(col("winner") < col("loser"), col("winner")).otherwise(col("loser"))
         .as("a"),
