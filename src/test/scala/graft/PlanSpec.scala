@@ -80,6 +80,20 @@ class PlanSpec extends SparkSpec {
       "the adaptive bucketed path must not enumerate all pairs")
   }
 
+  test("q210 cycle detection joins stay equi-keyed on the pinned matrix") {
+    val p = plan("q210_pref_cycles")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the k³ triple join must stay an equi-join over the k²-row edge set")
+  }
+
+  test("q209 publishes a driver-computed dimension-sized result") {
+    // the MM loop runs on the collected k²-matrix; the published frame
+    // must be a LocalTableScan — any parquet scan downstream of the
+    // collect would mean the corpus is re-read to shape the output
+    val p = plan("q209_bradley_terry")
+    assert(p.contains("LocalTableScan") && !p.contains("Scan parquet"))
+  }
+
   test("q29 candidate join keys on the content-derived prefix hash, not length bands") {
     val p = plan("q29_ngram_jaccard")
     assert(p.contains("pk"), "join key must include the prefix-hash content component")
