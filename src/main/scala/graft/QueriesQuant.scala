@@ -594,25 +594,8 @@ object QueriesQuant {
   // Scale: the (user, type) aggregate is combinable; the pair join fans
   // out ≤ k(k−1)/2 rows per user for k event types (k is dimension-sized,
   // NOT corpus-sized), shuffled by user_id; the output matrix is k² rows.
-  private def prefWins(s: SparkSession, dir: String): DataFrame = {
-    val tot = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"),
-        expr("CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)").as("v"))
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(sum(col("v")).as("tot"))
-    val a = tot.select(col("user_id"), col("event_type").as("ia"),
-      col("tot").as("ta"))
-    val b = tot.select(col("user_id").as("ub"), col("event_type").as("ib"),
-      col("tot").as("tb"))
-    a.join(b, col("user_id") === col("ub") && col("ia") < col("ib"))
-      .filter(col("ta") =!= col("tb"))
-      .select(
-        when(col("ta") > col("tb"), col("ia")).otherwise(col("ib"))
-          .as("winner"),
-        when(col("ta") > col("tb"), col("ib")).otherwise(col("ia"))
-          .as("loser"))
-      .groupBy(col("winner"), col("loser")).agg(count(lit(1)).as("w"))
-  }
+  private def prefWins(s: SparkSession, dir: String): DataFrame =
+    ops.Preference.winsOf(ops.Preference.microTotals(Tables.events(s, dir)))
   private val prefWinsSql =
     """tot AS (
       |  SELECT user_id, event_type,
@@ -655,38 +638,9 @@ object QueriesQuant {
     val spark = s
     import spark.implicits._
     val winRows = prefWins(s, dir).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val ranked: Seq[(String, Long, Long, Long, Long)] =
-      if (winRows.isEmpty) Seq.empty
-      else {
-        val items = winRows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
-        val wTot = items.map(i =>
-          i -> BigInt(winRows.filter(_._1 == i).map(_._3).sum)).toMap
-        val games: Map[(String, String), BigInt] = winRows
-          .flatMap { case (i, j, w) =>
-            Seq((i, j) -> BigInt(w), (j, i) -> BigInt(w)) }
-          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
-        val gTot = items.map(i =>
-          i -> games.collect { case ((a, _), n) if a == i => n }.sum).toMap
-        val s2 = BigInt(BtScale) * BigInt(BtScale)
-        var p: Map[String, BigInt] = items.map(_ -> BigInt(BtScale)).toMap
-        for (_ <- 1 to BtIters) {
-          val r = items.map { i =>
-            val d = items.filter(j => games.contains((i, j)))
-              .map(j => games((i, j)) * s2 / (p(i) + p(j))).sum
-            i -> (if (d > 0) wTot(i) * s2 / d else p(i))
-          }.toMap
-          val qdiv = r.values.max / BigInt(BtScale) + 1
-          p = r.map { case (i, v) => i -> v / qdiv }
-        }
-        items
-          .map(i => (i, wTot(i).toLong, gTot(i).toLong, p(i).toLong))
-          .sortBy { case (i, _, _, rating) => (-rating, i) }
-          .zipWithIndex
-          .map { case ((i, w, g, rt), ix) => (i, w, g, rt, (ix + 1).toLong) }
-          .toSeq
-      }
-    ranked.toDF("item", "w_total", "n_games", "rating", "rnk")
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    ops.Preference.mmRatings(winRows, BtScale, BtIters)
+      .toDF("item", "w_total", "n_games", "rating", "rnk")
       .orderBy(col("rnk"))
   }
   private val q209Sql = {

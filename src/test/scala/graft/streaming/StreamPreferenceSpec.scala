@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Preference
+
+/** Incremental == batch for the preference state: any tick split of the
+  * event history must yield the same win matrix and the same ratings as
+  * one batch pass over the union — INCLUDING a tick that flips a vote
+  * an earlier tick already counted (the retract/re-assert path the
+  * append-only pair log exists for). */
+class StreamPreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toEvents(rows: Seq[(Long, Long, String, Double)]) =
+    rows.toDF("event_id", "user_id", "event_type", "value")
+
+  test("three ticks with a vote flip equal the batch pass over the union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spref").toString
+    // tick 1: u10 prefers paper (3.0) over rock (2.0); u20 rock over paper
+    val t1 = Seq(
+      (1L, 10L, "paper", 3.0), (2L, 10L, "rock", 2.0),
+      (3L, 20L, "rock", 3.0), (4L, 20L, "paper", 1.0))
+    // tick 2: u10's rock surges +5.0 → u10 FLIPS to rock (7.0 > 3.0);
+    // u30 arrives with scissors > rock
+    val t2 = Seq(
+      (5L, 10L, "rock", 5.0),
+      (6L, 30L, "scissors", 4.0), (7L, 30L, "rock", 1.0))
+    // tick 3: u20's paper rises to an exact TIE with rock (3.0 == 3.0)
+    // → u20's vote must be retracted and NOT re-asserted
+    val t3 = Seq((8L, 20L, "paper", 2.0))
+    Seq(t1, t2, t3).foreach(t =>
+      StreamPreference.tick(spark, toEvents(t), dir))
+
+    val batch = Preference
+      .winsOf(Preference.microTotals(toEvents(t1 ++ t2 ++ t3)))
+      .as[(String, String, Long)].collect().toSet
+    val streamed = StreamPreference.matrix(spark, dir)
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch)
+    // the flip and the tie are actually in the expected matrix
+    assert(batch == Set(("rock", "paper", 1L), ("scissors", "rock", 1L)))
+
+    val batchRatings = Preference.mmRatings(batch.toSeq)
+    assert(StreamPreference.ratings(spark, dir) == batchRatings)
+    assert(batchRatings.head._1 == "scissors") // beat the rock that beat paper
+  }
+
+  test("single tick equals batch; empty state reads as empty matrix") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spref1").toString
+    assert(StreamPreference.matrix(spark, dir).count() == 0)
+    assert(StreamPreference.ratings(spark, dir).isEmpty)
+    val t = Seq(
+      (1L, 10L, "a", 2.0), (2L, 10L, "b", 1.0), (3L, 11L, "a", 1.5),
+      (4L, 11L, "b", 2.5))
+    StreamPreference.tick(spark, toEvents(t), dir)
+    val batch = Preference.winsOf(Preference.microTotals(toEvents(t)))
+      .as[(String, String, Long)].collect().toSet
+    assert(StreamPreference.matrix(spark, dir)
+      .as[(String, String, Long)].collect().toSet == batch)
+    assert(batch == Set(("a", "b", 1L), ("b", "a", 1L)))
+  }
+}
