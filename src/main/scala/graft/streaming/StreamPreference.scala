@@ -42,7 +42,14 @@ object StreamPreference {
     else schemaOf.limit(0)
 
   /** One tick: fold `events` (raw event rows — user_id, event_type,
-    * value) into the state under `stateDir`. */
+    * value) into the state under `stateDir`.
+    *
+    * Write order: the pair log is appended BEFORE the totals log, and
+    * old totals are pinned (localCheckpoint) before either write — a
+    * tick never reads its own appends. The two appends are not atomic
+    * as a pair; drive ticks from a replayable source (the
+    * StreamingCuration foreachBatch pattern) and re-run the whole tick
+    * on failure only after clearing the tick's partial files. */
   def tick(spark: SparkSession, events: DataFrame, stateDir: String): Unit = {
     val tickTot = Preference.microTotals(events)
       .localCheckpoint() // read twice (append + old/new vote diff)
