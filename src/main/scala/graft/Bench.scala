@@ -11,6 +11,81 @@ import org.apache.spark.sql.SparkSession
   * not JIT state.
   */
 object Bench {
+
+  /** Host-speed sentinel: a fixed, pure-JVM, Spark-free CPU kernel (LCG-
+    * filled float vectors → all-pairs dot-product argmax — the q30 kernel
+    * shape on a constant slice), timed in seconds. Run at ledger start
+    * AND end and published as sentinel_start/sentinel_end:
+    *  - ACROSS rounds, sentinel_start is the host-speed normalizer — a
+    *    round-over-round delta on any query is host drift until it
+    *    clears the sentinel ratio (the shared VM swings 1.8× same-code
+    *    between ledgers; prose caveats can't carry that, data can).
+    *  - WITHIN a run, sentinel_end/sentinel_start > ~1.3 flags session
+    *    degradation (GC/code-cache pressure after ~200 queries) as
+    *    distinct from host drift — exactly the signature the r10
+    *    q146/q148 driver anomaly needed separated.
+    * The kernel is deterministic (fixed LCG seed, fixed sizes) and its
+    * result is consumed via a volatile sink so the JIT can't elide it. */
+  @volatile private var sentinelSink: Float = 0f
+  private def sentinel(): Double = {
+    val n = 512; val dim = 128
+    val vs = Array.ofDim[Float](n, dim)
+    var seed = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < n) {
+      var d = 0
+      while (d < dim) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        vs(i)(d) = ((seed >>> 40).toInt & 0xffff) / 65536.0f
+        d += 1
+      }
+      i += 1
+    }
+    val t0 = System.nanoTime()
+    var acc = 0f
+    var a = 0
+    while (a < n) {
+      var best = -1f
+      var b = 0
+      while (b < n) {
+        if (b != a) {
+          var dot = 0f; var d = 0
+          val va = vs(a); val vb = vs(b)
+          while (d < dim) { dot += va(d) * vb(d); d += 1 }
+          if (dot > best) best = dot
+        }
+        b += 1
+      }
+      acc += best
+      a += 1
+    }
+    sentinelSink = acc
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Cumulative JVM GC milliseconds across all collectors. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Used bytes in the JIT code cache (all CodeHeap segments) — the
+    * suspect for contiguous-neighborhood slowdowns late in a ~200-query
+    * session: a full code cache stops/evicts compilation and a query
+    * family can run deoptimized for a stretch. */
+  private def codeCacheUsed(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.startsWith("CodeHeap") ||
+        p.getName == "Code Cache")
+      .map(_.getUsage.getUsed).sum
+  }
+
+  private def heapUsed(): Long =
+    java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,6 +101,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val sentinelStart = sentinel()
+
     // Untimed warmup: exercises parquet scan, shuffle, window, and agg
     // codepaths once (JIT + codegen cache + file-footer cache).
     try {
@@ -35,8 +112,24 @@ object Bench {
 
     // Optional SPARK_GRAFT_ONLY name filter for local iteration.
     val onlySelected = QueryFilter.fromEnv()
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sortedQs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => onlySelected(n) }
+    // Run-order knob for session-state experiments (the r10 q146/q148
+    // driver anomaly was run-order-coupled: contiguous sorted-order
+    // neighborhood slow in one session, same code fast in another).
+    // sorted (default) | reversed | rotate:N (sorted, rotated left N).
+    // If a query is slow only when ~190 queries precede it, the cause
+    // is session residue, not the query's plan.
+    val order = sys.env.getOrElse("SPARK_GRAFT_ORDER", "sorted")
+    val selected = order match {
+      case "reversed" => sortedQs.reverse
+      case r if r.startsWith("rotate:") =>
+        val k0 = r.stripPrefix("rotate:").toInt
+        val k = if (sortedQs.isEmpty) 0
+          else ((k0 % sortedQs.size) + sortedQs.size) % sortedQs.size
+        sortedQs.drop(k) ++ sortedQs.take(k)
+      case _ => sortedQs
+    }
     // Best-of-2 per query: the host shows 2-3x run-to-run noise (shared
     // VM), and min-of-repetitions is the standard way to measure the
     // query rather than the machine's mood. A query that throws is
@@ -56,6 +149,7 @@ object Bench {
     // is published next to the timing in BENCH_DETAIL.json — a delta on a
     // high-spread query is host noise until it clears the spread.
     val results = selected.map { case (name, fn) =>
+      val gc0 = gcMillis()
       def rep(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count()
@@ -95,19 +189,35 @@ object Bench {
       val spread =
         if (third.exists(_.isEmpty) || steady.size < 2) -1.0
         else (steady.max - steady.min) / steady.min
-      (name, times.minOption.getOrElse(-1.0), spread)
+      // Per-query session telemetry (BENCH_DETAIL only): GC ms spent
+      // across this query's reps, code-cache and heap occupancy after
+      // it — the columns that separate "this query is expensive" from
+      // "the session was degraded when this query's turn came". A
+      // code-cache plateau at its limit + a GC-ms spike co-located with
+      // a timing anomaly is the run-order-coupled signature; flat
+      // telemetry under an anomaly points back at the host.
+      val tele = (gcMillis() - gc0, codeCacheUsed() >> 20, heapUsed() >> 20)
+      (name, times.minOption.getOrElse(-1.0), spread, tele)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val sentinelEnd = sentinel()
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v, _) if v < 0 => s"\"$k\"" }
+    val errors = results.collect { case (k, v, _, _) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
     val spreads = results
-      .map { case (k, _, sp) =>
+      .map { case (k, _, sp, _) =>
         s"\"" + k + "\":" + (math.round(sp * 1000) / 1000.0) }
       .mkString("{", ",", "}")
+    val telemetry = results
+      .map { case (k, _, _, (gc, cc, hp)) =>
+        s"\"" + k + s"\":{\"gc_ms\":$gc,\"code_cache_mb\":$cc,\"heap_mb\":$hp}" }
+      .mkString("{", ",", "}")
+    def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val total = results.map(_._2).filter(_ >= 0).sum
+    val sentinels =
+      s""""sentinel_start":${r3(sentinelStart)},"sentinel_end":${r3(sentinelEnd)}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$sentinels,"order":"$order","queries":$qs,"spreads":$spreads,"telemetry":$telemetry,"errors":$errors,"sf":"$sfDir"}"""
     // Full-map line first: any capture that keeps the whole stream gets
     // every per-query timing on stdout.
     println(line)
@@ -117,12 +227,11 @@ object Bench {
     // is therefore a compact summary that always fits the tail whole:
     // headline total, counts, the slowest queries (the ones a grader
     // audits), and an explicit pointer to the committed full map.
-    def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
-      .map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$errors,"slowest":$slowest,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$sentinels,"errors":$errors,"slowest":$slowest,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     println(compact)
     // Persist the full line so every per-query timing stays diffable
     // across rounds (committed per round; the stdout tail is the backup).

@@ -644,12 +644,14 @@ object QueriesQuant {
       .orderBy(col("rnk"))
   }
   private val q209Sql = {
+    // the HUGEINT scale-squared factor appears in both the D_i sum and
+    // the W_i numerator of every round — name it once
     val s2 = s"CAST($BtScale AS HUGEINT) * $BtScale"
     def iter(k: Int): String = {
       val prev = s"p${k - 1}"
       s"""d$k AS (
          |  SELECT g.i AS item,
-         |    SUM((CAST(g.n AS HUGEINT) * $BtScale * $BtScale)
+         |    SUM((g.n * $s2)
          |      // (pi.p + pj.p)) AS d
          |  FROM g JOIN $prev pi ON g.i = pi.item
          |         JOIN $prev pj ON g.j = pj.item
@@ -658,7 +660,7 @@ object QueriesQuant {
          |r$k AS (
          |  SELECT p.item,
          |    CASE WHEN d.d IS NULL OR d.d = 0 THEN p.p
-         |      ELSE (CAST(w.wt AS HUGEINT) * $BtScale * $BtScale) // d.d
+         |      ELSE (w.wt * $s2) // d.d
          |    END AS p
          |  FROM $prev p
          |  LEFT JOIN d$k d ON p.item = d.item

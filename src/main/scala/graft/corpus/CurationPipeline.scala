@@ -347,7 +347,17 @@ object CurationPipeline {
               when(col("_sdom") === "", col("doc_id").cast("string"))
                 .otherwise(col("_sdom")))
             .drop("_sdom")
-        else mixed.withColumn("_skey", col("doc_id").cast("string"))
+        else {
+          // urlCol absent (or misspelled): the split degrades to per-doc
+          // hashing — the leakage-prone assignment this stage exists to
+          // avoid — so say so the same two ways domainCap does: stderr for
+          // the operator, a distinguishable audit stage name for the
+          // release audit (split_assign_dockeyed instead of split_assign).
+          System.err.println(s"[curation] assignSplit is set but column " +
+            s"'${cfg.urlCol}' is absent — split falls back to per-doc keys " +
+            "(NOT leakage-safe across a publisher's pages)")
+          mixed.withColumn("_skey", col("doc_id").cast("string"))
+        }
       val b = TextOps.docBucketExpr("_skey")
       keyed.withColumn("split", expr(
           s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' " +
@@ -356,8 +366,11 @@ object CurationPipeline {
     }).cache()
 
     val splitTail =
-      if (cfg.assignSplit) Seq(("split_assign", curated.count()))
-      else Seq.empty[(String, Long)]
+      if (cfg.assignSplit) {
+        val stage = if (mixed.columns.contains(cfg.urlCol)) "split_assign"
+          else "split_assign_dockeyed" // visible misconfiguration marker
+        Seq((stage, curated.count()))
+      } else Seq.empty[(String, Long)]
     val tail = capTail ++ lineTail ++ Seq(("substring_scrub", scrub.count()),
       ("pii_redact", redacted.count()),
       ("mixture_sample", curated.count())) ++ splitTail
