@@ -80,7 +80,10 @@ class UrlOpsSpec extends SparkSpec {
       "https://metro.tokyo.jp/x" -> "metro.tokyo.jp",
       // ICANN multi-part rules agree with the UrlOps fallback subset
       "https://news.example.co.uk/s" -> "example.co.uk",
-      "https://api.service.gov.uk" -> "service.gov.uk",
+      // full-list divergence from the fallback subset: the private
+      // section lists service.gov.uk itself (UK government PaaS), so
+      // each service is its own publisher under the published list
+      "https://api.service.gov.uk" -> "api.service.gov.uk",
       "https://shop.example.com.au/k" -> "example.com.au",
       "https://cdn.assets.example.com/a" -> "example.com",
       "http://www.example.com" -> "example.com",
@@ -111,12 +114,16 @@ class UrlOpsSpec extends SparkSpec {
   }
 
   test("PSL rule table is well-formed: lowercase, no stars/bangs, no " +
-      "duplicate suffix rows, within the label bound") {
+      "duplicate suffix rows, SQL-safe, within the label bound") {
     val suffixes = Psl.rules.map(_._1)
     assert(suffixes.distinct.size == suffixes.size)
     suffixes.foreach { s =>
       assert(s == s.toLowerCase && !s.contains("*") && !s.contains("!"))
       assert(s.nonEmpty && !s.startsWith(".") && !s.endsWith("."))
+      // the oracle twin embeds every suffix in a single-quoted VALUES
+      // literal — a quote/backslash in a rule would break the SQL
+      assert(!s.contains("'") && !s.contains("\\") && !s.contains("\""))
+      assert(!s.exists(_.isWhitespace))
     }
     // wildcard bases extend by one label; everything stays <= the bound
     Psl.rules.foreach { case (s, kind) =>
@@ -124,7 +131,87 @@ class UrlOpsSpec extends SparkSpec {
       val eff = if ((kind & Psl.Wild) != 0) labels + 1 else labels
       assert(eff <= Psl.MaxSuffixLabels, s"$s exceeds label bound")
     }
-    assert(Psl.rules.size >= 500, s"rule subset shrank: ${Psl.rules.size}")
+    // the FULL published file (~9.5k rules) is vendored, not a subset;
+    // anchor rows from every rule form must be present
+    assert(Psl.rules.size >= 9000, s"rule table shrank: ${Psl.rules.size}")
+    val byName = Psl.rules.toMap
+    assert(byName("co.uk") == Psl.Plain)
+    assert(byName("ck") == Psl.Wild)
+    assert(byName("www.ck") == Psl.Exc)
+    assert((byName("compute.amazonaws.com") & Psl.Wild) != 0)
+    assert(byName.contains("github.io") && byName.contains("blogspot.com"))
+    // the current file's deepest rules pin the generated join depth
+    assert(Psl.MaxRuleLabels == 5 && Psl.MaxSuffixLabels == 5)
+  }
+
+  test("PSL published test vectors (publicsuffix.org checkPublicSuffix " +
+      "suite, adapted: a host with no registrable domain stays itself)") {
+    // The upstream suite asserts registrable domain or null; this
+    // operator canonicalizes no-registrable hosts (a public suffix, a
+    // bare TLD) to themselves — those vectors assert host -> host.
+    val cases = Seq(
+      // mixed-case / leading dot
+      "COM" -> "com",
+      "example.COM" -> "example.com",
+      "WwW.example.COM" -> "example.com",
+      // unlisted TLD
+      "example" -> "example",
+      "example.example" -> "example.example",
+      "b.example.example" -> "example.example",
+      "a.b.example.example" -> "example.example",
+      // TLD with only 1 rule
+      "biz" -> "biz",
+      "domain.biz" -> "domain.biz",
+      "b.domain.biz" -> "domain.biz",
+      "a.b.domain.biz" -> "domain.biz",
+      // TLD with some 2-level rules
+      "com" -> "com",
+      "example.com" -> "example.com",
+      "b.example.com" -> "example.com",
+      "a.b.example.com" -> "example.com",
+      "uk.com" -> "uk.com",
+      "example.uk.com" -> "example.uk.com",
+      "b.example.uk.com" -> "example.uk.com",
+      "a.b.example.uk.com" -> "example.uk.com",
+      "test.ac" -> "test.ac",
+      // TLD with both 2-level and wildcard rules (jp)
+      "jp" -> "jp",
+      "test.jp" -> "test.jp",
+      "www.test.jp" -> "test.jp",
+      "ac.jp" -> "ac.jp",
+      "test.ac.jp" -> "test.ac.jp",
+      "www.test.ac.jp" -> "test.ac.jp",
+      "kyoto.jp" -> "kyoto.jp",
+      "test.kyoto.jp" -> "test.kyoto.jp",
+      "ide.kyoto.jp" -> "ide.kyoto.jp",
+      "b.ide.kyoto.jp" -> "b.ide.kyoto.jp",
+      "a.b.ide.kyoto.jp" -> "b.ide.kyoto.jp",
+      "c.kobe.jp" -> "c.kobe.jp",
+      "b.c.kobe.jp" -> "b.c.kobe.jp",
+      "a.b.c.kobe.jp" -> "b.c.kobe.jp",
+      "city.kobe.jp" -> "city.kobe.jp",
+      "www.city.kobe.jp" -> "city.kobe.jp",
+      // TLD with a wildcard rule and exceptions (ck)
+      "ck" -> "ck",
+      "test.ck" -> "test.ck",
+      "b.test.ck" -> "b.test.ck",
+      "a.b.test.ck" -> "b.test.ck",
+      "www.ck" -> "www.ck",
+      "www.www.ck" -> "www.ck",
+      // US k12
+      "us" -> "us",
+      "test.us" -> "test.us",
+      "www.test.us" -> "test.us",
+      "ak.us" -> "ak.us",
+      "test.ak.us" -> "test.ak.us",
+      "www.test.ak.us" -> "test.ak.us",
+      "k12.ak.us" -> "k12.ak.us",
+      "test.k12.ak.us" -> "test.k12.ak.us",
+      "www.test.k12.ak.us" -> "test.k12.ak.us")
+    val got = pslDomains(cases.map { case (h, _) => s"https://$h/x" })
+    cases.zip(got).foreach { case ((host, want), d) =>
+      assert(d == want, s"$host -> $d, wanted $want")
+    }
   }
 
   test("PSL property sweep: EVERY rule row resolves per the published " +
