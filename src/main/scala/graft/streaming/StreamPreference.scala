@@ -37,8 +37,23 @@ import graft.ops.Preference
   * `mode(overwrite)` replaces the partials in place and the marker lands
   * last — no manual clearing step, no double count
   * (StreamPreferenceSpec replays a simulated partial tick and proves
-  * batch parity). Replaying an already-COMMITTED id is refused — its
-  * deltas are in the visible history and would double-count.
+  * batch parity). Replaying an already-COMMITTED id is an idempotent
+  * NO-OP: the documented driver (foreachBatch with the batch id as the
+  * tick id) replays a batch after a crash between the sink write and
+  * the checkpoint offset commit, and a replayable source re-delivers
+  * the identical deltas — they are already visible, so skipping
+  * preserves exactly-once (refusing would wedge the stream in a
+  * restart/replay loop; the codstats Pipeline handles the same window
+  * idempotently via anti-join).
+  *
+  * Long-lived streams: every tick adds two directories, and the
+  * committed-log union's file count grows without bound — [[compact]]
+  * folds all committed ticks into ONE snapshot tick under the same
+  * commit-marker discipline. The snapshot's marker CONTAINS the ids it
+  * supersedes and is published by a single atomic rename, so there is
+  * no window where both the snapshot and its inputs are visible (or
+  * neither is); superseded dirs are deleted lazily afterwards, and a
+  * crashed cleanup just re-deletes on the next compact.
   *
   * Per-tick cost: O(tick events) + O(delta-history rows of touched
   * users) — never a corpus recompute. The live matrix is the k²-group
@@ -50,14 +65,48 @@ import graft.ops.Preference
   */
 object StreamPreference {
 
-  private val TickId = "[A-Za-z0-9._-]+"
+  // no leading dot: dot-prefixed names are reserved for in-flight
+  // temp markers, which committedTicks ignores
+  private val TickId = "[A-Za-z0-9_-][A-Za-z0-9._-]*"
 
   private def commitsDir(stateDir: String) = new java.io.File(s"$stateDir/commits")
 
-  /** Tick ids whose commit marker exists — the only ticks reads see. */
-  def committedTicks(stateDir: String): Seq[String] =
-    Option(commitsDir(stateDir).listFiles())
-      .map(_.map(_.getName).toSeq.sorted).getOrElse(Seq.empty)
+  /** Tick ids whose commit marker exists, MINUS ids superseded by a
+    * snapshot marker ([[compact]] writes the folded ids into its marker
+    * body) — the only ticks reads see. Exclusion is computed over every
+    * present marker's body, so a lagging cleanup (superseded markers
+    * still on disk next to the snapshot's) changes nothing. */
+  def committedTicks(stateDir: String): Seq[String] = {
+    val files = Option(commitsDir(stateDir).listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filterNot(_.getName.startsWith(".")) // in-flight temp markers
+    val superseded = files.flatMap { f =>
+      scala.util.Try(java.nio.file.Files.readString(f.toPath))
+        .getOrElse("").split('\n').map(_.trim).filter(_.nonEmpty)
+    }.toSet
+    files.map(_.getName).filterNot(superseded).sorted
+  }
+
+  /** Fails loudly on a pre-commit-marker layout: parquet written
+    * DIRECTLY under totdelta/pairdelta (no `tick=` level). Such state
+    * would otherwise silently read as empty — every accumulated delta
+    * dropped — because [[readLog]] only lists committed tick dirs. */
+  private def checkLayout(stateDir: String): Unit =
+    Seq("totdelta", "pairdelta").foreach { base =>
+      val entries = Option(new java.io.File(s"$stateDir/$base").listFiles())
+        .map(_.toSeq).getOrElse(Seq.empty)
+      val legacy = entries.filterNot { f =>
+        f.getName.startsWith("tick=") || f.getName.startsWith(".") ||
+          f.getName.startsWith("_")
+      }
+      require(legacy.isEmpty,
+        s"$stateDir/$base holds non-tick entries " +
+          s"(${legacy.take(3).map(_.getName).mkString(", ")}…) — this " +
+          "looks like state from the pre-commit-marker layout, which " +
+          "this version would silently read as EMPTY. Migrate it: move " +
+          s"the parquet under $base/tick=<id>/ (one id per ingest " +
+          "batch, or a single 'legacy' id) and touch commits/<id>.")
+    }
 
   /** Union of the committed per-tick dirs under `base`; `schemaOf.limit(0)`
     * when no tick has committed yet. Uncommitted dirs are never listed,
@@ -83,9 +132,16 @@ object StreamPreference {
            tickId: String): Unit = {
     require(tickId.matches(TickId),
       s"tick id '$tickId' must match $TickId (it names directories)")
-    require(!committedTicks(stateDir).contains(tickId),
-      s"tick '$tickId' is already committed — replaying it would " +
-        "double-count; recovery re-runs are for UNcommitted ticks only")
+    checkLayout(stateDir)
+    // idempotent replay: a committed id's deltas are already visible —
+    // a replayable source re-delivering the same batch (foreachBatch
+    // crash between sink write and offset commit) must be a no-op, not
+    // a permanent restart/replay wedge
+    if (committedTicks(stateDir).contains(tickId)) {
+      System.err.println(s"[StreamPreference] tick '$tickId' already " +
+        "committed; replay skipped (exactly-once no-op)")
+      return
+    }
     val tickTot = Preference.microTotals(events)
       .localCheckpoint() // read twice (append + old/new vote diff)
     val totBase = s"$stateDir/totdelta"
@@ -119,6 +175,7 @@ object StreamPreference {
     * committed pair-delta log; zero-sum (fully retracted / tied-away)
     * pairs drop. */
   def matrix(spark: SparkSession, stateDir: String): DataFrame = {
+    checkLayout(stateDir)
     val empty = spark.range(0).select(lit("").as("winner"),
       lit("").as("loser"), lit(0L).as("dw")).limit(0)
     readLog(spark, s"$stateDir/pairdelta", stateDir, empty)
@@ -134,4 +191,66 @@ object StreamPreference {
     Preference.mmRatings(
       matrix(spark, stateDir).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq)
+
+  /** Folds every committed tick into ONE snapshot tick, bounding the
+    * [[readLog]] union's directory/file count for long-lived streams.
+    * Both logs are integer-delta sums, so the fold is the associative
+    * re-aggregation (zero-sum rows drop — they can never influence a
+    * later fold or read).
+    *
+    * Atomicity: the snapshot's data dirs are written first (invisible —
+    * no marker), then its marker is published by ONE atomic rename; the
+    * marker's BODY lists the superseded tick ids, which
+    * [[committedTicks]] excludes whether or not their own markers are
+    * still on disk — so no crash point shows double or missing state.
+    * The snapshot id is a content hash of the folded ids: a crashed
+    * compact re-run recomputes the same id and overwrites its own
+    * partials, same as a crashed [[tick]]. Superseded dirs/markers are
+    * deleted lazily after publication. Returns the snapshot id (or
+    * None when there is nothing to fold). */
+  def compact(spark: SparkSession, stateDir: String): Option[String] = {
+    checkLayout(stateDir)
+    val ticks = committedTicks(stateDir)
+    if (ticks.size <= 1) return None
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(ticks.mkString("\n").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val id = s"compact-$digest"
+    val totBase = s"$stateDir/totdelta"
+    val pairBase = s"$stateDir/pairdelta"
+    val emptyTot = spark.range(0).select(lit(0L).as("user_id"),
+      lit("").as("event_type"), lit(0L).as("tot")).limit(0)
+    val emptyPair = spark.range(0).select(lit("").as("winner"),
+      lit("").as("loser"), lit(0L).as("dw")).limit(0)
+    readLog(spark, totBase, stateDir, emptyTot)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("tot")).as("tot")).filter(col("tot") =!= 0L)
+      .write.mode("overwrite").parquet(s"$totBase/tick=$id")
+    readLog(spark, pairBase, stateDir, emptyPair)
+      .groupBy(col("winner"), col("loser"))
+      .agg(sum(col("dw")).as("dw")).filter(col("dw") =!= 0L)
+      .write.mode("overwrite").parquet(s"$pairBase/tick=$id")
+    // publish: body = superseded ids, single atomic rename
+    val cd = commitsDir(stateDir)
+    cd.mkdirs()
+    val tmp = new java.io.File(cd, s".tmp-$id").toPath
+    java.nio.file.Files.writeString(tmp, ticks.mkString("\n"))
+    java.nio.file.Files.move(tmp, new java.io.File(cd, id).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // lazy cleanup — correctness never depends on it
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
+    }
+    ticks.foreach { t =>
+      rmTree(java.nio.file.Paths.get(s"$totBase/tick=$t"))
+      rmTree(java.nio.file.Paths.get(s"$pairBase/tick=$t"))
+      scala.util.Try(java.nio.file.Files
+        .deleteIfExists(new java.io.File(cd, t).toPath))
+    }
+    Some(id)
+  }
 }

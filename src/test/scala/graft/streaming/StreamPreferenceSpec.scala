@@ -47,10 +47,53 @@ class StreamPreferenceSpec extends SparkSpec {
     assert(StreamPreference.ratings(spark, dir) == batchRatings)
     assert(batchRatings.head._1 == "scissors") // beat the rock that beat paper
 
-    // replaying a COMMITTED tick is refused — it would double-count
+    // replaying a COMMITTED tick is an idempotent NO-OP (a foreachBatch
+    // driver replays a batch after a crash between sink write and
+    // offset commit): state must be byte-identical after the replay
+    StreamPreference.tick(spark, toEvents(t3), dir, "t3")
+    assert(StreamPreference.committedTicks(dir) == Seq("t1", "t2", "t3"))
+    assert(StreamPreference.matrix(spark, dir)
+      .as[(String, String, Long)].collect().toSet == batch)
+    assert(StreamPreference.ratings(spark, dir) == batchRatings)
+
+    // compact folds the three ticks into one snapshot with identical
+    // state, and a later tick folds against the snapshot seamlessly
+    val snap = StreamPreference.compact(spark, dir)
+    assert(snap.isDefined)
+    assert(StreamPreference.committedTicks(dir) == Seq(snap.get))
+    assert(StreamPreference.matrix(spark, dir)
+      .as[(String, String, Long)].collect().toSet == batch)
+    assert(StreamPreference.ratings(spark, dir) == batchRatings)
+    // superseded dirs are actually gone (lazy cleanup ran)
+    assert(!new java.io.File(s"$dir/pairdelta/tick=t1").exists())
+    val t4 = Seq((9L, 40L, "paper", 5.0), (10L, 40L, "scissors", 1.0))
+    StreamPreference.tick(spark, toEvents(t4), dir, "t4")
+    val batch4 = Preference
+      .winsOf(Preference.microTotals(toEvents(t1 ++ t2 ++ t3 ++ t4)))
+      .as[(String, String, Long)].collect().toSet
+    assert(StreamPreference.matrix(spark, dir)
+      .as[(String, String, Long)].collect().toSet == batch4)
+    // nothing to fold twice: a single-tick... (snapshot + t4 = 2 ticks)
+    val snap2 = StreamPreference.compact(spark, dir)
+    assert(snap2.isDefined && snap2 != snap)
+    assert(StreamPreference.matrix(spark, dir)
+      .as[(String, String, Long)].collect().toSet == batch4)
+    assert(StreamPreference.compact(spark, dir).isEmpty) // 1 tick left
+  }
+
+  test("legacy flat-layout state fails loudly instead of reading empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spref3").toString
+    // fabricate the pre-commit-marker layout: parquet directly under
+    // pairdelta, no commits/ dir
+    Seq(("a", "b", 1L)).toDF("winner", "loser", "dw")
+      .write.parquet(s"$dir/pairdelta")
     val e = intercept[IllegalArgumentException](
-      StreamPreference.tick(spark, toEvents(t3), dir, "t3"))
-    assert(e.getMessage.contains("already committed"))
+      StreamPreference.matrix(spark, dir))
+    assert(e.getMessage.contains("pre-commit-marker layout"))
+    val e2 = intercept[IllegalArgumentException](
+      StreamPreference.tick(spark,
+        toEvents(Seq((1L, 10L, "a", 1.0))), dir, "t1"))
+    assert(e2.getMessage.contains("pre-commit-marker layout"))
   }
 
   test("single tick equals batch; empty state reads as empty matrix") {
