@@ -1039,6 +1039,26 @@ object QueriesDedup {
   // q27 shape ×3; never all-pairs (relative recall, not absolute — the
   // exact denominator would need the O(n²) verifier).
   private val SweepRs = Seq(1, 2, 4)
+
+  /** Band key for scheme r, band j over minhash columns m0..m15 — ONE
+    * source for the sweep's banding convention, shared by q188 (relative
+    * sweep) and q213 (absolute recall on the deterministic sample). */
+  private def sweepKeyExpr(r: Int, j: Int): String = r match {
+    case 1 => s"m$j"
+    case 2 => s"(m${2 * j} * ${TextOps.P}L + m${2 * j + 1})"
+    case 4 => TextOps.hash60(
+      (0 until 4).map(k => s"CAST(m${4 * j + k} AS STRING)")
+        .mkString("concat_ws(':', ", ", ", ")"))
+  }
+
+  /** DuckDB twin of [[sweepKeyExpr]] over the minhash EXPRESSIONS `ms`. */
+  private def sweepKeySql(ms: Seq[String])(r: Int, j: Int): String = r match {
+    case 1 => ms(j)
+    case 2 => s"(${ms(2 * j)} * ${TextOps.P} + ${ms(2 * j + 1)})"
+    case 4 => TextOps.sql.hash60(
+      (0 until 4).map(k => s"CAST(${ms(4 * j + k)} AS VARCHAR)")
+        .mkString("concat_ws(':', ", ", ", ")"))
+  }
   private val q188: Q = (s, dir) => {
     graft.functions.TextFunctions.register(s)
     val d = Tables.documents(s, dir).repartition(Tables.shufflePartitions(s))
@@ -1047,16 +1067,9 @@ object QueriesDedup {
     val mat = NearDup.shingleHashed(d, "doc_id", "text")
       .select(col("doc_id") +: col("hs") +: mhCols: _*)
       .localCheckpoint() // 16 array_min passes run once, not per scheme
-    def keyExpr(r: Int, j: Int): String = r match {
-      case 1 => s"m$j"
-      case 2 => s"(m${2 * j} * ${TextOps.P}L + m${2 * j + 1})"
-      case 4 => TextOps.hash60(
-        (0 until 4).map(k => s"CAST(m${4 * j + k} AS STRING)")
-          .mkString("concat_ws(':', ", ", ", ")"))
-    }
     def cands(r: Int): DataFrame = {
       val bands = (0 until TextOps.NumPerm / r).map(j =>
-        s"struct($j AS band, ${keyExpr(r, j)} AS key)")
+        s"struct($j AS band, ${sweepKeyExpr(r, j)} AS key)")
       val sig = mat.select(col("doc_id"),
         explode(expr(bands.mkString("array(", ", ", ")"))).as("e"))
         .select(col("doc_id"), col("e.band").as("band"), col("e.key").as("key"))
@@ -1088,14 +1101,7 @@ object QueriesDedup {
   }
   private val q188Sql = {
     val X = TextOps.sql
-    val ms = X.minhash("hs")
-    def keySql(r: Int, j: Int): String = r match {
-      case 1 => ms(j)
-      case 2 => s"(${ms(2 * j)} * ${TextOps.P} + ${ms(2 * j + 1)})"
-      case 4 => X.hash60(
-        (0 until 4).map(k => s"CAST(${ms(4 * j + k)} AS VARCHAR)")
-          .mkString("concat_ws(':', ", ", ", ")"))
-    }
+    val keySql = sweepKeySql(X.minhash("hs")) _
     val sigRows = SweepRs.flatMap(r =>
       (0 until TextOps.NumPerm / r).map(j =>
         s"SELECT $r AS r, doc_id, $j AS band, ${keySql(r, j)} AS key FROM h"))
@@ -1130,8 +1136,148 @@ object QueriesDedup {
        |GROUP BY r ORDER BY rows_per_band""".stripMargin
   }
 
+  // --- q213: ABSOLUTE near-dup recall (deterministic sample + exact truth) ---
+  // q188's sweep publishes recall RELATIVE to the union of the schemes'
+  // own confirmed pairs — it cannot see a true pair every scheme misses.
+  // This query publishes the ABSOLUTE number a dedup owner quotes: a
+  // deterministic content-hash sample of documents (q44 discipline;
+  // permil auto-scales as 10⁶/n so the sample stays ~1000 docs at ANY
+  // corpus size — the 100 TB all-pairs cost is a constant), exact
+  // all-pairs Jaccard on the sample only (the q30/q31 bounded
+  // brute-force-verifier discipline: a ~sample-sized broadcast NL join,
+  // never the corpus), then per banding scheme the fraction of true
+  // pairs (jaccard >= 0.5) the scheme's band keys catch, with a ±2σ
+  // binomial CI in exact integers (driver-side BigInt isqrt; the twin
+  // runs the same floor formula in HUGEINT + LinearTrain.sql.isqrtExpr).
+  // A true pair is caught only if BOTH members land in the sample, so
+  // the estimator is unbiased over pairs (P(pair sampled) = f²) — the
+  // CI covers the sampling error at the published denominator.
+  private val q213: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    graft.functions.TextFunctions.register(s)
+    val filtered = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 13)
+    val nDocs = filtered.count()
+    val permil = math.min(1000L, 1000000L / math.max(nDocs, 1L))
+    val sample = filtered.filter(
+      expr(s"pmod(${TextOps.hash60("CAST(doc_id AS STRING)")}, 1000)")
+        < permil)
+    val mhCols = TextOps.minhashExprs("hs").zipWithIndex
+      .map { case (e, i) => expr(e).as(s"m$i") }
+    val mat = NearDup.shingleHashed(sample, "doc_id", "text")
+      .select(col("doc_id") +: col("hs") +: mhCols: _*)
+      .localCheckpoint() // sample-sized; read by truth + 3 schemes
+    val nSampled = mat.count()
+    val ids = mat.select(col("doc_id"))
+    val ap = ids.as("x").join(broadcast(ids.as("y")),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val truth = NearDup.jaccardScored(ap,
+        mat.select(col("doc_id"), col("hs")), "a", "b")
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"))
+      .localCheckpoint() // read by 3 schemes' semi-joins + the count
+    val nTrue = truth.count()
+    val caught: Map[Int, Long] = SweepRs.map { r =>
+      val bands = (0 until TextOps.NumPerm / r).map(j =>
+        s"struct($j AS band, ${sweepKeyExpr(r, j)} AS key)")
+      val sig = mat.select(col("doc_id"),
+          explode(expr(bands.mkString("array(", ", ", ")"))).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"),
+          col("e.key").as("key"))
+      val cand = sig.as("x").join(sig.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      r -> cand.join(truth, Seq("a", "b"), "left_semi").count()
+    }.toMap
+    val rows = SweepRs.map { r =>
+      val k = caught(r)
+      val (rec, lo, hi) =
+        if (nTrue == 0) (0L, 0L, 0L)
+        else {
+          val rec = 1000000L * k / nTrue
+          val x = (BigInt(1000000L) * 1000000L * k * (nTrue - k)) / nTrue
+          val half = (2 * graft.ops.LinearTrain.isqrt(x) / nTrue).toLong
+          (rec, math.max(rec - half, 0L), math.min(rec + half, 1000000L))
+        }
+      (r.toLong, (TextOps.NumPerm / r).toLong, permil, nSampled, nTrue, k,
+        rec, lo, hi)
+    }
+    rows.toDF("rows_per_band", "n_bands", "sample_permil",
+        "n_sampled_docs", "n_true_pairs", "n_caught", "recall_abs_ppm",
+        "ci_lo_ppm", "ci_hi_ppm")
+      .orderBy(col("rows_per_band"))
+  }
+  private val q213Sql = {
+    val X = TextOps.sql
+    val keySql = sweepKeySql(X.minhash("hs")) _
+    val sigRows = SweepRs.flatMap(r =>
+      (0 until TextOps.NumPerm / r).map(j =>
+        s"SELECT $r AS r, doc_id, $j AS band, ${keySql(r, j)} AS key FROM h"))
+      .mkString("\nUNION ALL\n")
+    val xExpr = "(1000000000000::HUGEINT * k * (nt - k)) // nt"
+    s"""WITH hall AS (
+       |  SELECT doc_id, ${X.shingleHashes("text", 3)} AS hs
+       |  FROM documents WHERE length(text) >= 13
+       |), n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hall),
+       |pm AS (
+       |  SELECT CAST(least(1000, 1000000 // greatest(n, 1)) AS BIGINT)
+       |    AS permil
+       |  FROM n0
+       |), h AS MATERIALIZED (
+       |  SELECT doc_id, hs FROM hall
+       |  WHERE ${X.hash60("CAST(doc_id AS VARCHAR)")} % 1000
+       |    < (SELECT permil FROM pm)
+       |), ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS nsd FROM h),
+       |truth AS MATERIALIZED (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+       |    CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))
+       |      AS DOUBLE) >= 0.5
+       |), nt0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM truth),
+       |sig AS (
+       |$sigRows
+       |), cand AS (
+       |  SELECT DISTINCT x.r, x.doc_id AS a, y.doc_id AS b
+       |  FROM sig x JOIN sig y
+       |    ON x.r = y.r AND x.band = y.band AND x.key = y.key
+       |    AND x.doc_id < y.doc_id
+       |), caught AS (
+       |  SELECT c.r, CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM cand c JOIN truth t ON c.a = t.a AND c.b = t.b
+       |  GROUP BY c.r
+       |), per AS (
+       |  SELECT rs.r, COALESCE(c.k, 0) AS k, (SELECT nt FROM nt0) AS nt
+       |  FROM (SELECT unnest([${SweepRs.mkString(", ")}]) AS r) rs
+       |  LEFT JOIN caught c ON rs.r = c.r
+       |), ci AS (
+       |  SELECT r, k, nt,
+       |    CASE WHEN nt = 0 THEN 0
+       |      ELSE (1000000 * k) // nt END AS rec,
+       |    CASE WHEN nt = 0 THEN 0
+       |      ELSE (2 * ${graft.ops.LinearTrain.sql.isqrtExpr(xExpr)}) // nt
+       |    END AS hw
+       |  FROM per
+       |)
+       |SELECT CAST(r AS BIGINT) AS rows_per_band,
+       |  CAST(${TextOps.NumPerm} // r AS BIGINT) AS n_bands,
+       |  (SELECT permil FROM pm) AS sample_permil,
+       |  (SELECT nsd FROM ns) AS n_sampled_docs,
+       |  CAST(nt AS BIGINT) AS n_true_pairs,
+       |  CAST(k AS BIGINT) AS n_caught,
+       |  CAST(rec AS BIGINT) AS recall_abs_ppm,
+       |  CAST(greatest(rec - hw, 0) AS BIGINT) AS ci_lo_ppm,
+       |  CAST(least(rec + hw, 1000000) AS BIGINT) AS ci_hi_ppm
+       |FROM ci ORDER BY rows_per_band""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q188_lsh_tuning" -> q188,
+    "q213_neardup_recall" -> q213,
     "q186_ingest_dedup" -> q186,
     "q180_fusion_dedup" -> q180,
     "q179_sorted_neighborhood" -> q179,
@@ -1153,6 +1299,7 @@ object QueriesDedup {
 
   val oracleSql: Map[String, String] = Map(
     "q188_lsh_tuning" -> q188Sql,
+    "q213_neardup_recall" -> q213Sql,
     "q186_ingest_dedup" -> q186Sql,
     "q180_fusion_dedup" -> q180Sql,
     "q179_sorted_neighborhood" -> q179Sql,

@@ -643,7 +643,11 @@ object QueriesQuant {
       .toDF("item", "w_total", "n_games", "rating", "rnk")
       .orderBy(col("rnk"))
   }
-  private val q209Sql = {
+  /** The full Bradley–Terry rating chain (wins matrix → it/g/wtot/gtot →
+    * 8 MM rounds) as CTEs — shared by q209 (the rating publication) and
+    * q214 (DPO pair sampling joins the final `p$BtIters` ratings back to
+    * the per-user pair instances). */
+  private val btRatingCtes: String = {
     // the HUGEINT scale-squared factor appears in both the D_i sum and
     // the W_i numerator of every round — name it once
     val s2 = s"CAST($BtScale AS HUGEINT) * $BtScale"
@@ -673,7 +677,7 @@ object QueriesQuant {
     // every p$k is referenced 3× by the next round (pi, pj, and the
     // D=0 fallback) — WITHOUT materialization DuckDB's CTE inlining
     // re-expands the whole upstream tree 3^BtIters times
-    s"""WITH $prefWinsSql,
+    s"""$prefWinsSql,
        |it AS (
        |  SELECT DISTINCT item FROM (
        |    SELECT winner AS item FROM wins
@@ -693,7 +697,11 @@ object QueriesQuant {
        |  GROUP BY i),
        |p0 AS MATERIALIZED (SELECT item, CAST($BtScale AS HUGEINT) AS p
        |  FROM it),
-       |${(1 to BtIters).map(iter).mkString(",\n")}
+       |${(1 to BtIters).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  private val q209Sql =
+    s"""WITH $btRatingCtes
        |SELECT it.item, w.wt AS w_total, COALESCE(gt.gt, 0) AS n_games,
        |  CAST(p.p AS BIGINT) AS rating,
        |  CAST(ROW_NUMBER() OVER (ORDER BY p.p DESC, it.item) AS BIGINT)
@@ -702,7 +710,6 @@ object QueriesQuant {
        |JOIN wtot w ON it.item = w.item
        |LEFT JOIN gtot gt ON it.item = gt.item
        |ORDER BY rnk""".stripMargin
-  }
 
   // --- q210: preference-transitivity audit (cyclic triads) -------------------
   // Is the preference corpus even consistent enough to fit? A majority
@@ -810,7 +817,124 @@ object QueriesQuant {
        |LEFT JOIN cyc_edges ce ON ce.s = pm.m_src AND ce.d = pm.m_dst
        |ORDER BY item_a, item_b""".stripMargin
 
+  // --- q214: DPO/reward-pair sampling over q209's ratings --------------------
+  // Building a preference-tuning dataset from the aggregated judgments:
+  // every per-user (winner, loser) vote instance is banded by the
+  // GLOBAL Bradley–Terry rating gap of its two items and sampled at a
+  // per-band rate with the q44 deterministic content-hash discipline —
+  // the published DPO data recipes drop INVERTED pairs (the user's
+  // local vote contradicts the global ranking: label noise), thin the
+  // near-tie bands (ambiguous preference teaches little), and keep the
+  // wide-margin pairs. Published per band: pair population, kept count,
+  // kept checksum, rate, and the gap range — the audit a dataset owner
+  // needs to reproduce the mixture.
+  // Scale: the instance fan-out is ≤ k(k−1)/2 rows per user (k =
+  // dimension-sized event-type count) off ONE combinable user-keyed
+  // aggregate; ratings are a k-row broadcast; banding + hash-keep are
+  // per-row map work; the publication is one band-keyed aggregate. The
+  // twin replays the full rating chain (q209's CTEs) + the same CASE.
+  // band width S/32: BT ratings of a near-balanced preference corpus
+  // cluster within a few percent of the scale, so a coarser width would
+  // put every non-inverted pair in band 0 and the mixture knob would be
+  // dead — S/32 spreads the observed gap range over the 4 bands
+  private[graft] val GapBandWidth = BtScale / 32
+  private[graft] val DpoMaxBand = 3L
+  /** band → keep rate (per-mil). -1 = inverted pairs (dropped). */
+  private[graft] val DpoRates: Seq[(Long, Long)] =
+    Seq(-1L -> 0L, 0L -> 125L, 1L -> 250L, 2L -> 500L, 3L -> 1000L)
+  private[graft] def dpoRateCase(band: String): String =
+    DpoRates.init.map { case (b, r) => s"WHEN $band = $b THEN $r" }
+      .mkString("CASE ", " ", s" ELSE ${DpoRates.last._2} END")
+  /** The gap→band rule as a Spark SQL expression over a BIGINT gap
+    * column (PreferenceSpec pins its edges). Integer DIV only — gap is
+    * non-negative in that branch, so trunc == floor == the twin's `//`. */
+  private[graft] def dpoBandExpr(gap: String): String =
+    s"CASE WHEN $gap < 0 THEN -1L " +
+      s"ELSE least($gap DIV $GapBandWidth, ${DpoMaxBand}L) END"
+
+  private val q214: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val tot = ops.Preference.microTotals(Tables.events(s, dir))
+    // per-user vote INSTANCES (the pre-aggregate of q209's matrix)
+    val inst = tot.as("a").join(tot.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type") &&
+          col("a.tot") =!= col("b.tot"))
+      .select(col("a.user_id").as("user_id"),
+        when(col("a.tot") > col("b.tot"), col("a.event_type"))
+          .otherwise(col("b.event_type")).as("winner"),
+        when(col("a.tot") > col("b.tot"), col("b.event_type"))
+          .otherwise(col("a.event_type")).as("loser"))
+    val winRows = prefWins(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val ratings = ops.Preference.mmRatings(winRows, BtScale, BtIters)
+      .map(t => (t._1, t._4)).toDF("item", "rating")
+    val keyHash = TextOps.hash60(
+      "concat_ws(':', CAST(user_id AS STRING), winner, loser)")
+    inst
+      .join(broadcast(ratings.select(col("item").as("winner"),
+        col("rating").as("r_w"))), Seq("winner"))
+      .join(broadcast(ratings.select(col("item").as("loser"),
+        col("rating").as("r_l"))), Seq("loser"))
+      .withColumn("gap", col("r_w") - col("r_l"))
+      .withColumn("band", expr(dpoBandExpr("gap")))
+      .withColumn("rate_permil",
+        expr(s"CAST(${dpoRateCase("band")} AS BIGINT)"))
+      .withColumn("keep",
+        (expr(s"pmod($keyHash, 1000)") < col("rate_permil")).cast("long"))
+      .groupBy(col("band"))
+      .agg(max(col("rate_permil")).as("rate_permil"),
+        count(lit(1)).as("n_pairs"),
+        sum(col("keep")).as("n_kept"),
+        sum(col("keep") * col("user_id")).as("kept_sig"),
+        min(col("gap")).as("gap_min"),
+        max(col("gap")).as("gap_max"))
+      .orderBy(col("band"))
+  }
+  private val q214Sql = {
+    val keyHash = TextOps.sql.hash60(
+      "concat_ws(':', CAST(user_id AS VARCHAR), winner, loser)")
+    s"""WITH $btRatingCtes,
+       |inst AS (
+       |  SELECT a.user_id,
+       |    CASE WHEN a.tot > b.tot THEN a.event_type ELSE b.event_type END
+       |      AS winner,
+       |    CASE WHEN a.tot > b.tot THEN b.event_type ELSE a.event_type END
+       |      AS loser
+       |  FROM tot a JOIN tot b
+       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  WHERE a.tot <> b.tot
+       |), rated AS (
+       |  SELECT i.user_id, i.winner, i.loser,
+       |    CAST(pw.p AS BIGINT) - CAST(pl.p AS BIGINT) AS gap
+       |  FROM inst i
+       |  JOIN p$BtIters pw ON i.winner = pw.item
+       |  JOIN p$BtIters pl ON i.loser = pl.item
+       |), banded AS (
+       |  SELECT user_id, winner, loser, gap,
+       |    CASE WHEN gap < 0 THEN -1
+       |      ELSE least(gap // $GapBandWidth, $DpoMaxBand) END AS band
+       |  FROM rated
+       |), keyed AS (
+       |  SELECT band, gap, user_id,
+       |    ${dpoRateCase("band")} AS rate_permil,
+       |    CASE WHEN $keyHash % 1000 < ${dpoRateCase("band")}
+       |      THEN 1 ELSE 0 END AS keep
+       |  FROM banded
+       |)
+       |SELECT CAST(band AS BIGINT) AS band,
+       |  CAST(MAX(rate_permil) AS BIGINT) AS rate_permil,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+       |  CAST(SUM(keep * user_id) AS BIGINT) AS kept_sig,
+       |  CAST(MIN(gap) AS BIGINT) AS gap_min,
+       |  CAST(MAX(gap) AS BIGINT) AS gap_max
+       |FROM keyed GROUP BY band ORDER BY band""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q214_dpo_pairs" -> q214,
     "q163_survival_hazard" -> q163,
     "q164_mannwhitney_auc" -> q164,
     "q165_fifo_allocation" -> q165,
@@ -822,6 +946,7 @@ object QueriesQuant {
     "q210_pref_cycles" -> q210)
 
   val oracleSql: Map[String, String] = Map(
+    "q214_dpo_pairs" -> q214Sql,
     "q163_survival_hazard" -> q163Sql,
     "q164_mannwhitney_auc" -> q164Sql,
     "q165_fifo_allocation" -> q165Sql,

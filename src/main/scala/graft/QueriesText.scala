@@ -30,6 +30,36 @@ object QueriesText {
   private def inList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** The heuristic's prediction CASE over the s_<lang> score columns —
+    * shared by q33 (its own surface) and q212 (the audit column next to
+    * the trained model's prediction). */
+  private def heurPredictedCase: String = {
+    val others = stopwords.map(_._1)
+    stopwords.map { case (lang, _) =>
+      val geAll = others.filter(_ != lang).map(o => s"s_$lang >= s_$o")
+        .mkString(" AND ")
+      s"WHEN s_$lang > 0 AND $geAll THEN '$lang'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  /** Adds the per-language stopword-hit score columns (tokenizing once
+    * into `toks`). */
+  private def heurScored(d: DataFrame): DataFrame =
+    stopwords.foldLeft(
+      d.withColumn("toks", expr(TextOps.tokensExpr("text")))) {
+      case (acc, (lang, ws)) =>
+        acc.withColumn(s"s_$lang",
+          expr(s"CAST(size(filter(toks, t -> t IN ${inList(ws)})) AS BIGINT)"))
+    }
+
+  /** DuckDB twin of [[heurScored]]'s score columns. */
+  private def heurScoresSql: String = {
+    val toks = TextOps.sql.tokens("text")
+    stopwords.map { case (lang, ws) =>
+      s"CAST(len(list_filter($toks, t -> t IN ${inList(ws)})) AS BIGINT) AS s_$lang"
+    }.mkString(",\n")
+  }
+
   // --- q33: language identification (stopword-hit heuristic) -----------------
   // The token array is materialized ONCE into a `toks` column and the four
   // score columns filter that attribute — Catalyst's CollapseProject keeps
@@ -37,41 +67,189 @@ object QueriesText {
   // used 4×), so the plan tokenizes each row exactly once (PlanSpec pins
   // the single split).
   private val q33: Q = (s, dir) => {
-    val d = Tables.documents(s, dir)
-      .withColumn("toks", expr(TextOps.tokensExpr("text")))
-    val scored = stopwords.foldLeft(d) { case (acc, (lang, ws)) =>
-      acc.withColumn(s"s_$lang",
-        expr(s"CAST(size(filter(toks, t -> t IN ${inList(ws)})) AS BIGINT)"))
-    }
-    val others = stopwords.map(_._1)
-    val predicted = stopwords.map { case (lang, _) =>
-      val geAll = others.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
-      s"WHEN s_$lang > 0 AND $geAll THEN '$lang'"
-    }.mkString("CASE ", " ", " ELSE 'und' END")
+    val scored = heurScored(Tables.documents(s, dir))
     scored
       .select(col("doc_id") +: col("lang").as("labeled_lang") +:
         stopwords.map { case (l, _) => col(s"s_$l") } :+
-        expr(predicted).as("predicted_lang"): _*)
+        expr(heurPredictedCase).as("predicted_lang"): _*)
       .orderBy(col("doc_id"))
   }
   private val q33Sql = {
-    val toks = TextOps.sql.tokens("text")
-    val scores = stopwords.map { case (lang, ws) =>
-      s"CAST(len(list_filter($toks, t -> t IN ${inList(ws)})) AS BIGINT) AS s_$lang"
-    }.mkString(",\n")
     val others = stopwords.map(_._1)
-    val predicted = stopwords.map { case (lang, _) =>
-      val geAll = others.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
-      s"WHEN s_$lang > 0 AND $geAll THEN '$lang'"
-    }.mkString("CASE ", " ", " ELSE 'und' END")
     s"""WITH scored AS (
        |  SELECT doc_id, lang AS labeled_lang,
-       |$scores
+       |$heurScoresSql
        |  FROM documents
        |)
        |SELECT doc_id, labeled_lang, ${others.map(l => s"s_$l").mkString(", ")},
-       |  $predicted AS predicted_lang
+       |  $heurPredictedCase AS predicted_lang
        |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // --- q211/q212: multi-class lang-id TRAINED IN-ENGINE ----------------------
+  // The production replacement for q33's stopword heuristic: a
+  // one-vs-rest linear classifier over hashed CHARACTER-TRIGRAM counts
+  // (the published CCNet/fastText-class signal), trained by
+  // ops/LinearTrain's exact-integer standardized LS-GD — one weight
+  // vector per language, every truncation point pinned, so the DuckDB
+  // twin replays all five trainings bit-for-bit (the q203 convention,
+  // ×|classes|). Architecture scales to the ~100-language production
+  // case by extending LangClasses: the feature pass is shared across
+  // classes (built ONCE, cached), and each class adds only the
+  // dimension-sized GD loop (4 rounds × one sparse aggregate) — at
+  // 100 TB the corpus-side work stays one explode + one groupBy
+  // regardless of class count.
+  // q211 publishes the trained state (per class per bucket); q212 serves
+  // the model: per-doc argmax-margin prediction (ties break to the
+  // lexicographically smallest class, the same rule both engines
+  // generate), published as the confusion matrix against the labeled
+  // lang, with q33's heuristic kept as the audit column (n_heur_agree).
+  private val LangClasses = Seq("de", "en", "es", "fr", "zh")
+
+  /** Shared one-vs-rest feature base: (doc_id, lang, b, cnt) hashed
+    * char-trigram counts + one bias row per doc (b = B, cnt = 1) — the
+    * [[graft.ops.LinearTrain.featureRows]] shape minus the label, which
+    * each class attaches as ±1 over `lang`. */
+  private def langBase(s: SparkSession, dir: String): DataFrame = {
+    val B = graft.ops.LinearTrain.B
+    val docs = Tables.documents(s, dir)
+    docs.select(col("doc_id"), col("lang"),
+        explode(expr(TextOps.charTrigramsExpr("text"))).as("tok"))
+      .withColumn("b", expr(s"pmod(${TextOps.hash60("tok")}, $B)"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .unionByName(docs.select(col("doc_id"), col("lang"),
+        lit(B.toLong).as("b"), lit(1L).as("cnt")))
+  }
+
+  private def langRows(base: DataFrame, cls: String): DataFrame =
+    base.select(col("doc_id"),
+      when(col("lang") === cls, 1).otherwise(-1).as("y"),
+      col("b"), col("cnt"))
+
+  private val q211: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val LT = graft.ops.LinearTrain
+    val n = Tables.documents(s, dir).count()
+    val base = langBase(s, dir).cache()
+    try {
+      LangClasses.flatMap { c =>
+        val st = LT.trainOnRows(langRows(base, c), n)
+        (0 until LT.B).map(b =>
+          (c, b.toLong, st.sx(b), st.sxx(b), st.d(b), st.w(b))) :+
+          ((c, LT.B.toLong, 0L, 0L, 0L, st.w(LT.B)))
+      }.toDF("cls", "b", "sx", "sxx", "d", "w")
+        .orderBy(col("cls"), col("b"))
+    } finally { base.unpersist(); () }
+  }
+
+  /** Shared SQL: trigram-feature base + one [[LinearTrain.sql.chainCtes]]
+    * per class (prefix `lg<cls>_`). */
+  private def langChainsSql: String = {
+    val B = graft.ops.LinearTrain.B
+    val h = TextOps.sql.hash60("tok")
+    val chains = LangClasses.map { c =>
+      graft.ops.LinearTrain.sql.chainCtes(s"lg${c}_",
+        s"""SELECT doc_id, CASE WHEN lang = '$c' THEN 1 ELSE -1 END AS y,
+           |    b, cnt FROM lg_base""".stripMargin,
+        "SELECT COUNT(*) FROM documents")
+    }.mkString(",\n")
+    s"""lg_tok AS (
+       |  SELECT doc_id, lang,
+       |    unnest(${TextOps.sql.charTrigrams("text")}) AS tok
+       |  FROM documents
+       |), lg_base AS MATERIALIZED (
+       |  SELECT doc_id, lang, $h % $B AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM lg_tok GROUP BY 1, 2, 3
+       |),
+       |$chains""".stripMargin
+  }
+
+  private val q211Sql = {
+    val B = graft.ops.LinearTrain.B
+    val perClass = LangClasses.map { c =>
+      s"""SELECT '$c' AS cls, s.b, s.sx, s.sxx, CAST(s.d AS BIGINT) AS d,
+         |  CAST(w.w AS BIGINT) AS w
+         |FROM lg${c}_stats s JOIN lg${c}_wf w USING (b)
+         |UNION ALL
+         |SELECT '$c', CAST($B AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST((SELECT w FROM lg${c}_wf WHERE b = $B) AS BIGINT)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $langChainsSql
+       |$perClass
+       |ORDER BY cls, b""".stripMargin
+  }
+
+  private val q212: Q = (s, dir) => {
+    val LT = graft.ops.LinearTrain
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val base = langBase(s, dir).cache()
+    try {
+      val margins = LangClasses.map { c =>
+        val rows = langRows(base, c)
+        val st = LT.trainOnRows(rows, n)
+        LT.marginsFromRows(rows, st)
+          .select(col("doc_id"), lit(c).as("cls"), col("m"))
+      }.reduce(_ unionByName _)
+      // argmax margin per doc; ties to the smallest class name — a
+      // doc-keyed window, never corpus-global
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("m").desc, col("cls").asc)
+      val pred = margins.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("cls").as("predicted_lang"))
+      val heur = heurScored(docs)
+        .select(col("doc_id"), expr(heurPredictedCase).as("heur_lang"))
+      docs.select(col("doc_id"), col("lang").as("labeled_lang"))
+        .join(pred, Seq("doc_id"))
+        .join(heur, Seq("doc_id"))
+        .groupBy(col("labeled_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("heur_lang") === col("predicted_lang"), 1L)
+            .otherwise(0L)).as("n_heur_agree"),
+          sum(col("doc_id")).as("doc_sig"))
+        .orderBy(col("labeled_lang"), col("predicted_lang"))
+    } finally { base.unpersist(); () }
+  }
+
+  private val q212Sql = {
+    // per-doc margins of the 5 chains side by side, argmax by the same
+    // lexicographic-tie CASE the Spark window encodes
+    val joins = LangClasses.zipWithIndex.map { case (c, i) =>
+      if (i == 0) s"lg${c}_mf m_$c"
+      else s"JOIN lg${c}_mf m_$c USING (doc_id)"
+    }.mkString("\n    ")
+    val predicted = LangClasses.init.map { c =>
+      val geAll = LangClasses.filter(_ != c)
+        .map(o => s"m_$c.m >= m_$o.m").mkString(" AND ")
+      s"WHEN $geAll THEN '$c'"
+    }.mkString("CASE ", " ", s" ELSE '${LangClasses.last}' END")
+    s"""WITH $langChainsSql,
+       |pred AS (
+       |  SELECT m_${LangClasses.head}.doc_id,
+       |    $predicted AS predicted_lang
+       |  FROM $joins
+       |),
+       |heur AS (
+       |  SELECT doc_id, $heurPredictedCase AS heur_lang FROM (
+       |    SELECT doc_id,
+       |$heurScoresSql
+       |    FROM documents
+       |  )
+       |)
+       |SELECT d.lang AS labeled_lang, p.predicted_lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN h.heur_lang = p.predicted_lang
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_heur_agree,
+       |  CAST(SUM(d.doc_id) AS BIGINT) AS doc_sig
+       |FROM documents d
+       |JOIN pred p USING (doc_id)
+       |JOIN heur h USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   // --- q34: quality scoring (length / stopword / uniqueness ratios) ----------
@@ -985,6 +1163,8 @@ object QueriesText {
     "q40_approx_distinct" -> q40,
     "q131_kmv_distinct" -> q131,
     "q33_lang_id" -> q33,
+    "q211_langid_train" -> q211,
+    "q212_langid_eval" -> q212,
     "q34_quality_score" -> q34,
     "q35_token_stats" -> q35,
     "q36_fingerprint" -> q36,
@@ -1007,6 +1187,8 @@ object QueriesText {
     "q44_hash_split" -> q44Sql,
     "q131_kmv_distinct" -> q131Sql,
     "q33_lang_id" -> q33Sql,
+    "q211_langid_train" -> q211Sql,
+    "q212_langid_eval" -> q212Sql,
     "q34_quality_score" -> q34Sql,
     "q35_token_stats" -> q35Sql,
     "q36_fingerprint" -> q36Sql,

@@ -86,12 +86,19 @@ object LinearTrain {
     * explicit feature makes the per-round gradient ONE combinable
     * aggregate (Σᵢrᵢ arrives as bucket B's sum) instead of two. */
   def featureRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(LabelExpr).as("y"),
-        explode(expr(TextOps.tokensExpr("text"))).as("tok"))
+    featureRowsFor(docs, LabelExpr, TextOps.tokensExpr("text"))
+
+  /** [[featureRows]] over an arbitrary label expression and token-array
+    * expression — the lang-id one-vs-rest queries train through this
+    * (labels per class, char trigrams as tokens). */
+  def featureRowsFor(docs: DataFrame, labelExpr: String,
+                     tokArrayExpr: String): DataFrame =
+    docs.select(col("doc_id"), expr(labelExpr).as("y"),
+        explode(expr(tokArrayExpr)).as("tok"))
       .withColumn("b", expr(s"pmod(${TextOps.hash60("tok")}, $B)"))
       .groupBy(col("doc_id"), col("y"), col("b"))
       .agg(count(lit(1)).as("cnt"))
-      .unionByName(docs.select(col("doc_id"), expr(LabelExpr).as("y"),
+      .unionByName(docs.select(col("doc_id"), expr(labelExpr).as("y"),
         lit(B.toLong).as("b"), lit(1L).as("cnt")))
 
   /** Runs the full training loop on a documents table. Actions: one
@@ -255,8 +262,9 @@ object LinearTrain {
 
     /** Exact ⌊√v⌋ from float sqrt + ±2 integer correction (float error
       * on a 2⁶³ input is under 2 ulps; each branch re-checks with exact
-      * integer products). */
-    private def isqrtExpr(v: String): String = {
+      * integer products). Public: the near-dup recall CI (q213) uses the
+      * same exact-integer sqrt twin. */
+    def isqrtExpr(v: String): String = {
       val s0 = s"CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT)"
       s"""(CASE
          |  WHEN CAST(($s0) + 2 AS HUGEINT) * (($s0) + 2) <= ($v) THEN ($s0) + 2
@@ -266,90 +274,106 @@ object LinearTrain {
          |  ELSE greatest(($s0) - 2, 0) END)""".stripMargin
     }
 
-    private def iter(k: Int): String = {
-      val pw = s"lt_w${k - 1}"
-      s"""lt_co$k AS (
+    private def iter(k: Int, p: String): String = {
+      val pw = s"${p}w${k - 1}"
+      s"""${p}co$k AS (
          |  SELECT s.b,
          |    ${sdiv(s"CAST(w.w AS HUGEINT) * s.n * $Q", "s.d")} AS a,
          |    ${sdiv(s"CAST(w.w AS HUGEINT) * s.sx * $Q", "s.d")} AS c
-         |  FROM lt_stats s JOIN $pw w USING (b)
-         |), lt_ct$k AS (
-         |  SELECT (SELECT SUM(c) FROM lt_co$k)
+         |  FROM ${p}stats s JOIN $pw w USING (b)
+         |), ${p}ct$k AS (
+         |  SELECT (SELECT SUM(c) FROM ${p}co$k)
          |    - (SELECT w FROM $pw WHERE b = $B) * $Q AS negc
-         |), lt_r$k AS MATERIALIZED (
+         |), ${p}r$k AS MATERIALIZED (
          |  SELECT f.doc_id, f.y,
-         |    SUM(f.cnt * co.a) - (SELECT negc FROM lt_ct$k)
+         |    SUM(f.cnt * co.a) - (SELECT negc FROM ${p}ct$k)
          |      - f.y * (${W}::HUGEINT * $Q) AS r
-         |  FROM lt_feats f JOIN lt_co$k co USING (b)
+         |  FROM ${p}feats f JOIN ${p}co$k co USING (b)
          |  GROUP BY f.doc_id, f.y
-         |), lt_ag$k AS (
+         |), ${p}ag$k AS (
          |  SELECT f.b, SUM(CAST(f.cnt AS HUGEINT) * r.r) AS sxr
-         |  FROM lt_feats f JOIN lt_r$k r USING (doc_id) GROUP BY f.b
-         |), lt_rr$k AS (SELECT SUM(r) AS rr FROM lt_r$k),
-         |lt_w$k AS MATERIALIZED (
+         |  FROM ${p}feats f JOIN ${p}r$k r USING (doc_id) GROUP BY f.b
+         |), ${p}rr$k AS (SELECT SUM(r) AS rr FROM ${p}r$k),
+         |${p}w$k AS MATERIALIZED (
          |  SELECT s.b, w.w - ${sdiv(
              s"2 * (s.n * COALESCE(g.sxr, 0) - CAST(s.sx AS HUGEINT) * t.rr)",
              s"CAST(s.d AS HUGEINT) * $Q * s.t0")} AS w
-         |  FROM lt_stats s JOIN $pw w USING (b)
-         |    LEFT JOIN lt_ag$k g USING (b), lt_rr$k t
+         |  FROM ${p}stats s JOIN $pw w USING (b)
+         |    LEFT JOIN ${p}ag$k g USING (b), ${p}rr$k t
          |  UNION ALL
          |  SELECT $B, (SELECT w FROM $pw WHERE b = $B)
-         |    - ${sdiv("2 * t.rr", s"${Q}::HUGEINT * (SELECT t0 FROM lt_t0)")}
-         |  FROM lt_rr$k t
+         |    - ${sdiv("2 * t.rr", s"${Q}::HUGEINT * (SELECT t0 FROM ${p}t0)")}
+         |  FROM ${p}rr$k t
          |)""".stripMargin
     }
 
-    /** The full training chain; append consumers after it. */
-    def trainingCtes: String = {
-      val h = TextOps.sql.hash60("tok")
+    /** The stats + GD + margin chain over ALREADY-BUILT feature rows:
+      * `featsSql` must select (doc_id, y, b, cnt) — sparse hashed
+      * features WITHOUT the bias row (the chain carries the bias in its
+      * constants, unlike the Spark side's explicit bias row — same
+      * algebra); `nSql` the doc count. Every CTE is `$p`-prefixed, so
+      * several chains (one-vs-rest lang-id trains one per class over a
+      * shared base) compose in one WITH. Terminal CTEs: `${p}stats`,
+      * `${p}wf`, `${p}mf`. */
+    def chainCtes(p: String, featsSql: String, nSql: String): String = {
       val mf =
-        s"""lt_cof AS (
+        s"""${p}cof AS (
            |  SELECT s.b,
            |    ${sdiv(s"CAST(w.w AS HUGEINT) * s.n * $Q", "s.d")} AS a,
            |    ${sdiv(s"CAST(w.w AS HUGEINT) * s.sx * $Q", "s.d")} AS c
-           |  FROM lt_stats s JOIN lt_wf w USING (b)
-           |), lt_mf AS (
+           |  FROM ${p}stats s JOIN ${p}wf w USING (b)
+           |), ${p}mf AS (
            |  SELECT f.doc_id, f.y,
-           |    SUM(f.cnt * co.a) - (SELECT SUM(c) FROM lt_cof)
-           |      + (SELECT w FROM lt_wf WHERE b = $B) * $Q AS m
-           |  FROM lt_feats f JOIN lt_cof co USING (b)
+           |    SUM(f.cnt * co.a) - (SELECT SUM(c) FROM ${p}cof)
+           |      + (SELECT w FROM ${p}wf WHERE b = $B) * $Q AS m
+           |  FROM ${p}feats f JOIN ${p}cof co USING (b)
            |  GROUP BY f.doc_id, f.y
            |)""".stripMargin
-      s"""lt_docs AS (
-         |  SELECT doc_id, $LabelExpr AS y, text FROM documents
-         |), lt_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lt_docs),
-         |lt_tok AS (
-         |  SELECT doc_id, y, unnest(string_split(text, ' ')) AS tok
-         |  FROM lt_docs
-         |), lt_feats AS MATERIALIZED (
-         |  SELECT doc_id, y, $h % $B AS b, CAST(COUNT(*) AS BIGINT) AS cnt
-         |  FROM lt_tok GROUP BY 1, 2, 3
-         |), lt_sraw AS (
+      s"""${p}n AS (SELECT CAST(($nSql) AS BIGINT) AS n),
+         |${p}feats AS MATERIALIZED (
+         |  $featsSql
+         |), ${p}sraw AS (
          |  SELECT b, CAST(SUM(cnt) AS BIGINT) AS sx,
          |    CAST(SUM(cnt * cnt) AS BIGINT) AS sxx
-         |  FROM lt_feats GROUP BY b
-         |), lt_var AS (
+         |  FROM ${p}feats GROUP BY b
+         |), ${p}var AS (
          |  SELECT bk.b, COALESCE(s.sx, 0) AS sx, COALESCE(s.sxx, 0) AS sxx,
          |    n.n,
          |    CAST(n.n AS HUGEINT) * COALESCE(s.sxx, 0)
          |      - CAST(COALESCE(s.sx, 0) AS HUGEINT) * COALESCE(s.sx, 0)
          |      AS var
          |  FROM (SELECT unnest(generate_series(0, ${B - 1})) AS b) bk
-         |  LEFT JOIN lt_sraw s USING (b) CROSS JOIN lt_n n
-         |), lt_t0 AS (
-         |  SELECT greatest((SELECT n FROM lt_n)
-         |    * ((SELECT COUNT(*) FROM lt_var WHERE var > 0) + 1), 1) AS t0
-         |), lt_stats AS MATERIALIZED (
+         |  LEFT JOIN ${p}sraw s USING (b) CROSS JOIN ${p}n n
+         |), ${p}t0 AS (
+         |  SELECT greatest((SELECT n FROM ${p}n)
+         |    * ((SELECT COUNT(*) FROM ${p}var WHERE var > 0) + 1), 1) AS t0
+         |), ${p}stats AS MATERIALIZED (
          |  SELECT b, sx, sxx, n,
          |    CASE WHEN var > 0 THEN ${isqrtExpr("var")} ELSE 1 END AS d,
-         |    (SELECT t0 FROM lt_t0) AS t0
-         |  FROM lt_var
-         |), lt_w0 AS (
+         |    (SELECT t0 FROM ${p}t0) AS t0
+         |  FROM ${p}var
+         |), ${p}w0 AS (
          |  SELECT unnest(generate_series(0, $B)) AS b, 0::HUGEINT AS w
          |),
-         |${(1 to Iters).map(iter).mkString(",\n")},
-         |lt_wf AS (SELECT b, w FROM lt_w$Iters),
+         |${(1 to Iters).map(iter(_, p)).mkString(",\n")},
+         |${p}wf AS (SELECT b, w FROM ${p}w$Iters),
          |$mf""".stripMargin
+    }
+
+    /** The full q203 training chain (token features over `documents`,
+      * the length-gate label); append consumers after it. */
+    def trainingCtes: String = {
+      val h = TextOps.sql.hash60("tok")
+      s"""lt_docs AS (
+         |  SELECT doc_id, $LabelExpr AS y, text FROM documents
+         |), lt_tok AS (
+         |  SELECT doc_id, y, unnest(string_split(text, ' ')) AS tok
+         |  FROM lt_docs
+         |),
+         |${chainCtes("lt_",
+            s"""SELECT doc_id, y, $h % $B AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+               |  FROM lt_tok GROUP BY 1, 2, 3""".stripMargin,
+            "SELECT COUNT(*) FROM lt_docs")}""".stripMargin
     }
   }
 }

@@ -65,6 +65,18 @@ object TextOps {
   /** Whitespace tokens (documents are single-space separated). */
   def tokensExpr(text: String): String = s"split($text, ' ')"
 
+  /** Positional (non-distinct) character trigrams of `text` — the
+    * lang-id feature space (char n-grams are the published
+    * CCNet/fastText-class signal; trigrams keep the hashed space dense
+    * at B=64). CASE guard because `sequence(1, n)` with n < 1 generates
+    * a DESCENDING sequence. Both engines count CHARACTERS (not bytes),
+    * so multibyte text agrees. Twin: [[sql.charTrigrams]]. */
+  def charTrigramsExpr(text: String): String =
+    s"""CASE WHEN length($text) >= 3
+       |  THEN transform(sequence(1, length($text) - 2),
+       |         i -> substring($text, i, 3))
+       |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+
   /** Normalized text for normalization-aware dedup (q74 and the curation
     * pipeline): Unicode NFC (native `graft_nfc` — register
     * [[graft.functions.TextFunctions]] first) + casefold + whitespace
@@ -138,6 +150,15 @@ object TextOps {
       s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
     def tokens(text: String): String = s"string_split($text, ' ')"
+
+    /** Twin of [[TextOps.charTrigramsExpr]] (DuckDB generate_series with
+      * an empty range is empty, but the CASE keeps the twins textually
+      * parallel and the output type pinned). */
+    def charTrigrams(text: String): String =
+      s"""CASE WHEN length($text) >= 3
+         |  THEN list_transform(generate_series(1, length($text) - 2),
+         |         i -> substring($text, i, 3))
+         |  ELSE []::VARCHAR[] END""".stripMargin
 
     def normalize(text: String): String =
       s"trim(regexp_replace(lower(nfc_normalize($text)), ' +', ' ', 'g'))"

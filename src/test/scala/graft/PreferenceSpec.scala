@@ -78,4 +78,50 @@ class PreferenceSpec extends SparkSpec {
     val ratings = got.map(_._4)
     assert(ratings == ratings.sorted.reverse && ratings.distinct == ratings)
   }
+
+  test("q214: gap-band edges are exact — boundaries land in the upper " +
+      "band, negatives in the inverted band, the top band clamps") {
+    val W = QueriesQuant.GapBandWidth
+    val cases = Seq(
+      -1L -> -1L, Long.MinValue / 2 -> -1L, // any inversion
+      0L -> 0L, (W - 1) -> 0L, // band 0 is [0, W)
+      W -> 1L, (2 * W - 1) -> 1L, // exact edge opens band 1
+      2 * W -> 2L, 3 * W -> 3L, // successive edges
+      (4 * W) -> 3L, 100 * W -> 3L) // clamp at DpoMaxBand
+    val got = cases.map(_._1).toDF("gap")
+      .withColumn("band",
+        org.apache.spark.sql.functions.expr(QueriesQuant.dpoBandExpr("gap")))
+      .withColumn("rate",
+        org.apache.spark.sql.functions.expr(
+          s"CAST(${QueriesQuant.dpoRateCase("band")} AS BIGINT)"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (g, b, r) => g -> (b, r) }.toMap
+    val rates = QueriesQuant.DpoRates.toMap
+    cases.foreach { case (gap, wantBand) =>
+      val (b, r) = got(gap)
+      assert(b == wantBand, s"gap $gap -> band $b, wanted $wantBand")
+      assert(r == rates(wantBand), s"gap $gap -> rate $r")
+    }
+    // inverted pairs are dropped, and rates never decrease with the gap
+    assert(rates(-1L) == 0L)
+    val ordered = QueriesQuant.DpoRates.sortBy(_._1).map(_._2)
+    assert(ordered == ordered.sorted)
+  }
+
+  test("q214: the rps fixture's symmetric ratings put every non-tied " +
+      "vote instance in band 0 and publish a deterministic keep count") {
+    val got = SparkEntry.queries("q214_dpo_pairs")(spark, rpsDir())
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // equal ratings (see the q209 fixed-point test) -> every instance
+    // gap 0 -> ONE band-0 row covering all 9 vote instances; the kept
+    // subset is the hash rule's, pinned here against drift
+    assert(got.size == 1)
+    val (band, rate, nPairs, nKept, _, gapMin, gapMax) =
+      (got.head._1, got.head._2, got.head._3, got.head._4, got.head._5,
+        got.head._6, got.head._7)
+    assert(band == 0L && rate == 125L && nPairs == 9L)
+    assert(gapMin == 0L && gapMax == 0L)
+    assert(nKept >= 0L && nKept <= 2L, // 9 draws at 12.5% — sanity bound
+      s"implausible keep count $nKept")
+  }
 }

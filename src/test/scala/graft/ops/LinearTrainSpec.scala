@@ -85,6 +85,61 @@ class LinearTrainSpec extends SparkSpec {
     }
   }
 
+  test("one-vs-rest over char trigrams recovers a planted language " +
+      "signal, deterministically under reversed arrival order") {
+    // three "languages" with disjoint character inventories, so the
+    // trigram space separates them linearly
+    val vocabs = Map(
+      "aa" -> Vector("abba", "baab", "abab", "bbaa"),
+      "cc" -> Vector("ccdd", "dccd", "cdcd", "ddcc"),
+      "ee" -> Vector("eeff", "feef", "efef", "ffee"))
+    val classes = vocabs.keys.toSeq.sorted
+    val docs = (1 to 90).map { i =>
+      val cls = classes(i % 3)
+      val v = vocabs(cls)
+      val text = (0 until 30).map(j => v((i * 5 + j) % 4)).mkString(" ")
+      (i.toLong, cls, text)
+    }.toDF("doc_id", "lang", "text")
+    def base(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), col("lang"),
+        explode(expr(TextOps.charTrigramsExpr("text"))).as("tok"))
+      .withColumn("b",
+        expr(s"pmod(${TextOps.hash60("tok")}, ${LinearTrain.B})"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .unionByName(d.select(col("doc_id"), col("lang"),
+        lit(LinearTrain.B.toLong).as("b"), lit(1L).as("cnt")))
+    def states(d: org.apache.spark.sql.DataFrame) = {
+      val rows = base(d)
+      classes.map { c =>
+        c -> LinearTrain.trainOnRows(rows.select(col("doc_id"),
+          when(col("lang") === c, 1).otherwise(-1).as("y"),
+          col("b"), col("cnt")), 90L)
+      }
+    }
+    val sts = states(docs)
+    // argmax margin per doc recovers the planted class
+    val margins = sts.map { case (c, st) =>
+      LinearTrain.marginsFromRows(base(docs).select(col("doc_id"),
+          when(col("lang") === c, 1).otherwise(-1).as("y"),
+          col("b"), col("cnt")), st)
+        .select(col("doc_id"), lit(c).as("cls"), col("m"))
+    }.reduce(_ unionByName _)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.maxBy(r => (BigDecimal(r.getDecimal(2)), r.getString(1)
+          )._1)(Ordering.by(identity[BigDecimal]))
+      }
+    val truth = docs.select("doc_id", "lang").as[(Long, String)]
+      .collect().toMap
+    val acc = margins.count { case (id, r) =>
+      r.getString(1) == truth(id) }.toDouble / truth.size
+    assert(acc >= 0.95, s"planted language signal should be learned, acc=$acc")
+    // determinism under reversed single-partition arrival
+    val sts2 = states(docs.orderBy(col("doc_id").desc).coalesce(1))
+    assert(sts2 == sts)
+  }
+
   test("an empty corpus trains to the zero vector without dividing by zero") {
     val docs = Seq.empty[(Long, String, Long)]
       .toDF("doc_id", "text", "n_chars")
