@@ -104,6 +104,10 @@ object QueriesText {
   // lexicographically smallest class, the same rule both engines
   // generate), published as the confusion matrix against the labeled
   // lang, with q33's heuristic kept as the audit column (n_heur_agree).
+  // Training runs through LinearTrain.trainMulti — all classes per
+  // round in ONE distributed pass (bit-identical to the per-class loop,
+  // which measured 15/25 s at sf0.1 vs 6.6/12.7 through this shape:
+  // the round count, not the class count, sets the job count).
   private val LangClasses = Seq("de", "en", "es", "fr", "zh")
 
   /** Shared one-vs-rest feature base: (doc_id, lang, b, cnt) hashed
@@ -122,11 +126,6 @@ object QueriesText {
         lit(B.toLong).as("b"), lit(1L).as("cnt")))
   }
 
-  private def langRows(base: DataFrame, cls: String): DataFrame =
-    base.select(col("doc_id"),
-      when(col("lang") === cls, 1).otherwise(-1).as("y"),
-      col("b"), col("cnt"))
-
   private val q211: Q = (s, dir) => {
     val spark = s
     import spark.implicits._
@@ -134,8 +133,9 @@ object QueriesText {
     val n = Tables.documents(s, dir).count()
     val base = langBase(s, dir).cache()
     try {
+      val states = LT.trainMulti(base, "lang", LangClasses, n)
       LangClasses.flatMap { c =>
-        val st = LT.trainOnRows(langRows(base, c), n)
+        val st = states(c)
         (0 until LT.B).map(b =>
           (c, b.toLong, st.sx(b), st.sxx(b), st.d(b), st.w(b))) :+
           ((c, LT.B.toLong, 0L, 0L, 0L, st.w(LT.B)))
@@ -189,12 +189,10 @@ object QueriesText {
     val n = docs.count()
     val base = langBase(s, dir).cache()
     try {
-      val margins = LangClasses.map { c =>
-        val rows = langRows(base, c)
-        val st = LT.trainOnRows(rows, n)
-        LT.marginsFromRows(rows, st)
-          .select(col("doc_id"), lit(c).as("cls"), col("m"))
-      }.reduce(_ unionByName _)
+      val states = LT.trainMulti(base, "lang", LangClasses, n)
+      val margins = LT
+        .marginsMulti(base, "lang", LangClasses.map(c => c -> states(c)))
+        .select(col("doc_id"), col("cls"), col("m"))
       // argmax margin per doc; ties to the smallest class name — a
       // doc-keyed window, never corpus-global
       val w = Window.partitionBy(col("doc_id"))

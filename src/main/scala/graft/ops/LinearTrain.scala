@@ -175,6 +175,126 @@ object LinearTrain {
       })
   }
 
+  /** ONE-VS-REST training over a shared feature base, all classes per
+    * round in ONE distributed pass — the lang-id path (q211/q212).
+    *
+    * `base` carries (doc_id, `classCol`, b, cnt) INCLUDING the per-doc
+    * bias row (b = [[B]], cnt = 1); each class's label is derived as
+    * ±1 from `classCol` inside the round, so the per-class states are
+    * BIT-IDENTICAL to running [[trainOnRows]] once per class (same
+    * aggregates, same truncation points — the DuckDB twin replays the
+    * per-class chains independently and hash-matches), but the job
+    * count is per-ROUND, not per-round-per-class: the naive loop's
+    * |classes|·Iters sparse aggregates measured 15–19 s at sf0.1; this
+    * shape is Iters collects over a |classes|-fanned broadcast join.
+    * Feature stats are class-independent and computed once.
+    *
+    * Scale: per round one broadcast join against the |classes|·(B+1)
+    * coefficient dim (fan-out |classes| rows per feature row), one
+    * (doc, cls)-keyed partial agg, one join back to the base on doc_id,
+    * one (cls, b)-keyed partial agg, one |classes|·(B+1) driver
+    * collect — the q83/q108 loop shape with a class dimension. */
+  def trainMulti(base: DataFrame, classCol: String,
+                 classes: Seq[String], n: Long): Map[String, State] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    require(classes.nonEmpty && classes.distinct == classes)
+
+    val sraw = base.filter(col("b") < B).groupBy(col("b"))
+      .agg(sum(col("cnt")).as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val sx = (0 until B).map(b => sraw.get(b).map(_._1).getOrElse(0L))
+    val sxx = (0 until B).map(b => sraw.get(b).map(_._2).getOrElse(0L))
+    val variance = (0 until B).map(b =>
+      BigInt(n) * sxx(b) - BigInt(sx(b)) * sx(b))
+    val d = (0 until B).map(b =>
+      if (variance(b) > 0) isqrt(variance(b)).toLong else 1L)
+    val nb = variance.count(_ > 0)
+    val t0 = BigInt(n) * (nb + 1)
+
+    var w: Map[String, IndexedSeq[BigInt]] =
+      classes.map(_ -> IndexedSeq.fill(B + 1)(BigInt(0))).toMap
+    if (n > 0) for (_ <- 1 to Iters) {
+      val aRows = classes.flatMap { c =>
+        val wc = w(c)
+        (0 until B).map { b =>
+          val v = tdiv(wc(b) * n * Q, d(b))
+          require(v.isValidLong, s"coefficient overflow: $v")
+          (c, b.toLong, v.toLong)
+        } :+ ((c, B.toLong, {
+          val v = wc(B) * Q
+          require(v.isValidLong, s"bias coefficient overflow: $v")
+          v.toLong
+        }))
+      }
+      val consts = classes.map { c =>
+        val wc = w(c)
+        val cTot = (0 until B).map(b => tdiv(wc(b) * sx(b) * Q, d(b))).sum
+        require(cTot.isValidLong, s"constant overflow: $cTot")
+        (c, -cTot.toLong)
+      }
+      val aDf = aRows.toDF("cls", "b", "a")
+      val cDf = consts.toDF("cls", "consts")
+      val margins = base.join(broadcast(aDf), "b")
+        .groupBy(col("doc_id"), col(classCol), col("cls"))
+        .agg(sum(col("cnt").cast("decimal(38,0)") * col("a")).as("ax"))
+        .join(broadcast(cDf), "cls")
+        .select(col("doc_id"), col("cls"),
+          (col("ax") + col("consts") -
+            when(col(classCol) === col("cls"), 1).otherwise(-1) *
+              lit(W * Q)).as("r"))
+      val sxr = base.join(margins, "doc_id")
+        .groupBy(col("cls"), col("b"))
+        .agg(sum(col("cnt").cast("decimal(38,0)") * col("r")).as("sxr"))
+        .collect()
+        .map(r2 => (r2.getString(0), r2.getLong(1).toInt) ->
+          BigInt(r2.getDecimal(2).toBigInteger))
+        .toMap
+      w = classes.map { c =>
+        val wc = w(c)
+        val r = sxr.getOrElse((c, B), BigInt(0))
+        c -> ((0 until B).map { b =>
+          val num = 2 * (BigInt(n) * sxr.getOrElse((c, b), BigInt(0)) -
+            BigInt(sx(b)) * r)
+          wc(b) - tdiv(num, BigInt(d(b)) * Q * t0)
+        } :+ (wc(B) - tdiv(2 * r, BigInt(Q) * t0)))
+      }.toMap
+    }
+    classes.map { c =>
+      c -> State(n, sx, sxx, d, if (t0 > 0) t0 else BigInt(1),
+        w(c).map { v =>
+          require(v.isValidLong, s"weight overflow: $v")
+          v.toLong
+        })
+    }.toMap
+  }
+
+  /** Final margins of every doc under every class's trained weights in
+    * ONE pass: (doc_id, cls, m) — the multi-class twin of
+    * [[marginsFromRows]], same folded-coefficient algebra. */
+  def marginsMulti(base: DataFrame, classCol: String,
+                   states: Seq[(String, State)]): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val aRows = states.flatMap { case (c, st) =>
+      val (a, _) = foldedCoeffs(st)
+      a.zipWithIndex.map { case (v, b) => (c, b.toLong, v) } :+
+        ((c, B.toLong, st.w(B) * Q))
+    }
+    val cRows = states.map { case (c, st) =>
+      val (_, consts) = foldedCoeffs(st)
+      (c, consts - st.w(B) * Q)
+    }
+    base.join(broadcast(aRows.toDF("cls", "b", "a")), "b")
+      .groupBy(col("doc_id"), col(classCol), col("cls"))
+      .agg(sum(col("cnt").cast("decimal(38,0)") * col("a")).as("ax"))
+      .join(broadcast(cRows.toDF("cls", "consts")), "cls")
+      .select(col("doc_id"), col(classCol), col("cls"),
+        (col("ax") + col("consts")).as("m"))
+  }
+
   /** Standardization folded into sparse scoring constants: per-bucket
     * integer coefficient a_b = ⌊w_b·n·Q/d_b⌋ and the additive constant
     * w_bias·Q − Σ_b ⌊w_b·sx_b·Q/d_b⌋ — margin = Σ_{b∈doc} a_b·x_b +

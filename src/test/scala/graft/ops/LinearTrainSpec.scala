@@ -138,6 +138,24 @@ class LinearTrainSpec extends SparkSpec {
     // determinism under reversed single-partition arrival
     val sts2 = states(docs.orderBy(col("doc_id").desc).coalesce(1))
     assert(sts2 == sts)
+    // the vectorized one-pass-per-round path trains BIT-IDENTICAL
+    // states to the per-class loop (q211/q212 run through it; the
+    // oracle twin replays the per-class chains)
+    val multi = LinearTrain.trainMulti(base(docs), "lang", classes, 90L)
+    sts.foreach { case (c, st) => assert(multi(c) == st, s"class $c") }
+    // ...and the one-pass margin path agrees with marginsFromRows
+    val viaMulti = LinearTrain
+      .marginsMulti(base(docs), "lang", classes.map(c => c -> multi(c)))
+      .select(col("doc_id"), col("cls"), col("m").cast("long"))
+      .as[(Long, String, Long)].collect().toSet
+    val viaSingle = classes.flatMap { c =>
+      LinearTrain.marginsFromRows(base(docs).select(col("doc_id"),
+          when(col("lang") === c, 1).otherwise(-1).as("y"),
+          col("b"), col("cnt")), multi(c))
+        .select(col("doc_id"), col("m").cast("long"))
+        .as[(Long, Long)].collect().map { case (id, m) => (id, c, m) }
+    }.toSet
+    assert(viaMulti == viaSingle)
   }
 
   test("an empty corpus trains to the zero vector without dividing by zero") {
