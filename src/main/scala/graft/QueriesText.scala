@@ -113,17 +113,23 @@ object QueriesText {
   /** Shared one-vs-rest feature base: (doc_id, lang, b, cnt) hashed
     * char-trigram counts + one bias row per doc (b = B, cnt = 1) — the
     * [[graft.ops.LinearTrain.featureRows]] shape minus the label, which
-    * each class attaches as ±1 over `lang`. */
+    * each class attaches as ±1 over `lang`. The counts come from the
+    * native [[graft.functions.TrigramBucketCounts]] (one compiled
+    * per-row loop, bias folded in at index B) — posexplode of a 65-slot
+    * array per doc, zero shuffle; the composed lambda+explode+groupBy
+    * form measured 83 s at sf1 against ~2 s here (interpreted
+    * higher-order lambdas; see the expression's scaladoc). */
   private def langBase(s: SparkSession, dir: String): DataFrame = {
     val B = graft.ops.LinearTrain.B
-    val docs = Tables.documents(s, dir)
-    docs.select(col("doc_id"), col("lang"),
-        explode(expr(TextOps.charTrigramsExpr("text"))).as("tok"))
-      .withColumn("b", expr(s"pmod(${TextOps.hash60("tok")}, $B)"))
-      .groupBy(col("doc_id"), col("lang"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
-      .unionByName(docs.select(col("doc_id"), col("lang"),
-        lit(B.toLong).as("b"), lit(1L).as("cnt")))
+    require(B == 64, "graft_trigram_buckets64 is registered for B = 64")
+    graft.functions.TextFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        posexplode(expr(s"graft_trigram_buckets$B(text)"))
+          .as(Seq("bi", "cnt")))
+      .filter(col("cnt") > 0L)
+      .select(col("doc_id"), col("lang"),
+        col("bi").cast("long").as("b"), col("cnt"))
   }
 
   private val q211: Q = (s, dir) => {
@@ -148,19 +154,20 @@ object QueriesText {
     * per class (prefix `lg<cls>_`). */
   private def langChainsSql: String = {
     val B = graft.ops.LinearTrain.B
-    val h = TextOps.sql.hash60("tok")
     val chains = LangClasses.map { c =>
       graft.ops.LinearTrain.sql.chainCtes(s"lg${c}_",
         s"""SELECT doc_id, CASE WHEN lang = '$c' THEN 1 ELSE -1 END AS y,
            |    b, cnt FROM lg_base""".stripMargin,
         "SELECT COUNT(*) FROM documents")
     }.mkString(",\n")
-    s"""lg_tok AS (
+    s"""lg_cs AS (
+       |  SELECT doc_id, lang, string_split(text, '') AS cs FROM documents
+       |), lg_tok AS (
        |  SELECT doc_id, lang,
-       |    unnest(${TextOps.sql.charTrigrams("text")}) AS tok
-       |  FROM documents
+       |    unnest(${TextOps.sql.charTrigramBuckets("cs", B)}) AS b
+       |  FROM lg_cs
        |), lg_base AS MATERIALIZED (
-       |  SELECT doc_id, lang, $h % $B AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS cnt
        |  FROM lg_tok GROUP BY 1, 2, 3
        |),
        |$chains""".stripMargin

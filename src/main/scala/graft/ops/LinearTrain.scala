@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** In-engine linear-classifier TRAINING over hashed bag-of-words
   * features — the missing half of the quality-classifier stage
@@ -214,44 +215,58 @@ object LinearTrain {
     val nb = variance.count(_ > 0)
     val t0 = BigInt(n) * (nb + 1)
 
+    // COLUMNAR rounds: one coefficient COLUMN per class on a 65-row
+    // broadcast dim, k margin/gradient aggregate columns per shuffle —
+    // no per-class row fan-out (a cls-keyed row layout shuffles
+    // k·|base| rows per round; this shuffles |base| rows with k narrow
+    // aggregate columns: measured 62 s → the margin pass dominates no
+    // more at sf1). Sums are per (doc, class) either way — the states
+    // stay bit-identical to the per-class loop (spec-pinned).
+    val ki = classes.indices
     var w: Map[String, IndexedSeq[BigInt]] =
       classes.map(_ -> IndexedSeq.fill(B + 1)(BigInt(0))).toMap
     if (n > 0) for (_ <- 1 to Iters) {
-      val aRows = classes.flatMap { c =>
-        val wc = w(c)
-        (0 until B).map { b =>
-          val v = tdiv(wc(b) * n * Q, d(b))
+      val aRows = (0 until B).map { b =>
+        Row.fromSeq(b.toLong +: classes.map { c =>
+          val v = tdiv(w(c)(b) * n * Q, d(b))
           require(v.isValidLong, s"coefficient overflow: $v")
-          (c, b.toLong, v.toLong)
-        } :+ ((c, B.toLong, {
-          val v = wc(B) * Q
-          require(v.isValidLong, s"bias coefficient overflow: $v")
           v.toLong
-        }))
-      }
+        })
+      } :+ Row.fromSeq(B.toLong +: classes.map { c =>
+        val v = w(c)(B) * Q
+        require(v.isValidLong, s"bias coefficient overflow: $v")
+        v.toLong
+      })
+      val aSchema = StructType(StructField("b", LongType) +:
+        ki.map(i => StructField(s"a_$i", LongType)))
+      val aDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(aRows, 1), aSchema)
       val consts = classes.map { c =>
-        val wc = w(c)
-        val cTot = (0 until B).map(b => tdiv(wc(b) * sx(b) * Q, d(b))).sum
+        val cTot = (0 until B).map(b => tdiv(w(c)(b) * sx(b) * Q, d(b))).sum
         require(cTot.isValidLong, s"constant overflow: $cTot")
-        (c, -cTot.toLong)
+        -cTot.toLong
       }
-      val aDf = aRows.toDF("cls", "b", "a")
-      val cDf = consts.toDF("cls", "consts")
+      val axAggs = ki.map(i =>
+        sum(col("cnt").cast("decimal(38,0)") * col(s"a_$i")).as(s"ax_$i"))
       val margins = base.join(broadcast(aDf), "b")
-        .groupBy(col("doc_id"), col(classCol), col("cls"))
-        .agg(sum(col("cnt").cast("decimal(38,0)") * col("a")).as("ax"))
-        .join(broadcast(cDf), "cls")
-        .select(col("doc_id"), col("cls"),
-          (col("ax") + col("consts") -
-            when(col(classCol) === col("cls"), 1).otherwise(-1) *
-              lit(W * Q)).as("r"))
-      val sxr = base.join(margins, "doc_id")
-        .groupBy(col("cls"), col("b"))
-        .agg(sum(col("cnt").cast("decimal(38,0)") * col("r")).as("sxr"))
+        .groupBy(col("doc_id"), col(classCol))
+        .agg(axAggs.head, axAggs.tail: _*)
+        .select(col("doc_id") +: ki.map { i =>
+          (col(s"ax_$i") + lit(consts(i)) -
+            when(col(classCol) === classes(i), 1).otherwise(-1) *
+              lit(W * Q)).as(s"r_$i")
+        }: _*)
+      val sxrAggs = ki.map(i =>
+        sum(col("cnt").cast("decimal(38,0)") * col(s"r_$i")).as(s"sxr_$i"))
+      val sxrRows = base.join(margins, "doc_id")
+        .groupBy(col("b"))
+        .agg(sxrAggs.head, sxrAggs.tail: _*)
         .collect()
-        .map(r2 => (r2.getString(0), r2.getLong(1).toInt) ->
-          BigInt(r2.getDecimal(2).toBigInteger))
-        .toMap
+      val sxr = sxrRows.flatMap { r2 =>
+        val b = r2.getLong(0).toInt
+        ki.map(i => (classes(i), b) ->
+          BigInt(r2.getDecimal(i + 1).toBigInteger))
+      }.toMap
       w = classes.map { c =>
         val wc = w(c)
         val r = sxr.getOrElse((c, B), BigInt(0))
@@ -273,26 +288,34 @@ object LinearTrain {
 
   /** Final margins of every doc under every class's trained weights in
     * ONE pass: (doc_id, cls, m) — the multi-class twin of
-    * [[marginsFromRows]], same folded-coefficient algebra. */
+    * [[marginsFromRows]], same folded-coefficient algebra, columnar
+    * like [[trainMulti]]'s rounds (k coefficient columns on the 65-row
+    * broadcast dim, k aggregate columns, per-row stack back to long
+    * form — no per-class row fan-out). */
   def marginsMulti(base: DataFrame, classCol: String,
                    states: Seq[(String, State)]): DataFrame = {
     val spark = base.sparkSession
-    import spark.implicits._
-    val aRows = states.flatMap { case (c, st) =>
-      val (a, _) = foldedCoeffs(st)
-      a.zipWithIndex.map { case (v, b) => (c, b.toLong, v) } :+
-        ((c, B.toLong, st.w(B) * Q))
-    }
-    val cRows = states.map { case (c, st) =>
-      val (_, consts) = foldedCoeffs(st)
-      (c, consts - st.w(B) * Q)
-    }
-    base.join(broadcast(aRows.toDF("cls", "b", "a")), "b")
-      .groupBy(col("doc_id"), col(classCol), col("cls"))
-      .agg(sum(col("cnt").cast("decimal(38,0)") * col("a")).as("ax"))
-      .join(broadcast(cRows.toDF("cls", "consts")), "cls")
-      .select(col("doc_id"), col(classCol), col("cls"),
-        (col("ax") + col("consts")).as("m"))
+    val classes = states.map(_._1)
+    val ki = classes.indices
+    val folded = states.map { case (_, st) => (foldedCoeffs(st), st) }
+    val aRows = (0 until B).map { b =>
+      Row.fromSeq(b.toLong +: folded.map(_._1._1(b)))
+    } :+ Row.fromSeq(B.toLong +: folded.map { case (_, st) => st.w(B) * Q })
+    val aSchema = StructType(StructField("b", LongType) +:
+      ki.map(i => StructField(s"a_$i", LongType)))
+    val aDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(aRows, 1), aSchema)
+    val axAggs = ki.map(i =>
+      sum(col("cnt").cast("decimal(38,0)") * col(s"a_$i")).as(s"ax_$i"))
+    val stacked = ki.map { i =>
+      val (coeffs, st) = folded(i)
+      s"'${classes(i)}', ax_$i + (${coeffs._2 - st.w(B) * Q})"
+    }.mkString(", ")
+    base.join(broadcast(aDf), "b")
+      .groupBy(col("doc_id"), col(classCol))
+      .agg(axAggs.head, axAggs.tail: _*)
+      .select(col("doc_id"), col(classCol),
+        expr(s"stack(${classes.size}, $stacked)").as(Seq("cls", "m")))
   }
 
   /** Standardization folded into sparse scoring constants: per-bucket

@@ -65,17 +65,33 @@ object TextOps {
   /** Whitespace tokens (documents are single-space separated). */
   def tokensExpr(text: String): String = s"split($text, ' ')"
 
-  /** Positional (non-distinct) character trigrams of `text` — the
-    * lang-id feature space (char n-grams are the published
-    * CCNet/fastText-class signal; trigrams keep the hashed space dense
-    * at B=64). CASE guard because `sequence(1, n)` with n < 1 generates
-    * a DESCENDING sequence. Both engines count CHARACTERS (not bytes),
-    * so multibyte text agrees. Twin: [[sql.charTrigrams]]. */
-  def charTrigramsExpr(text: String): String =
-    s"""CASE WHEN length($text) >= 3
-       |  THEN transform(sequence(1, length($text) - 2),
-       |         i -> substring($text, i, 3))
-       |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+  /** 3-round [[sqMix]] fold of three character code points — the
+    * char-trigram FEATURE HASH for lang-id (char n-grams are the
+    * published CCNet/fastText-class signal). Code points, not
+    * substrings: `substring(text, i, 3)` per position is O(i) on
+    * UTF-8, so a transform over it is O(len²) per document — measured
+    * 45 s for the sf1 explode vs ~4 s through this path — and the md5
+    * bucket hash (~1 µs/gram) is overkill for a B=64 space. Each
+    * round's input stays < P + 0x10FFFF, inside sqMix's bound; all
+    * values non-negative, so `%` agrees across engines. `cp1..cp3`
+    * are code-point EXPRESSIONS (both engines' `ascii()` returns the
+    * full Unicode code point — probed, incl. 中/€). */
+  def trigramMix(cp1: String, cp2: String, cp3: String,
+                 div: String): String =
+    sqMix(s"${sqMix(s"${sqMix(cp1, div)} + $cp2", div)} + $cp3", div)
+
+  /** Char-trigram feature BUCKETS of a pre-split char-array column
+    * `cs` (bind it once per row — `split(text, '')` — so element
+    * access is O(1); an inline split inside the lambda would re-split
+    * per position). CASE guard because `sequence(1, n)` with n < 1
+    * generates a DESCENDING sequence. Twin: [[sql.charTrigramBuckets]]. */
+  def charTrigramBucketsExpr(cs: String, b: Int): String = {
+    def cp(j: Int) = s"ascii(element_at($cs, i + $j))"
+    s"""CASE WHEN size($cs) >= 3
+       |  THEN transform(sequence(1, size($cs) - 2),
+       |         i -> ${trigramMix(cp(0), cp(1), cp(2), "DIV")} % $b)
+       |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+  }
 
   /** Normalized text for normalization-aware dedup (q74 and the curation
     * pipeline): Unicode NFC (native `graft_nfc` — register
@@ -151,14 +167,18 @@ object TextOps {
 
     def tokens(text: String): String = s"string_split($text, ' ')"
 
-    /** Twin of [[TextOps.charTrigramsExpr]] (DuckDB generate_series with
-      * an empty range is empty, but the CASE keeps the twins textually
-      * parallel and the output type pinned). */
-    def charTrigrams(text: String): String =
-      s"""CASE WHEN length($text) >= 3
-         |  THEN list_transform(generate_series(1, length($text) - 2),
-         |         i -> substring($text, i, 3))
-         |  ELSE []::VARCHAR[] END""".stripMargin
+    /** Twin of [[TextOps.charTrigramBucketsExpr]] over a pre-split
+      * char-array column `cs` (`string_split(text, '')` — probed:
+      * per-character with full code points). DuckDB generate_series
+      * with an empty range is empty, but the CASE keeps the twins
+      * textually parallel and the output type pinned. */
+    def charTrigramBuckets(cs: String, b: Int): String = {
+      def cp(j: Int) = s"ascii(($cs)[i + $j])"
+      s"""CASE WHEN len($cs) >= 3
+         |  THEN list_transform(generate_series(1, len($cs) - 2),
+         |         i -> ${trigramMix(cp(0), cp(1), cp(2), "//")} % $b)
+         |  ELSE []::BIGINT[] END""".stripMargin
+    }
 
     def normalize(text: String): String =
       s"trim(regexp_replace(lower(nfc_normalize($text)), ' +', ' ', 'g'))"

@@ -101,10 +101,10 @@ class LinearTrainSpec extends SparkSpec {
       (i.toLong, cls, text)
     }.toDF("doc_id", "lang", "text")
     def base(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("cs", expr("split(text, '')"))
       .select(col("doc_id"), col("lang"),
-        explode(expr(TextOps.charTrigramsExpr("text"))).as("tok"))
-      .withColumn("b",
-        expr(s"pmod(${TextOps.hash60("tok")}, ${LinearTrain.B})"))
+        explode(expr(
+          TextOps.charTrigramBucketsExpr("cs", LinearTrain.B))).as("b"))
       .groupBy(col("doc_id"), col("lang"), col("b"))
       .agg(count(lit(1)).as("cnt"))
       .unionByName(d.select(col("doc_id"), col("lang"),
@@ -156,6 +156,29 @@ class LinearTrainSpec extends SparkSpec {
         .as[(Long, Long)].collect().map { case (id, m) => (id, c, m) }
     }.toSet
     assert(viaMulti == viaSingle)
+  }
+
+  test("native trigram-bucket counts equal the composed lambda form on " +
+      "ascii, multibyte, short, and empty strings") {
+    graft.functions.TextFunctions.register(spark)
+    val B = LinearTrain.B
+    val samples = Seq("the quick brown fox", "ab", "", "aaa",
+      "tüv äöü ß中文本 €uro", "中中中中", "a中b", "x")
+    val df = samples.toDF("text")
+      .withColumn("cs", expr("split(text, '')"))
+      .withColumn("native", expr(s"graft_trigram_buckets$B(text)"))
+      .withColumn("lambda", expr(TextOps.charTrigramBucketsExpr("cs", B)))
+    df.select(col("text"), col("native"), col("lambda"))
+      .as[(String, Seq[Long], Seq[Long])].collect().foreach {
+        case (text, native, lam) =>
+          assert(native.size == B + 1 && native(B) == 1L,
+            s"'$text': bias slot")
+          val fromLambda = lam.groupBy(identity).view.mapValues(_.size.toLong)
+          (0 until B).foreach { b =>
+            assert(native(b) == fromLambda.getOrElse(b.toLong, 0L),
+              s"'$text' bucket $b: native ${native(b)} vs lambda")
+          }
+      }
   }
 
   test("an empty corpus trains to the zero vector without dividing by zero") {
