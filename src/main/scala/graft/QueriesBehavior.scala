@@ -1211,63 +1211,60 @@ object QueriesBehavior {
   // measurement series resampled onto the hourly grid by LINEAR
   // interpolation between the bracketing events (sensor/metric
   // semantics — a missing hour means "the signal was between its
-  // neighbors", not zero). The bracket lookup is the union trick: grid
-  // rows and event rows interleave in one per-user ordering, prev =
-  // last non-null value/time up to here, next = first from here — two
-  // frames over ONE user-keyed sort, never an inequality join. The
-  // interpolation is exact integer milli math with a same-timestamp
-  // guard. Published as the corpus-level hourly series (bounded rows).
+  // neighbors", not zero). Plan shape: one window over EVENTS ONLY
+  // (lead() pairs consecutive distinct timestamps per user), then each
+  // inter-event segment GENERATES its interior grid points with the
+  // interpolation inlined, straight into the hour hash-aggregate. The
+  // union-then-bracket form (grid rows and event rows interleaved
+  // through two whole-series window sorts) sorted hours-per-user ×
+  // users rows twice — 10.6M rows and 28.6 s at sf1 vs ~150k rows
+  // through the one window here: the grid volume never passes a sort,
+  // only the map-side-combined final aggregate. Same-timestamp tie
+  // rules preserved from the bracket form: a grid point ON an event
+  // takes the max-event_id value at that ts (the prev bracket's rule);
+  // interpolation reads prev = max-event_id value at the left event ts,
+  // next = min-event_id value at the right (max_by/min_by over the
+  // (user, ts) group). The interpolation is exact integer milli math.
+  // Published as the corpus-level hourly series (bounded rows).
   // Scale: grid volume = hours-per-user × users (a bounded linear
-  // blow-up set by the grid density knob); one user-keyed shuffle.
+  // blow-up set by the grid density knob), produced AND partial-
+  // aggregated inside one stage; one user-keyed shuffle of events.
   private val GridUs = 3600L * 1000000L
   private val q193: Q = (s, dir) => {
     val e = Tables.events(s, dir).select(col("user_id"),
       unix_micros(col("ts")).as("ts_us"), col("event_id"),
       expr("CAST(floor(value * 1000.0D) AS BIGINT)").as("mv"))
-    val grid = e.groupBy(col("user_id"))
-      .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
-      .withColumn("g0", expr(s"(t0 + ${GridUs - 1}) DIV $GridUs"))
-      .withColumn("g1", expr(s"t1 DIV $GridUs"))
-      .filter(col("g0") <= col("g1"))
-      .select(col("user_id"), explode(expr("sequence(g0, g1)")).as("g"))
-      .select(col("user_id"), (col("g") * GridUs).as("ts_us"),
-        lit(null).cast("long").as("mv"), lit(0L).as("ie"),
-        lit(0L).as("event_id"))
-    val uni = e.select(col("user_id"), col("ts_us"), col("mv"), lit(1L).as("ie"),
-        col("event_id"))
-      .unionByName(grid)
-    // two orderings, NOT one: a same-timestamp event must be visible to
-    // BOTH brackets — events sort before the grid row in the backward
-    // ordering (prev sees it) and after it in the forward ordering
-    // (next sees it). A single shared ordering makes one bracket blind
-    // at exact-coincidence timestamps: with events-first, a grid point
-    // landing exactly on a user's LAST event found no `next` and was
-    // silently dropped (and the nt = pt guard below was dead code).
-    // Same-ts value: prev picks the max-event_id event, next the min —
-    // nt = pt makes the guard take prev (a documented tie rule).
-    val wPrev = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), desc("ie"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("ie"), col("event_id"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    uni
-      .withColumn("pv", last(col("mv"), ignoreNulls = true).over(wPrev))
-      .withColumn("pt", last(when(col("ie") === 1L, col("ts_us")), ignoreNulls = true).over(wPrev))
-      .withColumn("nv", first(col("mv"), ignoreNulls = true).over(wNext))
-      .withColumn("nt", first(when(col("ie") === 1L, col("ts_us")), ignoreNulls = true).over(wNext))
-      .filter(col("ie") === 0L && col("pv").isNotNull && col("nv").isNotNull)
+    // per (user, ts): the value each bracket direction would pick —
+    // prev picks the max-event_id event at the ts, next the min
+    val ts = e.groupBy(col("user_id"), col("ts_us"))
+      .agg(expr("max_by(mv, event_id)").as("pvv"),
+        expr("min_by(mv, event_id)").as("nvv"))
+    val wNextTs = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val seg = ts
+      .withColumn("t_next", lead(col("ts_us"), 1).over(wNextTs))
+      .withColumn("nv_next", lead(col("nvv"), 1).over(wNextTs))
+      // grid points owned by this segment: [ts_us, t_next) — the last
+      // event's segment owns only a grid point landing exactly on it
+      .withColumn("gs", expr(s"(ts_us + ${GridUs - 1}) DIV $GridUs"))
+      .withColumn("ge", expr(
+        s"CASE WHEN t_next IS NULL THEN ts_us DIV $GridUs " +
+          s"ELSE (t_next + ${GridUs - 1}) DIV $GridUs - 1 END"))
+      .filter(col("gs") <= col("ge"))
+    seg
+      .select(col("ts_us"), col("pvv"), col("t_next"), col("nv_next"),
+        explode(expr("sequence(gs, ge)")).as("g"))
+      .withColumn("gts", col("g") * GridUs)
       .withColumn("imv", expr(
         // q120 convention: the interpolation numerator is value-delta ×
         // µs-gap — both unbounded by the user's data (mv is 10³-scaled,
         // gaps are whatever a quiet user leaves), so it runs in
         // DECIMAL(38,0) (HUGEINT twin); int64 would wrap silently while
         // DuckDB errors
-        """CASE WHEN nt = pt THEN pv
-          |  ELSE pv + CAST((CAST(nv - pv AS DECIMAL(38,0)) * (ts_us - pt))
-          |    DIV (nt - pt) AS BIGINT) END"""
+        """CASE WHEN gts = ts_us THEN pvv
+          |  ELSE pvv + CAST((CAST(nv_next - pvv AS DECIMAL(38,0)) * (gts - ts_us))
+          |    DIV (t_next - ts_us) AS BIGINT) END"""
           .stripMargin))
-      .groupBy(expr(s"ts_us DIV $GridUs").as("hour"))
+      .groupBy(col("g").as("hour"))
       .agg(count(lit(1)).as("n_users"), sum(col("imv")).as("sum_mv"))
       .orderBy(col("hour"))
   }

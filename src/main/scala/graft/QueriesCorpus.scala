@@ -994,11 +994,10 @@ object QueriesCorpus {
   private val DecontK = 8
   private val DecontMod = 97
   private val q201: Q = (s, dir) => {
+    graft.functions.TextFunctions.register(s)
     val g = Tables.documents(s, dir)
-      .withColumn("_toks", expr("split(text, ' ')"))
       .select(col("doc_id"),
-        expr("array_distinct(" +
-          TextOps.posGramHashesExpr("_toks", DecontK) + ")").as("ghs"))
+        expr(s"array_distinct(graft_pos_grams$DecontK(text))").as("ghs"))
       .repartition(Tables.shufflePartitions(s))
       .localCheckpoint() // one gram pass feeds both splits
     val evalG = g.filter(col("doc_id") % DecontMod === 0)

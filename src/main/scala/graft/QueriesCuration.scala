@@ -45,13 +45,14 @@ object QueriesCuration {
   private val q73: Q = (s, dir) => {
     val fixture =
       s"CASE WHEN doc_id % 9 = 0 THEN concat(text, ' ', '$Boiler') ELSE text END"
+    graft.functions.TextFunctions.register(s)
     val mat = Tables.documents(s, dir)
       .select(col("doc_id"), expr(fixture).as("ftext"))
       .repartition(Tables.shufflePartitions(s))
       .withColumn("toks", expr(TextOps.tokensExpr("ftext")))
       .select(col("doc_id"),
         expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
-        expr(TextOps.posGramHashesExpr("toks", DupK)).as("ghs"))
+        expr(s"graft_pos_grams$DupK(ftext)").as("ghs"))
       .cache() // explode + base join re-read it; md5 hashing runs once
     val grams = mat
       .select(col("doc_id"), posexplode(col("ghs")).as(Seq("p0", "h")))
@@ -498,12 +499,14 @@ object QueriesCuration {
   // call); the per-doc sum reuses the doc_id grouping. Never O(n²), no
   // window over the gram stream.
   private val q102: Q = (s, dir) => {
+    graft.functions.TextFunctions.register(s)
     val mat = Tables.documents(s, dir)
-      .select(col("doc_id"), expr(TextOps.tokensExpr("text")).as("toks"))
+      .select(col("doc_id"), col("text"),
+        expr(TextOps.tokensExpr("text")).as("toks"))
       .filter(expr("size(toks) >= 2"))
       .repartition(Tables.shufflePartitions(s))
       .select(col("doc_id"),
-        expr(TextOps.posGramHashesExpr("toks", 2)).as("ghs"))
+        expr("graft_pos_grams2(text)").as("ghs"))
       .cache() // count pass + scoring join both explode it; md5 runs once
     val grams = mat.select(col("doc_id"), explode(col("ghs")).as("h"))
     val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))

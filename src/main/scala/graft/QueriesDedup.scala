@@ -293,25 +293,19 @@ object QueriesDedup {
   }
 
   // --- q30: embedding-cosine near-dup — EXACT all-pairs VERIFIER -------------
-  // This is deliberately the exact brute-force baseline (BroadcastNestedLoop
-  // all-pairs): it exists to measure the recall of the bucketed operators,
-  // NOT to run at corpus scale. The inventory's embedding-near-dup entry is
-  // q52 (VectorNearDup.pairsMultiprobe — equi-join on sign-bit buckets);
-  // point any real corpus THERE. Norms computed once per vector; pair
-  // enumeration id-ordered; cosine is the deterministic sequential fold
-  // (VectorOps) so ranking ties out identically cross-engine.
+  // Deliberately the exact brute-force baseline: it exists to measure the
+  // recall of the bucketed operators, NOT to run at corpus scale. The
+  // inventory's embedding-near-dup entry is q52 (VectorNearDup
+  // .pairsMultiprobe — equi-join on sign-bit buckets); point any real
+  // corpus THERE. The pair sweep is ops.BruteForce — the same sequential
+  // folds as VectorOps (bit-identical to the expression form and the
+  // DuckDB oracle) in a flat-array kernel: the former BroadcastNestedLoop
+  // all-pairs join copied both dim-wide arrays into every candidate row
+  // (~400 GB of row traffic for 13 GFLOP at n=20k — 60 s at sf1 vs ~1 s
+  // for the kernel).
   private val q30: Q = (s, dir) => {
-    graft.functions.GraftFunctions.register(s)
-    val em = Tables.embeddings(s, dir)
-      .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
-      .withColumn("nrm", expr(VectorOps.normExpr("v")))
-    val a = em.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = em.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cosine",
-        expr(VectorOps.fastDot("va", "vb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= 0.3)
-      .select(col("vec_a"), col("vec_b"), col("cosine"))
+    graft.ops.BruteForce
+      .allPairsCosine(Tables.embeddings(s, dir), "vec_id", "embedding", 0.3)
       .orderBy(desc("cosine"), col("vec_a"), col("vec_b"))
       .limit(20)
   }

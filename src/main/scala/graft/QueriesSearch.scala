@@ -525,43 +525,37 @@ object QueriesSearch {
   // Published as the per-(n, precision-decile) histogram with pair-id
   // checksums and corpus-level micro sums — every pair's bucket is
   // pinned without corpus-sized output.
-  // Scale: grams hashed ONCE from a pre-split token array (the q201
-  // lesson: higher-order lambdas are interpreted, so the split must be
-  // a materialized column, and one localCheckpoint feeds counts AND
-  // totals); the clip is an EQUI-join on (pair, n, gram-hash) — content
-  // keys, uniform, never all-pairs; histogram is an 11×2-row aggregate.
+  // Scale: grams hashed ONCE per doc (native graft_pos_grams — the
+  // composed interpreted-lambda form measured 17.6 s at sf1); the clip
+  // is ONE native multiset-intersect eval per candidate/reference pair
+  // (graft_clip_count) after a pid equi-join of the two sides — the
+  // per-gram-occurrence explode + groupBy + (pair, n, gram) equi-join
+  // this replaces shuffled every gram occurrence in the corpus twice.
+  // The pair join shuffles each doc's gram arrays once on pid — the
+  // co-location any pairwise text comparison needs; histogram is an
+  // 11×2-row aggregate.
   private val q205: Q = (s, dir) => {
+    graft.functions.TextFunctions.register(s)
     val base = Tables.documents(s, dir)
       .select(expr("doc_id DIV 2").as("pid"), expr("doc_id % 2").as("side"),
-        expr(TextOps.tokensExpr("text")).as("toks"))
-      .withColumn("g1", expr(TextOps.posGramHashesExpr("toks", 1)))
-      .withColumn("g2", expr(TextOps.posGramHashesExpr("toks", 2)))
-      .select(col("pid"), col("side"), explode(expr(
-        "array(struct(CAST(1 AS BIGINT) AS n, g1 AS ghs), " +
-        "struct(CAST(2 AS BIGINT) AS n, g2 AS ghs))")).as("e"))
-      .select(col("pid"), col("side"), col("e.n").as("n"), col("e.ghs").as("ghs"))
-      .repartition(Tables.shufflePartitions(s))
-      .localCheckpoint() // one gram pass feeds the counts AND the totals
-    val tot = base.select(col("pid"), col("side"), col("n"),
-      size(col("ghs")).cast("long").as("total"))
-    val cnt = base.select(col("pid"), col("side"), col("n"),
-        explode(col("ghs")).as("gh"))
-      .groupBy(col("pid"), col("side"), col("n"), col("gh"))
-      .agg(count(lit(1)).as("c"))
-    val clip = cnt.filter(col("side") === 1)
-      .select(col("pid"), col("n"), col("gh"), col("c").as("cc"))
-      .join(cnt.filter(col("side") === 0)
-        .select(col("pid"), col("n"), col("gh"), col("c").as("cr")),
-        Seq("pid", "n", "gh"))
-      .groupBy(col("pid"), col("n"))
-      .agg(sum(least(col("cc"), col("cr"))).as("clip"))
-    tot.filter(col("side") === 1)
-      .select(col("pid"), col("n"), col("total").as("cand_total"))
-      .join(tot.filter(col("side") === 0)
-        .select(col("pid"), col("n"), col("total").as("ref_total")),
-        Seq("pid", "n")) // inner: a candidate without its reference drops
-      .join(clip, Seq("pid", "n"), "left")
-      .withColumn("clip", coalesce(col("clip"), lit(0L)))
+        expr("graft_pos_grams1(text)").as("g1"),
+        expr("graft_pos_grams2(text)").as("g2"))
+    val cand = base.filter(col("side") === 1)
+      .select(col("pid"), col("g1").as("cg1"), col("g2").as("cg2"))
+    val ref = base.filter(col("side") === 0)
+      .select(col("pid"), col("g1").as("rg1"), col("g2").as("rg2"))
+    cand.join(ref, Seq("pid")) // inner: a candidate without its reference drops
+      .select(col("pid"), explode(expr(
+        "array(struct(CAST(1 AS BIGINT) AS n, " +
+          "graft_clip_count(cg1, rg1) AS clip, " +
+          "CAST(size(cg1) AS BIGINT) AS cand_total, " +
+          "CAST(size(rg1) AS BIGINT) AS ref_total), " +
+        "struct(CAST(2 AS BIGINT) AS n, " +
+          "graft_clip_count(cg2, rg2) AS clip, " +
+          "CAST(size(cg2) AS BIGINT) AS cand_total, " +
+          "CAST(size(rg2) AS BIGINT) AS ref_total))")).as("e"))
+      .select(col("pid"), col("e.n").as("n"), col("e.clip").as("clip"),
+        col("e.cand_total").as("cand_total"), col("e.ref_total").as("ref_total"))
       .withColumn("p_ppm", expr(
         "CASE WHEN cand_total = 0 THEN CAST(0 AS BIGINT) " +
         "ELSE (1000000 * clip) DIV cand_total END"))

@@ -46,6 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_array_min_agg"),
       info("graft_array_min_agg", "elementwise min aggregate over ARRAY<BIGINT> rows"),
       Arity(1, "graft_array_min_agg")(c => ArrayMinAgg(c(0)))))
+    Seq(1, 2, 8).foreach { k =>
+      ext.injectFunction((FunctionIdentifier(s"graft_pos_grams$k"),
+        info(s"graft_pos_grams$k", s"positional 60-bit hashes of word $k-grams"),
+        Arity(1, s"graft_pos_grams$k")(c => PosGramHashes(c(0), k))))
+    }
+    ext.injectFunction((FunctionIdentifier("graft_clip_count"),
+      info("graft_clip_count", "multiset intersection size of two ARRAY<BIGINT>"),
+      Arity(2, "graft_clip_count")(c => ClipOverlapCount(c(0), c(1)))))
     // Optimizer rule: push element-only filter predicates under explode()
     // (runs in the operator-optimization batch; see the rule's scaladoc).
     ext.injectOptimizerRule(_ => graft.plans.PushFilterIntoExplode)

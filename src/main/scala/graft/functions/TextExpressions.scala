@@ -271,6 +271,12 @@ object TextFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_array_min_agg",
       Arity(1, "graft_array_min_agg")(c => ArrayMinAgg(c(0))), "built-in")
+    Seq(1, 2, 8).foreach { k =>
+      reg.createOrReplaceTempFunction(s"graft_pos_grams$k",
+        Arity(1, s"graft_pos_grams$k")(c => PosGramHashes(c(0), k)), "built-in")
+    }
+    reg.createOrReplaceTempFunction("graft_clip_count",
+      Arity(2, "graft_clip_count")(c => ClipOverlapCount(c(0), c(1))), "built-in")
   }
 }
 
@@ -319,6 +325,105 @@ case class ShingleHashes(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
+}
+
+/** POSITIONAL (non-distinct, in order) 60-bit MD5-prefix hashes of the
+  * word k-grams of a text column — the `TextOps.posGramHashesExpr(split(
+  * text, ' '), k)` chain in one per-row eval. Bit-identical to the
+  * composed form (asserted by TextVectorSpec): tokens split on single
+  * spaces with trailing empties kept, grams joined with ' ', hash =
+  * first 15 hex digits of MD5 == first 60 bits big-endian; documents
+  * shorter than k yield the empty (typed) array. Unlike
+  * [[ShingleHashes]], duplicates and order are preserved — position
+  * identity is what exact-substring dedup (q73/q201) and clipped n-gram
+  * overlap (q205) count. The composed form evaluates its lambda
+  * INTERPRETED per gram with an md5 expression chain per element — the
+  * same 83-s-vs-2-s class of gap the lang-id feature pass measured.
+  */
+case class PosGramHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // matches the REGISTERED names (graft_pos_grams1/2/8)
+  override def prettyName: String = s"graft_pos_grams$k"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputCheck.result(InputCheck.string(child, prettyName, 1))
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split(" ", -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = Hash60(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PosGramHashes =
+    copy(child = newChild)
+}
+
+/** MULTISET intersection size of two LONG arrays — Σ_v min(count_a(v),
+  * count_b(v)), the clipped n-gram overlap at the core of BLEU/ROUGE
+  * (q205). Inputs need NOT be sorted or distinct: each eval copies both
+  * sides to primitive `long[]`s, sorts, and two-pointer-merges counting
+  * one match per consumed element — with duplicates, equal values pair
+  * off one-for-one, which IS the per-value min. Evaluated once per
+  * candidate/reference PAIR (not per gram), so the per-eval sort is off
+  * the hot path; what it replaces is a corpus-sized explode + groupBy +
+  * equi-join over every gram occurrence.
+  */
+case class ClipOverlapCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_clip_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.result(
+    InputCheck.arrayOfLong(left, prettyName, 1),
+    InputCheck.arrayOfLong(right, prettyName, 2))
+
+  private def toSorted(x: ArrayData): Array[Long] = {
+    val n = x.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) throw new IllegalArgumentException(
+        s"$prettyName: null array element (null elements are unsupported)")
+      out(i) = x.getLong(i)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = toSorted(a.asInstanceOf[ArrayData])
+    val y = toSorted(b.asInstanceOf[ArrayData])
+    var i = 0; var j = 0; var c = 0L
+    while (i < x.length && j < y.length) {
+      if (x(i) < y(j)) i += 1
+      else if (x(i) > y(j)) j += 1
+      else { c += 1L; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ClipOverlapCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Per-document char-trigram feature-bucket COUNTS + bias — the lang-id

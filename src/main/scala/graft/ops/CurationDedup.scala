@@ -23,11 +23,21 @@ object CurationDedup {
   /** Token arrays + positional gram hashes, the cacheable prefix of
     * [[scrubbed]] — the caller caches (the md5 gram hashing is the
     * dominant per-row cost and the scrub references it twice), mirroring
-    * [[NearDup.shingleHashed]]'s contract. Adds `_toks` and `_ghs`. */
-  def gramHashed(docs: DataFrame, textCol: String, k: Int = 8): DataFrame =
+    * [[NearDup.shingleHashed]]'s contract. Adds `_toks` and `_ghs`.
+    * Hashing runs through the native [[graft.functions.PosGramHashes]]
+    * at its registered gram sizes (bit-identical to the composed form,
+    * TextVectorSpec-pinned; the composed transform evaluates its lambda
+    * interpreted with an md5 expression chain per gram) and falls back
+    * to the composed form at unregistered sizes. */
+  def gramHashed(docs: DataFrame, textCol: String, k: Int = 8): DataFrame = {
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    val ghs =
+      if (Set(1, 2, 8).contains(k)) s"graft_pos_grams$k($textCol)"
+      else TextOps.posGramHashesExpr("_toks", k)
     docs
       .withColumn("_toks", expr(TextOps.tokensExpr(textCol)))
-      .withColumn("_ghs", expr(TextOps.posGramHashesExpr("_toks", k)))
+      .withColumn("_ghs", expr(ghs))
+  }
 
   /** Exact-substring dedup SCRUB (Lee et al. 2022's removal pass, the
     * aggressive all-copies variant): every token position covered by a

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+
+/** BruteForce.allPairsCosine: the flat-array kernel must be BIT-identical
+  * to the expression form it replaces (toDoubleExpr → graft_dot → / norms)
+  * — same widening, same sequential fold, same division — because q30 is
+  * the exact verifier whose cosines hash-match the DuckDB oracle. */
+class BruteForceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic synthetic vectors: values exercise non-associativity
+  // (different magnitudes so a reordered fold WOULD change the result)
+  private lazy val vecs = {
+    val dim = 16
+    (0L until 40L).map { id =>
+      val v = Array.tabulate(dim) { d =>
+        val x = ((id * 37 + d * 101 + 13) % 997).toFloat / 997f - 0.5f
+        x * (if ((d % 5) == 0) 1e4f else 1e-3f)
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def expressionForm(threshold: Double) = {
+    GraftFunctions.register(spark)
+    val em = vecs
+      .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
+      .withColumn("nrm", expr(VectorOps.normExpr("v")))
+    val a = em.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = em.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        expr(VectorOps.fastDot("va", "vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  test("kernel equals the expression form bit-for-bit (all pairs, no threshold)") {
+    val want = expressionForm(-2.0).as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    val got = BruteForce.allPairsCosine(vecs, "vec_id", "embedding", -2.0)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    assert(got.keySet == want.keySet)
+    // bit-identical, not approximately equal: the verifier's contract
+    got.foreach { case (k, c) =>
+      assert(java.lang.Double.doubleToRawLongBits(c) ==
+             java.lang.Double.doubleToRawLongBits(want(k)), s"pair $k differs")
+    }
+  }
+
+  test("threshold filters inside the kernel") {
+    val all = BruteForce.allPairsCosine(vecs, "vec_id", "embedding", -2.0).count()
+    val some = BruteForce.allPairsCosine(vecs, "vec_id", "embedding", 0.3)
+    assert(some.count() < all)
+    assert(some.filter(col("cosine") < 0.3).count() == 0)
+  }
+
+  test("maxRows guard fails loudly and names the scale path") {
+    val e = intercept[IllegalArgumentException] {
+      BruteForce.allPairsCosine(vecs, "vec_id", "embedding", 0.3, maxRows = 10)
+    }
+    assert(e.getMessage.contains("pairsMultiprobe"))
+  }
+
+  test("ragged embeddings are an error, not a silent truncation") {
+    val ragged = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f, 3f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      BruteForce.allPairsCosine(ragged, "vec_id", "embedding", 0.0)
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+}

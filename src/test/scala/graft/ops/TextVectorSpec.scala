@@ -97,6 +97,33 @@ class TextOpsSpec extends SparkSpec {
     assert(native == 2L && native == builtin)
   }
 
+  test("native positional gram hashes == composed transform/md5 form") {
+    TextFunctions.register(spark)
+    // duplicates preserved, order preserved, short-doc empty array
+    for (text <- Seq("a b c a b c", "a", "", "x y")) {
+      val df = onDoc(text)
+        .withColumn("toks", expr(TextOps.tokensExpr("text")))
+      for (k <- Seq(1, 2)) {
+        val native = df.select(expr(s"graft_pos_grams$k(text)").as("g"))
+          .as[Seq[Long]].head()
+        val composed = df.select(expr(TextOps.posGramHashesExpr("toks", k)).as("g"))
+          .as[Seq[Long]].head()
+        assert(native == composed, s"k=$k text='$text'")
+      }
+    }
+  }
+
+  test("clip count is the multiset intersection (Σ min of per-value counts)") {
+    TextFunctions.register(spark)
+    val df = Seq(
+      // (a, b, want): 1 appears 3× and 2×, 2 appears 1× and 2×, 9 only left
+      (Seq(1L, 1L, 1L, 2L, 9L), Seq(2L, 1L, 2L, 1L), 3L),
+      (Seq.empty[Long], Seq(1L), 0L),
+      (Seq(5L, 5L), Seq(5L, 5L), 2L)
+    ).toDF("a", "b", "want")
+    assert(df.filter(expr("graft_clip_count(a, b) != want")).count() == 0L)
+  }
+
   test("GraftExtensions registers all native functions via the extensions API") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext) // must not throw
