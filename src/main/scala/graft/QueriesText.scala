@@ -110,26 +110,23 @@ object QueriesText {
   // the round count, not the class count, sets the job count).
   private val LangClasses = Seq("de", "en", "es", "fr", "zh")
 
-  /** Shared one-vs-rest feature base: (doc_id, lang, b, cnt) hashed
-    * char-trigram counts + one bias row per doc (b = B, cnt = 1) — the
-    * [[graft.ops.LinearTrain.featureRows]] shape minus the label, which
-    * each class attaches as ±1 over `lang`. The counts come from the
-    * native [[graft.functions.TrigramBucketCounts]] (one compiled
-    * per-row loop, bias folded in at index B) — posexplode of a 65-slot
-    * array per doc, zero shuffle; the composed lambda+explode+groupBy
-    * form measured 83 s at sf1 against ~2 s here (interpreted
-    * higher-order lambdas; see the expression's scaladoc). */
-  private def langBase(s: SparkSession, dir: String): DataFrame = {
+  /** Shared one-vs-rest feature base: one row per doc with the FULL
+    * (B+1)-long hashed char-trigram count ARRAY (bias 1 at index B) from
+    * the native [[graft.functions.TrigramBucketCounts]] — one compiled
+    * per-row loop, zero shuffle, NO explode: training and prediction
+    * both run through [[graft.ops.LinearTrain]]'s counts-array kernels,
+    * so the corpus-side work per GD round is one narrow mapPartitions
+    * scan of these rows (the exploded (doc, b, cnt) + broadcast-join
+    * shape this replaces measured 55 s combined for q211/q212 at sf1).
+    * The composed lambda+explode+groupBy feature pass had already
+    * measured 83 s at sf1 against ~2 s for the native expression. */
+  private def langCnts(s: SparkSession, dir: String): DataFrame = {
     val B = graft.ops.LinearTrain.B
     require(B == 64, "graft_trigram_buckets64 is registered for B = 64")
     graft.functions.TextFunctions.register(s)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
-        posexplode(expr(s"graft_trigram_buckets$B(text)"))
-          .as(Seq("bi", "cnt")))
-      .filter(col("cnt") > 0L)
-      .select(col("doc_id"), col("lang"),
-        col("bi").cast("long").as("b"), col("cnt"))
+        expr(s"graft_trigram_buckets$B(text)").as("cnts"))
   }
 
   private val q211: Q = (s, dir) => {
@@ -137,9 +134,9 @@ object QueriesText {
     import spark.implicits._
     val LT = graft.ops.LinearTrain
     val n = Tables.documents(s, dir).count()
-    val base = langBase(s, dir).cache()
+    val base = langCnts(s, dir).cache()
     try {
-      val states = LT.trainMulti(base, "lang", LangClasses, n)
+      val states = LT.trainMultiFromCounts(base, "lang", "cnts", LangClasses, n)
       LangClasses.flatMap { c =>
         val st = states(c)
         (0 until LT.B).map(b =>
@@ -194,23 +191,19 @@ object QueriesText {
     val LT = graft.ops.LinearTrain
     val docs = Tables.documents(s, dir)
     val n = docs.count()
-    val base = langBase(s, dir).cache()
+    val base = langCnts(s, dir).cache()
     try {
-      val states = LT.trainMulti(base, "lang", LangClasses, n)
-      val margins = LT
-        .marginsMulti(base, "lang", LangClasses.map(c => c -> states(c)))
-        .select(col("doc_id"), col("cls"), col("m"))
-      // argmax margin per doc; ties to the smallest class name — a
-      // doc-keyed window, never corpus-global
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("m").desc, col("cls").asc)
-      val pred = margins.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("doc_id"), col("cls").as("predicted_lang"))
+      val states = LT.trainMultiFromCounts(base, "lang", "cnts", LangClasses, n)
+      // per-doc argmax margin with ties to the smallest class name,
+      // computed in the same counts-array pass — no margin join/window
+      val pred = LT
+        .predictFromCounts(base, "doc_id", "lang", "cnts",
+          LangClasses.map(c => c -> states(c)))
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          col("predicted_cls").as("predicted_lang"))
       val heur = heurScored(docs)
         .select(col("doc_id"), expr(heurPredictedCase).as("heur_lang"))
-      docs.select(col("doc_id"), col("lang").as("labeled_lang"))
-        .join(pred, Seq("doc_id"))
+      pred
         .join(heur, Seq("doc_id"))
         .groupBy(col("labeled_lang"), col("predicted_lang"))
         .agg(count(lit(1)).as("n_docs"),

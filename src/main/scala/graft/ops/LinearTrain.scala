@@ -286,6 +286,214 @@ object LinearTrain {
     }.toMap
   }
 
+  // ----------------------------------------------------- counts-array path
+
+  /** 128-bit signed accumulator helpers for the counts-array kernels:
+    * per-term products cnt·r exceed int64 in theory (r rides the W·Q
+    * fixed-point scale), so per-(class, bucket) sums accumulate as
+    * (hi, lo) long pairs — Math.multiplyHigh + manual carry — and
+    * reconstruct driver-side as BigInt. Bound: |term| < 2⁶³ and ≤ 2⁴⁰
+    * docs per partition keeps the 128-bit sum far from wrapping. */
+  private final class Acc128(k: Int, m: Int) {
+    val hi = Array.ofDim[Long](k, m)
+    val lo = Array.ofDim[Long](k, m)
+    def add(ci: Int, b: Int, x: Long, y: Long): Unit = {
+      val pLo = x * y
+      val pHi = Math.multiplyHigh(x, y)
+      val oldLo = lo(ci)(b)
+      val newLo = oldLo + pLo
+      // unsigned carry out of the low word
+      val carry = ((oldLo & pLo) | ((oldLo | pLo) & ~newLo)) >>> 63
+      lo(ci)(b) = newLo
+      hi(ci)(b) = hi(ci)(b) + pHi + carry
+    }
+  }
+  private def big128(hi: Long, lo: Long): BigInt =
+    (BigInt(hi) << 64) + BigInt(java.lang.Long.toUnsignedString(lo))
+
+  /** [[trainMulti]] over per-doc feature-count ARRAYS — the shape
+    * [[graft.functions.TrigramBucketCounts]] emits: one row per doc,
+    * `cntsCol` = ARRAY<BIGINT> of length B+1 with the bias 1 at index
+    * B. BIT-IDENTICAL states to [[trainMulti]] (same integer algebra,
+    * order-independent sums — spec-pinned), but each GD round is ONE
+    * mapPartitions pass over n doc rows with a (B+1)·|classes|-sized
+    * collect: no posexplode to (doc, b, cnt) rows, no broadcast join,
+    * no per-round shuffle of the exploded base and no margin join back
+    * — the q211/q212 path measured 55 s combined at sf1 through the
+    * exploded shape vs single-digit seconds here. Per-term arithmetic
+    * is loud-exact: margins in Math.*Exact longs (the measured oracle-SF
+    * bounds hold with a ~2¹⁰ margin; an overflow THROWS rather than
+    * training divergent weights — the decimal twin's discipline), and
+    * the per-bucket gradient sums in the 128-bit [[Acc128]].
+    *
+    * Scale shape (100 TB): per round one narrow scan of (class, cnts)
+    * rows, per-partition dense accumulators, a partitions×k×(B+1)
+    * driver collect — treeAggregate's layout without losing the exact
+    * integer discipline. */
+  def trainMultiFromCounts(docs: DataFrame, classCol: String, cntsCol: String,
+                           classes: Seq[String], n: Long): Map[String, State] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(classes.nonEmpty && classes.distinct == classes)
+    val ds = docs
+      .select(col(classCol).cast("string"), col(cntsCol).cast("array<bigint>"))
+      .as[(String, Array[Long])]
+
+    val statParts = ds.mapPartitions { it =>
+      val sx = new Array[Long](B)
+      val sxx = new Array[Long](B)
+      var seen = false
+      it.foreach { case (_, cnts) =>
+        require(cnts.length == B + 1,
+          s"counts array must have length ${B + 1}, got ${cnts.length}")
+        seen = true
+        var b = 0
+        while (b < B) {
+          val c = cnts(b)
+          if (c != 0L) {
+            sx(b) = Math.addExact(sx(b), c)
+            sxx(b) = Math.addExact(sxx(b), Math.multiplyExact(c, c))
+          }
+          b += 1
+        }
+      }
+      if (seen) Iterator.single((sx, sxx)) else Iterator.empty
+    }.collect()
+    val sx = (0 until B).map(b =>
+      statParts.foldLeft(0L)((a, p) => Math.addExact(a, p._1(b))))
+    val sxx = (0 until B).map(b =>
+      statParts.foldLeft(0L)((a, p) => Math.addExact(a, p._2(b))))
+    val variance = (0 until B).map(b =>
+      BigInt(n) * sxx(b) - BigInt(sx(b)) * sx(b))
+    val d = (0 until B).map(b =>
+      if (variance(b) > 0) isqrt(variance(b)).toLong else 1L)
+    val nb = variance.count(_ > 0)
+    val t0 = BigInt(n) * (nb + 1)
+
+    val k = classes.size
+    val kcl = classes.toArray
+    var w: Map[String, IndexedSeq[BigInt]] =
+      classes.map(_ -> IndexedSeq.fill(B + 1)(BigInt(0))).toMap
+    if (n > 0) for (_ <- 1 to Iters) {
+      val aByClass: Array[Array[Long]] = kcl.map { c =>
+        val wc = w(c)
+        Array.tabulate(B + 1) { b =>
+          val v = if (b < B) tdiv(wc(b) * n * Q, d(b)) else wc(B) * Q
+          require(v.isValidLong, s"coefficient overflow: $v")
+          v.toLong
+        }
+      }
+      val consts: Array[Long] = kcl.map { c =>
+        val cTot = (0 until B).map(b => tdiv(w(c)(b) * sx(b) * Q, d(b))).sum
+        require(cTot.isValidLong, s"constant overflow: $cTot")
+        -cTot.toLong
+      }
+      val yScale = W * Q
+      val parts = ds.mapPartitions { it =>
+        val acc = new Acc128(k, B + 1)
+        var seen = false
+        it.foreach { case (cls, cnts) =>
+          seen = true
+          var ci = 0
+          while (ci < k) {
+            val a = aByClass(ci)
+            var ax = 0L
+            var b = 0
+            while (b <= B) {
+              val c = cnts(b)
+              if (c != 0L) ax = Math.addExact(ax, Math.multiplyExact(c, a(b)))
+              b += 1
+            }
+            val y = if (cls == kcl(ci)) 1L else -1L
+            val r = Math.subtractExact(Math.addExact(ax, consts(ci)), y * yScale)
+            b = 0
+            while (b <= B) {
+              val c = cnts(b)
+              if (c != 0L) acc.add(ci, b, c, r)
+              b += 1
+            }
+            ci += 1
+          }
+        }
+        if (!seen) Iterator.empty
+        else Iterator.tabulate(k * (B + 1)) { idx =>
+          val ci = idx / (B + 1); val b = idx % (B + 1)
+          (ci, b, acc.hi(ci)(b), acc.lo(ci)(b))
+        }
+      }.collect()
+      val sxr: Map[(String, Int), BigInt] = parts
+        .groupBy(p => (p._1, p._2))
+        .map { case ((ci, b), ps) =>
+          (kcl(ci), b) -> ps.iterator.map(p => big128(p._3, p._4)).sum
+        }
+      w = classes.map { c =>
+        val wc = w(c)
+        val r = sxr.getOrElse((c, B), BigInt(0))
+        c -> ((0 until B).map { b =>
+          val num = 2 * (BigInt(n) * sxr.getOrElse((c, b), BigInt(0)) -
+            BigInt(sx(b)) * r)
+          wc(b) - tdiv(num, BigInt(d(b)) * Q * t0)
+        } :+ (wc(B) - tdiv(2 * r, BigInt(Q) * t0)))
+      }.toMap
+    }
+    classes.map { c =>
+      c -> State(n, sx, sxx, d, if (t0 > 0) t0 else BigInt(1),
+        w(c).map { v =>
+          require(v.isValidLong, s"weight overflow: $v")
+          v.toLong
+        })
+    }.toMap
+  }
+
+  /** Per-doc argmax-margin prediction over feature-count arrays — the
+    * serving half of [[trainMultiFromCounts]]: margins computed in the
+    * same per-row loud-exact long loop (identical integers to
+    * [[marginsMulti]]'s folded-coefficient algebra — spec-pinned), tie
+    * to the lexicographically smallest class (the q212 window's rule:
+    * `states` must arrive sorted by class name). Returns (idCol,
+    * classCol passthrough, predicted_cls) — no margin join, no window. */
+  def predictFromCounts(docs: DataFrame, idCol: String, classCol: String,
+                        cntsCol: String, states: Seq[(String, State)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(states.map(_._1) == states.map(_._1).sorted,
+      "states must be sorted by class name (the tie-break order)")
+    val k = states.size
+    val kcl = states.map(_._1).toArray
+    val folded = states.map { case (_, st) => foldedCoeffs(st) }
+    val aByClass: Array[Array[Long]] = folded.map(_._1.toArray).toArray
+    val consts: Array[Long] = folded.map(_._2).toArray
+    docs
+      .select(col(idCol).cast("long"), col(classCol).cast("string"),
+        col(cntsCol).cast("array<bigint>"))
+      .as[(Long, String, Array[Long])]
+      .mapPartitions { it =>
+        it.map { case (id, cls, cnts) =>
+          require(cnts.length == B + 1,
+            s"counts array must have length ${B + 1}, got ${cnts.length}")
+          var bestCi = 0
+          var bestM = Long.MinValue
+          var ci = 0
+          while (ci < k) {
+            val a = aByClass(ci)
+            var m = consts(ci)
+            var b = 0
+            while (b < B) {
+              val c = cnts(b)
+              if (c != 0L) m = Math.addExact(m, Math.multiplyExact(c, a(b)))
+              b += 1
+            }
+            // strictly-greater keeps the FIRST (lexicographically
+            // smallest) class on ties
+            if (ci == 0 || m > bestM) { bestM = m; bestCi = ci }
+            ci += 1
+          }
+          (id, cls, kcl(bestCi))
+        }
+      }
+      .toDF(idCol, classCol, "predicted_cls")
+  }
+
   /** Final margins of every doc under every class's trained weights in
     * ONE pass: (doc_id, cls, m) — the multi-class twin of
     * [[marginsFromRows]], same folded-coefficient algebra, columnar

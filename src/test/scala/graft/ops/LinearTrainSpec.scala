@@ -139,10 +139,34 @@ class LinearTrainSpec extends SparkSpec {
     val sts2 = states(docs.orderBy(col("doc_id").desc).coalesce(1))
     assert(sts2 == sts)
     // the vectorized one-pass-per-round path trains BIT-IDENTICAL
-    // states to the per-class loop (q211/q212 run through it; the
-    // oracle twin replays the per-class chains)
+    // states to the per-class loop (the oracle twin replays the
+    // per-class chains)
     val multi = LinearTrain.trainMulti(base(docs), "lang", classes, 90L)
     sts.foreach { case (c, st) => assert(multi(c) == st, s"class $c") }
+    // ...and the counts-ARRAY kernels (the q211/q212 path: one
+    // mapPartitions pass per round, 128-bit gradient accumulators)
+    // train the SAME states and predict the same argmax
+    graft.functions.TextFunctions.register(spark)
+    val cntsDf = docs.withColumn("cnts",
+      expr(s"graft_trigram_buckets${LinearTrain.B}(text)"))
+    val fromCounts = LinearTrain
+      .trainMultiFromCounts(cntsDf, "lang", "cnts", classes, 90L)
+    sts.foreach { case (c, st) =>
+      assert(fromCounts(c) == st, s"counts-array class $c") }
+    val predicted = LinearTrain
+      .predictFromCounts(cntsDf, "doc_id", "lang", "cnts",
+        classes.map(c => c -> fromCounts(c)))
+      .select(col("doc_id"), col("predicted_cls"))
+      .as[(Long, String)].collect().toMap
+    val viaWindowArgmax = LinearTrain
+      .marginsMulti(base(docs), "lang", classes.map(c => c -> multi(c)))
+      .select(col("doc_id"), col("cls"), col("m").cast("long"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        // max margin, tie to smallest class — the q212 rule
+        id -> rs.minBy(r => (-r._3, r._2))._2
+      }
+    assert(predicted == viaWindowArgmax)
     // ...and the one-pass margin path agrees with marginsFromRows
     val viaMulti = LinearTrain
       .marginsMulti(base(docs), "lang", classes.map(c => c -> multi(c)))
