@@ -657,9 +657,11 @@ object QueriesCorpus {
     val corpus = quantized.filter(col("vec_id") >= QNQueries)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("score"), col("vec_id"))
+    graft.functions.GraftFunctions.register(s)
     corpus.join(broadcast(qs))
-      .withColumn("score",
-        expr("aggregate(zip_with(qq, q, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)"))
+      // native integer fold — bit-identical to the interpreted
+      // aggregate/zip_with lambda (integer sums are order-independent)
+      .withColumn("score", expr("graft_int_dot(qq, q)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= QTopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -724,10 +726,11 @@ object QueriesCorpus {
       .withColumn("scale", expr("CASE WHEN mx = 0.0D THEN 1.0D ELSE 127.0D / mx END"))
       .withColumn("q", expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS BIGINT))"))
       .select(col("vec_id"), col("q"))
+    graft.functions.GraftFunctions.register(s)
     val qv = quantized.filter(col("vec_id") === 0L)
       .select(col("q").as("qq"))
-    val intDot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), " +
-      "CAST(0 AS BIGINT), (acc, p) -> acc + p)"
+    // native integer fold — bit-identical to the interpreted lambda
+    val intDot = "graft_int_dot(%s, %s)"
     val pool = quantized.filter(col("vec_id") > 0L)
       .crossJoin(broadcast(qv))
       .withColumn("rel", expr(intDot.format("qq", "q")))

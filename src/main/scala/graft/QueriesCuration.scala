@@ -204,19 +204,22 @@ object QueriesCuration {
         sum(expr("CAST(cv AS DECIMAL(19,0)) * CAST(cv AS DECIMAL(19,0))"))
           .as("n2c"))
       .select(col("label").as("c_label"), col("carr"), col("n2c"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("score"), col("c_label"))
+    // native integer folds (order-independent, bit-identical to the
+    // interpreted lambdas); argmax centroid as min(struct(-score,
+    // c_label)) — a combinable hash aggregate instead of a row_number
+    // window over the corpus×L scored rows (double negation is exact,
+    // and the denominator's greatest(..., 1.0) floor rules out NaN)
+    graft.functions.GraftFunctions.register(s)
     mat
-      .withColumn("n2v", expr(
-        "aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT), (acc, x2) -> acc + x2)"))
+      .withColumn("n2v", expr("graft_int_dot(q, q)"))
       .crossJoin(broadcast(cents))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(q, carr, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)"))
+      .withColumn("dot", expr("graft_int_dot(q, carr)"))
       .withColumn("score", expr(
         "CAST(dot AS DOUBLE) / sqrt(greatest(CAST(n2c AS DOUBLE) * CAST(n2v AS DOUBLE), 1.0D))"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy(col("label"), col("c_label"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct((-col("score")).as("negs"), col("c_label").as("c_label")))
+        .as("m"))
+      .groupBy(col("label"), col("m.c_label").as("c_label"))
       .agg(count(lit(1)).as("n"))
       .select(col("label"), col("c_label").as("pred_label"), col("n"))
       .orderBy(col("label"), col("pred_label"))

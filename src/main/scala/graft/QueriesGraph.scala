@@ -376,10 +376,13 @@ object QueriesGraph {
   // reaches. GraphSpec pins a two-cluster fixture that converges.
   //
   // Scale: per round one labels⨝edges equi-join + one (node,label)
-  // count + one per-node argmax window over candidate labels (≤ degree
-  // rows per node), all on the ≤ 2M-row symmetric cut; localCheckpoint
-  // holds plan depth linear in rounds. Corpus-sized work is only the
-  // shared edge construction.
+  // count + one per-node argmax — the argmax as min(struct(-c, lab)),
+  // a COMBINABLE hash aggregate (partial argmax per map task), never a
+  // row_number window: the window form full-sorts the (node, label)
+  // candidate rows every round, the struct-min form ships one candidate
+  // per node per map task. All on the ≤ 2M-row symmetric cut;
+  // localCheckpoint holds plan depth linear in rounds. Corpus-sized
+  // work is only the shared edge construction.
   private val LpaRounds = 4
   private val LpaTopK = 20
   private val q154: Q = (s, dir) => {
@@ -390,14 +393,17 @@ object QueriesGraph {
     var labels = sym.select(col("src").as("n")).distinct()
       .withColumn("lab", col("n"))
       .localCheckpoint()
-    val wArg = Window.partitionBy(col("n")).orderBy(desc("c"), col("lab"))
     for (_ <- 1 to LpaRounds) {
+      // most-frequent neighbor label, tie to SMALLEST label ==
+      // min over (-count, label) pairs — struct ordering is
+      // lexicographic, so the aggregate encodes the window's
+      // (c DESC, lab ASC) rule exactly
       labels = sym.join(labels.withColumnRenamed("n", "dst"), Seq("dst"))
         .groupBy(col("src").as("n"), col("lab"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(wArg))
-        .filter(col("rn") === 1)
-        .select(col("n"), col("lab"))
+        .groupBy(col("n"))
+        .agg(min(struct((-col("c")).as("negc"), col("lab").as("lab"))).as("m"))
+        .select(col("n"), col("m.lab").as("lab"))
         .localCheckpoint()
     }
     labels.groupBy(col("lab"))

@@ -360,19 +360,24 @@ object QueriesSimilarity {
     val codebook = anchors.crossJoin(broadcast(subs))
       .select(col("sub"), col("crank"),
         expr(s"slice(cq, sub * $PqSubDim + 1, $PqSubDim)").as("cs"))
-    def sqd(a: String, b: String) =
-      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, p) -> acc + p)"
+    // native integer fold (graft_sqdist): the interpreted
+    // aggregate/zip_with lambda dominated the encode pass (corpus ×
+    // 32 codewords × 8 subspaces evaluations); integer sums are
+    // order-independent so the tight loop is bit-identical
+    graft.functions.GraftFunctions.register(s)
+    def sqd(a: String, b: String) = s"graft_sqdist($a, $b)"
     val corpus = qz.filter(col("vec_id") >= NQueries)
+    // argmin codeword as min(struct(d, crank)) — a COMBINABLE hash
+    // aggregate (partial argmin per map task) in place of a row_number
+    // window, which would full-sort the corpus×32-codeword rows
     val codes = corpus.crossJoin(broadcast(subs))
       .select(col("vec_id"), col("sub"),
         expr(s"slice(q, sub * $PqSubDim + 1, $PqSubDim)").as("vs"))
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("d", expr(sqd("vs", "cs")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("d"), col("crank"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("crank").as("code"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d"), col("crank"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.crank").as("code"))
     val queriesQ = qz.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
     val adc = queriesQ.crossJoin(broadcast(subs))

@@ -945,16 +945,22 @@ object QueriesStats {
   // (customer, part) — high-cardinality, skew-proof.
   private val RecsPerUser = 3
   private val q172: Q = (s, dir) => {
-    val sims = itemCosine(s, dir)
+    // cached: the symmetrization references sims TWICE (each branch would
+    // otherwise re-run the whole basket pair explode), and the similarity
+    // table is frequent-pattern-sized; Bench clears per-query
+    val sims = itemCosine(s, dir).cache()
     val sym = sims.select(col("part_a").as("src"), col("part_b").as("dst"),
         col("cos2_ppt"))
       .unionAll(sims.select(col("part_b").as("src"), col("part_a").as("dst"),
         col("cos2_ppt")))
+    // cached: read by the scoring join AND the ownership anti-join — each
+    // re-read would re-pay the lineitem⨝orders join + distinct shuffle
     val seen = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .join(Tables.orders(s, dir)
         .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck")), "ok")
       .select(col("ck"), col("pk")).distinct()
+      .cache()
     val scores = seen.join(sym, col("pk") === col("src"))
       .groupBy(col("ck"), col("dst"))
       .agg(sum(col("cos2_ppt")).as("score"), count(lit(1)).as("n_neighbors"))

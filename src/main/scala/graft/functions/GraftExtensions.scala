@@ -54,6 +54,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_clip_count"),
       info("graft_clip_count", "multiset intersection size of two ARRAY<BIGINT>"),
       Arity(2, "graft_clip_count")(c => ClipOverlapCount(c(0), c(1)))))
+    ext.injectFunction((FunctionIdentifier("graft_int_dot"),
+      info("graft_int_dot", "integer dot product of two ARRAY<BIGINT>"),
+      Arity(2, "graft_int_dot")(c => IntDotProduct(c(0), c(1)))))
+    ext.injectFunction((FunctionIdentifier("graft_sqdist"),
+      info("graft_sqdist", "integer squared L2 distance of two ARRAY<BIGINT>"),
+      Arity(2, "graft_sqdist")(c => IntSqDist(c(0), c(1)))))
     // Optimizer rule: push element-only filter predicates under explode()
     // (runs in the operator-optimization batch; see the rule's scaladoc).
     ext.injectOptimizerRule(_ => graft.plans.PushFilterIntoExplode)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the sequential-fold dot product of two
   * `ARRAY<DOUBLE>` columns.
@@ -87,14 +87,123 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared typing/eval plumbing for the INTEGER array-pair folds
+  * (`graft_int_dot`, `graft_sqdist`): ARRAY<BIGINT> × ARRAY<BIGINT> →
+  * BIGINT, equal lengths required. Integer addition is associative and
+  * commutative, so a tight loop is bit-identical to the interpreted
+  * `aggregate(zip_with(...))` fold it replaces in ANY order — unlike
+  * the float fold, no sequential-order discipline is needed. Arithmetic
+  * is Math.*Exact: the composed form under ANSI mode throws on int64
+  * overflow, and a silent wrap here would be a silently-wrong score. */
+private[functions] abstract class IntArrayFold extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.result(
+    InputCheck.arrayOfLong(left, prettyName, 1),
+    InputCheck.arrayOfLong(right, prettyName, 2))
+
+  /** (acc, x, y) => new acc — loud-exact. */
+  protected def step(acc: Long, x: Long, y: Long): Long
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"$prettyName: array lengths differ ($n vs ${y.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) throw new IllegalArgumentException(
+        s"$prettyName: null array element (null elements are unsupported)")
+      acc = step(acc, x.getLong(i), y.getLong(i))
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Σ xᵢ·yᵢ over two ARRAY<BIGINT> — the integer dot product (quantized
+  * embedding scoring: q68/q71's int8 path, centroid assignment). */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends IntArrayFold {
+  override def prettyName: String = "graft_int_dot"
+  override protected def step(acc: Long, x: Long, y: Long): Long =
+    Math.addExact(acc, Math.multiplyExact(x, y))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements())
+         |  throw new IllegalArgumentException("graft_int_dot: array lengths differ");
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i))
+         |    throw new IllegalArgumentException("graft_int_dot: null array element");
+         |  $acc = java.lang.Math.addExact($acc,
+         |    java.lang.Math.multiplyExact($x.getLong($i), $y.getLong($i)));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ (xᵢ−yᵢ)² over two ARRAY<BIGINT> — the integer squared L2 distance
+  * (PQ encode/ADC and the exact int8 re-rank, q155). */
+case class IntSqDist(left: Expression, right: Expression)
+    extends IntArrayFold {
+  override def prettyName: String = "graft_sqdist"
+  override protected def step(acc: Long, x: Long, y: Long): Long = {
+    val d = Math.subtractExact(x, y)
+    Math.addExact(acc, Math.multiplyExact(d, d))
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements())
+         |  throw new IllegalArgumentException("graft_sqdist: array lengths differ");
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i))
+         |    throw new IllegalArgumentException("graft_sqdist: null array element");
+         |  long $d = java.lang.Math.subtractExact($x.getLong($i), $y.getLong($i));
+         |  $acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($d, $d));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session-level registration of graft's native expressions, so query code
   * can use them in SQL-string form (`expr("graft_dot(a, b)")`) uniformly
   * with the built-ins. Idempotent.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_dot",
       Arity(2, "graft_dot")(c => DotProduct(c(0), c(1))),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_int_dot",
+      Arity(2, "graft_int_dot")(c => IntDotProduct(c(0), c(1))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sqdist",
+      Arity(2, "graft_sqdist")(c => IntSqDist(c(0), c(1))),
+      "built-in")
+  }
 }
