@@ -1119,21 +1119,36 @@ object QueriesCorpus {
   }
 
   // --- q204: trained-classifier evaluation (confusion matrix) ----------------
-  // The weights q203 trains, consumed through the RELATIONAL path
-  // (LinearTrain.marginDf — one broadcast-dim join + one doc-keyed
-  // aggregate, the complement of q69's batched-closure path): per
-  // (label, prediction) doc counts + overall accuracy in ppm. The
-  // standardized 4-round model lands ≥ 98% at every oracle SF —
-  // the training loop demonstrably learns, not just terminates.
+  // The weights q203 trains, consumed through the RELATIONAL path (the
+  // complement of q69's batched-closure path) — served as a per-row
+  // margin EXPRESSION over the same native counts array training reads
+  // (LinearTrain.marginExprFromCounts: graft_int_dot against the folded
+  // coefficient literal; the broadcast-dim join + doc-keyed aggregate it
+  // replaces re-exploded every token occurrence): per (label,
+  // prediction) doc counts + overall accuracy in ppm. The standardized
+  // 4-round model lands ≥ 98% at every oracle SF — the training loop
+  // demonstrably learns, not just terminates.
   private val q204: Q = (s, dir) => {
+    val LT = graft.ops.LinearTrain
+    graft.functions.TextFunctions.register(s)
+    graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, dir)
-    val rows = graft.ops.LinearTrain.featureRows(docs).cache()
-    val st = graft.ops.LinearTrain.trainOnRows(rows, docs.count())
-    val m = graft.ops.LinearTrain.marginsFromRows(rows, st)
+    // one native counts pass feeds training (counts-array kernels) AND
+    // the margin expression — no exploded feature rows at all
+    val cnts = docs.select(
+        expr(LT.LabelExpr).as("y"),
+        expr(s"CASE WHEN (${LT.LabelExpr}) = 1 THEN 'pos' ELSE 'neg' END")
+          .as("cls"),
+        expr(s"graft_token_buckets${LT.B}(text)").as("cnts"))
+      .cache()
+    val st = LT.trainMultiFromCounts(cnts, "cls", "cnts", Seq("pos"),
+      docs.count())("pos")
+    val m = cnts
       .select(col("y").cast("long").as("y"),
-        when(col("m") > 0, 1L).otherwise(-1L).as("pred"))
+        when(expr(LT.marginExprFromCounts("cnts", st)) > 0, 1L)
+          .otherwise(-1L).as("pred"))
       .localCheckpoint() // consumed twice (counts + accuracy); one compute
-    rows.unpersist()
+    cnts.unpersist()
     val acc = m.agg(
         (sum(when(col("y") === col("pred"), 1L).otherwise(0L)) * 1000000L)
           .as("ok"), count(lit(1)).as("nn"))

@@ -51,6 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         info(s"graft_pos_grams$k", s"positional 60-bit hashes of word $k-grams"),
         Arity(1, s"graft_pos_grams$k")(c => PosGramHashes(c(0), k))))
     }
+    ext.injectFunction((FunctionIdentifier("graft_token_buckets64"),
+      info("graft_token_buckets64", "word-token feature-bucket counts + bias"),
+      Arity(1, "graft_token_buckets64")(c => TokenBucketCounts(c(0), 64))))
     ext.injectFunction((FunctionIdentifier("graft_clip_count"),
       info("graft_clip_count", "multiset intersection size of two ARRAY<BIGINT>"),
       Arity(2, "graft_clip_count")(c => ClipOverlapCount(c(0), c(1)))))

@@ -269,6 +269,9 @@ object TextFunctions {
     reg.createOrReplaceTempFunction("graft_trigram_buckets64",
       Arity(1, "graft_trigram_buckets64")(c => TrigramBucketCounts(c(0), 64)),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_token_buckets64",
+      Arity(1, "graft_token_buckets64")(c => TokenBucketCounts(c(0), 64)),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_array_min_agg",
       Arity(1, "graft_array_min_agg")(c => ArrayMinAgg(c(0))), "built-in")
     Seq(1, 2, 8).foreach { k =>
@@ -485,6 +488,42 @@ case class TrigramBucketCounts(child: Expression, b: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): TrigramBucketCounts = copy(child = newChild)
+}
+
+/** Per-document word-token feature-bucket COUNTS + bias — the
+  * quality-classifier feature pass (q203/q69/q204) in ONE per-row eval:
+  * index j < b counts the doc's tokens whose 60-bit MD5-prefix hash
+  * lands in bucket j (`pmod(hash60(tok), b)` — hash60 is non-negative,
+  * so `%` == pmod), index b is the constant-1 bias
+  * ([[graft.ops.LinearTrain]] featureRows convention). The exploded
+  * form it replaces hashed every token occurrence into its own row and
+  * shuffled the (doc, y, b) stream through a count aggregate — corpus
+  * token-count rows and md5 expression chains per element vs one
+  * compiled loop with a thread-cached digest here. Bit-equality with
+  * the exploded form is spec-pinned (LinearTrainSpec). */
+case class TokenBucketCounts(child: Expression, b: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"graft_token_buckets$b"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputCheck.result(InputCheck.string(child, prettyName, 1))
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split(" ", -1)
+    val counts = new Array[Long](b + 1)
+    counts(b) = 1L // the per-doc bias row
+    var i = 0
+    while (i < toks.length) {
+      counts((Hash60(toks(i)) % b).toInt) += 1L
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenBucketCounts = copy(child = newChild)
 }
 
 /** Winnowing fingerprints: distinct minima of every w-window over the

@@ -102,12 +102,35 @@ object LinearTrain {
       .unionByName(docs.select(col("doc_id"), expr(labelExpr).as("y"),
         lit(B.toLong).as("b"), lit(1L).as("cnt")))
 
-  /** Runs the full training loop on a documents table. Actions: one
-    * count, one B-row stats collect, then per round one (B+1)-row
-    * collect off two sparse aggregates. */
+  /** Runs the full training loop on a documents table — through the
+    * counts-array kernels ([[trainMultiFromCounts]] with the single
+    * class "pos", whose ±1 label IS [[LabelExpr]]): the feature pass is
+    * one native [[graft.functions.TokenBucketCounts]] eval per doc and
+    * each GD round one mapPartitions pass, vs the exploded form's
+    * per-token-occurrence rows, md5 expression chains and per-round
+    * shuffles. State is BIT-IDENTICAL to the exploded
+    * [[trainOnRows]] path (same feature space, same integer algebra —
+    * the determinism and scorer-parity specs pin it). */
   def train(docs: DataFrame): State = {
-    val rows = featureRows(docs).cache()
-    try trainOnRows(rows, docs.count()) finally rows.unpersist()
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    val cnts = docs.select(
+        expr(s"CASE WHEN ($LabelExpr) = 1 THEN 'pos' ELSE 'neg' END").as("cls"),
+        expr(s"graft_token_buckets$B(text)").as("cnts"))
+      .cache() // stats pass + Iters round passes read it
+    try trainMultiFromCounts(cnts, "cls", "cnts", Seq("pos"), docs.count())("pos")
+    finally { cnts.unpersist(); () }
+  }
+
+  /** Fixed-point margin of a counts-array column under trained state as
+    * a plain SQL expression — `graft_int_dot` against the folded
+    * coefficient literal + the additive constant. Same integers as
+    * [[marginsFromRows]] (loud-exact long arithmetic in place of the
+    * decimal sum); requires [[graft.functions.GraftFunctions]]
+    * registered. */
+  def marginExprFromCounts(cntsCol: String, st: State): String = {
+    val (a, consts) = foldedCoeffs(st)
+    val arr = a.map(v => s"${v}L").mkString("array(", ", ", ")")
+    s"(graft_int_dot(slice($cntsCol, 1, $B), $arr) + ${consts}L)"
   }
 
   /** The loop itself over pre-built (cached) [[featureRows]] — callers

@@ -205,6 +205,39 @@ class LinearTrainSpec extends SparkSpec {
       }
   }
 
+  test("native token-bucket counts equal the exploded featureRows aggregation") {
+    graft.functions.TextFunctions.register(spark)
+    val docs = corpus(30).toDF("doc_id", "text", "n_chars")
+    val exploded = LinearTrain.featureRows(docs)
+      .select(col("doc_id"), col("b"), col("cnt"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val native = docs
+      .select(col("doc_id"),
+        expr(s"graft_token_buckets${LinearTrain.B}(text)").as("cnts"))
+      .as[(Long, Seq[Long])].collect().toMap
+    native.foreach { case (id, cnts) =>
+      assert(cnts.size == LinearTrain.B + 1 && cnts(LinearTrain.B) == 1L)
+      (0 until LinearTrain.B).foreach { b =>
+        assert(cnts(b) == exploded(id).getOrElse(b.toLong, 0L),
+          s"doc $id bucket $b")
+      }
+    }
+    // and the margin EXPRESSION serves the same integers as the
+    // relational margin path
+    graft.functions.GraftFunctions.register(spark)
+    val st = LinearTrain.train(docs)
+    val viaExpr = docs
+      .select(col("doc_id"),
+        expr(LinearTrain.marginExprFromCounts(
+          s"graft_token_buckets${LinearTrain.B}(text)", st)).as("m"))
+      .as[(Long, Long)].collect().toMap
+    val viaRows = LinearTrain.marginDf(docs, st)
+      .select(col("doc_id"), col("m").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaRows)
+  }
+
   test("an empty corpus trains to the zero vector without dividing by zero") {
     val docs = Seq.empty[(Long, String, Long)]
       .toDF("doc_id", "text", "n_chars")
