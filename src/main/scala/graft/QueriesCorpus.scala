@@ -29,27 +29,22 @@ object QueriesCorpus {
   // --- q59: repetition stats (Gopher-style quality rules) --------------------
   // Per-document repetition signals used by quality filters (Rae et al.,
   // "Scaling Language Models" — the public Gopher rules): duplicate-token
-  // fraction and most-frequent-bigram coverage. The bigram mode is found by
-  // explode → (doc, bigram) count → per-doc max: two partial+final
-  // HashAggregates keyed by doc_id — NOT a per-row O(n²) HOF scan — so the
-  // same plan holds when documents are millions of tokens. The per-row
-  // token stats are array expressions (no shuffle); the final join is
-  // doc_id↔doc_id on two already-doc_id-keyed sides.
+  // fraction and most-frequent-bigram coverage. All three inputs come
+  // from ONE native per-row eval (graft_rep_stats: a per-doc hash map,
+  // exact STRING semantics identical to the oracle's bigram grouping) —
+  // zero shuffles before the presentation sort. The explode → (doc,
+  // bigram) count → per-doc max form it replaces shuffled every bigram
+  // occurrence in the corpus twice; per-doc work is linear either way,
+  // so the same plan holds when documents are millions of tokens.
   private val q59: Q = (s, dir) => {
-    val d = Tables.documents(s, dir)
-      .withColumn("toks", expr(TextOps.tokensExpr("text")))
-      .filter(expr("size(toks) >= 2")) // sequence(1, n<1) would descend
-    val base = d.select(col("doc_id"),
-      expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
-      expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("n_distinct_toks"))
-    val bigrams = d.select(col("doc_id"), explode(expr(
-      """transform(sequence(1, size(toks) - 1),
-        |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
-        .stripMargin)).as("bg"))
-    val top = bigrams.groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
-    base.join(top, Seq("doc_id"))
+    graft.functions.TextFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr("graft_rep_stats(text)").as("rs"))
+      .select(col("doc_id"),
+        expr("rs[0]").as("n_toks"),
+        expr("rs[1]").as("n_distinct_toks"),
+        expr("rs[2]").as("top_bigram_n"))
+      .filter(col("n_toks") >= 2)
       .select(col("doc_id"), col("n_toks"), col("n_distinct_toks"),
         (expr("CAST(n_toks - n_distinct_toks AS DOUBLE)") / col("n_toks"))
           .as("dup_tok_frac"),

@@ -54,6 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_token_buckets64"),
       info("graft_token_buckets64", "word-token feature-bucket counts + bias"),
       Arity(1, "graft_token_buckets64")(c => TokenBucketCounts(c(0), 64))))
+    ext.injectFunction((FunctionIdentifier("graft_rep_stats"),
+      info("graft_rep_stats", "per-doc [n_toks, n_distinct, top_bigram_n]"),
+      Arity(1, "graft_rep_stats")(c => RepetitionStats(c(0)))))
     ext.injectFunction((FunctionIdentifier("graft_clip_count"),
       info("graft_clip_count", "multiset intersection size of two ARRAY<BIGINT>"),
       Arity(2, "graft_clip_count")(c => ClipOverlapCount(c(0), c(1)))))

@@ -272,6 +272,8 @@ object TextFunctions {
     reg.createOrReplaceTempFunction("graft_token_buckets64",
       Arity(1, "graft_token_buckets64")(c => TokenBucketCounts(c(0), 64)),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_rep_stats",
+      Arity(1, "graft_rep_stats")(c => RepetitionStats(c(0))), "built-in")
     reg.createOrReplaceTempFunction("graft_array_min_agg",
       Arity(1, "graft_array_min_agg")(c => ArrayMinAgg(c(0))), "built-in")
     Seq(1, 2, 8).foreach { k =>
@@ -524,6 +526,52 @@ case class TokenBucketCounts(child: Expression, b: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): TokenBucketCounts = copy(child = newChild)
+}
+
+/** Per-document repetition statistics (the Gopher-rule inputs, q59) in
+  * ONE per-row eval: returns ARRAY<BIGINT> [n_toks, n_distinct_toks,
+  * top_bigram_n]. Counts DISTINCT TOKEN STRINGS and the max-multiplicity
+  * BIGRAM STRING — exact string semantics, never hash-key shortcuts, so
+  * the result matches the oracle's string grouping even in the
+  * (astronomically unlikely) event of a hash collision. Replaces a
+  * per-position bigram string concat + explode + two corpus-sized
+  * (doc, bigram) shuffles with a per-row hash map. Tokens split on
+  * single spaces with trailing empties kept (Java split -1 == Spark
+  * split); bigrams joined with ' '. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rep_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputCheck.result(InputCheck.string(child, prettyName, 1))
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split(" ", -1)
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length) { distinct.add(toks(i)); i += 1 }
+    var top = 0L
+    if (toks.length >= 2) {
+      val counts = new java.util.HashMap[String, Long]()
+      val sb = new java.lang.StringBuilder
+      i = 0
+      while (i < toks.length - 1) {
+        sb.setLength(0)
+        sb.append(toks(i)).append(' ').append(toks(i + 1))
+        val key = sb.toString
+        val c = counts.merge(key, 1L, (a, b) => a + b)
+        if (c > top) top = c
+        i += 1
+      }
+    }
+    new GenericArrayData(
+      Array(toks.length.toLong, distinct.size.toLong, top))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RepetitionStats = copy(child = newChild)
 }
 
 /** Winnowing fingerprints: distinct minima of every w-window over the
