@@ -102,14 +102,20 @@ object QueriesCorpus {
         |     WHEN doc_id % 5 = 0 THEN concat(text, ' mail user',
         |       CAST(doc_id AS STRING), '@example.org soon')
         |     ELSE text END""".stripMargin
+    // fused native pass (graft_pii_stats): email count+replace in one
+    // regex walk, IP count on the ORIGINAL text, IP replace on the
+    // email-replaced text — the same redact-chain semantics as the four
+    // separate regexp_count/regexp_replace walks it replaces, with the
+    // clean-text length and hash folded into the same eval
+    graft.functions.TextFunctions.register(s)
     Tables.documents(s, dir)
       .withColumn("pii_text", expr(pii))
-      .withColumn("clean", graft.ops.PiiRedact.redact(col("pii_text")))
+      .withColumn("ps", expr("graft_pii_stats(pii_text)"))
       .select(col("doc_id"),
-        expr(graft.ops.PiiRedact.countExpr("pii_text", EmailRe)).as("n_emails"),
-        expr(graft.ops.PiiRedact.countExpr("pii_text", Ipv4Re)).as("n_ips"),
-        expr("CAST(length(clean) AS BIGINT)").as("clean_len"),
-        expr(TextOps.hash60("clean")).as("clean_h"))
+        expr("ps[0]").as("n_emails"),
+        expr("ps[1]").as("n_ips"),
+        expr("ps[2]").as("clean_len"),
+        expr("ps[3]").as("clean_h"))
       .orderBy(col("doc_id"))
   }
   private val q60Sql =

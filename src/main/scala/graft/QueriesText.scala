@@ -104,10 +104,12 @@ object QueriesText {
   // lexicographically smallest class, the same rule both engines
   // generate), published as the confusion matrix against the labeled
   // lang, with q33's heuristic kept as the audit column (n_heur_agree).
-  // Training runs through LinearTrain.trainMulti — all classes per
-  // round in ONE distributed pass (bit-identical to the per-class loop,
-  // which measured 15/25 s at sf0.1 vs 6.6/12.7 through this shape:
-  // the round count, not the class count, sets the job count).
+  // Training runs through LinearTrain.trainMultiFromCounts — all
+  // classes per round in ONE mapPartitions pass over per-doc count
+  // ARRAYS (bit-identical to both the per-class loop and the exploded
+  // trainMulti, spec-pinned): no explode, no per-round shuffle, the
+  // round count sets the job count (exploded trainMulti measured 55 s
+  // combined for the pair at sf1 vs 6.5 s through this shape).
   private val LangClasses = Seq("de", "en", "es", "fr", "zh")
 
   /** Shared one-vs-rest feature base: one row per doc with the FULL

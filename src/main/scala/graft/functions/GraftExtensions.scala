@@ -57,6 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_rep_stats"),
       info("graft_rep_stats", "per-doc [n_toks, n_distinct, top_bigram_n]"),
       Arity(1, "graft_rep_stats")(c => RepetitionStats(c(0)))))
+    ext.injectFunction((FunctionIdentifier("graft_pii_stats"),
+      info("graft_pii_stats", "fused PII redaction stats [n_emails, n_ips, clean_len, clean_h]"),
+      Arity(1, "graft_pii_stats")(c => PiiStats(c(0)))))
     ext.injectFunction((FunctionIdentifier("graft_clip_count"),
       info("graft_clip_count", "multiset intersection size of two ARRAY<BIGINT>"),
       Arity(2, "graft_clip_count")(c => ClipOverlapCount(c(0), c(1)))))

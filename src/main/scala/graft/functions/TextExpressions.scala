@@ -274,6 +274,8 @@ object TextFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_rep_stats",
       Arity(1, "graft_rep_stats")(c => RepetitionStats(c(0))), "built-in")
+    reg.createOrReplaceTempFunction("graft_pii_stats",
+      Arity(1, "graft_pii_stats")(c => PiiStats(c(0))), "built-in")
     reg.createOrReplaceTempFunction("graft_array_min_agg",
       Arity(1, "graft_array_min_agg")(c => ArrayMinAgg(c(0))), "built-in")
     Seq(1, 2, 8).foreach { k =>
@@ -572,6 +574,60 @@ case class RepetitionStats(child: Expression)
 
   override protected def withNewChildInternal(
       newChild: Expression): RepetitionStats = copy(child = newChild)
+}
+
+/** Fused PII detection + redaction statistics (q60) in one eval:
+  * returns ARRAY<BIGINT> [n_emails, n_ips, clean_len, clean_h] where
+  * clean = the [[graft.ops.PiiRedact.redact]] chain (emails then IPv4s
+  * replaced by fixed tags), clean_len counts CODE POINTS (Spark's
+  * `length()` and DuckDB's `length()` semantics, not UTF-16 units) and
+  * clean_h is the 60-bit MD5-prefix hash of clean. Three regex walks
+  * (email count fused with its replace; IP count on the ORIGINAL text —
+  * q60's published semantics; IP replace on the email-replaced text)
+  * replace the four separate regexp_count/regexp_replace expression
+  * walks plus the md5 + length passes. Patterns are the shared
+  * [[graft.ops.PiiRedact]] constants, compiled once; replacement tags
+  * contain no `$`/`\`, so Matcher.appendReplacement inserts them
+  * literally — identical to Spark's regexp_replace. */
+case class PiiStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pii_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputCheck.result(InputCheck.string(child, prettyName, 1))
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.toString
+    // email: count + replace in one walk
+    val em = PiiStats.Email.matcher(text)
+    var nEmails = 0L
+    val sb = new java.lang.StringBuffer
+    while (em.find()) { nEmails += 1L; em.appendReplacement(sb, graft.ops.PiiRedact.EmailTag) }
+    em.appendTail(sb)
+    val afterEmail = sb.toString
+    // ip count on the ORIGINAL text (q60's published semantics)
+    val ipCount = PiiStats.Ipv4.matcher(text)
+    var nIps = 0L
+    while (ipCount.find()) nIps += 1L
+    // ip replace on the email-replaced text (the redact chain's order)
+    val ipM = PiiStats.Ipv4.matcher(afterEmail)
+    val sb2 = new java.lang.StringBuffer
+    while (ipM.find()) ipM.appendReplacement(sb2, graft.ops.PiiRedact.IpTag)
+    ipM.appendTail(sb2)
+    val clean = sb2.toString
+    new GenericArrayData(Array(nEmails, nIps,
+      clean.codePointCount(0, clean.length).toLong, Hash60(clean)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PiiStats =
+    copy(child = newChild)
+}
+
+object PiiStats {
+  private val Email = java.util.regex.Pattern.compile(graft.ops.PiiRedact.EmailRe)
+  private val Ipv4 = java.util.regex.Pattern.compile(graft.ops.PiiRedact.Ipv4Re)
 }
 
 /** Winnowing fingerprints: distinct minima of every w-window over the

@@ -124,6 +124,25 @@ class TextOpsSpec extends SparkSpec {
     assert(df.filter(expr("graft_clip_count(a, b) != want")).count() == 0L)
   }
 
+  test("fused PII stats equal the composed count/redact/length/hash chain") {
+    TextFunctions.register(spark)
+    val samples = Seq(
+      "reach me at bob.smith+x@example.co.uk or 10.0.0.1 ok",
+      "two mails a@b.io c@d.org and ips 1.2.3.4 5.6.7.8",
+      "no pii here at all",
+      "ip-like 999.999.999.999 still matches the ipv4 shape",
+      "email@example.com10.0.0.1 adjacency")
+    val df = samples.toDF("text")
+      .withColumn("ps", expr("graft_pii_stats(text)"))
+      .withColumn("clean", graft.ops.PiiRedact.redact(col("text")))
+    val bad = df.filter(
+      expr(s"ps[0] != ${graft.ops.PiiRedact.countExpr("text", graft.ops.PiiRedact.EmailRe)}") ||
+      expr(s"ps[1] != ${graft.ops.PiiRedact.countExpr("text", graft.ops.PiiRedact.Ipv4Re)}") ||
+      expr("ps[2] != CAST(length(clean) AS BIGINT)") ||
+      expr(s"ps[3] != ${TextOps.hash60("clean")}")).count()
+    assert(bad == 0L)
+  }
+
   test("GraftExtensions registers all native functions via the extensions API") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext) // must not throw
