@@ -139,17 +139,15 @@ object QueriesGraph {
     * at ANY corpus size. */
   private def copurchaseEdges(s: SparkSession, dir: String,
                               keepSupport: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val cap = 50 // q118's basket guard: one 10⁶-item basket ≠ 5·10¹¹ pairs
     val cut = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy(col("ok"))
       .agg(sort_array(collect_set(col("pk"))).as("ps"))
       .filter(size(col("ps")).between(2, cap))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ps) - 1),
-          |  i -> transform(sequence(i + 1, size(ps)),
-          |    j -> struct(element_at(ps, i) AS a, element_at(ps, j) AS b))))"""
-          .stripMargin)).as("p"))
+      // native pair generation (graft_pairs) — see q118
+      .select(explode(expr("graft_pairs(ps)")).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("support"))
       .orderBy(desc("support"), col("a"), col("b"))

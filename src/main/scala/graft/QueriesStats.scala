@@ -812,12 +812,12 @@ object QueriesStats {
       .groupBy(col("ok"))
       .agg(sort_array(collect_set(col("pk"))).as("ps"))
       .filter(size(col("ps")).between(2, BasketCap))
+    graft.functions.GraftFunctions.register(s)
     baskets
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ps) - 1),
-          |  i -> transform(sequence(i + 1, size(ps)),
-          |    j -> struct(element_at(ps, i) AS a, element_at(ps, j) AS b))))"""
-          .stripMargin)).as("p"))
+      // native pair generation (graft_pairs): the composed nested-lambda
+      // form evaluated interpreted per basket with a boxed
+      // array-of-arrays intermediate
+      .select(explode(expr("graft_pairs(ps)")).as("p"))
       .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
       .agg(count(lit(1)).as("support"))
       .orderBy(desc("support"), col("part_a"), col("part_b"))
@@ -876,13 +876,11 @@ object QueriesStats {
       .cache() // df pass + pair pass both read it; Bench clears per-query
     val df_ = baskets.select(explode(col("ps")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("df"))
+    graft.functions.GraftFunctions.register(s)
     baskets
       .filter(size(col("ps")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ps) - 1),
-          |  i -> transform(sequence(i + 1, size(ps)),
-          |    j -> struct(element_at(ps, i) AS a, element_at(ps, j) AS b))))"""
-          .stripMargin)).as("p"))
+      // native pair generation — see q118
+      .select(explode(expr("graft_pairs(ps)")).as("p"))
       .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= CosMinSupport)

@@ -69,6 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_sqdist"),
       info("graft_sqdist", "integer squared L2 distance of two ARRAY<BIGINT>"),
       Arity(2, "graft_sqdist")(c => IntSqDist(c(0), c(1)))))
+    ext.injectFunction((FunctionIdentifier("graft_pairs"),
+      info("graft_pairs", "all i<j pairs of an ARRAY<BIGINT> as structs"),
+      Arity(1, "graft_pairs")(c => SortedPairs(c(0)))))
     // Optimizer rule: push element-only filter predicates under explode()
     // (runs in the operator-optimization batch; see the rule's scaladoc).
     ext.injectOptimizerRule(_ => graft.plans.PushFilterIntoExplode)

@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the sequential-fold dot product of two
@@ -186,6 +186,61 @@ case class IntSqDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All ordered pairs (xs[i], xs[j]) with i < j of an ARRAY<BIGINT> as
+  * ARRAY<STRUCT<a, b>> — the basket pair generator behind the
+  * co-purchase family (q118/q130/q133/q134/q144/q154/q167/q172). The
+  * composed form (`flatten(transform(sequence(...), i ->
+  * transform(sequence(...), j -> struct(...))))`) evaluates two nested
+  * interpreted lambdas and allocates a boxed array-of-arrays per basket
+  * before flattening; this is one flat loop. Pair ORDER matches the
+  * composed form (i ascending, then j) — consumers aggregate by pair, so
+  * order never reaches results, but explode determinism is preserved.
+  * Callers cap basket size upstream (the q118 guard); the expression
+  * still bounds n loudly so an uncapped 10⁶-item basket fails instead of
+  * allocating 5·10¹¹ structs. */
+case class SortedPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputCheck.result(InputCheck.arrayOfLong(child, prettyName, 1))
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    require(n <= (1 << 14),
+      s"$prettyName: $n elements => ${n.toLong * (n - 1) / 2} pairs — cap " +
+        "the group upstream (the q118 basket guard) before pair generation")
+    val out = new Array[Any](n * (n - 1) / 2)
+    var p = 0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) throw new IllegalArgumentException(
+        s"$prettyName: null array element (null elements are unsupported)")
+      val a = xs.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](a, xs.getLong(j)))
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedPairs =
+    copy(child = newChild)
+}
+
 /** Session-level registration of graft's native expressions, so query code
   * can use them in SQL-string form (`expr("graft_dot(a, b)")`) uniformly
   * with the built-ins. Idempotent.
@@ -204,6 +259,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_sqdist",
       Arity(2, "graft_sqdist")(c => IntSqDist(c(0), c(1))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_pairs",
+      Arity(1, "graft_pairs")(c => SortedPairs(c(0))),
       "built-in")
   }
 }

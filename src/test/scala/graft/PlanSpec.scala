@@ -128,9 +128,14 @@ class PlanSpec extends SparkSpec {
       "within-cell pairing must be an equi-join on the cell id")
   }
 
-  test("q59 bigram mode is aggregated, not a per-row quadratic HOF") {
+  test("q59 repetition stats are one per-row native eval — no aggregate, " +
+      "no join, no window before the presentation sort") {
     val p = plan("q59_repetition_stats")
-    assert(p.contains("partial_"), "bigram counts must map-side combine")
+    assert(p.contains("graft_rep_stats"), "the fused native eval must be in the plan")
+    assert(!p.contains("HashAggregate") && !p.contains("Join") &&
+      !p.contains("Window"),
+      "the explode + (doc, bigram) count + per-doc max shape is gone — the " +
+        "only exchange left is the ORDER BY range partitioning")
   }
 
   test("q72 interval overlap is the pair-free sweep — equi-joins only, never all-pairs") {

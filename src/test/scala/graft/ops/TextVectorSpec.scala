@@ -163,6 +163,26 @@ class TextOpsSpec extends SparkSpec {
 class VectorOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("graft_pairs equals the composed nested-transform pair generator") {
+    graft.functions.GraftFunctions.register(spark)
+    val guarded = Seq(Seq(3L, 7L, 9L, 11L), Seq(1L, 2L)).toDF("ps")
+    val native = guarded.select(expr("graft_pairs(ps)").as("p"))
+      .as[Seq[(Long, Long)]].collect().toSeq
+    val composed = guarded.select(expr(
+      """flatten(transform(sequence(1, size(ps) - 1),
+        |  i -> transform(sequence(i + 1, size(ps)),
+        |    j -> struct(element_at(ps, i) AS a, element_at(ps, j) AS b))))"""
+        .stripMargin).as("p"))
+      .as[Seq[(Long, Long)]].collect().toSeq
+    assert(native == composed && native.head.size == 6)
+    // below the size-2 guard the composed form is UNDEFINED (sequence(1,
+    // 0) descends and element_at throws under ANSI — why every caller
+    // filters size >= 2 first); the native form yields the true empty set
+    val short = Seq(Seq(5L), Seq.empty[Long]).toDF("ps")
+    assert(short.select(expr("graft_pairs(ps)").as("p"))
+      .as[Seq[(Long, Long)]].collect().forall(_.isEmpty))
+  }
+
   test("graft_dot is bit-identical to the interpreted sequential fold") {
     graft.functions.GraftFunctions.register(spark)
     val rnd = new scala.util.Random(7)
