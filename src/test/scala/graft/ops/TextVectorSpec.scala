@@ -99,8 +99,10 @@ class TextOpsSpec extends SparkSpec {
 
   test("native positional gram hashes == composed transform/md5 form") {
     TextFunctions.register(spark)
-    // duplicates preserved, order preserved, short-doc empty array
-    for (text <- Seq("a b c a b c", "a", "", "x y")) {
+    // duplicates preserved, order preserved, short-doc empty array;
+    // astral tokens are safe — the split character (space) is a BMP
+    // code unit, so surrogate pairs never split and token bytes match
+    for (text <- Seq("a b c a b c", "a", "", "x y", "𝒜b 😀c 中文 𝒜b")) {
       val df = onDoc(text)
         .withColumn("toks", expr(TextOps.tokensExpr("text")))
       for (k <- Seq(1, 2)) {
