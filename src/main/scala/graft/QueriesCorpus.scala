@@ -328,16 +328,19 @@ object QueriesCorpus {
         expr(s"transform(${KMeans.codesExpr("v")}, x -> CAST(x AS DOUBLE))"))
     val scoreCols = KMeans.scoreExprs("cd", cents)
       .zipWithIndex.map { case (e, i) => expr(e).as(s"s$i") }
-    val cellv = em.select(col("vec_id") +: col("v") +: col("nrm") +: scoreCols: _*)
+    // cached: the within-cell kernel and the per-cell counts both read it
+    val cellv = em.select(col("vec_id") +: col("v") +: scoreCols: _*)
       .withColumn("cell", expr(VectorOps.argmaxCase(SemCells)))
-      .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
-    val a = cellv.select(col("cell"), col("vec_id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = cellv.select(col("cell"), col("vec_id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    val dropped = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
-      .filter(expr(VectorOps.fastDot("va", "vb")) / (col("na") * col("nb")) >= SemTau)
-      .select(col("cell"), col("id_b")).distinct()
+      .select(col("cell"), col("vec_id"), col("v"))
+      .cache()
+    // per-cell kernel (BruteForce.withinGroupDropped): one groupByKey
+    // shuffle carrying each vector ONCE, EXISTS marking with early exit —
+    // the within-cell equi-self-join it replaces copied both dim-wide
+    // arrays into every candidate pair row (members²/2 per cell); the
+    // marking is bit-identical to the all-pairs cosine filter
+    val dropped = graft.ops.BruteForce
+      .withinGroupDropped(cellv, "cell", "vec_id", "v", SemTau)
+      .select(col("cell"), col("vec_id").as("id_b"))
     val counts = cellv.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
     val drops = dropped.groupBy(col("cell")).agg(count(lit(1)).as("n_dropped"))
     counts.join(drops, Seq("cell"), "left")

@@ -103,4 +103,75 @@ object BruteForce {
       }
       .toDF("vec_a", "vec_b", "cosine")
   }
+
+  /** Per-GROUP near-duplicate marking — the SemDeDup within-cluster pass
+    * (q64): for each group (cluster cell), the members `id_b` for which
+    * SOME lower-id member has cosine >= threshold. Returns (groupCol,
+    * dropped id) — O(members) output per group, never the pair set.
+    *
+    * Input columns: `groupCol` BIGINT, `idCol` BIGINT, `vecCol`
+    * ARRAY<DOUBLE> (pre-widened). Cosine reproduces [[VectorOps]]'s
+    * folds bit-for-bit, so the marking matches the oracle's all-pairs
+    * EXISTS exactly. Shape: ONE groupByKey shuffle carrying each vector
+    * once — the within-group equi-self-join it replaces copies BOTH
+    * dim-wide arrays into every candidate pair row (members²/2 × ~1 KB
+    * per group). The in-kernel scan early-exits per member on the first
+    * marking pair (EXISTS semantics), so densely duplicated groups cost
+    * ~linear, not quadratic. Group size is guarded loudly: the SemDeDup
+    * contract is that the CLUSTERING bounds cell size (k is chosen to
+    * make per-cell work task-sized — Abbas et al.'s own design); a cell
+    * past the guard means the clustering, not this pass, needs fixing. */
+  def withinGroupDropped(vectors: DataFrame, groupCol: String, idCol: String,
+                         vecCol: String, threshold: Double,
+                         maxGroup: Int = 1 << 17): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors
+      .select(col(groupCol).cast("long"), col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val rows = it.toArray
+        require(rows.length <= maxGroup,
+          s"withinGroupDropped: group $cell has ${rows.length} members " +
+            s"(> $maxGroup) — size the clustering (k) so cells stay " +
+            "task-sized; this pass is within-cluster by design")
+        java.util.Arrays.sort(rows,
+          Ordering.by[(Long, Long, Array[Double]), Long](_._2))
+        val n = rows.length
+        val dim = if (n == 0) 0 else rows(0)._3.length
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val v = rows(i)._3
+          require(v.length == dim,
+            s"ragged embeddings in group $cell: ${v.length} vs $dim")
+          var acc = 0.0
+          var d = 0
+          while (d < dim) { val x = v(d); acc += x * x; d += 1 }
+          norms(i) = math.sqrt(acc)
+          i += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var j = 1
+        while (j < n) {
+          val vj = rows(j)._3
+          var marked = false
+          var k = 0
+          while (k < j && !marked) {
+            val vk = rows(k)._3
+            var acc = 0.0
+            var d = 0
+            while (d < dim) { acc += vk(d) * vj(d); d += 1 }
+            if (acc / (norms(k) * norms(j)) >= threshold) marked = true
+            k += 1
+          }
+          if (marked) out += ((cell, rows(j)._2))
+          j += 1
+        }
+        out.iterator
+      }
+      .toDF(groupCol, idCol)
+  }
 }

@@ -122,10 +122,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "the per-term df side must broadcast")
   }
 
-  test("q64 semantic dedup pairs only within cells (equi-join on cell)") {
+  test("q64 semantic dedup pairs only within cells (one cell-keyed " +
+      "shuffle, never an all-pairs product)") {
     val p = plan("q64_semantic_dedup")
-    assert(!p.contains("CartesianProduct"),
-      "within-cell pairing must be an equi-join on the cell id")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "within-cell pairing must never enumerate cross-cell pairs")
+    assert(p.contains("MapGroups"),
+      "the within-cell EXISTS marking runs in the per-cell kernel")
   }
 
   test("q59 repetition stats are one per-row native eval — no aggregate, " +

@@ -67,6 +67,44 @@ class BruteForceSpec extends SparkSpec {
     assert(e.getMessage.contains("pairsMultiprobe"))
   }
 
+  test("withinGroupDropped equals the within-group equi-join EXISTS marking") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val grouped = vecs
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("cell", expr("vec_id % 3"))
+      .select(col("cell"), col("vec_id"), col("v"))
+    val tau = 0.2
+    val viaJoin = {
+      val withN = grouped.withColumn("nrm", expr(VectorOps.normExpr("v")))
+      val a = withN.select(col("cell"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = withN.select(col("cell"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      graft.functions.GraftFunctions.register(spark)
+      a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+        .filter(expr(VectorOps.fastDot("va", "vb")) / (col("na") * col("nb")) >= tau)
+        .select(col("cell"), col("id_b")).distinct()
+        .as[(Long, Long)].collect().toSet
+    }
+    val viaKernel = BruteForce
+      .withinGroupDropped(grouped, "cell", "vec_id", "v", tau)
+      .as[(Long, Long)].collect().toSet
+    assert(viaKernel == viaJoin && viaKernel.nonEmpty)
+  }
+
+  test("withinGroupDropped guards oversized groups loudly") {
+    val grouped = vecs
+      .withColumn("v", org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .withColumn("cell", org.apache.spark.sql.functions.lit(0L))
+      .select("cell", "vec_id", "v")
+    val e = intercept[org.apache.spark.SparkException] {
+      BruteForce.withinGroupDropped(grouped, "cell", "vec_id", "v", 0.2,
+        maxGroup = 5).count()
+    }
+    assert(e.getMessage.contains("task-sized") ||
+      Option(e.getCause).exists(_.getMessage.contains("task-sized")))
+  }
+
   test("ragged embeddings are an error, not a silent truncation") {
     val ragged = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f, 3f)))
       .toDF("vec_id", "embedding")
