@@ -126,26 +126,20 @@ object QueriesDedup {
 
   // --- q28: SimHash signature per document -----------------------------------
   // 60-bit SimHash over distinct token hashes: bit j set iff more tokens have
-  // bit j set than clear. Explode + 60 SUM(CASE) aggregates (map-side
-  // combinable, codegen-friendly) rather than nested lambdas.
+  // bit j set than clear. ONE native per-row eval (graft_simhash60 — the
+  // votes are a commutative sum over the distinct hash set, so the
+  // compiled loop is bit-identical to the explode + 60×SUM(CASE)
+  // aggregate it replaces, which shuffled every token occurrence with 60
+  // vote columns and ran the token md5s as an interpreted lambda).
   private val nBits = 60
-  /** (doc_id, simhash) — shared by q28 (signatures) and q54 (pairing).
-    * Token-hash arrays are materialized before exploding (explode over an
-    * expensive interpreted array child is pathological — see q27/q29). */
+  /** (doc_id, simhash) — shared by q28 (signatures) and q54 (pairing). */
   private def simhashDf(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val hs = d.repartition(Tables.shufflePartitions(s))
-      .select(col("doc_id"),
-        expr(s"array_distinct(transform(${TextOps.tokensExpr("text")}, t -> ${TextOps.hash60("t")}))").as("hs"))
-      .cache()
-    val toks = hs.select(col("doc_id"), explode(col("hs")).as("h"))
-    val sums = (0 until nBits).map(j =>
-      sum(when(expr(s"(h >> $j) & 1") === 1, 1L).otherwise(-1L)).as(s"s$j"))
-    val packed = (0 until nBits)
-      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j}L ELSE 0L END)")
-      .mkString(" + ")
-    toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), expr(packed).as("simhash"))
+    graft.functions.TextFunctions.register(s)
+    Tables.documents(s, dir)
+      // repartition BEFORE the signature eval: the parquet scan's input
+      // split count caps parallelism for the md5-heavy per-row loop
+      .repartition(Tables.shufflePartitions(s))
+      .select(col("doc_id"), expr("graft_simhash60(text)").as("simhash"))
   }
   private val q28: Q = (s, dir) => simhashDf(s, dir).orderBy(col("doc_id"))
   /** DuckDB CTE chain producing `s` = (doc_id, simhash); shared by q28/q54. */

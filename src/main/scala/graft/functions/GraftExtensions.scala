@@ -60,6 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_pii_stats"),
       info("graft_pii_stats", "fused PII redaction stats [n_emails, n_ips, clean_len, clean_h]"),
       Arity(1, "graft_pii_stats")(c => PiiStats(c(0)))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash60"),
+      info("graft_simhash60", "60-bit SimHash signature of a text column"),
+      Arity(1, "graft_simhash60")(c => SimhashSig(c(0)))))
     ext.injectFunction((FunctionIdentifier("graft_clip_count"),
       info("graft_clip_count", "multiset intersection size of two ARRAY<BIGINT>"),
       Arity(2, "graft_clip_count")(c => ClipOverlapCount(c(0), c(1)))))

@@ -276,6 +276,8 @@ object TextFunctions {
       Arity(1, "graft_rep_stats")(c => RepetitionStats(c(0))), "built-in")
     reg.createOrReplaceTempFunction("graft_pii_stats",
       Arity(1, "graft_pii_stats")(c => PiiStats(c(0))), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash60",
+      Arity(1, "graft_simhash60")(c => SimhashSig(c(0))), "built-in")
     reg.createOrReplaceTempFunction("graft_array_min_agg",
       Arity(1, "graft_array_min_agg")(c => ArrayMinAgg(c(0))), "built-in")
     Seq(1, 2, 8).foreach { k =>
@@ -574,6 +576,53 @@ case class RepetitionStats(child: Expression)
 
   override protected def withNewChildInternal(
       newChild: Expression): RepetitionStats = copy(child = newChild)
+}
+
+/** 60-bit SimHash signature of a text column in ONE per-row eval (q28's
+  * chain: whitespace tokens → 60-bit MD5-prefix hashes → DISTINCT hash
+  * values → per-bit ±1 vote → bit j set iff votes > 0). Bit-identical
+  * to the composed explode + 60×SUM(CASE) aggregate form — votes are a
+  * commutative sum over the distinct hash SET, so iteration order never
+  * matters — with no 25M-row explode, no 60-column shuffle, and the
+  * token md5s in a compiled loop instead of an interpreted lambda. */
+case class SimhashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputCheck.result(InputCheck.string(child, prettyName, 1))
+
+  private val nBits = 60
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split(" ", -1)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val votes = new Array[Int](nBits)
+    var i = 0
+    while (i < toks.length) {
+      val h = Hash60(toks(i))
+      if (seen.add(h)) {
+        var j = 0
+        while (j < nBits) {
+          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < nBits) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashSig =
+    copy(child = newChild)
 }
 
 /** Fused PII detection + redaction statistics (q60) in one eval:

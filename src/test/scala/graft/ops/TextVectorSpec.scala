@@ -126,6 +126,26 @@ class TextOpsSpec extends SparkSpec {
     assert(df.filter(expr("graft_clip_count(a, b) != want")).count() == 0L)
   }
 
+  test("native simhash signature == composed explode + 60-vote aggregate") {
+    TextFunctions.register(spark)
+    val samples = Seq("the quick brown fox", "the the the quick",
+      "a", "", "x y z w v u t s r q p")
+    val df = samples.toDF("text")
+    val native = df.select(expr("graft_simhash60(text)")).as[Long].collect()
+    val composed = samples.map { text =>
+      val hs = text.split(" ", -1).map { t =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        java.lang.Long.parseLong(md.map(b => f"$b%02x").mkString.take(15), 16)
+      }.distinct
+      (0 until 60).map { j =>
+        val vote = hs.map(h => if (((h >> j) & 1L) == 1L) 1 else -1).sum
+        if (vote > 0) 1L << j else 0L
+      }.sum
+    }
+    assert(native.toSeq == composed)
+  }
+
   test("fused PII stats equal the composed count/redact/length/hash chain") {
     TextFunctions.register(spark)
     val samples = Seq(
