@@ -616,9 +616,15 @@ object QueriesRelational {
       .agg(max(to_date(col("l_shipdate"))).as("sd"))
     val iv = o.join(shipped, col("o_orderkey") === col("l_orderkey"))
       .select(col("od"), greatest(col("sd"), col("od")).as("ed"))
-    val deltas = iv.select(col("od").as("day"), lit(1L).as("delta"))
-      .unionAll(iv.select(date_add(col("ed"), 1).as("day"),
-        lit(-1L).as("delta")))
+    // both sweep events from ONE scan of the interval join (the
+    // union-of-two-selects form re-ran the orders⨝lineitem join +
+    // ship-date aggregate once per branch)
+    val deltas = iv
+      .select(explode(expr(
+        """array(struct(od AS day, CAST(1 AS BIGINT) AS delta),
+          |      struct(date_add(ed, 1) AS day, CAST(-1 AS BIGINT) AS delta))"""
+          .stripMargin)).as("e"))
+      .select(col("e.day").as("day"), col("e.delta").as("delta"))
       .groupBy(col("day")).agg(sum(col("delta")).as("net"),
         sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_opened"))
     val wDays = org.apache.spark.sql.expressions.Window
