@@ -164,10 +164,24 @@ object Bench {
     // high-spread query is host noise until it clears the spread.
     val results = selected.map { case (name, fn) =>
       val gc0 = gcMillis()
+      // Per-rep ledger: (sec, gc_ms inside this rep, heap_mb before,
+      // heap_mb after). The r10/r12 driver sessions showed q146 at
+      // 15-25 s best-of-N with ~20 s of GC charged somewhere inside its
+      // reps while all four same-round runs measured 1.7-4.4 s — and the
+      // per-QUERY gc_ms column cannot distinguish "one catastrophic rep"
+      // (a session-state collision: some earlier query's deferred bill
+      // landing here) from "all reps slow" (the query itself). Rep-level
+      // rows answer that directly: a single outlier rep with the GC
+      // spike names session residue; uniform slow reps name the plan.
+      val repRows = scala.collection.mutable.ArrayBuffer
+        .empty[(Double, Long, Long, Long)]
       def rep(): Option[Double] = {
+        val h0 = heapUsed() >> 20; val g0 = gcMillis()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count()
-          Some((System.nanoTime() - t0) / 1e9) }
+          val sec = (System.nanoTime() - t0) / 1e9
+          repRows += ((sec, gcMillis() - g0, h0, heapUsed() >> 20))
+          Some(sec) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
@@ -225,27 +239,36 @@ object Bench {
       // next query started" — a climbing heap_mb under flat sentinels is
       // a genuine leak (an unreleased reference), not GC laziness.
       val tele = (gcMillis() - gc0, codeCacheUsed() >> 20, heapUsed() >> 20)
-      (name, times.minOption.getOrElse(-1.0), spread, tele)
+      (name, times.minOption.getOrElse(-1.0), spread, tele, repRows.toList)
     }
     val sentinelEnd = sentinel3()
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v, _, _) if v < 0 => s"\"$k\"" }
+    val errors = results.collect { case (k, v, _, _, _) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
     val spreads = results
-      .map { case (k, _, sp, _) =>
+      .map { case (k, _, sp, _, _) =>
         s"\"" + k + "\":" + (math.round(sp * 1000) / 1000.0) }
       .mkString("{", ",", "}")
     val telemetry = results
-      .map { case (k, _, _, (gc, cc, hp)) =>
+      .map { case (k, _, _, (gc, cc, hp), _) =>
         s"\"" + k + s"\":{\"gc_ms\":$gc,\"code_cache_mb\":$cc,\"heap_mb\":$hp}" }
+      .mkString("{", ",", "}")
+    // Per-rep rows (BENCH_DETAIL only — the headline stays best-of-N):
+    // [sec, gc_ms, heap_before_mb, heap_after_mb] per rep in run order.
+    val reps = results
+      .map { case (k, _, _, _, rs) =>
+        val arr = rs.map { case (sec, gc, hb, ha) =>
+          s"[${math.round(sec * 1000) / 1000.0},$gc,$hb,$ha]" }
+          .mkString("[", ",", "]")
+        s"\"" + k + "\":" + arr }
       .mkString("{", ",", "}")
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val total = results.map(_._2).filter(_ >= 0).sum
     val sentinels =
       s""""sentinel_start":${r3(sentinelStart)},"sentinel_end":${r3(sentinelEnd)}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec",$sentinels,"order":"$order","queries":$qs,"spreads":$spreads,"telemetry":$telemetry,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$sentinels,"order":"$order","queries":$qs,"spreads":$spreads,"telemetry":$telemetry,"reps":$reps,"errors":$errors,"sf":"$sfDir"}"""
     // Full-map line first: any capture that keeps the whole stream gets
     // every per-query timing on stdout.
     println(line)
@@ -256,7 +279,7 @@ object Bench {
     // headline total, counts, the slowest queries (the ones a grader
     // audits), and an explicit pointer to the committed full map.
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
-      .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
+      .map { case (k, v, _, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$sentinels,"errors":$errors,"slowest":$slowest,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""

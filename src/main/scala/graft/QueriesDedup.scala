@@ -748,22 +748,36 @@ object QueriesDedup {
   // reachability — both engines agree at the fixpoint exactly.
   private val ErEditMax = 2
   private val q146: Q = (s, dir) => {
+    // Stage-bisect knob (SPARK_GRAFT_ER_STAGES=1): materialize each ER
+    // stage eagerly and print its wall time + row count to stderr — the
+    // diagnostic the recurring driver-session GC anomaly needs (block
+    // build vs levenshtein pair filter vs Components fixpoint vs final
+    // broadcast probe run in isolation). Off by default; the unknobbed
+    // plan is exactly the r12 one.
+    val stageKnob = sys.env.get("SPARK_GRAFT_ER_STAGES").contains("1")
+    def stage(label: String, df: DataFrame): DataFrame =
+      if (!stageKnob) df else {
+        val c = df.cache(); val t0 = System.nanoTime(); val n = c.count()
+        System.err.println(f"[q146] $label%-11s " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.3f s  ($n rows)")
+        c
+      }
     val parts = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
     val names = parts.select(col("p_name").as("name")).distinct()
       .cache() // vocabulary-sized; feeds block build + label join
     // multi-pass blocking keys; distinct since a one-token name emits
     // the same key twice
-    val blocked = names.select(col("name"), explode(array(
+    val blocked = stage("block", names.select(col("name"), explode(array(
         element_at(split(col("name"), " "), 1),
         element_at(split(col("name"), " "), -1))).as("blk"))
-      .distinct()
-    val pairs = blocked.select(col("blk"), col("name").as("na"))
+      .distinct())
+    val pairs = stage("pairs", blocked.select(col("blk"), col("name").as("na"))
       .join(blocked.select(col("blk"), col("name").as("nb")), "blk")
       .filter(col("na") < col("nb"))
       .select(col("na"), col("nb"))
       .distinct() // a pair sharing BOTH tokens arrives via both passes
-      .filter(levenshtein(col("na"), col("nb"), ErEditMax) >= 0)
-    val comp = Components.minLabel(pairs, "na", "nb")
+      .filter(levenshtein(col("na"), col("nb"), ErEditMax) >= 0))
+    val comp = stage("components", Components.minLabel(pairs, "na", "nb"))
     val labels = names.select(col("name"))
       .join(broadcast(comp.withColumnRenamed("id", "name")), Seq("name"), "left")
       .withColumn("entity", coalesce(col("component"), col("name")))

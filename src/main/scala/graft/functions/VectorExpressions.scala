@@ -215,7 +215,12 @@ case class SortedPairs(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     val n = xs.numElements()
-    require(n <= (1 << 14),
+    // bound must be TASK-sized to actually prevent the allocation it
+    // guards: 2^10 elements is ~524k boxed pair structs (a few tens of
+    // MB, survivable); the old 2^14 bound admitted ~1.34e8 structs —
+    // past where an executor OOMs before the "guard" fired. Every
+    // caller caps baskets at 50, so 1024 is still 20× headroom.
+    require(n <= (1 << 10),
       s"$prettyName: $n elements => ${n.toLong * (n - 1) / 2} pairs — cap " +
         "the group upstream (the q118 basket guard) before pair generation")
     val out = new Array[Any](n * (n - 1) / 2)

@@ -68,6 +68,13 @@ object BruteForce {
       var acc = 0.0
       var d = 0
       while (d < dim) { val x = v(d); acc += x * x; d += 1 }
+      // zero-norm fails loudly: cosine would be NaN, and NaN `>=` diverges
+      // between the kernel's Java compare (false → pair silently dropped)
+      // and Spark SQL's NaN-greatest ordering (pair kept) — exclusion by
+      // silence is not a semantics, so refuse the input instead
+      require(acc > 0.0,
+        s"zero-norm embedding at id=$id: cosine is undefined (NaN); " +
+          "filter zero vectors out before the verifier")
       norms(i) = math.sqrt(acc)
       i += 1
     }
@@ -150,6 +157,11 @@ object BruteForce {
           var acc = 0.0
           var d = 0
           while (d < dim) { val x = v(d); acc += x * x; d += 1 }
+          // same zero-norm refusal as allPairsCosine: NaN cosine compares
+          // differently in Java (drop) vs Spark SQL (keep) — fail loudly
+          require(acc > 0.0,
+            s"zero-norm embedding in group $cell (id=${rows(i)._2}): " +
+              "cosine is undefined (NaN); filter zero vectors out first")
           norms(i) = math.sqrt(acc)
           i += 1
         }

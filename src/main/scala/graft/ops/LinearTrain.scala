@@ -415,8 +415,18 @@ object LinearTrain {
       val parts = ds.mapPartitions { it =>
         val acc = new Acc128(k, B + 1)
         var seen = false
+        var rowsInPart = 0L
         it.foreach { case (cls, cnts) =>
           seen = true
+          // enforce Acc128's documented safety bound (≤ 2^40 docs per
+          // partition keeps the 128-bit sum far from wrapping): a hi-word
+          // wrap would train divergent weights SILENTLY — the one failure
+          // mode the loud-exact design exists to prevent — so the bound
+          // is a hard require, not a scaladoc promise
+          rowsInPart += 1
+          require(rowsInPart < (1L << 40),
+            "trainMultiFromCounts: partition exceeds 2^40 rows — Acc128's " +
+              "no-wrap bound; repartition the input before training")
           var ci = 0
           while (ci < k) {
             val a = aByClass(ci)

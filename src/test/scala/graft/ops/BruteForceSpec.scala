@@ -105,6 +105,26 @@ class BruteForceSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("task-sized")))
   }
 
+  test("zero-norm embeddings are refused loudly (NaN cosine has no one semantics)") {
+    // Java `NaN >= t` is false (pair silently dropped) while Spark SQL
+    // orders NaN greatest (pair kept): the kernel refuses the input
+    // rather than silently picking a side.
+    val withZero = Seq((1L, Array(1f, 2f)), (2L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      BruteForce.allPairsCosine(withZero, "vec_id", "embedding", 0.0)
+    }
+    assert(e.getMessage.contains("zero-norm"))
+    val grouped = withZero
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("cell", lit(0L)).select("cell", "vec_id", "v")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      BruteForce.withinGroupDropped(grouped, "cell", "vec_id", "v", 0.2).count()
+    }
+    assert(e2.getMessage.contains("zero-norm") ||
+      Option(e2.getCause).exists(_.getMessage.contains("zero-norm")))
+  }
+
   test("ragged embeddings are an error, not a silent truncation") {
     val ragged = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f, 3f)))
       .toDF("vec_id", "embedding")
