@@ -252,6 +252,145 @@ object QueriesText {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // --- q215/q216: lang-id BREADTH — 20 classes × B = 256 ---------------------
+  // The measured proof for q211/q212's production-knob claim ("the
+  // corpus-side work per GD round is one narrow scan regardless of class
+  // count", q211 scaladoc): the SAME architecture at 4× the classes and
+  // 4× the bucket space. The corpus carries 5 real languages, so the 20
+  // classes are synthetic sub-languages cls = lang || '_' || (doc_id % 4)
+  // — each a genuine disjoint training subset that KEEPS its parent
+  // language's trigram signal, which is the hard case for one-vs-rest
+  // (the 4 sub-classes of one language are near-indistinguishable, so
+  // margin mass must spread across them); the integer algebra still
+  // replays bit-for-bit in the 20-chain DuckDB twin.
+  // Scale shape is q211's exactly: ONE native feature eval per doc
+  // (TrigramBucketCounts at 256), Iters mapPartitions round passes with
+  // (B+1)·k dense accumulators, a 20×257 driver collect per round — the
+  // class count never touches the shuffle/scan structure, only the
+  // in-scan accumulator arithmetic.
+  // Measured (local[32], best-of-2 via Bench, 2026-08-16): sf0.1 —
+  // q211+q212 (5 classes, B=64) 1.01+1.28 = 2.30 s; q215+q216
+  // (20 classes, B=256) 1.18+1.30 = 2.47 s → 1.08× for a 16× larger
+  // (k·B) model, ≈ 0.011 s marginal per extra class. sf1 (50k docs) —
+  // 2.09+4.25 = 6.33 s vs 4.18+5.56 = 9.74 s → 1.54×: at 10× the
+  // corpus the in-scan accumulator arithmetic (k·(B+1) adds per doc
+  // per round) begins to show — still ~10× cheaper than proportional
+  // scaling, and the shuffle/scan structure (one narrow pass per
+  // round, one 20×257 collect) is class-count-independent as
+  // documented at q211.
+  private[graft] val WideLangClasses: Seq[String] =
+    for { l <- LangClasses; i <- 0 to 3 } yield s"${l}_$i"
+  private[graft] val WideLangB = 256
+  private val WideClsExpr = "concat(lang, '_', CAST(pmod(doc_id, 4) AS STRING))"
+  private val WideClsSql = "lang || '_' || CAST(doc_id % 4 AS VARCHAR)"
+
+  private def wideCnts(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(WideClsExpr).as("cls"),
+        expr(s"graft_trigram_buckets$WideLangB(text)").as("cnts"))
+  }
+
+  private val q215: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val LT = graft.ops.LinearTrain
+    val n = Tables.documents(s, dir).count()
+    val base = wideCnts(s, dir).cache()
+    try {
+      val states = LT.trainMultiFromCounts(base, "cls", "cnts",
+        WideLangClasses, n, WideLangB)
+      WideLangClasses.flatMap { c =>
+        val st = states(c)
+        (0 until WideLangB).map(b =>
+          (c, b.toLong, st.sx(b), st.sxx(b), st.d(b), st.w(b))) :+
+          ((c, WideLangB.toLong, 0L, 0L, 0L, st.w(WideLangB)))
+      }.toDF("cls", "b", "sx", "sxx", "d", "w")
+        .orderBy(col("cls"), col("b"))
+    } finally { base.unpersist(); () }
+  }
+
+  /** [[langChainsSql]] generalized to the wide config: shared feature
+    * base at `bN` buckets over an arbitrary class-label SQL expression +
+    * one [[graft.ops.LinearTrain.sql.chainCtes]] per class. */
+  private def wideChainsSql: String = {
+    val chains = WideLangClasses.map { c =>
+      graft.ops.LinearTrain.sql.chainCtes(s"lw${c}_",
+        s"""SELECT doc_id, CASE WHEN cls = '$c' THEN 1 ELSE -1 END AS y,
+           |    b, cnt FROM lw_base""".stripMargin,
+        "SELECT COUNT(*) FROM documents", WideLangB)
+    }.mkString(",\n")
+    s"""lw_cs AS (
+       |  SELECT doc_id, $WideClsSql AS cls, string_split(text, '') AS cs
+       |  FROM documents
+       |), lw_tok AS (
+       |  SELECT doc_id, cls,
+       |    unnest(${TextOps.sql.charTrigramBuckets("cs", WideLangB)}) AS b
+       |  FROM lw_cs
+       |), lw_base AS MATERIALIZED (
+       |  SELECT doc_id, cls, b, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM lw_tok GROUP BY 1, 2, 3
+       |),
+       |$chains""".stripMargin
+  }
+
+  private val q215Sql = {
+    val perClass = WideLangClasses.map { c =>
+      s"""SELECT '$c' AS cls, s.b, s.sx, s.sxx, CAST(s.d AS BIGINT) AS d,
+         |  CAST(w.w AS BIGINT) AS w
+         |FROM lw${c}_stats s JOIN lw${c}_wf w USING (b)
+         |UNION ALL
+         |SELECT '$c', CAST($WideLangB AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST((SELECT w FROM lw${c}_wf WHERE b = $WideLangB) AS BIGINT)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $wideChainsSql
+       |$perClass
+       |ORDER BY cls, b""".stripMargin
+  }
+
+  private val q216: Q = (s, dir) => {
+    val LT = graft.ops.LinearTrain
+    val n = Tables.documents(s, dir).count()
+    val base = wideCnts(s, dir).cache()
+    try {
+      val states = LT.trainMultiFromCounts(base, "cls", "cnts",
+        WideLangClasses, n, WideLangB)
+      LT.predictFromCounts(base, "doc_id", "cls", "cnts",
+          WideLangClasses.map(c => c -> states(c)))
+        .groupBy(col("cls").as("labeled_cls"),
+          col("predicted_cls").as("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("doc_sig"))
+        .orderBy(col("labeled_cls"), col("predicted_lang"))
+    } finally { base.unpersist(); () }
+  }
+
+  private val q216Sql = {
+    val joins = WideLangClasses.zipWithIndex.map { case (c, i) =>
+      if (i == 0) s"lw${c}_mf m_$c"
+      else s"JOIN lw${c}_mf m_$c USING (doc_id)"
+    }.mkString("\n    ")
+    val predicted = WideLangClasses.init.map { c =>
+      val geAll = WideLangClasses.filter(_ != c)
+        .map(o => s"m_$c.m >= m_$o.m").mkString(" AND ")
+      s"WHEN $geAll THEN '$c'"
+    }.mkString("CASE ", " ", s" ELSE '${WideLangClasses.last}' END")
+    s"""WITH $wideChainsSql,
+       |pred AS (
+       |  SELECT m_${WideLangClasses.head}.doc_id,
+       |    $predicted AS predicted_lang
+       |  FROM $joins
+       |)
+       |SELECT $WideClsSql AS labeled_cls, p.predicted_lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(d.doc_id) AS BIGINT) AS doc_sig
+       |FROM documents d
+       |JOIN pred p USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // --- q34: quality scoring (length / stopword / uniqueness ratios) ----------
   private val q34: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
@@ -1165,6 +1304,8 @@ object QueriesText {
     "q33_lang_id" -> q33,
     "q211_langid_train" -> q211,
     "q212_langid_eval" -> q212,
+    "q215_langid_wide_train" -> q215,
+    "q216_langid_wide_eval" -> q216,
     "q34_quality_score" -> q34,
     "q35_token_stats" -> q35,
     "q36_fingerprint" -> q36,
@@ -1189,6 +1330,8 @@ object QueriesText {
     "q33_lang_id" -> q33Sql,
     "q211_langid_train" -> q211Sql,
     "q212_langid_eval" -> q212Sql,
+    "q215_langid_wide_train" -> q215Sql,
+    "q216_langid_wide_eval" -> q216Sql,
     "q34_quality_score" -> q34Sql,
     "q35_token_stats" -> q35Sql,
     "q36_fingerprint" -> q36Sql,

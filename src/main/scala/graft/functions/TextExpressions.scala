@@ -266,9 +266,13 @@ object TextFunctions {
       Arity(1, "graft_winnow_7_4")(c => WinnowFingerprints(c(0), 7, 4)), "built-in")
     reg.createOrReplaceTempFunction("graft_nfc",
       Arity(1, "graft_nfc")(c => NfcNormalize(c(0))), "built-in")
-    reg.createOrReplaceTempFunction("graft_trigram_buckets64",
-      Arity(1, "graft_trigram_buckets64")(c => TrigramBucketCounts(c(0), 64)),
-      "built-in")
+    // 64 = the q211/q212 oracle config; 256 = the wide lang-id config
+    // (q215/q216 — breadth measurement at 20 classes)
+    Seq(64, 256).foreach { b =>
+      reg.createOrReplaceTempFunction(s"graft_trigram_buckets$b",
+        Arity(1, s"graft_trigram_buckets$b")(c => TrigramBucketCounts(c(0), b)),
+        "built-in")
+    }
     reg.createOrReplaceTempFunction("graft_token_buckets64",
       Arity(1, "graft_token_buckets64")(c => TokenBucketCounts(c(0), 64)),
       "built-in")

@@ -130,7 +130,7 @@ object LinearTrain {
   def marginExprFromCounts(cntsCol: String, st: State): String = {
     val (a, consts) = foldedCoeffs(st)
     val arr = a.map(v => s"${v}L").mkString("array(", ", ", ")")
-    s"(graft_int_dot(slice($cntsCol, 1, $B), $arr) + ${consts}L)"
+    s"(graft_int_dot(slice($cntsCol, 1, ${st.sx.length}), $arr) + ${consts}L)"
   }
 
   /** The loop itself over pre-built (cached) [[featureRows]] — callers
@@ -354,10 +354,15 @@ object LinearTrain {
     * driver collect — treeAggregate's layout without losing the exact
     * integer discipline. */
   def trainMultiFromCounts(docs: DataFrame, classCol: String, cntsCol: String,
-                           classes: Seq[String], n: Long): Map[String, State] = {
+                           classes: Seq[String], n: Long,
+                           nBuckets: Int = LinearTrain.B): Map[String, State] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(classes.nonEmpty && classes.distinct == classes)
+    // shadow the object-level default: everything below is written
+    // against "B" and works at any bucket width (the wide lang-id
+    // config trains at 256; states carry their width in sx.length)
+    val B = nBuckets
     val ds = docs
       .select(col(classCol).cast("string"), col(cntsCol).cast("array<bigint>"))
       .as[(String, Array[Long])]
@@ -493,6 +498,10 @@ object LinearTrain {
       "states must be sorted by class name (the tie-break order)")
     val k = states.size
     val kcl = states.map(_._1).toArray
+    // bucket width rides the states (wide lang-id serves at 256)
+    val B = states.head._2.sx.length
+    require(states.forall(_._2.sx.length == B),
+      "states disagree on bucket width")
     val folded = states.map { case (_, st) => foldedCoeffs(st) }
     val aByClass: Array[Array[Long]] = folded.map(_._1.toArray).toArray
     val consts: Array[Long] = folded.map(_._2).toArray
@@ -564,6 +573,7 @@ object LinearTrain {
     * w_bias·Q − Σ_b ⌊w_b·sx_b·Q/d_b⌋ — margin = Σ_{b∈doc} a_b·x_b +
     * const, sparse in the doc's occupied buckets. */
   def foldedCoeffs(st: State): (IndexedSeq[Long], Long) = {
+    val B = st.sx.length // the state carries its bucket width
     val a = (0 until B).map { b =>
       val v = tdiv(BigInt(st.w(b)) * st.n * Q, BigInt(st.d(b)))
       require(v.isValidLong, s"coefficient overflow: $v"); v.toLong
@@ -658,7 +668,7 @@ object LinearTrain {
          |  ELSE greatest(($s0) - 2, 0) END)""".stripMargin
     }
 
-    private def iter(k: Int, p: String): String = {
+    private def iter(k: Int, p: String, B: Int): String = {
       val pw = s"${p}w${k - 1}"
       s"""${p}co$k AS (
          |  SELECT s.b,
@@ -699,7 +709,9 @@ object LinearTrain {
       * several chains (one-vs-rest lang-id trains one per class over a
       * shared base) compose in one WITH. Terminal CTEs: `${p}stats`,
       * `${p}wf`, `${p}mf`. */
-    def chainCtes(p: String, featsSql: String, nSql: String): String = {
+    def chainCtes(p: String, featsSql: String, nSql: String,
+                  nBuckets: Int = LinearTrain.B): String = {
+      val B = nBuckets // same width-shadow convention as trainMultiFromCounts
       val mf =
         s"""${p}cof AS (
            |  SELECT s.b,
@@ -739,7 +751,7 @@ object LinearTrain {
          |), ${p}w0 AS (
          |  SELECT unnest(generate_series(0, $B)) AS b, 0::HUGEINT AS w
          |),
-         |${(1 to Iters).map(iter(_, p)).mkString(",\n")},
+         |${(1 to Iters).map(iter(_, p, B)).mkString(",\n")},
          |${p}wf AS (SELECT b, w FROM ${p}w$Iters),
          |$mf""".stripMargin
     }
