@@ -703,7 +703,179 @@ object QueriesSketch {
        |ORDER BY est.event_type""".stripMargin
   }
 
+  // --- q217/q218: mergeable quantile sketch (build / serve) ------------------
+  // The one sketch family previously absent next to HLL/CMS/KMV/AMS/
+  // bloom: a mergeable quantile summary replacing q50's
+  // one-exact-aggregate-per-cut-point path at 100 TB. Design rationale,
+  // merge-closure algebra, and the bottom-k-vs-KLL tradeoff live in
+  // [[graft.ops.QuantileSketch]]'s scaladoc; the short version: per
+  // group keep the k = 64 items with the smallest shared 60-bit hash —
+  // a deterministic uniform sample that is a pure function of the item
+  // SET, so summaries merge EXACTLY (bottom-k of a union of bottom-ks)
+  // and both engines reproduce sketch AND estimates bit-for-bit.
+  // q217 BUILDS the sketch over orders (group = o_orderpriority, value
+  // = o_totalprice cents) and proves mergeability in-query: the same
+  // sketch built from the even/odd-orderkey halves and MERGED must
+  // equal the single-pass sketch — n_merge_mismatch is oracle-verified
+  // ZERO, the algebra as a checked column. Scale: rank ≤ k by hash per
+  // group = WindowGroupLimit (map-side bounded heaps, ≤ k rows per
+  // group per task cross the exchange); the halves demo doubles that,
+  // still never a corpus sort.
+  // q218 SERVES all quantiles from the k-row sketch (sample order
+  // statistic at ceil(q·kk/100)) next to the exact quantile (the audit
+  // it replaces — one ranked pass, not one agg per cut) and the
+  // REALIZED rank error in ppm of n — the sampling-bound tradeoff
+  // (O(n·sqrt(q(1-q)/k))) published as a measured column.
+  private val QskK = 64
+  private val QskQs = Seq(1, 5, 10, 25, 50, 75, 90, 95, 99)
+  private def qskItems(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderpriority").as("grp"),
+      col("o_orderkey").as("k"),
+      Exact.cents(col("o_totalprice")).as("v"))
+
+  private val q217: Q = (s, dir) => {
+    val QS = graft.ops.QuantileSketch
+    val items = qskItems(s, dir)
+    val whole = QS.kept(items, "grp", "k", "v", QskK)
+    val n = items.groupBy(col("grp")).agg(count(lit(1)).as("n_total"))
+    // mergeability, demonstrated not asserted: the even/odd-orderkey
+    // halves are an arbitrary 2-way partition of the data
+    val halves = QS
+      .kept(items.filter(expr("k % 2 = 0")), "grp", "k", "v", QskK)
+      .unionByName(QS.kept(items.filter(expr("k % 2 = 1")), "grp", "k", "v", QskK))
+    val merged = QS.merge(halves, "grp", "k", "v", QskK)
+    val mm = whole.select(col("grp"), col("slot"), col("v").as("va"))
+      .join(merged.select(col("grp"), col("slot"), col("v").as("vb")),
+        Seq("grp", "slot"), "full_outer")
+      .groupBy(col("grp"))
+      .agg(sum(when(not(col("va") <=> col("vb")), 1L).otherwise(0L))
+        .as("n_merge_mismatch"))
+    whole
+      .join(broadcast(n), "grp").join(broadcast(mm), "grp")
+      .select(col("grp"), col("slot"), col("v").as("v_cents"),
+        col("n_total"), col("n_merge_mismatch"))
+      .orderBy(col("grp"), col("slot"))
+  }
+  private def qskKeptSql(src: String, name: String): String =
+    s"""$name AS (
+       |  SELECT grp, slot, h, k, v FROM (
+       |    SELECT grp, k, v, h,
+       |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h, k) AS slot
+       |    FROM $src
+       |  ) WHERE slot <= $QskK
+       |)""".stripMargin
+  private val qskItemsSql =
+    s"""items AS (
+       |  SELECT o_orderpriority AS grp, o_orderkey AS k,
+       |    ${Exact.sql.cents("o_totalprice")} AS v,
+       |    ${TextOps.sql.hash60("CAST(o_orderkey AS VARCHAR)")} AS h
+       |  FROM orders
+       |)""".stripMargin
+  private val q217Sql =
+    s"""WITH $qskItemsSql,
+       |${qskKeptSql("items", "whole")},
+       |${qskKeptSql("items WHERE k % 2 = 0", "ha")},
+       |${qskKeptSql("items WHERE k % 2 = 1", "hb")},
+       |${qskKeptSql("(SELECT grp, k, v, h FROM ha UNION ALL SELECT grp, k, v, h FROM hb)", "merged")},
+       |n AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_total FROM items GROUP BY 1),
+       |mm AS (
+       |  SELECT COALESCE(a.grp, b.grp) AS grp,
+       |    CAST(SUM(CASE WHEN a.v IS DISTINCT FROM b.v THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_merge_mismatch
+       |  FROM whole a FULL JOIN merged b
+       |    ON a.grp = b.grp AND a.slot = b.slot
+       |  GROUP BY 1
+       |)
+       |SELECT w.grp, CAST(w.slot AS INTEGER) AS slot, w.v AS v_cents,
+       |  n.n_total, mm.n_merge_mismatch
+       |FROM whole w JOIN n USING (grp) JOIN mm USING (grp)
+       |ORDER BY w.grp, slot""".stripMargin
+
+  private val q218: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val QS = graft.ops.QuantileSketch
+    val items = qskItems(s, dir)
+    val sk = QS.kept(items, "grp", "k", "v", QskK)
+    // the k kept VALUES in value order — the summary all quantiles
+    // serve from (sample order statistics)
+    val wv = Window.partitionBy(col("grp")).orderBy(col("v"), col("k"))
+    val skRanked = sk
+      .withColumn("vr", row_number().over(wv))
+      .withColumn("kk", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    // one exact ranked pass serves every cut point (vs one full agg
+    // per cut, the q50 path this sketch replaces at scale)
+    val ranked = items
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("k"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val qs = QskQs.toDF("q_pct")
+    val est = skRanked.crossJoin(broadcast(qs))
+      .filter(col("vr") === expr(s"(q_pct * kk + 99) DIV 100"))
+      .select(col("grp"), col("q_pct"), col("kk"), col("v").as("est_v"))
+    val exact = ranked.crossJoin(broadcast(qs))
+      .filter(col("rn") === expr(s"(q_pct * n + 99) DIV 100"))
+      .select(col("grp"), col("q_pct"), col("n"), col("v").as("exact_v"))
+    // realized rank error: true rank of est_v = the max rn among the
+    // group's rows with that value (ties sit adjacent under (v, k)
+    // order) — an EQUI-join on (grp, v), never an inequality probe.
+    // est and ranked share lineage (both derive from items), so the
+    // probe side is renamed wholesale before the join: a bare
+    // est("grp") === ranked("grp") resolves BOTH sides to one
+    // attribute (Spark warns "trivially true") and the join silently
+    // widens to value-only — cross-group cents collisions would then
+    // corrupt r_true
+    val probe = ranked.select(col("grp").as("p_grp"), col("v").as("p_v"),
+      col("rn").as("p_rn"))
+    val rTrue = est
+      .join(probe, col("grp") === col("p_grp") && col("est_v") === col("p_v"))
+      .groupBy(col("grp"), col("q_pct"))
+      .agg(max(col("p_rn")).as("r_true"))
+    est.join(exact, Seq("grp", "q_pct")).join(rTrue, Seq("grp", "q_pct"))
+      .select(col("grp"), col("q_pct"), col("kk"), col("est_v"),
+        col("exact_v"),
+        expr("(1000000 * abs(100 * r_true - q_pct * n)) DIV (100 * n)")
+          .as("rank_err_pm"))
+      .orderBy(col("grp"), col("q_pct"))
+  }
+  private val q218Sql =
+    s"""WITH $qskItemsSql,
+       |${qskKeptSql("items", "whole")},
+       |skr AS (
+       |  SELECT grp, v,
+       |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, k) AS vr,
+       |    COUNT(*) OVER (PARTITION BY grp) AS kk
+       |  FROM whole
+       |), ranked AS (
+       |  SELECT grp, v,
+       |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, k) AS rn,
+       |    COUNT(*) OVER (PARTITION BY grp) AS n
+       |  FROM items
+       |), qs AS (SELECT unnest(ARRAY[${QskQs.mkString(", ")}]) AS q_pct),
+       |est AS (
+       |  SELECT grp, q_pct, kk, v AS est_v
+       |  FROM skr CROSS JOIN qs
+       |  WHERE vr = (q_pct * kk + 99) // 100
+       |), ex AS (
+       |  SELECT grp, q_pct, n, v AS exact_v
+       |  FROM ranked CROSS JOIN qs
+       |  WHERE rn = (q_pct * n + 99) // 100
+       |), rt AS (
+       |  SELECT e.grp, e.q_pct, MAX(r.rn) AS r_true
+       |  FROM est e JOIN ranked r ON e.grp = r.grp AND e.est_v = r.v
+       |  GROUP BY 1, 2
+       |)
+       |SELECT e.grp, CAST(e.q_pct AS INTEGER) AS q_pct,
+       |  CAST(e.kk AS BIGINT) AS kk, e.est_v, ex.exact_v,
+       |  CAST((1000000 * abs(100 * rt.r_true - e.q_pct * ex.n))
+       |    // (100 * ex.n) AS BIGINT) AS rank_err_pm
+       |FROM est e JOIN ex USING (grp, q_pct) JOIN rt USING (grp, q_pct)
+       |ORDER BY e.grp, e.q_pct""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q217_quantile_sketch" -> q217,
+    "q218_quantile_serve" -> q218,
     "q183_hll_portable" -> q183,
     "q135_hist_quantiles" -> q135,
     "q136_kmv_setops" -> q136,
@@ -715,6 +887,8 @@ object QueriesSketch {
     "q142_ams_f2" -> q142)
 
   val oracleSql: Map[String, String] = Map(
+    "q217_quantile_sketch" -> q217Sql,
+    "q218_quantile_serve" -> q218Sql,
     "q183_hll_portable" -> q183Sql,
     "q135_hist_quantiles" -> q135Sql,
     "q136_kmv_setops" -> q136Sql,
