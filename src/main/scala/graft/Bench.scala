@@ -88,6 +88,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
+    val spark = buildSession()
+    runLedger(spark, sfDir, out)
+    spark.stop()
+  }
+
+  def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // scaling-study knob: decouple shuffle partitions from thread count
     // (partition-size sensitivity is how a plateau is attributed to
@@ -100,7 +107,14 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
+  /** One full ledger over `sfDir`, written to `out` — extracted so
+    * [[Scaling]] can run several scale factors in ONE session (one JVM,
+    * one JIT/codegen state, back-to-back — the variance control a
+    * cross-SF slope needs). */
+  def runLedger(spark: SparkSession, sfDir: String, out: String): Unit = {
     // min-of-3: the first sentinel call is the kernel's first-ever
     // invocation (interpreted/OSR), so a single-shot start reading is
     // biased high vs the fully-JIT'd end reading and the >1.3
@@ -287,12 +301,10 @@ object Bench {
     // Persist the full line so every per-query timing stays diffable
     // across rounds (committed per round; the stdout tail is the backup).
     try {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write detail file: ${e.getMessage}")
     }
-    spark.stop()
   }
 }

@@ -961,6 +961,50 @@ object QueriesText {
        |FROM g ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  // --- q219: REAL RIFF/AVI demux + frame sampling ----------------------------
+  // q47's container walk upgraded to the PUBLISHED container format:
+  // each doc's "video" is a complete RIFF/AVI file (LIST hdrl with
+  // honest avih/strh/strf headers, LIST movi with '00db' raw-DIB
+  // frames, idx1 index) built by ops/Avi.syntheticAvi and demuxed by
+  // ops/Avi.frames — header validation, BITMAPINFOHEADER dims/depth/
+  // compression enforcement, RIFF odd-length chunk padding, bottom-up
+  // padded BGR row decode. Raw DIB (BI_RGB) rather than MJPEG so the
+  // oracle predicts every channel sum in closed form (JPEG's IDCT
+  // rounding is not SQL-replayable; the codec stays the documented
+  // pluggable seam). Every 2nd frame kept — only kept frames pay the
+  // pixel pass, the keyframe-sampling economics. Same work-repartition
+  // as q47 (codec work, not bytes, is the cost).
+  private val q219: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .repartition(Tables.shufflePartitions(s))
+    graft.ops.Avi.sampleFrames(ids, FrameStride).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+  private val q219Sql = {
+    def chanSum(pix: String) =
+      s"""CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+         |    list_transform(generate_series(0, w - 1), x -> $pix)))) AS BIGINT)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, 2 + doc_id % 3 AS nf,
+       |    6 + doc_id % 7 AS w, 6 + (doc_id // 7) % 7 AS h
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, w, h,
+       |    unnest(generate_series(0, nf - 1, $FrameStride)) AS fi
+       |  FROM d
+       |), g AS (
+       |  SELECT doc_id, fi, w, h, doc_id * 5 + fi AS fid FROM f
+       |)
+       |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+       |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  ${chanSum("(fid + x * 3 + y) % 256")} AS sum_b,
+       |  ${chanSum("(x * 11 + y * 7) % 256")} AS sum_g,
+       |  ${chanSum("(fid * 17 + x + y * 5) % 256")} AS sum_r
+       |FROM g ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   // --- q151: PMI collocations (phrase mining) --------------------------------
   // The phrase-mining primitive under every tokenizer-vocab and
   // stopword-list decision: rank adjacent word pairs by pointwise mutual
@@ -1298,6 +1342,7 @@ object QueriesText {
     "q56_mixture_sample" -> q56,
     "q58_multimodal_resize" -> q58,
     "q47_frame_sample" -> q47,
+    "q219_avi_frames" -> q219,
     "q44_hash_split" -> q44,
     "q40_approx_distinct" -> q40,
     "q131_kmv_distinct" -> q131,
@@ -1325,6 +1370,7 @@ object QueriesText {
     "q56_mixture_sample" -> q56Sql,
     "q58_multimodal_resize" -> q58Sql,
     "q47_frame_sample" -> q47Sql,
+    "q219_avi_frames" -> q219Sql,
     "q44_hash_split" -> q44Sql,
     "q131_kmv_distinct" -> q131Sql,
     "q33_lang_id" -> q33Sql,

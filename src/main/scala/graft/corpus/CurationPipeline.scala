@@ -125,10 +125,28 @@ object CurationPipeline {
       // it bit-identically by construction.
       assignSplit: Boolean = false)
 
+  /** Per-stage wall times of the last [[run]] — (stage, seconds,
+    * docs_after), populated only while [[timeStages]] is on (the
+    * [[graft.PipelineBench]] ledger). The audit counts are the
+    * per-stage materialization points (each cached stage's first
+    * action), so timing each count IS the stage's incremental cost on
+    * top of its cached predecessors. Driver-side, single-run use. */
+  private[graft] val lastStageTimes =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+  @volatile private[graft] var timeStages = false
+  private def timedCount(name: String)(f: => Long): Long =
+    if (!timeStages) f
+    else {
+      val t0 = System.nanoTime(); val n = f
+      lastStageTimes += ((name, (System.nanoTime() - t0) / 1e9, n))
+      n
+    }
+
   /** @return (curated corpus, audit of (stage, docs_after)) */
   def run(docs: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
+    if (timeStages) lastStageTimes.clear()
 
     val (ruled, quality) = qualityStages(docs, cfg)
 
@@ -148,11 +166,49 @@ object CurationPipeline {
     // With cfg.editDistanceMax set, candidates additionally pass the
     // bounded edit-distance confirm (q127's precision stage) before any
     // doc is declared a duplicate.
+    // stage-ledger mode: materialize the upstream stages in PIPELINE
+    // order FIRST — the near-dup fixpoint below runs eager jobs and
+    // would otherwise pay for (and be charged with) stages 1–3
+    if (timeStages) {
+      timedCount("input")(docs.count())
+      timedCount("quality_rules")(ruled.count())
+      timedCount("quality_classifier")(quality.count())
+      timedCount("exact_dedup")(exact.count())
+      timedCount("normalized_dedup")(norm.count())
+    }
+
     val hashed = NearDup.shingleHashed(norm, "doc_id", "text").cache()
     val pairs = confirmPairs(NearDup.pairs(hashed, cfg.jaccardThreshold),
       norm, cfg)
-    val near = NearDup.transitiveSurvivors(norm, col("doc_id"), pairs).cache()
+    // LINEAGE TRUNCATION, not just caching: a plain .cache() keeps the
+    // whole nested plan tree inside the InMemoryRelation, and every
+    // LATER action on every downstream frame re-carries that tree
+    // through analysis/AQE/codegen — measured: with 12 stages of
+    // accumulated lineage, a count() of the FINAL 200-row cached frame
+    // cost 33-50 s of per-action driver overhead, scale-independent
+    // (identical at sf0.1 and sf1), and each release stage's first
+    // action grew with its depth (2 → 7 → 12 → 33 s). localCheckpoint
+    // cuts the logical plan to a LogicalRDD at the stage boundary, so
+    // downstream plans stay shallow; lazy (eager = false) keeps the
+    // materialization on the stage's own first action. Post-run the
+    // checkpoint RDDs release via ContextCleaner (or the bench
+    // harness's explicit inter-query release); recompute after an
+    // explicit unpersist is impossible (truncated lineage) — callers
+    // that need recomputability hold the INPUT, not the stage frames.
+    // transitiveSurvivors runs the Components fixpoint EAGERLY (driver-
+    // round jobs), pulling the shingle/LSH/confirm chain with it — in
+    // stage-ledger mode that work is attributed to its own row
+    // (docs_after = -1: a construction phase, not a survivor count;
+    // near_dedup's own row then carries just the survivor-set
+    // materialization)
+    val tFix = System.nanoTime()
+    val nearRaw = NearDup.transitiveSurvivors(norm, col("doc_id"), pairs)
+    if (timeStages)
+      lastStageTimes += (("near_dedup_fixpoint",
+        (System.nanoTime() - tFix) / 1e9, -1L))
+    val near = nearRaw.localCheckpoint(false)
 
+    if (timeStages) timedCount("near_dedup")(near.count())
     val (curated, tail, releaseCaches) = releaseStages(near, docs.columns, cfg)
 
     // audit counts drive one materialization of each cached stage; the
@@ -260,8 +316,10 @@ object CurationPipeline {
           .withColumn("_rk", row_number().over(w))
           .filter(col("_rk") <= cap)
           .drop("_domain", "_h", "_rk")
-        val capped = ranked.unionByName(exempt).cache()
-        (capped, Seq(("domain_cap", capped.count())), Seq(capped))
+        // stage-boundary truncation (see the near-dup checkpoint note)
+        val capped = ranked.unionByName(exempt).localCheckpoint(false)
+        (capped, Seq(("domain_cap", timedCount("domain_cap")(capped.count()))),
+          Seq(capped))
       // domainCap configured but the corpus has no `urlCol` column (absent
       // or misspelled): a silently-skipped stage would ship a release the
       // operator believes is capped, uncapped, with no signal. The audit
@@ -287,8 +345,9 @@ object CurationPipeline {
           .dedupLines(afterCap, "doc_id", "text", k, cfg.lineDedupSep)
           .filter(col("text") =!= "" && expr(nToks) >= cfg.minToks)
           .drop("n_lines", "n_kept_lines")
-          .cache()
-        (deduped, Seq(("line_dedup", deduped.count())), Seq(deduped))
+          .localCheckpoint(false) // stage-boundary truncation
+        (deduped, Seq(("line_dedup", timedCount("line_dedup")(deduped.count()))),
+          Seq(deduped))
       case None => (afterCap, Seq.empty[(String, Long)], Seq.empty[DataFrame])
     }
     // 5. exact-substring scrub over the dedup survivors: residual
@@ -315,7 +374,7 @@ object CurationPipeline {
     // pins that invariant.
     val redacted = scrub
       .withColumn("text", graft.ops.PiiRedact.redact(col("text")))
-      .cache()
+      .localCheckpoint(false) // stage-boundary truncation
 
     // 7. mixture over post-scrub token counts — the tokens a training
     // run would see; policy: fixed token budget (q63) by default, or
@@ -363,17 +422,29 @@ object CurationPipeline {
           s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' " +
           "ELSE 'test' END"))
         .drop("_skey")
-    }).cache()
+      // the frame consumers hammer: checkpointed so every later action
+      // analyzes a LogicalRDD, not the full 12-stage tree
+    }).localCheckpoint(false)
 
+    // pre-split tail FIRST: textually splitTail ran before these, so
+    // its curated.count() paid for scrub+redact+mixture and the stage
+    // ledger misattributed; counting in pipeline order keeps each
+    // stage's incremental cost on its own row (audit rows unchanged —
+    // every later count is a cache hit). mixture_sample counts the
+    // final cached frame, so its row carries mixture AND split work;
+    // split_assign's row is then the cache-hit ~0 (documented in
+    // PIPELINE_BENCH.json's consumers).
+    val preSplitTail = capTail ++ lineTail ++ Seq(
+      ("substring_scrub", timedCount("substring_scrub")(scrub.count())),
+      ("pii_redact", timedCount("pii_redact")(redacted.count())),
+      ("mixture_sample", timedCount("mixture_sample")(curated.count())))
     val splitTail =
       if (cfg.assignSplit) {
         val stage = if (mixed.columns.contains(cfg.urlCol)) "split_assign"
           else "split_assign_dockeyed" // visible misconfiguration marker
-        Seq((stage, curated.count()))
+        Seq((stage, timedCount(stage)(curated.count())))
       } else Seq.empty[(String, Long)]
-    val tail = capTail ++ lineTail ++ Seq(("substring_scrub", scrub.count()),
-      ("pii_redact", redacted.count()),
-      ("mixture_sample", curated.count())) ++ splitTail
+    val tail = preSplitTail ++ splitTail
     (curated, tail,
       capCaches ++ lineCaches ++ Seq(gramHashed, scrub, redacted))
   }
