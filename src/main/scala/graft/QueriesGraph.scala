@@ -154,8 +154,8 @@ object QueriesGraph {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, Array[(Long, Long, Long)]]]()
 
-  private def copurchaseEdges(s: SparkSession, dir: String,
-                              keepSupport: Boolean = false): DataFrame = {
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String,
+                                     keepSupport: Boolean = false): DataFrame = {
     val spark = s
     import spark.implicits._
     val perSession = cutCache.synchronized {
