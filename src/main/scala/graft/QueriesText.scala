@@ -138,7 +138,8 @@ object QueriesText {
     val n = Tables.documents(s, dir).count()
     val base = langCnts(s, dir).cache()
     try {
-      val states = LT.trainMultiFromCounts(base, "lang", "cnts", LangClasses, n)
+      val states = LT.cachedStates(s, s"langid64:$dir")(
+        LT.trainMultiFromCounts(base, "lang", "cnts", LangClasses, n))
       LangClasses.flatMap { c =>
         val st = states(c)
         (0 until LT.B).map(b =>
@@ -195,7 +196,8 @@ object QueriesText {
     val n = docs.count()
     val base = langCnts(s, dir).cache()
     try {
-      val states = LT.trainMultiFromCounts(base, "lang", "cnts", LangClasses, n)
+      val states = LT.cachedStates(s, s"langid64:$dir")(
+        LT.trainMultiFromCounts(base, "lang", "cnts", LangClasses, n))
       // per-doc argmax margin with ties to the smallest class name,
       // computed in the same counts-array pass — no margin join/window
       val pred = LT
@@ -298,8 +300,9 @@ object QueriesText {
     val n = Tables.documents(s, dir).count()
     val base = wideCnts(s, dir).cache()
     try {
-      val states = LT.trainMultiFromCounts(base, "cls", "cnts",
-        WideLangClasses, n, WideLangB)
+      val states = LT.cachedStates(s, s"langid256:$dir")(
+        LT.trainMultiFromCounts(base, "cls", "cnts",
+          WideLangClasses, n, WideLangB))
       WideLangClasses.flatMap { c =>
         val st = states(c)
         (0 until WideLangB).map(b =>
@@ -355,8 +358,9 @@ object QueriesText {
     val n = Tables.documents(s, dir).count()
     val base = wideCnts(s, dir).cache()
     try {
-      val states = LT.trainMultiFromCounts(base, "cls", "cnts",
-        WideLangClasses, n, WideLangB)
+      val states = LT.cachedStates(s, s"langid256:$dir")(
+        LT.trainMultiFromCounts(base, "cls", "cnts",
+          WideLangClasses, n, WideLangB))
       LT.predictFromCounts(base, "doc_id", "cls", "cnts",
           WideLangClasses.map(c => c -> states(c)))
         .groupBy(col("cls").as("labeled_cls"),
