@@ -589,7 +589,7 @@ object QueriesCorpus {
     // trained state from the session cache (LinearTrain.cachedStates):
     // q69/q203/q204 consume the SAME pure-function-of-dir state — one
     // training per session, not one per query per bench rep
-    val st = graft.ops.LinearTrain.cachedStates(s, s"quality:$dir")(
+    val st = graft.ops.LinearTrain.cachedStates(s, s"quality:$dir", dir)(
       Map("pos" -> graft.ops.LinearTrain.train(Tables.documents(s, dir))))("pos")
     val ds = Tables.documents(s, dir)
       .select(col("doc_id"), col("text")).as[graft.ops.Inference.DocIn]
@@ -1108,7 +1108,7 @@ object QueriesCorpus {
     val spark = s
     import spark.implicits._
     val B = graft.ops.LinearTrain.B
-    val st = graft.ops.LinearTrain.cachedStates(s, s"quality:$dir")(
+    val st = graft.ops.LinearTrain.cachedStates(s, s"quality:$dir", dir)(
       Map("pos" -> graft.ops.LinearTrain.train(Tables.documents(s, dir))))("pos")
     ((0 until B).map(b => (b.toLong, st.sx(b), st.sxx(b), st.d(b), st.w(b)))
       :+ ((B.toLong, 0L, 0L, 0L, st.w(B))))
@@ -1150,7 +1150,7 @@ object QueriesCorpus {
           .as("cls"),
         expr(s"graft_token_buckets${LT.B}(text)").as("cnts"))
       .cache()
-    val st = LT.cachedStates(s, s"quality:$dir")(
+    val st = LT.cachedStates(s, s"quality:$dir", dir)(
       LT.trainMultiFromCounts(cnts, "cls", "cnts", Seq("pos"),
         docs.count()))("pos")
     val m = cnts

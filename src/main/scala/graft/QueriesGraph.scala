@@ -167,7 +167,12 @@ object QueriesGraph {
       }
       m
     }
-    val rows = perSession.getOrElseUpdate(dir, {
+    // keyed by (dir, data fingerprint), not the path string alone: an
+    // in-session change to the files under `dir` (ingest append,
+    // regeneration) must build a fresh cut, never serve the stale one
+    // (ops/DirFingerprint — one file-listing round-trip per lookup)
+    val cacheKey = s"$dir@${graft.ops.DirFingerprint.of(s, dir)}"
+    val rows = perSession.getOrElseUpdate(cacheKey, {
       graft.functions.GraftFunctions.register(s)
       val cap = 50 // q118's basket guard: one 10⁶-item basket ≠ 5·10¹¹ pairs
       Tables.lineitem(s, dir)

@@ -138,7 +138,7 @@ object QueriesText {
     val n = Tables.documents(s, dir).count()
     val base = langCnts(s, dir).cache()
     try {
-      val states = LT.cachedStates(s, s"langid64:$dir")(
+      val states = LT.cachedStates(s, s"langid64:$dir", dir)(
         LT.trainMultiFromCounts(base, "lang", "cnts", LangClasses, n))
       LangClasses.flatMap { c =>
         val st = states(c)
@@ -196,7 +196,7 @@ object QueriesText {
     val n = docs.count()
     val base = langCnts(s, dir).cache()
     try {
-      val states = LT.cachedStates(s, s"langid64:$dir")(
+      val states = LT.cachedStates(s, s"langid64:$dir", dir)(
         LT.trainMultiFromCounts(base, "lang", "cnts", LangClasses, n))
       // per-doc argmax margin with ties to the smallest class name,
       // computed in the same counts-array pass — no margin join/window
@@ -300,7 +300,7 @@ object QueriesText {
     val n = Tables.documents(s, dir).count()
     val base = wideCnts(s, dir).cache()
     try {
-      val states = LT.cachedStates(s, s"langid256:$dir")(
+      val states = LT.cachedStates(s, s"langid256:$dir", dir)(
         LT.trainMultiFromCounts(base, "cls", "cnts",
           WideLangClasses, n, WideLangB))
       WideLangClasses.flatMap { c =>
@@ -358,7 +358,7 @@ object QueriesText {
     val n = Tables.documents(s, dir).count()
     val base = wideCnts(s, dir).cache()
     try {
-      val states = LT.cachedStates(s, s"langid256:$dir")(
+      val states = LT.cachedStates(s, s"langid256:$dir", dir)(
         LT.trainMultiFromCounts(base, "cls", "cnts",
           WideLangClasses, n, WideLangB))
       LT.predictFromCounts(base, "doc_id", "cls", "cnts",

@@ -68,11 +68,15 @@ object LinearTrain {
     * once per query per bench rep. Driver-side plain data — survives
     * the bench harness's inter-query cache/RDD release; weakly keyed
     * by session so a closed session's states collect. Callers pass a
-    * key that encodes EVERY input the state depends on. */
+    * key that encodes EVERY non-data input the state depends on plus
+    * the input `dir`; the DATA enters the key as a directory
+    * fingerprint (ops/DirFingerprint), so an in-session change to the
+    * files under `dir` trains fresh instead of serving a stale model. */
   private val stateCache =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       scala.collection.concurrent.TrieMap[String, Map[String, State]]]()
-  def cachedStates(s: org.apache.spark.sql.SparkSession, key: String)(
+  def cachedStates(s: org.apache.spark.sql.SparkSession, key: String,
+                   dir: String)(
       build: => Map[String, State]): Map[String, State] = {
     val m = stateCache.synchronized {
       var mm = stateCache.get(s)
@@ -83,7 +87,7 @@ object LinearTrain {
       }
       mm
     }
-    m.getOrElseUpdate(key, build)
+    m.getOrElseUpdate(s"$key@${DirFingerprint.of(s, dir)}", build)
   }
 
   /** Exact ⌊√v⌋ (Newton; v < 2¹²⁶). */
