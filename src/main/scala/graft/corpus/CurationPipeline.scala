@@ -180,21 +180,14 @@ object CurationPipeline {
     val hashed = NearDup.shingleHashed(norm, "doc_id", "text").cache()
     val pairs = confirmPairs(NearDup.pairs(hashed, cfg.jaccardThreshold),
       norm, cfg)
-    // LINEAGE TRUNCATION, not just caching: a plain .cache() keeps the
-    // whole nested plan tree inside the InMemoryRelation, and every
-    // LATER action on every downstream frame re-carries that tree
-    // through analysis/AQE/codegen — measured: with 12 stages of
-    // accumulated lineage, a count() of the FINAL 200-row cached frame
-    // cost 33-50 s of per-action driver overhead, scale-independent
-    // (identical at sf0.1 and sf1), and each release stage's first
-    // action grew with its depth (2 → 7 → 12 → 33 s). localCheckpoint
-    // cuts the logical plan to a LogicalRDD at the stage boundary, so
-    // downstream plans stay shallow; lazy (eager = false) keeps the
-    // materialization on the stage's own first action. Post-run the
-    // checkpoint RDDs release via ContextCleaner (or the bench
-    // harness's explicit inter-query release); recompute after an
-    // explicit unpersist is impossible (truncated lineage) — callers
-    // that need recomputability hold the INPUT, not the stage frames.
+    // STAGE-BOUNDARY LINEAGE TRUNCATION (ops/Stages — its scaladoc
+    // carries the measured driver-overhead defect class this guards
+    // against: 33-50 s per action at 12 stages of depth, scale-
+    // independent). Lazy seal: materialization lands on the stage's own
+    // first action. Sealed frames release deterministically through
+    // Stages.release below; recompute after release is impossible
+    // (truncated lineage) — callers that need recomputability hold the
+    // INPUT, not the stage frames.
     // transitiveSurvivors runs the Components fixpoint EAGERLY (driver-
     // round jobs), pulling the shingle/LSH/confirm chain with it — in
     // stage-ledger mode that work is attributed to its own row
@@ -206,21 +199,24 @@ object CurationPipeline {
     if (timeStages)
       lastStageTimes += (("near_dedup_fixpoint",
         (System.nanoTime() - tFix) / 1e9, -1L))
-    val near = nearRaw.localCheckpoint(false)
+    val near = graft.ops.Stages.seal(nearRaw)
 
     if (timeStages) timedCount("near_dedup")(near.count())
     val (curated, tail, releaseCaches) = releaseStages(near, docs.columns, cfg)
 
     // audit counts drive one materialization of each cached stage; the
-    // intermediates are then released — only `curated` stays cached for
-    // the caller (unpersist it when done)
+    // intermediates are then released — only `curated` stays
+    // materialized for the caller (it is a SEALED frame: release it via
+    // Stages.release when done; Dataset.unpersist is a no-op on it)
     val audit = (Seq(
       ("input", docs.count()), ("quality_rules", ruled.count()),
       ("quality_classifier", quality.count()), ("exact_dedup", exact.count()),
       ("normalized_dedup", norm.count()), ("near_dedup", near.count())) ++ tail)
       .toDF("stage", "docs_after")
-    (Seq(ruled, quality, exact, norm, hashed, near) ++ releaseCaches)
-      .foreach(_.unpersist())
+    val toRelease = Seq(ruled, quality, exact, norm, hashed, near) ++
+      releaseCaches
+    toRelease.foreach(_.unpersist()) // the .cache()'d stages
+    graft.ops.Stages.release(toRelease) // the sealed stages, synchronously
     (curated, audit)
   }
 
@@ -317,7 +313,7 @@ object CurationPipeline {
           .filter(col("_rk") <= cap)
           .drop("_domain", "_h", "_rk")
         // stage-boundary truncation (see the near-dup checkpoint note)
-        val capped = ranked.unionByName(exempt).localCheckpoint(false)
+        val capped = graft.ops.Stages.seal(ranked.unionByName(exempt))
         (capped, Seq(("domain_cap", timedCount("domain_cap")(capped.count()))),
           Seq(capped))
       // domainCap configured but the corpus has no `urlCol` column (absent
@@ -341,11 +337,10 @@ object CurationPipeline {
     // the quality floor drop, same rule as the scrub below.
     val (afterLines, lineTail, lineCaches) = cfg.lineDedupMaxCount match {
       case Some(k) =>
-        val deduped = graft.ops.LineDedup
+        val deduped = graft.ops.Stages.seal(graft.ops.LineDedup
           .dedupLines(afterCap, "doc_id", "text", k, cfg.lineDedupSep)
           .filter(col("text") =!= "" && expr(nToks) >= cfg.minToks)
-          .drop("n_lines", "n_kept_lines")
-          .localCheckpoint(false) // stage-boundary truncation
+          .drop("n_lines", "n_kept_lines"))
         (deduped, Seq(("line_dedup", timedCount("line_dedup")(deduped.count()))),
           Seq(deduped))
       case None => (afterCap, Seq.empty[(String, Long)], Seq.empty[DataFrame])
@@ -372,9 +367,8 @@ object CurationPipeline {
     // 8-grams out of distinct PII contexts and make the scrub eat the
     // genuine text around them. Counts never drop here — the audit row
     // pins that invariant.
-    val redacted = scrub
-      .withColumn("text", graft.ops.PiiRedact.redact(col("text")))
-      .localCheckpoint(false) // stage-boundary truncation
+    val redacted = graft.ops.Stages.seal(scrub
+      .withColumn("text", graft.ops.PiiRedact.redact(col("text"))))
 
     // 7. mixture over post-scrub token counts — the tokens a training
     // run would see; policy: fixed token budget (q63) by default, or
@@ -396,7 +390,7 @@ object CurationPipeline {
     // — else the doc's own id; thresholds are q44's 80/10/10. Per-row
     // arithmetic (the PSL join is 4 broadcast lookups), drops nothing —
     // the audit row pins that invariant like pii_redact's does.
-    val curated = (if (!cfg.assignSplit) mixed else {
+    val curated0 = (if (!cfg.assignSplit) mixed else {
       require(!mixed.columns.contains("split"),
         "assignSplit reserves output column 'split'; rename or drop the input's")
       val keyed =
@@ -422,9 +416,10 @@ object CurationPipeline {
           s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' " +
           "ELSE 'test' END"))
         .drop("_skey")
-      // the frame consumers hammer: checkpointed so every later action
+      // the frame consumers hammer: sealed so every later action
       // analyzes a LogicalRDD, not the full 12-stage tree
-    }).localCheckpoint(false)
+    })
+    val curated = graft.ops.Stages.seal(curated0)
 
     // pre-split tail FIRST: textually splitTail ran before these, so
     // its curated.count() paid for scrub+redact+mixture and the stage

@@ -37,7 +37,8 @@ object StreamingCuration {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, _: Long) =>
-        ingestBatch(spark, batch0, storeDir, quarantineDir)
+        graft.ops.Stages.release(Seq(
+          ingestBatch(spark, batch0, storeDir, quarantineDir)))
         ()
       }
       .start()
@@ -79,6 +80,7 @@ object StreamingCuration {
       .foreachBatch { (batch0: DataFrame, tick: Long) =>
         val fresh = ingestBatch(spark, batch0, storeDir, quarantineDir)
         curateDelta(spark, fresh, stateDir, cfg, tick)
+        graft.ops.Stages.release(Seq(fresh)) // tick done; drop its blocks
         ()
       }
       .start()
@@ -115,7 +117,8 @@ object StreamingCuration {
       ("normalized_dedup", normDocs.count()),
       ("near_dedup", near.count())) ++ tail)
       .toDF("stage", "docs_after")
-    (near +: caches).foreach(_.unpersist())
+    (near +: caches).foreach(_.unpersist()) // the .cache()'d stages
+    graft.ops.Stages.release(caches) // the sealed stages, synchronously
     (curated, audit)
   }
 
@@ -137,7 +140,7 @@ object StreamingCuration {
     * the FRESH clean docs (materialized — safe to reuse after return). */
   private def ingestBatch(spark: SparkSession, batch0: DataFrame,
                           storeDir: String, quarantineDir: String): DataFrame = {
-    val batch = batch0.localCheckpoint() // one pass feeds both sinks
+    val batch = graft.ops.Stages.seal(batch0, eager = true) // one pass feeds both sinks
     val bad = batch.filter(col("_corrupt_record").isNotNull ||
         col("doc_id").isNull || col("text").isNull)
       .select(coalesce(col("_corrupt_record"), to_json(struct(
@@ -150,14 +153,17 @@ object StreamingCuration {
         && col("text").isNotNull)
       .drop("_corrupt_record")
       .withColumn("n_chars", length(col("text")).cast("long"))
-    val fresh = (readState(spark, storeDir) match {
+    val fresh0 = (readState(spark, storeDir) match {
       case Some(existing) => clean0.join(
         existing.select(col("doc_id")), Seq("doc_id"), "left_anti")
       case None => clean0
-    }).localCheckpoint()
+    })
+    val fresh = graft.ops.Stages.seal(fresh0, eager = true)
     if (!fresh.isEmpty)
       fresh.write.mode("append").partitionBy("source").parquet(storeDir)
-    batch.unpersist()
+    // deterministic block release (Dataset.unpersist is a no-op on a
+    // sealed frame; this was the one leak per micro-batch)
+    graft.ops.Stages.release(Seq(batch))
     fresh
   }
 
@@ -184,7 +190,7 @@ object StreamingCuration {
     val hashes = quality.select(col("doc_id"),
         md5(col("text")).as("th"),
         expr(TextOps.hash60(TextOps.normalizeExpr("text"))).as("nh"))
-      .localCheckpoint()
+      .transform(graft.ops.Stages.seal(_, eager = true))
     val prevHashes = readState(spark, s"$stateDir/hashes")
     // exact: drop texts already in the corpus, keep min id per text in-delta
     val exactIds = prevHashes.fold(hashes)(prev =>
@@ -202,16 +208,16 @@ object StreamingCuration {
       .groupBy(col("nh")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     val normDocs = quality.join(normIds, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+      .transform(graft.ops.Stages.seal(_, eager = true))
 
     // near-dup discovery: delta signatures + band keys vs state ∪ delta —
     // every new edge is incident to a new doc, so the accumulated pair
     // table is exactly the batch pair set over the accumulated survivors
     val hashed = NearDup.shingleHashed(normDocs, "doc_id", "text")
-      .localCheckpoint()
+      .transform(graft.ops.Stages.seal(_, eager = true))
     val newBands = hashed.select(col("doc_id"),
         posexplode(expr("graft_minhash_bands(hs)")).as(Seq("band", "key")))
-      .localCheckpoint()
+      .transform(graft.ops.Stages.seal(_, eager = true))
     val allBands = readState(spark, s"$stateDir/bands")
       .fold(newBands)(_.unionByName(newBands))
     val allSigs = readState(spark, s"$stateDir/sigs")
@@ -257,5 +263,9 @@ object StreamingCuration {
       .toDF("tick", "stage", "n")
       .write.mode("append").parquet(s"$stateDir/tickaudit")
     Seq(ruled, quality).foreach(_.unpersist())
+    // the tick's sealed frames are all fully written to state by now —
+    // release their blocks instead of leaving them to ContextCleaner
+    // (ticks in one session otherwise accumulate checkpoint blocks)
+    graft.ops.Stages.release(Seq(hashes, normDocs, hashed, newBands))
   }
 }
