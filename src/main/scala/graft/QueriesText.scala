@@ -1005,7 +1005,8 @@ object QueriesText {
        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
        |  ${chanSum("(fid + x * 3 + y) % 256")} AS sum_b,
        |  ${chanSum("(x * 11 + y * 7) % 256")} AS sum_g,
-       |  ${chanSum("(fid * 17 + x + y * 5) % 256")} AS sum_r
+       |  ${chanSum("(fid * 17 + x + y * 5) % 256")} AS sum_r,
+       |  ${chanSum("(y + 1) * ((fid * 17 + x + y * 5) % 256)")} AS wsum_r
        |FROM g ORDER BY doc_id, frame_idx""".stripMargin
   }
 

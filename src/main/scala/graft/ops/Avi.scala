@@ -18,8 +18,11 @@ import org.apache.spark.sql.{Dataset, Encoders}
   * container walk, the stride economics and the decode are all REAL and
   * the oracle still predicts every sum from the generator formula
   * ([[syntheticAvi]]'s pixels are a closed-form function of (frame,
-  * x, y); a demux bug — wrong offset, missed pad byte, top-down/BGR
-  * mixups — decodes wrong bytes and hash-mismatches). The JPEG/MPEG
+  * x, y); a demux bug — wrong offset, missed pad byte, BGR channel
+  * mixup — decodes wrong bytes and hash-mismatches, and the bottom-up
+  * ROW ORDER is pinned by `wsum_r`, a row-weighted sum — plain channel
+  * sums are row-permutation-invariant and could not catch a top-down
+  * decode on their own). The JPEG/MPEG
   * codec itself stays the documented pluggable seam
   * ([[Multimodal.decodeStub]]): swap the per-chunk `decodeDib` for a
   * codec call and nothing else changes.
@@ -144,9 +147,14 @@ object Avi {
 
   // --------------------------------------------------------------- demux
 
-  /** One decoded frame: index + dims + exact per-channel pixel sums. */
+  /** One decoded frame: index + dims + exact per-channel pixel sums,
+    * plus a ROW-ORDER-SENSITIVE statistic: wsum_r = sum over image rows
+    * y (0 = TOP row) of (y+1) * (row's R-channel sum). Plain channel
+    * sums are invariant to row permutation, so a bottom-up vs top-down
+    * decode bug cannot move them; the row-weighted sum flips under
+    * exactly that bug and the oracle pins it. */
   case class AviFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
-                      sum_b: Long, sum_g: Long, sum_r: Long)
+                      sum_b: Long, sum_g: Long, sum_r: Long, wsum_r: Long)
 
   private def rdLe32(b: Array[Byte], p: Int): Int =
     (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
@@ -204,20 +212,25 @@ object Avi {
       val rowSize = ((w * 3 + 3) / 4) * 4
       require(len == rowSize * h,
         s"frame $frameIdx: chunk length $len != rowSize*h (${rowSize * h})")
-      var sb = 0L; var sg = 0L; var sr = 0L
+      var sb = 0L; var sg = 0L; var sr = 0L; var wr = 0L
       var row = 0
       while (row < h) {
         var x = 0
         val base = from + row * rowSize
+        var rowR = 0L
         while (x < w) {
           sb += payload(base + x * 3) & 0xff
           sg += payload(base + x * 3 + 1) & 0xff
-          sr += payload(base + x * 3 + 2) & 0xff
+          rowR += payload(base + x * 3 + 2) & 0xff
           x += 1
         }
+        sr += rowR
+        // DIB rows are bottom-up: DIB row `row` is image row h-1-row,
+        // weighted (imgY + 1) = h - row — a top-down decode flips this
+        wr += (h - row).toLong * rowR
         row += 1
       }
-      AviFrame(docId, frameIdx, w, h, sb, sg, sr)
+      AviFrame(docId, frameIdx, w, h, sb, sg, sr, wr)
     }
 
     var p = 12

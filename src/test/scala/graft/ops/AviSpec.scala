@@ -13,13 +13,14 @@ class AviSpec extends SparkSpec {
     val n = (2 + id % 3).toInt
     (0 until n).collect { case f if f % stride == 0 =>
       val fid = id * 5 + f
-      var sb = 0L; var sg = 0L; var sr = 0L
+      var sb = 0L; var sg = 0L; var sr = 0L; var wr = 0L
       for (y <- 0 until h; x <- 0 until w) {
         sb += (fid + x * 3 + y) % 256
         sg += (x * 11 + y * 7) % 256
         sr += (fid * 17 + x + y * 5) % 256
+        wr += (y + 1).toLong * ((fid * 17 + x + y * 5) % 256)
       }
-      Avi.AviFrame(id, f, w, h, sb, sg, sr)
+      Avi.AviFrame(id, f, w, h, sb, sg, sr, wr)
     }
   }
 
