@@ -1191,20 +1191,30 @@ object QueriesDedup {
       .select(col("a"), col("b"))
       .localCheckpoint() // read by 3 schemes' semi-joins + the count
     val nTrue = truth.count()
-    val caught: Map[Int, Long] = SweepRs.map { r =>
+    // ONE job for all three schemes (q188's union shape) instead of a
+    // count() per scheme: the per-scheme work is sample-sized, so three
+    // separate actions were paying mostly fixed job/driver overhead —
+    // the r13 driver ledger showed both q213 reps slow with ~0.3 s GC
+    // each, i.e. action-count-bound, not data-bound
+    val allCands = SweepRs.map { r =>
       val bands = (0 until TextOps.NumPerm / r).map(j =>
         s"struct($j AS band, ${sweepKeyExpr(r, j)} AS key)")
       val sig = mat.select(col("doc_id"),
           explode(expr(bands.mkString("array(", ", ", ")"))).as("e"))
         .select(col("doc_id"), col("e.band").as("band"),
           col("e.key").as("key"))
-      val cand = sig.as("x").join(sig.as("y"),
+      sig.as("x").join(sig.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
-      r -> cand.join(truth, Seq("a", "b"), "left_semi").count()
-    }.toMap
+        .withColumn("r", lit(r.toLong))
+    }.reduce(_ union _)
+    val caught: Map[Int, Long] = allCands
+      .join(truth, Seq("a", "b"), "left_semi")
+      .groupBy(col("r")).agg(count(lit(1)).as("k"))
+      .collect().map(row => row.getLong(0).toInt -> row.getLong(1)).toMap
+      .withDefaultValue(0L)
     val rows = SweepRs.map { r =>
       val k = caught(r)
       val (rec, lo, hi) =
