@@ -792,12 +792,18 @@ object QueriesSketch {
        |FROM whole w JOIN n USING (grp) JOIN mm USING (grp)
        |ORDER BY w.grp, slot""".stripMargin
 
-  private val q218: Q = (s, dir) => {
+  private val q218: Q = (s, dir) => quantileServe(s, dir, QskK)
+
+  /** q218's serve + realized-rank-error pass, k-parameterized so the
+    * committed k-vs-error sweep ([[QuantileSweep]]) measures the same
+    * code path the oracle gates at k = [[QskK]]. */
+  private[graft] def quantileServe(s: SparkSession, dir: String,
+                                   k: Int): DataFrame = {
     val spark = s
     import spark.implicits._
     val QS = graft.ops.QuantileSketch
     val items = qskItems(s, dir)
-    val sk = QS.kept(items, "grp", "k", "v", QskK)
+    val sk = QS.kept(items, "grp", "k", "v", k)
     // the k kept VALUES in value order — the summary all quantiles
     // serve from (sample order statistics)
     val wv = Window.partitionBy(col("grp")).orderBy(col("v"), col("k"))
