@@ -126,7 +126,7 @@ object Bench {
     }
   }
 
-  private def jsonStr(s: String): String =
+  private[graft] def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -137,7 +137,7 @@ object Bench {
   /** Wall seconds covered by the union of [sub,done] stage intervals —
     * the complement (rep wall minus covered) is time no stage was
     * running, i.e. driver-side work. */
-  private def coveredSec(ivs: Seq[(Long, Long)]): Double = {
+  private[graft] def coveredSec(ivs: Seq[(Long, Long)]): Double = {
     var tot = 0L; var end = Long.MinValue
     ivs.filter(iv => iv._1 >= 0 && iv._2 >= iv._1).sortBy(_._1).foreach {
       case (a, b) =>
