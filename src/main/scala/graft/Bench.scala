@@ -440,8 +440,12 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
       .map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // n_anomalies in the tail line: the driver's stdout capture keeps
+    // only ~2 KiB, so whether any anomaly stage ledger fired must be
+    // visible without the full artifact
+    val nAnomalies = "\\{\"rep\":".r.findAllIn(anomalies).size
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cold_sum":${r3(coldSum)},"n_queries":${results.size},$sentinels,"errors":$errors,"slowest":$slowest,"queries_detail":"$out","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cold_sum":${r3(coldSum)},"n_queries":${results.size},"n_anomalies":${math.max(nAnomalies, 0)},$sentinels,"errors":$errors,"slowest":$slowest,"queries_detail":"$out","sf":"$sfDir"}"""
     println(compact)
     // Persist the full line so every per-query timing stays diffable
     // across rounds (committed per round; the stdout tail is the backup).
