@@ -637,12 +637,14 @@ object QueriesDedup {
   // perm VALUES table) — same constants, hash-identical sketches.
   private val q119: Q = (s, dir) => {
     graft.functions.TextFunctions.register(s)
-    val sigExpr = "array(" + TextOps.minhashExprs("hs").mkString(", ") + ")"
+    // one-pass native signature (graft_minhash_sig) instead of NumPerm
+    // transform+array_min passes each materializing a permuted copy;
+    // null sig == empty shingle set (the old size(hs) >= 1 filter)
     val sigs = Tables.documents(s, dir)
       .filter(length(col("text")) >= 13)
-      .select(col("source"), expr("graft_shingle_hashes3(text)").as("hs"))
-      .filter(size(col("hs")) >= 1)
-      .select(col("source"), expr(sigExpr).as("sig"))
+      .select(col("source"),
+        expr("graft_minhash_sig(graft_shingle_hashes3(text))").as("sig"))
+      .filter(col("sig").isNotNull)
       .groupBy(col("source"))
       .agg(expr("graft_array_min_agg(sig)").as("sig"))
       // sources-sized after the fold, but computing it means a full
@@ -1074,11 +1076,15 @@ object QueriesDedup {
   private val q188: Q = (s, dir) => {
     graft.functions.TextFunctions.register(s)
     val d = Tables.documents(s, dir).repartition(Tables.shufflePartitions(s))
-    val mhCols = TextOps.minhashExprs("hs").zipWithIndex
-      .map { case (e, i) => expr(e).as(s"m$i") }
+    // one native pass (graft_minhash_sig) computes all NumPerm minima;
+    // the m$i columns are element_at projections of it -- bit-identical
+    // to the composed 16x transform+array_min form (MinhashSpec)
+    val mhCols = (0 until TextOps.NumPerm)
+      .map(i => element_at(col("sig"), i + 1).as(s"m$i"))
     val mat = NearDup.shingleHashed(d, "doc_id", "text")
+      .withColumn("sig", expr("graft_minhash_sig(hs)"))
       .select(col("doc_id") +: col("hs") +: mhCols: _*)
-      .localCheckpoint() // 16 array_min passes run once, not per scheme
+      .localCheckpoint() // the signature pass runs once, not per scheme
     def cands(r: Int): DataFrame = {
       val bands = (0 until TextOps.NumPerm / r).map(j =>
         s"struct($j AS band, ${sweepKeyExpr(r, j)} AS key)")
@@ -1175,9 +1181,10 @@ object QueriesDedup {
     val sample = filtered.filter(
       expr(s"pmod(${TextOps.hash60("CAST(doc_id AS STRING)")}, 1000)")
         < permil)
-    val mhCols = TextOps.minhashExprs("hs").zipWithIndex
-      .map { case (e, i) => expr(e).as(s"m$i") }
+    val mhCols = (0 until TextOps.NumPerm) // q188's one-pass signature
+      .map(i => element_at(col("sig"), i + 1).as(s"m$i"))
     val mat = NearDup.shingleHashed(sample, "doc_id", "text")
+      .withColumn("sig", expr("graft_minhash_sig(hs)"))
       .select(col("doc_id") +: col("hs") +: mhCols: _*)
       .localCheckpoint() // sample-sized; read by truth + 3 schemes
     val nSampled = mat.count()

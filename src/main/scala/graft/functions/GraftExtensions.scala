@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash_bands"),
       info("graft_minhash_bands", "MinHash LSH band keys of a distinct-hash array"),
       Arity(1, "graft_minhash_bands")(c => MinhashBandKeys(c(0)))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "one-pass MinHash signature (all permutation minima)"),
+      Arity(1, "graft_minhash_sig")(c => MinhashSignature(c(0)))))
     ext.injectFunction((FunctionIdentifier("graft_shingle_hashes3"),
       info("graft_shingle_hashes3", "sorted distinct 60-bit hashes of word 3-shingles"),
       Arity(1, "graft_shingle_hashes3")(c => ShingleHashes(c(0), 3))))

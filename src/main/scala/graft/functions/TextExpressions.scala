@@ -213,6 +213,59 @@ case class MinhashBandKeys(child: Expression)
     copy(child = newChild)
 }
 
+/** The raw MinHash signature (all `TextOps.NumPerm` permutation minima)
+  * of a distinct-hash array in ONE pass — [[MinhashBandKeys]]'s sibling
+  * for consumers that need the minima themselves (per-source signature
+  * folds, the banding-sweep key builders) rather than packed band keys.
+  * The composed form (`TextOps.minhashExprs`) runs NumPerm separate
+  * transform+array_min passes, each materializing a permuted COPY of the
+  * hash array; this tracks all minima in one loop with zero allocation
+  * per element. Bit-identical to the composed form (same P/permA/permB
+  * constants — asserted by MinhashSpec) and to the DuckDB twin
+  * (`TextOps.sql.minhash`). Empty input → null, matching
+  * `array_min(empty) => null`. One eval per document row; interpreted
+  * eval with primitive loops is off the hot path, no doGenCode needed.
+  */
+case class MinhashSignature(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputCheck.result(InputCheck.arrayOfLong(child, prettyName, 1))
+
+  private val P = TextOps.P
+  private val as = TextOps.permA.toArray
+  private val bs = TextOps.permB.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n == 0) return null
+    val nPerm = as.length
+    val ms = Array.fill(nPerm)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (hs.isNullAt(i)) throw new IllegalArgumentException(
+        s"$prettyName: null array element (null elements are unsupported)")
+      val hp = hs.getLong(i) % P
+      var k = 0
+      while (k < nPerm) {
+        val v = (as(k) * hp + bs(k)) % P
+        if (v < ms(k)) ms(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(ms)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
 /** Unicode NFC normalization — Spark has no built-in normalizer, and a
   * Scala UDF would box every row and block codegen. This stays inside
   * whole-stage codegen via a static helper call; the fast path
@@ -260,6 +313,8 @@ object TextFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       Arity(1, "graft_minhash_bands")(c => MinhashBandKeys(c(0))), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      Arity(1, "graft_minhash_sig")(c => MinhashSignature(c(0))), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes3",
       Arity(1, "graft_shingle_hashes3")(c => ShingleHashes(c(0), 3)), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow_7_4",

@@ -45,6 +45,22 @@ class TextOpsSpec extends SparkSpec {
     assert(native == composed)
   }
 
+  test("native minhash signature == composed array_min/transform form") {
+    TextFunctions.register(spark)
+    val df = onDoc("the quick brown fox jumps over the lazy dog again and again")
+      .select(expr(TextOps.shingleHashesExpr("text", 3)).as("hs"))
+    val native = df.select(expr("graft_minhash_sig(hs)").as("m"))
+      .as[Seq[Long]].head()
+    val composed = TextOps.minhashExprs("hs").map { e =>
+      df.select(expr(e).cast("long")).as[Long].head()
+    }
+    assert(native == composed)
+    // empty input -> null, matching array_min(empty) => null
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("hs")
+      .select(expr("graft_minhash_sig(hs)").as("m"))
+    assert(empty.filter(col("m").isNull).count() == 1)
+  }
+
   test("native shingle hashes == composed array_sort/distinct/md5 form") {
     TextFunctions.register(spark)
     val df = onDoc("the quick brown fox jumps over the quick brown fox again")
