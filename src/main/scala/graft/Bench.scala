@@ -397,9 +397,14 @@ object Bench {
           val inWin = allStages
             .filter(r => r.doneMs >= w0 && r.subMs <= w1 && r.subMs >= 0)
           val covered = coveredSec(inWin.map(r => (r.subMs, r.doneMs)))
+          // off_s = stage submission offset from rep start: AQE-
+          // materialized stages carry framework-thread callsites (no
+          // graft frame to name), so the TIMELINE plus the data-volume
+          // columns carry the bisect for them
           val top = inWin.sortBy(r => -(r.doneMs - r.subMs)).take(8)
             .map { r =>
-              s"""{"dur_s":${r3((r.doneMs - r.subMs) / 1e3)},""" +
+              s"""{"off_s":${r3(math.max(0L, r.subMs - w0) / 1e3)},""" +
+                s""""dur_s":${r3((r.doneMs - r.subMs) / 1e3)},""" +
                 s""""run_s":${r3(r.runMs / 1e3)},"gc_s":${r3(r.gcMs / 1e3)},""" +
                 s""""tasks":${r.tasks},"in_mb":${mb(r.inB)},""" +
                 s""""sh_rd_mb":${mb(r.srB)},"sh_wr_mb":${mb(r.swB)},""" +
