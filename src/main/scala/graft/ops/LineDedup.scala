@@ -77,11 +77,20 @@ object LineDedup {
            |   raise_error(concat('LineDedup packed key out of range: ',
            |     'doc_id=', CAST($idCol AS STRING),
            |     ' pos=', CAST(_ld_pos AS STRING))))""".stripMargin))
+    // Only OVER-maxCount hashes can drop a line, so the join's build
+    // side is pre-filtered to exactly those: lines at/under the cap and
+    // blank lines simply miss the join (null cnt) and keep. The
+    // surviving stats table is the over-duplicated line set — tiny
+    // relative to the corpus (it IS what the pass removes) — so AQE
+    // broadcasts it and the corpus side never shuffles for the join;
+    // the unfiltered form shipped one stats row per DISTINCT line and
+    // shuffled the whole exploded corpus against it.
     val stats = lines.filter(col("_ld_line") =!= "")
       .groupBy(col("_ld_h"))
       .agg(count(lit(1)).as("_ld_cnt"), min(col("_ld_occ")).as("_ld_first"))
+      .filter(col("_ld_cnt") > maxCount)
     val kept = lines.join(stats, Seq("_ld_h"), "left")
-      .filter(col("_ld_cnt").isNull || col("_ld_cnt") <= maxCount ||
+      .filter(col("_ld_cnt").isNull ||
         col("_ld_occ") === col("_ld_first"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept_lines"),
