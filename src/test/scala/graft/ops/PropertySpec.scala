@@ -142,11 +142,54 @@ class PropertySpec extends SparkSpec {
   test("minLabel collapses a 300-node path within the round budget (pointer jumping)") {
     // graph diameter 299 — plain one-hop propagation would need 299
     // rounds and trip the 50-round budget (the q185 sf1 failure mode);
-    // the shortcutting step must converge in O(log diameter)
+    // the shortcutting step must converge in O(log diameter).
+    // localEdgeMax = 0 forces the DISTRIBUTED loop (this is its test —
+    // 299 edges would otherwise take the union-find fast path)
     val edges = (0L until 299L).map(i => (i, i + 1))
     val got = Components.minLabel(edges.toDF("doc_a", "doc_b"),
-        "doc_a", "doc_b")
+        "doc_a", "doc_b", localEdgeMax = 0L)
       .select("id", "component").as[(Long, Long)].collect().toMap
     assert(got.size == 300 && got.values.forall(_ == 0L))
+  }
+
+  test("minLabel: driver-side union-find path == distributed fixpoint (long ids)") {
+    cases(11, 5) { rnd =>
+      (1 to (3 + rnd.nextInt(25))).map(_ =>
+        (rnd.nextLong(40L), rnd.nextLong(40L))).filter(p => p._1 != p._2)
+    }.filter(_.nonEmpty).foreach { edges =>
+      val df = edges.toDF("doc_a", "doc_b")
+      val local = Components.minLabel(df, "doc_a", "doc_b")
+        .select("id", "component").as[(Long, Long)].collect().toMap
+      val dist = Components.minLabel(df, "doc_a", "doc_b", localEdgeMax = 0L)
+        .select("id", "component").as[(Long, Long)].collect().toMap
+      assert(local == dist)
+    }
+  }
+
+  test("minLabel: union-find path == distributed fixpoint (string ids, q146 shape)") {
+    // the ER graph's node type — string min must be UTF8 byte order on
+    // BOTH paths; mixed-case + length-prefix names exercise the ordering
+    val names = Seq("almond", "Almond", "almon", "beige", "beig", "beigee",
+      "chiffon", "chifon", "zzz")
+    val rnd = new scala.util.Random(17)
+    val edges = (1 to 12).map { _ =>
+      (names(rnd.nextInt(names.length)), names(rnd.nextInt(names.length)))
+    }.filter(p => p._1 != p._2)
+    val df = edges.toDF("na", "nb")
+    val local = Components.minLabel(df, "na", "nb")
+      .select("id", "component").as[(String, String)].collect().toMap
+    val dist = Components.minLabel(df, "na", "nb", localEdgeMax = 0L)
+      .select("id", "component").as[(String, String)].collect().toMap
+    assert(local == dist && local.nonEmpty)
+  }
+
+  test("minLabel distributed path: deep planted path (depth 2000) converges without raising maxIter") {
+    // the high-diameter stress the SoCC'14 citation is about: pointer
+    // jumping must keep rounds ~log2(2000) ≈ 11, far under the 50 budget
+    val edges = (0L until 1999L).map(i => (i, i + 1))
+    val got = Components.minLabel(edges.toDF("doc_a", "doc_b"),
+        "doc_a", "doc_b", localEdgeMax = 0L)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(got.size == 2000 && got.values.forall(_ == 0L))
   }
 }
