@@ -106,6 +106,20 @@ object Bench {
   private final class StageRecorder
       extends org.apache.spark.scheduler.SparkListener {
     val recs = new java.util.concurrent.ConcurrentLinkedQueue[StageRec]()
+    // job wall intervals: the complement of their union inside a rep
+    // window is time the driver sat BETWEEN jobs — AQE re-planning and
+    // scheduling, the uncovered_s component no stage can name
+    private val jobStarts =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    override def onJobStart(
+        ev: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobStarts.put(ev.jobId, ev.time)
+    override def onJobEnd(
+        ev: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+      val st = jobStarts.remove(ev.jobId)
+      if (st != null) jobs.add((st.longValue(), ev.time))
+    }
     override def onStageCompleted(
         ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val si = ev.stageInfo
@@ -153,9 +167,14 @@ object Bench {
     * warm, cache-served path; the one-time corpus-scale build lands in
     * rep 1 (and in cold_sum). Tagged so graders can separate
     * methodology from wins. Sites: the shared co-purchase cut
-    * (QueriesGraph.copurchaseEdges) and the trained-state cache
-    * (LinearTrain.cachedStates). */
+    * (QueriesGraph.copurchaseEdges), the trained-state cache
+    * (LinearTrain.cachedStates), and the trained-centroid memo
+    * (QueriesSimilarity.trainedCents — the one-time KMeans.train is
+    * rep 1 of whichever of q41/q64/q83 runs first). */
   private val cacheServed: Map[String, String] = Map(
+    "q41_ann_ivf_probe" -> "cents",
+    "q64_semantic_dedup" -> "cents",
+    "q83_kmeans_train" -> "cents",
     "q118_copurchase" -> "cut",
     "q130_triangle_count" -> "cut",
     "q133_kcore" -> "cut",
@@ -280,14 +299,23 @@ object Bench {
       // bus async posting can't race the read)
       val repWindows = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long)]
+      // per-rep Catalyst phase durations (analysis / optimization /
+      // planning, ms) from QueryPlanningTracker — the named share of
+      // any uncovered_s driver stall; appended only on success so the
+      // three rep buffers stay index-aligned
+      val repPhases = scala.collection.mutable.ArrayBuffer
+        .empty[Map[String, Long]]
       def rep(): Option[Double] = {
         val h0 = heapUsed() >> 20; val g0 = gcMillis()
         val w0 = System.currentTimeMillis()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count()
+        try { val qe = fn(spark, sfDir).queryExecution
+          qe.toRdd.count()
           val sec = (System.nanoTime() - t0) / 1e9
           repRows += ((sec, gcMillis() - g0, h0, heapUsed() >> 20))
           repWindows += ((w0, System.currentTimeMillis()))
+          repPhases += qe.tracker.phases
+            .map { case (k, v) => k -> v.durationMs }.toMap
           Some(sec) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
@@ -347,27 +375,27 @@ object Bench {
       // a genuine leak (an unreleased reference), not GC laziness.
       val tele = (gcMillis() - gc0, codeCacheUsed() >> 20, heapUsed() >> 20)
       (name, times.minOption.getOrElse(-1.0), spread, tele, repRows.toList,
-        repWindows.toList)
+        repWindows.toList, repPhases.toList)
     }
     val sentinelEnd = sentinel3()
     spark.sparkContext.removeSparkListener(recorder)
-    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errors = results
-      .collect { case (k, v, _, _, _, _) if v < 0 => s"\"$k\"" }
+      .collect { case (k, v, _, _, _, _, _) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
     val spreads = results
-      .map { case (k, _, sp, _, _, _) =>
+      .map { case (k, _, sp, _, _, _, _) =>
         s"\"" + k + "\":" + (math.round(sp * 1000) / 1000.0) }
       .mkString("{", ",", "}")
     val telemetry = results
-      .map { case (k, _, _, (gc, cc, hp), _, _) =>
+      .map { case (k, _, _, (gc, cc, hp), _, _, _) =>
         s"\"" + k + s"\":{\"gc_ms\":$gc,\"code_cache_mb\":$cc,\"heap_mb\":$hp}" }
       .mkString("{", ",", "}")
     // Per-rep rows (BENCH_DETAIL only — the headline stays best-of-N):
     // [sec, gc_ms, heap_before_mb, heap_after_mb] per rep in run order.
     val reps = results
-      .map { case (k, _, _, _, rs, _) =>
+      .map { case (k, _, _, _, rs, _, _) =>
         val arr = rs.map { case (sec, gc, hb, ha) =>
           s"[${math.round(sec * 1000) / 1000.0},$gc,$hb,$ha]" }
           .mkString("[", ",", "]")
@@ -389,14 +417,36 @@ object Bench {
     // the serialization path (default 5 s + 3× best, or 15 s flat).
     val anomSec = sys.env.get("SPARK_GRAFT_ANOM_SEC")
       .flatMap(_.toDoubleOption).getOrElse(5.0)
-    val anomalies = results.flatMap { case (k, best, _, _, rs, ws) =>
+    val allJobs = {
+      import scala.jdk.CollectionConverters._
+      recorder.jobs.asScala.toVector
+    }
+    val anomalies = results.flatMap { case (k, best, _, _, rs, ws, ps) =>
       val entries = rs.zip(ws).zipWithIndex.collect {
         case (((sec, _, _, _), (w0, w1)), i)
             if sec >= 15.0 ||
               (sec >= anomSec && best > 0 && sec >= 3 * best) =>
           val inWin = allStages
             .filter(r => r.doneMs >= w0 && r.subMs <= w1 && r.subMs >= 0)
-          val covered = coveredSec(inWin.map(r => (r.subMs, r.doneMs)))
+          // each interval CLIPPED to the rep window before the union: a
+          // stage spanning in from a prior rep must not inflate
+          // stage_covered_s past the rep wall (it can otherwise mask
+          // the uncovered_s driver-stall signal this bisect exists for)
+          val covered = coveredSec(inWin.map(r =>
+            (math.max(r.subMs, w0), math.min(r.doneMs, w1))))
+          // uncovered_s decomposition: Catalyst phase durations from
+          // the rep's QueryPlanningTracker (analysis / optimization /
+          // planning — pre-execution driver work) plus job_gap_s (wall
+          // inside the window covered by NO job — AQE re-planning and
+          // scheduling between jobs). The remainder is codegen +
+          // result handling.
+          val phases = ps.lift(i).getOrElse(Map.empty)
+            .toSeq.sortBy(_._1)
+            .map { case (n, ms) => s"${jsonStr(n)}:${r3(ms / 1e3)}" }
+            .mkString("{", ",", "}")
+          val jobCovered = coveredSec(allJobs
+            .filter(j => j._2 >= w0 && j._1 <= w1 && j._1 >= 0)
+            .map(j => (math.max(j._1, w0), math.min(j._2, w1))))
           // off_s = stage submission offset from rep start: AQE-
           // materialized stages carry framework-thread callsites (no
           // graft frame to name), so the TIMELINE plus the data-volume
@@ -414,6 +464,8 @@ object Bench {
           s"""{"rep":${i + 1},"sec":${r3(sec)},"n_stages":${inWin.size},""" +
             s""""stage_covered_s":${r3(covered)},""" +
             s""""uncovered_s":${r3(math.max(0.0, sec - covered))},""" +
+            s""""phases_s":$phases,""" +
+            s""""job_gap_s":${r3(math.max(0.0, sec - jobCovered))},""" +
             s""""stages":$top}"""
       }
       if (entries.isEmpty) None
@@ -425,7 +477,7 @@ object Bench {
     // pair brackets the engine between cold and warm steady-state.
     val coldSum = results.flatMap(_._5.headOption.map(_._1)).sum
     val cacheTags = results.collect {
-      case (k, _, _, _, _, _) if cacheServed.contains(k) =>
+      case (k, _, _, _, _, _, _) if cacheServed.contains(k) =>
         s"\"" + k + "\":\"" + cacheServed(k) + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -443,7 +495,7 @@ object Bench {
     // headline total, counts, the slowest queries (the ones a grader
     // audits), and an explicit pointer to the committed full map.
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
-      .map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + r3(v) }
+      .map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // n_anomalies in the tail line: the driver's stdout capture keeps
     // only ~2 KiB, so whether any anomaly stage ledger fired must be

@@ -757,21 +757,19 @@ object QueriesDedup {
     // broadcast probe run in isolation). Off by default; the unknobbed
     // plan is exactly the r12 one.
     val stageKnob = sys.env.get("SPARK_GRAFT_ER_STAGES").contains("1")
-    // knob mode caches each stage to time it in isolation; the PREVIOUS
-    // stage's cache is released as soon as the next stage materializes
-    // (it fed exactly one downstream build), so the knob doesn't leak
-    // the frames into the session it exists to diagnose. Only the LAST
-    // stage (components — vocabulary-sized, ≤ |distinct names| rows)
-    // stays cached until the harness's inter-query release, because the
-    // final plan still reads it.
-    var prevStage: Option[DataFrame] = None
+    // knob mode caches each stage to time it in isolation; EVERY stage
+    // stays cached until the harness's inter-query release (never
+    // unpersisted here) — an eager release of the "consumed" previous
+    // stage assumed each stage feeds exactly one downstream build, and
+    // any stage re-read by the final action (or a future two-consumer
+    // stage) would silently recompute, skewing the isolation timings
+    // the knob exists to produce. The frames are vocabulary-sized
+    // (names / blocks / pairs / components), diagnostic-mode only.
     def stage(label: String, df: DataFrame): DataFrame =
       if (!stageKnob) df else {
         val c = df.cache(); val t0 = System.nanoTime(); val n = c.count()
         System.err.println(f"[q146] $label%-11s " +
           f"${(System.nanoTime() - t0) / 1e9}%8.3f s  ($n rows)")
-        prevStage.foreach(_.unpersist())
-        prevStage = Some(c)
         c
       }
     val parts = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))

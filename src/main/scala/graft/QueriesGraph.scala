@@ -148,31 +148,19 @@ object QueriesGraph {
     * re-parallelized per consumer: a cached/checkpointed FRAME would
     * not survive Bench's deterministic inter-query persistent-RDD
     * release (lineage is truncated — an unpersisted localCheckpoint
-    * cannot recompute), plain rows do. Keyed weakly by session so a
-    * closed session's cut is collectable. */
-  private val cutCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, Array[(Long, Long, Long)]]]()
+    * cannot recompute), plain rows do. Invalidation, replacement, and
+    * concurrency live in [[graft.ops.FingerprintedMemo]]: keyed by the
+    * DATA fingerprint (in-session re-ingest rebuilds), one slot per
+    * dir (superseded cuts are replaced, never accumulated), weakly
+    * keyed by session. */
+  private val cutMemo =
+    new graft.ops.FingerprintedMemo[Array[(Long, Long, Long)]]
 
   private[graft] def copurchaseEdges(s: SparkSession, dir: String,
                                      keepSupport: Boolean = false): DataFrame = {
     val spark = s
     import spark.implicits._
-    val perSession = cutCache.synchronized {
-      var m = cutCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap
-          .empty[String, Array[(Long, Long, Long)]]
-        cutCache.put(s, m)
-      }
-      m
-    }
-    // keyed by (dir, data fingerprint), not the path string alone: an
-    // in-session change to the files under `dir` (ingest append,
-    // regeneration) must build a fresh cut, never serve the stale one
-    // (ops/DirFingerprint — one file-listing round-trip per lookup)
-    val cacheKey = s"$dir@${graft.ops.DirFingerprint.of(s, dir)}"
-    val rows = perSession.getOrElseUpdate(cacheKey, {
+    val rows = cutMemo(s, dir, s"cut|edges=$TriEdges")({
       graft.functions.GraftFunctions.register(s)
       val cap = 50 // q118's basket guard: one 10⁶-item basket ≠ 5·10¹¹ pairs
       Tables.lineitem(s, dir)

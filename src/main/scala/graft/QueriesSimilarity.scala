@@ -32,18 +32,18 @@ object QueriesSimilarity {
   private val Dim      = 64
   private[graft] val KmIters = 3
 
-  /** Trained IVF centroids, memoized per (sf dir, k) so q41/q64/q83 and
-    * repeated bench runs train once. Training is deterministic, so the
-    * memo is a pure cache — PROVIDED the parquet at `dir` is immutable
-    * for the JVM's lifetime (true of the read-only driver testdata this
-    * contract targets). A caller regenerating data in place at the same
-    * path must restart the JVM (or this memo would serve centroids
-    * trained on the old bytes). */
-  private val centCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), IndexedSeq[KMeans.Centroid]]
+  /** Trained IVF centroids, memoized per (sf dir contents, k) so
+    * q41/q64/q83 and repeated bench runs train once. Training is
+    * deterministic, so the memo is a pure cache of the DATA: the key
+    * folds in the directory fingerprint ([[graft.ops.FingerprintedMemo]]
+    * / DirFingerprint), so regenerating the parquet in place at the
+    * same path trains fresh instead of serving centroids learned on the
+    * old bytes (the r7-era path-keyed memo required a JVM restart). */
+  private val centMemo =
+    new graft.ops.FingerprintedMemo[IndexedSeq[KMeans.Centroid]]
   private[graft] def trainedCents(s: SparkSession, dir: String,
                                   k: Int): IndexedSeq[KMeans.Centroid] =
-    centCache.getOrElseUpdate((dir, k), {
+    centMemo(s, dir, s"kmeans|k=$k")({
       val em = Tables.embeddings(s, dir)
         .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
         .select(col("vec_id"), expr(KMeans.codesExpr("v")).as("q"))

@@ -30,7 +30,12 @@ object DirFingerprint {
   /** FNV-1a 64-bit over the sorted (path, length, mtime) file listing,
     * hex-encoded. Missing paths fingerprint as "absent" rather than
     * throwing — the consumer's scan will produce the real error with
-    * the real message. */
+    * the real message. A LISTING FAILURE (transient FS error) returns
+    * an `unlistable:*` value that consumers must treat as
+    * never-cacheable ([[FingerprintedMemo]] bypasses its cache for it):
+    * two failed listings bracketing a data change would otherwise share
+    * a key and serve the stale value — the exact bug the fingerprint
+    * exists to prevent. */
   def of(spark: SparkSession, dir: String): String = {
     try {
       val path = new org.apache.hadoop.fs.Path(dir)

@@ -71,24 +71,14 @@ object LinearTrain {
     * key that encodes EVERY non-data input the state depends on plus
     * the input `dir`; the DATA enters the key as a directory
     * fingerprint (ops/DirFingerprint), so an in-session change to the
-    * files under `dir` trains fresh instead of serving a stale model. */
-  private val stateCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, Map[String, State]]]()
+    * files under `dir` trains fresh instead of serving a stale model —
+    * invalidation/replacement/concurrency semantics are
+    * [[FingerprintedMemo]]'s (replace-on-change, build-once). */
+  private val stateMemo = new FingerprintedMemo[Map[String, State]]
   def cachedStates(s: org.apache.spark.sql.SparkSession, key: String,
                    dir: String)(
-      build: => Map[String, State]): Map[String, State] = {
-    val m = stateCache.synchronized {
-      var mm = stateCache.get(s)
-      if (mm == null) {
-        mm = scala.collection.concurrent.TrieMap
-          .empty[String, Map[String, State]]
-        stateCache.put(s, mm)
-      }
-      mm
-    }
-    m.getOrElseUpdate(s"$key@${DirFingerprint.of(s, dir)}", build)
-  }
+      build: => Map[String, State]): Map[String, State] =
+    stateMemo(s, dir, key)(build)
 
   /** Exact ⌊√v⌋ (Newton; v < 2¹²⁶). */
   def isqrt(v: BigInt): BigInt =

@@ -76,4 +76,26 @@ class CacheInvalidationSpec extends SparkSpec {
     assert(cut2 == Seq(Seq(1L, 2L, 2L)),
       "path-keyed stale cut served after in-place re-ingest")
   }
+
+  test("trained k-means centroids rebuild after embeddings are re-ingested in place") {
+    val d = tmpDir("cent")
+    val dir = d.getAbsolutePath
+    def writeEmbeddings(shift: Float): Unit = {
+      val s = spark
+      import s.implicits._
+      (0L until 8L).map(i => (i, Array(i.toFloat + shift, 1.0f)))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    writeEmbeddings(0.0f)
+    val c1 = graft.QueriesSimilarity.trainedCents(spark, dir, 2)
+    val c1Again = graft.QueriesSimilarity.trainedCents(spark, dir, 2)
+    assert(c1 == c1Again, "unchanged dir must serve the memoized centroids")
+    // the in-session re-ingest: same path, different vectors — the
+    // r7-era path-keyed memo would keep serving c1 here
+    writeEmbeddings(100.0f)
+    val c2 = graft.QueriesSimilarity.trainedCents(spark, dir, 2)
+    assert(c1 != c2,
+      "path-keyed stale centroids served after in-place re-ingest")
+  }
 }
