@@ -170,11 +170,13 @@ object Bench {
     * (QueriesGraph.copurchaseEdges), the trained-state cache
     * (LinearTrain.cachedStates), and the trained-centroid memo
     * (QueriesSimilarity.trainedCents — the one-time KMeans.train is
-    * rep 1 of whichever of q41/q64/q83 runs first). */
+    * rep 1 of whichever of q41/q64/q83 runs first), and the trained
+    * BPE merge memo (QueriesTokenizer.trainedMerges). */
   private val cacheServed: Map[String, String] = Map(
     "q41_ann_ivf_probe" -> "cents",
     "q64_semantic_dedup" -> "cents",
     "q83_kmeans_train" -> "cents",
+    "q104_bpe_encode" -> "merges",
     "q118_copurchase" -> "cut",
     "q130_triangle_count" -> "cut",
     "q133_kcore" -> "cut",

@@ -125,15 +125,16 @@ object QueriesTokenizer {
   // token count IS the string length after the replace chain.
   private val NEncodeMerges = 3
 
-  /** Trained merge tables, memoized per (sf dir, n) — the same pure-cache
-    * contract as QueriesSimilarity's centroid memo: training is
-    * deterministic and the driver testdata is immutable for the JVM's
-    * lifetime, so repeated bench/verify runs train once. */
-  private val mergeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[Bpe.Merge]]
+  /** Trained merge tables, memoized per (sf dir contents, n) — the same
+    * pure-cache contract as QueriesSimilarity's centroid memo, on the
+    * shared [[graft.ops.FingerprintedMemo]]: training is deterministic,
+    * so the value is a pure function of the DATA — an in-place re-ingest
+    * at the same path trains fresh instead of serving merges learned on
+    * the old bytes. */
+  private val mergeMemo = new graft.ops.FingerprintedMemo[Seq[Bpe.Merge]]
   private def trainedMerges(s: SparkSession, dir: String,
                             n: Int): Seq[Bpe.Merge] =
-    mergeCache.getOrElseUpdate((dir, n),
+    mergeMemo(s, dir, s"bpe|n=$n")(
       Bpe.train(Tables.documents(s, dir).select(col("text")), "text", n))
 
   private val q104: Q = (s, dir) => {
