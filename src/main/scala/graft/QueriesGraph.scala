@@ -564,6 +564,13 @@ object QueriesGraph {
     // cached: read by the adoption-chain window AND the seed/first-buy
     // aggregate — each re-read would re-pay the orders⨝lineitem join +
     // (part, cust) aggregate; Bench clears per-query
+    // One part-keyed exchange serves BOTH the (pk,cust) aggregate (pk
+    // partitioning satisfies the (pk,cust) clustering requirement) and the
+    // adoption-chain window below (partitionBy pk) — previously the agg
+    // exchanged on (pk,cust) and the window re-exchanged the whole frame
+    // on pk: 2 corpus-sized shuffles → 1. Bytes are unchanged: (pk,cust)
+    // is near-unique per joined row, so the removed partial-agg exchange
+    // moved the same volume this explicit one does.
     val buys = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"),
         expr("datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')")
@@ -571,6 +578,7 @@ object QueriesGraph {
       .join(Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey").as("pk"), col("o_custkey").as("cust"))
       .agg(min(col("d")).as("d"))
       .cache()
@@ -580,6 +588,17 @@ object QueriesGraph {
       .withColumn("nd", lead(col("d"), 1).over(wp))
       .filter(col("nd").isNotNull && col("nd") > col("d"))
       .select(col("cust").as("src"), col("ncust").as("dst"), col("nd").as("et"))
+      // partitioned+sorted by the probe key BEFORE the checkpoint pins it:
+      // LogicalRDD preserves outputPartitioning/outputOrdering, so each of
+      // the TempRounds hop joins streams this frame in place and only the
+      // customer-sized frontier pays an exchange+sort per round —
+      // previously every round re-shuffled AND re-sorted the corpus-sized
+      // edge list (frontier stats are unknown post-checkpoint, so the
+      // planner can never broadcast it; this keeps the rounds cheap
+      // WITHOUT betting on a broadcastable frontier, which a 100 TB
+      // customer dimension would break)
+      .repartition(col("src"))
+      .sortWithinPartitions(col("src"))
       .localCheckpoint() // scanned every round
     val first = buys.groupBy(col("cust")).agg(min(col("d")).as("t"))
     var reach = first

@@ -1221,12 +1221,26 @@ object QueriesStats {
           |  (CASE WHEN (unix_micros(l_shipdate) - unix_micros(o_orderdate))
           |     % 86400000000 < 0 THEN -1 ELSE 0 END)""".stripMargin)
           .as("lat_d"))
+      // Exact discrete percentiles off the (month, lat_d) HISTOGRAM, not
+      // the row stream: latency-in-days has ~calendar-bounded cardinality,
+      // so a codegen count aggregate collapses the corpus to months×days
+      // rows BEFORE any shuffle (map-side partial agg), where the old
+      // percentile_disc was a non-codegen ObjectHashAggregate shipping
+      // every fact row's lat_d to months-sized reducers. percentile_disc
+      // p = smallest v with cume_dist(v) ≥ p, replayed exactly in integer
+      // arithmetic on the cumulative histogram: p50 ⇔ 2·cum ≥ n,
+      // p90 ⇔ 10·cum ≥ 9·n — no float division, identical rows (oracle
+      // twin unchanged and hash-checked at 3 SFs).
+      .groupBy(col("month"), col("lat_d"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("month")).orderBy(col("lat_d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("month"))))
       .groupBy(col("month"))
-      .agg(count(lit(1)).as("n"),
-        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_d) AS BIGINT)")
-          .as("p50_d"),
-        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_d) AS BIGINT)")
-          .as("p90_d"),
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 2 >= col("n"), col("lat_d"))).as("p50_d"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("lat_d"))).as("p90_d"),
         max(col("lat_d")).as("max_d"))
       .orderBy(col("month"))
   }
@@ -1806,11 +1820,17 @@ object QueriesStats {
     // mix is engine-portable arithmetic (all products < 2^63)
     def pairHash(c: String, p: String) =
       TextOps.sqMix(s"$c * 104729 + $p * 7919", "DIV")
+    // cached: read by BOTH the customer-universe distinct AND the
+    // ownership anti-join — uncached, the plan ran the orders⨝lineitem
+    // join + (cust,pk) distinct twice end to end (two full fact scans);
+    // the cache also comes out partitioned by (cust,pk), which the
+    // anti-join reuses exchange-free. Bench clears per-query.
     val owned = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("pk"))
       .distinct()
+      .cache()
     val custs = owned.select(col("cust")).distinct()
     val parts = Tables.part(s, dir).select(col("p_partkey").as("pk"))
     // adaptive bucket space: catalog/2 ⇒ ~2R expected candidates per
