@@ -161,17 +161,31 @@ object QueriesCorpus {
       .crossJoin(nDocs)
       .filter(col("dfq") * 5 > col("n_docs") * 4)
       .select(col("tok"))
-    val rebuilt = toks.join(broadcast(common), Seq("tok"), "left_anti")
+    // ONE doc-keyed aggregate produces n_toks, n_kept AND the reassembly:
+    // the common-token prune is a broadcast left join + null-filtered
+    // collect_list/count (collect_list and count(expr) skip nulls —
+    // exactly the former anti-join's row set), and n_toks is the plain
+    // row count — so the third corpus tokenize pass (the old final
+    // projection's size(split(text))) and its doc-keyed join against a
+    // separate rebuilt aggregate are gone: 3 tokenizes → 2, and the
+    // output frame needs only a documents (doc_id) left join to keep
+    // zero-token docs (whose n_toks = 0 coalesces correctly because a
+    // doc with no tokens has no exploded rows at all).
+    val rebuilt = toks
+      .join(broadcast(common.withColumn("isc", lit(1))), Seq("tok"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
-          .as("rebuilt"))
-    d.select(col("doc_id"),
-        expr(s"CAST(size(${TextOps.tokensExpr("text")}) AS BIGINT)").as("n_toks"))
+      .agg(count(lit(1)).as("n_toks"),
+        count(when(col("isc").isNull, lit(1))).as("n_kept"),
+        expr("""array_join(transform(array_sort(
+          |  collect_list(CASE WHEN isc IS NULL THEN struct(pos, tok) END)),
+          |  x -> x.tok), ' ')""".stripMargin).as("rebuilt"))
+    d.select(col("doc_id"))
       .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_toks"),
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        (coalesce(col("n_toks"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         expr(TextOps.hash60("coalesce(rebuilt, '')")).as("rebuilt_h"))
       .orderBy(col("doc_id"))
   }

@@ -156,11 +156,16 @@ object QueriesGraph {
   private val cutMemo =
     new graft.ops.FingerprintedMemo[Array[(Long, Long, Long)]]
 
-  private[graft] def copurchaseEdges(s: SparkSession, dir: String,
-                                     keepSupport: Boolean = false): DataFrame = {
+  /** The memoized driver-side cut rows — the corpus-sized build runs in
+    * Spark (pair explode + support aggregation + TakeOrdered), the ≤ M
+    * result lands on the driver. The loop queries' local kernels read
+    * these directly; [[copurchaseEdges]] re-parallelizes them for the
+    * consumers that stay distributed (q118's top-20 projection). */
+  private def copurchaseRows(s: SparkSession, dir: String)
+      : Array[(Long, Long, Long)] = {
     val spark = s
     import spark.implicits._
-    val rows = cutMemo(s, dir, s"cut|edges=$TriEdges")({
+    cutMemo(s, dir, s"cut|edges=$TriEdges")({
       graft.functions.GraftFunctions.register(s)
       val cap = 50 // q118's basket guard: one 10⁶-item basket ≠ 5·10¹¹ pairs
       Tables.lineitem(s, dir)
@@ -177,6 +182,13 @@ object QueriesGraph {
         .as[(Long, Long, Long)]
         .collect()
     })
+  }
+
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String,
+                                     keepSupport: Boolean = false): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val rows = copurchaseRows(s, dir)
     val cut = rows.toSeq.toDF("a", "b", "support")
     (if (keepSupport) cut.select(col("a"), col("b"), col("support"))
      else cut.select(col("a"), col("b")))
@@ -207,34 +219,95 @@ object QueriesGraph {
        |)""".stripMargin
   }
 
+  // ---- driver-side loop kernels over the cut ---------------------------------
+  // The allocation-proportionality discipline of ops/Components' small-
+  // graph path applied to the REST of the graph family (VERDICT r14
+  // "What's missing #2"): the cut is ≤ [[TriEdges]] rows BY CONSTRUCTION
+  // (TakeOrdered cap — bounded at ANY corpus size) and already driver-
+  // resident in cutMemo, so the fixed-round loops (k-core peel, BFS,
+  // LPA, Bellman–Ford, triangle closure) are dimension-sized work. The
+  // former distributed fixpoints paid 2-3 jobs × shuffle-partition tasks
+  // × rounds of fixed codegen/hashmap/sorter-page allocation per query
+  // to move ≤ 100k rows — the q146 storm class (ER_STAGE_LEDGER_r14:
+  // GBs of thread-count-proportional allocation per rep for KBs of
+  // data). Each kernel replays the EXACT former plan semantics — same
+  // round counts, same integer arithmetic, same (count, id) tie-breaks —
+  // pinned by GraphSpec/QuantSpec2's hand-computed fixtures and the
+  // DuckDB oracle at every SF. The corpus-sized work (cut build, brand-
+  // seed dimension scan) stays in Spark.
+  import scala.collection.mutable
+
+  /** Symmetric adjacency of the cut (each canonical a<b edge listed from
+    * both endpoints). */
+  private def symAdjacency(cut: Array[(Long, Long, Long)])
+      : mutable.HashMap[Long, mutable.ArrayBuffer[Long]] = {
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    cut.foreach { case (a, b, _) =>
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += a
+    }
+    adj
+  }
+
+  /** Brand-filtered seed keys restricted to the cut's nodes: the part
+    * dimension scan stays in Spark (predicate pushed to parquet), the
+    * cut-node set rides in as a broadcast semi-join, and the collect is
+    * bounded by the cut's node count — never by the catalog. */
+  private def brandSeeds(s: SparkSession, dir: String, brand: String,
+                         nodes: Iterable[Long]): Set[Long] = {
+    val spark = s
+    import spark.implicits._
+    val nodeDf = nodes.toSeq.toDF("n")
+    Tables.part(s, dir)
+      .filter(col("p_brand") === brand)
+      .select(col("p_partkey"))
+      .join(broadcast(nodeDf), col("p_partkey") === col("n"), "left_semi")
+      .as[Long].collect().toSet
+  }
+
   private val q130: Q = (s, dir) => {
-    val edges = copurchaseEdges(s, dir)
-      .cache() // degree pass + orientation + closure all read it
-    val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-    val withDeg = edges
-      .join(deg.select(col("n"), col("d").as("da")), col("a") === col("n")).drop("n")
-      .join(deg.select(col("n"), col("d").as("db")), col("b") === col("n")).drop("n")
-    val oriented = withDeg.select(
-      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-        struct(col("a").as("k"), col("da").as("kd"),
-          col("b").as("v"), col("db").as("vd")))
-        .otherwise(struct(col("b").as("k"), col("db").as("kd"),
-          col("a").as("v"), col("da").as("vd"))).as("e"))
-      .select(col("e.k").as("u"), col("e.kd").as("ud"),
-        col("e.v").as("v"), col("e.vd").as("vd"))
-    val w1 = oriented.select(col("u"), col("v").as("x"), col("vd").as("xd"))
-    val w2 = oriented.select(col("u").as("u2"), col("v").as("y"), col("vd").as("yd"))
-    val wedges = w1.join(w2, col("u") === col("u2") &&
-        struct(col("xd"), col("x")) < struct(col("yd"), col("y")))
-      .select(col("u").as("tu"), col("x"), col("y"))
-    val closing = oriented.select(col("u").as("cx"), col("v").as("cy"))
-    val tris = wedges.join(closing,
-      col("x") === col("cx") && col("y") === col("cy"))
-    val perNode = tris
-      .select(explode(array(col("tu"), col("x"), col("y"))).as("part"))
-      .groupBy("part").agg(count(lit(1)).as("n_tri"))
-    perNode
+    val spark = s
+    import spark.implicits._
+    val cut = copurchaseRows(s, dir)
+    // degree orientation: direct every edge from its (degree, id)-smaller
+    // endpoint to the larger (the former struct(da,a) < struct(db,b)
+    // compare), enumerate wedges among out-neighbors in (degree, id)
+    // order, close against the oriented edge set — each triangle
+    // materializes exactly once, as before
+    val deg = mutable.HashMap.empty[Long, Long]
+    cut.foreach { case (a, b, _) =>
+      deg.update(a, deg.getOrElse(a, 0L) + 1)
+      deg.update(b, deg.getOrElse(b, 0L) + 1)
+    }
+    val outAdj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    val oriented = mutable.HashSet.empty[(Long, Long)]
+    cut.foreach { case (a, b, _) =>
+      val (u, v) =
+        if (deg(a) < deg(b) || (deg(a) == deg(b) && a < b)) (a, b)
+        else (b, a)
+      outAdj.getOrElseUpdate(u, mutable.ArrayBuffer.empty) += v
+      oriented += ((u, v))
+    }
+    val nTri = mutable.HashMap.empty[Long, Long]
+    def bump(n: Long): Unit = nTri.update(n, nTri.getOrElse(n, 0L) + 1L)
+    outAdj.foreach { case (u, vs) =>
+      val ord = vs.sortBy(v => (deg(v), v)).toArray
+      var i = 0
+      while (i < ord.length) {
+        var j = i + 1
+        while (j < ord.length) {
+          if (oriented.contains((ord(i), ord(j)))) {
+            bump(u); bump(ord(i)); bump(ord(j))
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    nTri.toSeq.map { case (part, n) => (part, n) }
+      .sortBy { case (part, n) => (-n, part) }
+      .take(TriTopK)
+      .toDF("part", "n_tri")
       .orderBy(desc("n_tri"), col("part"))
       .limit(TriTopK)
   }
@@ -276,18 +349,31 @@ object QueriesGraph {
   private val CoreRounds = 8
   private val CoreTopK = 20
   private val q133: Q = (s, dir) => {
-    var e = copurchaseEdges(s, dir) // already checkpointed by the builder
+    val spark = s
+    import spark.implicits._
+    // [[CoreRounds]] peel rounds, driver-side (see the kernel note above
+    // q130): per round the degree count over surviving edges and the
+    // both-endpoints-survive filter — the former per-round degree
+    // aggregate + two semi-joins + localCheckpoint, identical semantics
+    var edges = copurchaseRows(s, dir).map { case (a, b, _) => (a, b) }
     for (_ <- 1 to CoreRounds) {
-      val surv = e.select(col("a").as("n")).unionAll(e.select(col("b")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= CoreK)
-        .select("n")
-      e = e.join(surv.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
-        .join(surv.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-        .localCheckpoint()
+      val deg = mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (a, b) =>
+        deg.update(a, deg.getOrElse(a, 0L) + 1)
+        deg.update(b, deg.getOrElse(b, 0L) + 1)
+      }
+      edges = edges.filter { case (a, b) =>
+        deg(a) >= CoreK && deg(b) >= CoreK }
     }
-    e.select(col("a").as("part")).unionAll(e.select(col("b")))
-      .groupBy("part").agg(count(lit(1)).as("core_degree"))
+    val coreDeg = mutable.HashMap.empty[Long, Long]
+    edges.foreach { case (a, b) =>
+      coreDeg.update(a, coreDeg.getOrElse(a, 0L) + 1)
+      coreDeg.update(b, coreDeg.getOrElse(b, 0L) + 1)
+    }
+    coreDeg.toSeq
+      .sortBy { case (part, d) => (-d, part) }
+      .take(CoreTopK)
+      .toDF("part", "core_degree")
       .orderBy(desc("core_degree"), col("part"))
       .limit(CoreTopK)
   }
@@ -339,27 +425,31 @@ object QueriesGraph {
   private val BfsRounds = 4
   private val BfsBrand = "Brand#1"
   private val q144: Q = (s, dir) => {
-    val e = copurchaseEdges(s, dir)
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint() // scanned every round
-    val seedKeys = Tables.part(s, dir)
-      .filter(col("p_brand") === BfsBrand)
-      .select(col("p_partkey"))
-    // symmetric edges: src covers every node in the graph
-    var dist = sym.select(col("src").as("n")).distinct()
-      .join(broadcast(seedKeys), col("n") === col("p_partkey"), "left_semi")
-      .withColumn("hop", lit(0))
-      .localCheckpoint()
-    for (_ <- 1 to BfsRounds) {
-      val next = dist.join(sym, col("n") === col("src"))
-        .select(col("dst").as("n"), (col("hop") + lit(1)).as("hop"))
-      dist = dist.unionAll(next)
-        .groupBy(col("n")).agg(min(col("hop")).as("hop"))
-        .localCheckpoint()
+    val spark = s
+    import spark.implicits._
+    // [[BfsRounds]] frontier expansions, driver-side (see the kernel note
+    // above q130). The former unroll expanded from ALL known nodes each
+    // round and min-consolidated; level-by-level BFS yields the same
+    // distance field (BFS monotonicity — the comment contract above).
+    // The brand-seed dimension scan stays a Spark job ([[brandSeeds]]).
+    val adj = symAdjacency(copurchaseRows(s, dir))
+    val dist = mutable.HashMap.empty[Long, Int]
+    var frontier = brandSeeds(s, dir, BfsBrand, adj.keys).toSeq
+    frontier.foreach(dist.update(_, 0))
+    for (h <- 1 to BfsRounds) {
+      val next = mutable.ArrayBuffer.empty[Long]
+      frontier.foreach { n =>
+        adj(n).foreach { m =>
+          if (!dist.contains(m)) { dist.update(m, h); next += m }
+        }
+      }
+      frontier = next.toSeq
     }
-    dist.groupBy(col("hop"))
-      .agg(count(lit(1)).as("n_parts"), sum(col("n")).as("sum_part"))
+    dist.groupBy(_._2).toSeq
+      .map { case (hop, ns) =>
+        (hop, ns.size.toLong, ns.keysIterator.sum) }
+      .sortBy(_._1)
+      .toDF("hop", "n_parts", "sum_part")
       .orderBy(col("hop"))
   }
   private val q144Sql = {
@@ -415,28 +505,43 @@ object QueriesGraph {
   private val LpaRounds = 4
   private val LpaTopK = 20
   private val q154: Q = (s, dir) => {
-    val e = copurchaseEdges(s, dir)
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint() // scanned every round
-    var labels = sym.select(col("src").as("n")).distinct()
-      .withColumn("lab", col("n"))
-      .localCheckpoint()
-    for (_ <- 1 to LpaRounds) {
-      // most-frequent neighbor label, tie to SMALLEST label ==
-      // min over (-count, label) pairs — struct ordering is
-      // lexicographic, so the aggregate encodes the window's
-      // (c DESC, lab ASC) rule exactly
-      labels = sym.join(labels.withColumnRenamed("n", "dst"), Seq("dst"))
-        .groupBy(col("src").as("n"), col("lab"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("n"))
-        .agg(min(struct((-col("c")).as("negc"), col("lab").as("lab"))).as("m"))
-        .select(col("n"), col("m.lab").as("lab"))
-        .localCheckpoint()
+    val spark = s
+    import spark.implicits._
+    // [[LpaRounds]] synchronous rounds, driver-side (see the kernel note
+    // above q130): per round every node adopts its neighbors' most
+    // frequent label, ties to the SMALLEST label — the former
+    // min(struct(-c, lab)) aggregate's (c DESC, lab ASC) rule exactly
+    val adj = symAdjacency(copurchaseRows(s, dir))
+    var labels: mutable.HashMap[Long, Long] = {
+      val m = mutable.HashMap.empty[Long, Long]
+      adj.keysIterator.foreach(n => m.update(n, n))
+      m
     }
-    labels.groupBy(col("lab"))
-      .agg(count(lit(1)).as("community_size"), sum(col("n")).as("sum_member"))
+    for (_ <- 1 to LpaRounds) {
+      val next = mutable.HashMap.empty[Long, Long]
+      adj.foreach { case (n, nbrs) =>
+        val cnt = mutable.HashMap.empty[Long, Long]
+        nbrs.foreach { m =>
+          val lab = labels(m)
+          cnt.update(lab, cnt.getOrElse(lab, 0L) + 1L)
+        }
+        var bestLab = Long.MaxValue
+        var bestC = 0L
+        cnt.foreach { case (lab, c) =>
+          if (c > bestC || (c == bestC && lab < bestLab)) {
+            bestLab = lab; bestC = c
+          }
+        }
+        next.update(n, bestLab)
+      }
+      labels = next
+    }
+    labels.toSeq.groupBy(_._2).toSeq
+      .map { case (lab, ms) =>
+        (lab, ms.size.toLong, ms.iterator.map(_._1).sum) }
+      .sortBy { case (lab, size, _) => (-size, lab) }
+      .take(LpaTopK)
+      .toDF("lab", "community_size", "sum_member")
       .orderBy(desc("community_size"), col("lab"))
       .limit(LpaTopK)
   }
@@ -487,28 +592,38 @@ object QueriesGraph {
   private val WspRounds = 4
   private val WspBrand = "Brand#1"
   private val q167: Q = (s, dir) => {
-    val e = copurchaseEdges(s, dir, keepSupport = true)
-      .select(col("a"), col("b"), expr("1 + 1000000 DIV support").as("w"))
-    val sym = e.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionAll(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .localCheckpoint() // scanned every round
-    val seedKeys = Tables.part(s, dir)
-      .filter(col("p_brand") === WspBrand)
-      .select(col("p_partkey"))
-    var dist = sym.select(col("src").as("n")).distinct()
-      .join(broadcast(seedKeys), col("n") === col("p_partkey"), "left_semi")
-      .withColumn("d", lit(0L))
-      .localCheckpoint()
-    for (_ <- 1 to WspRounds) {
-      val relax = dist.join(sym, col("n") === col("src"))
-        .select(col("dst").as("n"), (col("d") + col("w")).as("d"))
-      dist = dist.unionAll(relax)
-        .groupBy(col("n")).agg(min(col("d")).as("d"))
-        .localCheckpoint()
+    val spark = s
+    import spark.implicits._
+    // [[WspRounds]] synchronous min-plus relaxations, driver-side (see
+    // the kernel note above q130): d_i(n) = min(d_{i-1}(n), min over
+    // incident edges (d_{i-1}(src) + w)) with w = 1 + 1000000 DIV support
+    // — each round reads ONLY the previous round's distances (the former
+    // plan's dist frame), so the unrolled horizon is identical
+    val cut = copurchaseRows(s, dir)
+    val adjW = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Long)]]
+    cut.foreach { case (a, b, support) =>
+      val w = 1L + 1000000L / support
+      adjW.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += ((b, w))
+      adjW.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += ((a, w))
     }
-    dist.groupBy(expr("d DIV 100000").as("dist_bucket"))
-      .agg(count(lit(1)).as("n_parts"), sum(col("n")).as("sum_part"),
-        min(col("d")).as("min_d"), max(col("d")).as("max_d"))
+    var dist = mutable.HashMap.empty[Long, Long]
+    brandSeeds(s, dir, WspBrand, adjW.keys).foreach(dist.update(_, 0L))
+    for (_ <- 1 to WspRounds) {
+      val next = dist.clone()
+      dist.foreach { case (n, d) =>
+        adjW(n).foreach { case (m, w) =>
+          val cand = d + w
+          if (cand < next.getOrElse(m, Long.MaxValue)) next.update(m, cand)
+        }
+      }
+      dist = next
+    }
+    dist.toSeq.groupBy { case (_, d) => d / 100000L }.toSeq
+      .map { case (bucket, ns) =>
+        (bucket, ns.size.toLong, ns.iterator.map(_._1).sum,
+          ns.iterator.map(_._2).min, ns.iterator.map(_._2).max) }
+      .sortBy(_._1)
+      .toDF("dist_bucket", "n_parts", "sum_part", "min_d", "max_d")
       .orderBy(col("dist_bucket"))
   }
   private val q167Sql = {

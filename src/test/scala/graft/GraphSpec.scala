@@ -40,6 +40,25 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("q133: cascading peel by hand — K4 survives, a 2-step tail does not") {
+    val d = java.nio.file.Files.createTempDirectory("graft_kcore").toString
+    // two-item baskets encode the edge list: K4 over parts 1..4 (the
+    // 3-core) plus node 5 attached to 1, 2, and 6, and leaf 6. Node 5
+    // starts AT degree 3 and only falls below k when round 1 peels leaf
+    // 6 — so the fixture fails unless peeling actually cascades across
+    // rounds (a single-pass degree filter would keep node 5).
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (2L, 5L), (5L, 6L))
+    edges.zipWithIndex
+      .flatMap { case ((a, b), i) => Seq((100L + i, a), (100L + i, b)) }
+      .toDF("l_orderkey", "l_partkey")
+      .withColumn("l_shipdate", org.apache.spark.sql.functions.lit("1995-01-01"))
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = SparkEntry.queries("q133_kcore")(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
   test("q144: path-graph hop levels by hand; disconnected component absent") {
     val d = java.nio.file.Files.createTempDirectory("graft_bfs").toString
     // two-item baskets encode the edge list: a 5-node path seeded at one

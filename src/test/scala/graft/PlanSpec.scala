@@ -109,11 +109,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("q61 frequent-token prune is a broadcast anti-join (corpus never reshuffles to filter)") {
+  test("q61 frequent-token prune is a broadcast join (corpus never reshuffles to filter)") {
+    // r15: the prune is a broadcast LEFT join + null-conditional aggregate
+    // (one doc-keyed pass computes n_toks, n_kept and the reassembly) —
+    // the former anti-join shape needed a separate kept-rows aggregate
+    // plus a third corpus tokenize for n_toks. The invariant under test
+    // is unchanged: the frequent-token list broadcasts; the corpus side
+    // never pays a tok-keyed exchange to be filtered.
     val p = plan("q61_boilerplate_prune")
-    assert(p.contains("LeftAnti"))
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
-      "the frequent-token list must broadcast")
+    assert(p.contains("BroadcastHashJoin [tok"),
+      "the prune must join the corpus tokens against a BROADCAST " +
+        "frequent-token list (the corpus side never exchanges on tok; " +
+        "the tok-keyed exchanges in the plan belong to the vocabulary-" +
+        "sized df aggregate that builds the list)")
+    assert(p.contains("LeftOuter, BuildRight"),
+      "the broadcast side must be the frequent-token list")
   }
 
   test("q62 retrieval ranks per term via the window-group-limit pushdown") {
