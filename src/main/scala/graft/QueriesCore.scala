@@ -330,7 +330,16 @@ object QueriesCore {
     // keeps sums of up to ~9000 members inside both. (Unbounded team sizes
     // would use XOR, which never overflows.)
     val P = 1000000000000000L
-    li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    // ONE order-keyed exchange serves BOTH the (order, member) distinct
+    // (hash(ok) satisfies the (ok, suppkey) clustering requirement) and
+    // the per-order roll-up — previously the distinct exchanged on
+    // (ok, suppkey) and the roll-up re-exchanged on ok: 2 corpus-sized
+    // shuffles → 1 (the q194 discipline). Bytes are unchanged: (ok,
+    // suppkey) is near-unique per lineitem row (≤ 7 lines/order), so the
+    // removed partial-dedup exchange moved the same volume this one does.
+    li.select(col("l_orderkey"), col("l_suppkey"))
+      .repartition(col("l_orderkey"))
+      .distinct()
       .groupBy(col("l_orderkey"))
       .agg(expr(s"pmod(sum(pmod(${graft.ops.TextOps.hash60("CAST(l_suppkey AS STRING)")}, ${P}L)), ${P}L)").as("team_hash"),
            count(lit(1)).as("n_members"))
