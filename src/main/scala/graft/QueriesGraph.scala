@@ -49,19 +49,38 @@ object QueriesGraph {
   private val q129: Q = (s, dir) => {
     val li  = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+    // The walk reads the edge list five times: three aggregates/joins keyed
+    // on the customer (wC, r1's reduce, m2's flows) and two on the supplier
+    // (vS, r1's flows). Pre-partitioning ONE customer-keyed copy (hash(c)
+    // satisfies the (c, sup) grouping, so the dedup aggregate itself rides
+    // the same exchange) and ONE supplier-keyed copy lets every downstream
+    // join/aggregate reuse that exchange instead of re-shuffling the edge
+    // list per pass — the same-key ops then run exchange-free AT RUNTIME:
+    // the static plan still prints ENSURE_REQUIREMENTS exchanges over the
+    // cache scans (an unbuilt InMemoryRelation reports unknown
+    // partitioning), but once AQE materializes the TableCacheQueryStage it
+    // re-plans with the cached hash(c)/hash(sup) partitioning and elides
+    // them — verified in the executed plan. (A localCheckpoint would NOT
+    // get this: its LogicalRDD leaf reports UnknownPartitioning with no
+    // query stage to re-plan around, so every consumer re-exchanges for
+    // real.) The only remaining shuffles are the three narrow flow
+    // reductions (map-side partial aggs over sup- / c-sized key spaces).
+    val eC = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+      .repartition(col("c"))
+      .groupBy(col("c"), col("sup"))
       .agg(count(lit(1)).as("w"))
       .cache()
-    val wC = edges.groupBy("c").agg(sum("w").as("wc"))
-    val vS = edges.groupBy("sup").agg(sum("w").as("vs"))
-    val m1 = edges.join(wC, "c")
+    val eS = eC.repartition(col("sup")).cache()
+    val wC = eC.groupBy("c").agg(sum("w").as("wc"))
+    val vS = eS.groupBy("sup").agg(sum("w").as("vs"))
+    val m1 = eC.join(wC, "c")
       .select(col("sup"), expr(flow(Scale.toString, "w", "wc")).as("t"))
       .groupBy("sup").agg(sum("t").as("m1"))
-    val r1 = edges.join(vS, "sup").join(m1, "sup")
+    val r1 = eS.join(vS, "sup").join(m1, "sup")
       .select(col("c"), expr(flow("m1", "w", "vs")).as("t"))
       .groupBy("c").agg(sum("t").as("r1"))
-    val m2 = edges.join(wC, "c").join(r1, "c")
+    val m2 = eC.join(wC, "c").join(r1, "c")
       .select(col("sup"), expr(flow("r1", "w", "wc")).as("t"))
       .groupBy("sup").agg(sum("t").as("m2"))
     val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
@@ -703,15 +722,15 @@ object QueriesGraph {
       .withColumn("nd", lead(col("d"), 1).over(wp))
       .filter(col("nd").isNotNull && col("nd") > col("d"))
       .select(col("cust").as("src"), col("ncust").as("dst"), col("nd").as("et"))
-      // partitioned+sorted by the probe key BEFORE the checkpoint pins it:
-      // LogicalRDD preserves outputPartitioning/outputOrdering, so each of
-      // the TempRounds hop joins streams this frame in place and only the
-      // customer-sized frontier pays an exchange+sort per round —
-      // previously every round re-shuffled AND re-sorted the corpus-sized
-      // edge list (frontier stats are unknown post-checkpoint, so the
-      // planner can never broadcast it; this keeps the rounds cheap
-      // WITHOUT betting on a broadcastable frontier, which a 100 TB
-      // customer dimension would break)
+      // partitioned+sorted by the probe key before the checkpoint.
+      // (Measured r15 note: in Spark 4.1 the checkpoint's LogicalRDD
+      // reports UnknownPartitioning, so each hop join DOES re-exchange
+      // this frame; a repartition(src).cache() variant lets AQE elide
+      // those per-round exchanges via the TableCacheQueryStage, but the
+      // IMR build/read cost measured ~30% slower end-to-end at sf0.1
+      // (3.74 vs 3.10 best-of-6), so the checkpoint stays. The win that
+      // landed here in r15 is upstream: one part-keyed exchange feeds
+      // both the buys aggregate and the chain window.)
       .repartition(col("src"))
       .sortWithinPartitions(col("src"))
       .localCheckpoint() // scanned every round

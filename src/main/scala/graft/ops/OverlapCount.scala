@@ -41,19 +41,39 @@ import org.apache.spark.sql.functions._
   *    LOOKUPS against the global multiset of starts / ends, computed as a
   *    bucketed cumulative histogram: counts per minute bucket, prefix-
   *    summed two-level (within calendar day, then across the day table),
-  *    then one minute-keyed equi-join per term plus a boundary-minute
-  *    equi-join for the sub-bucket remainder. No window ever sees more
-  *    than a day of buckets except the day-level prefix (calendar-sized).
+  *    then ONE minute-keyed equi-join resolving both the whole-minute
+  *    prefix and the sub-bucket remainder (below). No window ever sees
+  *    more than a day of buckets except the day-level prefix
+  *    (calendar-sized).
   *  - contained-gap count: a gap spans ≥ gapUs by construction, so only
   *    probes of duration ≥ gapUs can contain one — the containment join
   *    runs long-probes × gaps, blocked on the gap-start's coarse bucket
   *    (each gap has ONE such bucket, so no post-join dedup).
   *
+  * Execution shape (r15): every per-probe term is a WEIGHTED ROW in one
+  * union, reduced by a single (entity, seq)-keyed aggregate — the q213
+  * union-fusion discipline applied to the sweep:
+  *
+  *  - each probe melts into two lookup rows sharing one strict-< form:
+  *    kind E at the end's minute with threshold end+1 (counts starts ≤ e),
+  *    kind S at the start's minute with threshold start (counts ends < s);
+  *  - the right side is the boundary-point multiset (weight ±1) unioned
+  *    with the per-minute prefix rows (weight ±prefix, sentinel value
+  *    −∞ so they match every probe of their minute and kind);
+  *  - ONE (minute, kind)-keyed equi-join emits every rank contribution;
+  *    the gap-containment join contributes weight −1 rows to the same
+  *    union; sum(w) − 1 per (entity, seq) is the published count.
+  *
+  * vs the r8 shape (two rank joins + two boundary joins + one gap join,
+  * each with its own (entity, seq) aggregate/left-join) this removes the
+  * three per-term aggregates and the two final left-joins — at sf0.1 the
+  * plan loses ~6 exchanges and the result needs no localCheckpoint fence,
+  * because nothing re-reads it inside the query.
+  *
   * At 100 TB: shuffles are keyed on entity (sessionize), minute bucket
-  * (histogram + rank lookups), day (prefix), and coarse bucket (gap join)
-  * — all near-uniform; the day-level prefix window is calendar-sized. No
-  * stage is proportional to overlap-pair volume. Measured at sf1 this
-  * replaces a 59 s pair plan with a ~6 s sweep producing identical rows.
+  * (histogram + the fused rank join), and coarse bucket (gap join) — all
+  * near-uniform; the day-level prefix window is calendar-sized. No stage
+  * is proportional to overlap-pair volume.
   */
 object OverlapCount {
 
@@ -70,26 +90,33 @@ object OverlapCount {
     *                 inter-interval gaps, which prunes the containment join
     * @param coarseUs blocking bucket width for the containment join
     * @return `entity`, `seq`, `n_overlap_users` (> 0 rows only, matching
-    *         the pair-join encoding which never emits overlap-free rows)
+    *         the pair-join encoding which never emits overlap-free rows).
+    *         Lazy; holds a cached intermediate (the interval frame, read by
+    *         four branches) that session hygiene (clearCache between
+    *         queries, as Bench/Verify do) releases.
     */
   def distinctOverlaps(sess: DataFrame, gapUs: Long,
                        coarseUs: Long): DataFrame = {
     val s = sess.select(col("entity"), col("seq"),
       col("start_us"), col("end_us")).cache()
 
+    // --- boundary-point multiset: one explode pass over the intervals -----
+    // kind 1 = a start, kind 0 = an end; reused by the histogram AND as
+    // the raw (±1) side of the fused rank join.
+    val pts = s.select(explode(array(
+        struct(expr(s"start_us DIV ${MinuteUs}L").as("m"),
+          col("start_us").as("v"), lit(1).as("kind")),
+        struct(expr(s"end_us DIV ${MinuteUs}L").as("m"),
+          col("end_us").as("v"), lit(0).as("kind")))).as("p"))
+      .select(col("p.m").as("m"), col("p.v").as("v"), col("p.kind").as("kind"))
+
     // --- minute-bucketed cumulative histogram of starts and ends ----------
-    // Key set = every minute holding a start or an end, so each probe's
-    // boundary minute is present and the rank lookup is a plain equi-join.
-    val starts = s.select(expr(s"start_us DIV ${MinuteUs}L").as("m"),
-      col("start_us").as("v"))
-    val ends = s.select(expr(s"end_us DIV ${MinuteUs}L").as("m"),
-      col("end_us").as("v"))
-    val minutes = starts.select("m").union(ends.select("m")).distinct()
-    val hist = minutes
-      .join(starts.groupBy("m").agg(count(lit(1)).as("cs")), Seq("m"), "left")
-      .join(ends.groupBy("m").agg(count(lit(1)).as("ce")), Seq("m"), "left")
-      .select(col("m"), coalesce(col("cs"), lit(0L)).as("cs"),
-        coalesce(col("ce"), lit(0L)).as("ce"))
+    // Key set = every minute holding a start or an end (one aggregate —
+    // the union IS the key set), so each probe's boundary minute is
+    // present and the rank lookup is a plain equi-join.
+    val hist = pts.groupBy("m")
+      .agg(sum(when(col("kind") === 1, 1L).otherwise(0L)).as("cs"),
+        sum(when(col("kind") === 0, 1L).otherwise(0L)).as("ce"))
       .withColumn("day", expr(s"m DIV ${MinutesPerDay}L"))
     // Two-level prefix: within-day over ≤1440 minute rows, then across the
     // day table (calendar-sized — the only global window, documented).
@@ -111,30 +138,31 @@ object OverlapCount {
         (col("dayCsBefore") + col("mCsBefore")).as("csBefore"),
         (col("dayCeBefore") + col("mCeBefore")).as("ceBefore"))
 
-    // --- rank lookups: whole minutes from the prefix, boundary minute raw --
-    val probe = s.select(col("entity"), col("seq"),
-      col("start_us"), col("end_us"),
-      expr(s"start_us DIV ${MinuteUs}L").as("mS"),
-      expr(s"end_us DIV ${MinuteUs}L").as("mE"))
-    val keyCols = Seq("entity", "seq")
-    // #starts ≤ e: prefix below e's minute + starts inside it that are ≤ e.
-    val bS = probe.join(starts, probe("mE") === starts("m") &&
-        starts("v") <= probe("end_us"))
-      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("bs"))
-    // #ends < s (strict): prefix below s's minute + ends inside it < s.
-    val bE = probe.join(ends, probe("mS") === ends("m") &&
-        ends("v") < probe("start_us"))
-      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("be"))
-    val ranked = probe
-      .join(cum.select(col("m"), col("csBefore")), probe("mE") === col("m"))
-      .drop("m")
-      .join(cum.select(col("m"), col("ceBefore")), probe("mS") === col("m"))
-      .drop("m")
-      .join(bS, keyCols, "left")
-      .join(bE, keyCols, "left")
-      .select(col("entity"), col("seq"), col("start_us"), col("end_us"),
-        (col("csBefore") + coalesce(col("bs"), lit(0L)) -
-          col("ceBefore") - coalesce(col("be"), lit(0L))).as("n_intersect"))
+    // --- fused rank lookup: both terms of both bounds in ONE join ---------
+    // Each probe melts into two rows sharing the strict-< form:
+    //   kind 1 (starts ≤ e):  minute = end's, threshold = end_us + 1
+    //   kind 0 (ends  < s):   minute = start's, threshold = start_us
+    val probe2 = s.select(col("entity"), col("seq"), explode(array(
+        struct(expr(s"end_us DIV ${MinuteUs}L").as("bm"),
+          (col("end_us") + 1L).as("thresh"), lit(1).as("kind")),
+        struct(expr(s"start_us DIV ${MinuteUs}L").as("bm"),
+          col("start_us").as("thresh"), lit(0).as("kind")))).as("p"))
+      .select(col("entity"), col("seq"), col("p.bm").as("bm"),
+        col("p.thresh").as("thresh"), col("p.kind").as("kind"))
+    // Right side: raw boundary points weigh ±1 under the threshold test;
+    // prefix rows weigh ±prefix with a −∞ sentinel value (always under).
+    // Signs: starts count toward the intersect total, ends subtract.
+    val rights = pts.select(col("m"), col("v"),
+        when(col("kind") === 1, lit(1L)).otherwise(lit(-1L)).as("w"),
+        col("kind"))
+      .unionAll(cum.select(col("m"), lit(Long.MinValue).as("v"),
+        col("csBefore").as("w"), lit(1).as("kind")))
+      .unionAll(cum.select(col("m"), lit(Long.MinValue).as("v"),
+        (-col("ceBefore")).as("w"), lit(0).as("kind")))
+    val rankTerms = probe2.join(rights,
+        probe2("bm") === rights("m") && probe2("kind") === rights("kind") &&
+          rights("v") < probe2("thresh"))
+      .select(col("entity"), col("seq"), col("w"))
 
     // --- contained-gap correction ------------------------------------------
     // Gaps between consecutive same-entity intervals; each spans ≥ gapUs,
@@ -147,28 +175,21 @@ object OverlapCount {
       .filter(col("g2").isNotNull)
       .select(col("end_us").as("g1"), col("g2"))
       .withColumn("gbk", expr(s"g1 DIV ${coarseUs}L"))
-    val longProbes = probe
+    val longProbes = s
       .filter(col("end_us") - col("start_us") >= gapUs)
       .withColumn("bk", explode(expr(
         s"sequence(start_us DIV ${coarseUs}L, end_us DIV ${coarseUs}L)")))
-    val contained = longProbes.join(gaps,
+    val gapTerms = longProbes.join(gaps,
         col("bk") === col("gbk") &&
           col("g1") >= col("start_us") && col("g2") <= col("end_us"))
-      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("g"))
+      .select(col("entity"), col("seq"), lit(-1L).as("w"))
 
-    // Components' release discipline: the interval frame `s` is cached
-    // (read by six stages above) but a lazy return would pin it until
-    // GC-driven cleanup — materialize the result (ONE small row per
-    // overlapping interval), then release the corpus-scale intermediate
-    // deterministically. The returned frame is localCheckpoint-pinned
-    // like any Components result; loop-callers unpersist it when done.
-    val out = ranked.join(contained, keyCols, "left")
-      .select(col("entity"), col("seq"),
-        (col("n_intersect") - coalesce(col("g"), lit(0L)) - 1L)
-          .as("n_overlap_users"))
+    // --- single reduce: every probe appears (its prefix rows always match
+    // — the minute key set covers every boundary minute), so the −1 self
+    // term applies exactly once per probe.
+    rankTerms.unionAll(gapTerms)
+      .groupBy(col("entity"), col("seq"))
+      .agg((sum(col("w")) - 1L).as("n_overlap_users"))
       .filter(col("n_overlap_users") >= 1L)
-      .localCheckpoint()
-    s.unpersist()
-    out
   }
 }
