@@ -404,56 +404,71 @@ object QueriesChange {
   // the threshold, and renumbers the remainder. The oracle sessionizes
   // the whole log from scratch, so the hash match proves the carry-over
   // algebra (stitch + offset) loses nothing at the seam.
-  // Scale: two user-keyed sessionize windows (each batch only — the
-  // point: the closed history is never re-scanned) + user-keyed joins.
+  // Scale: ONE user-keyed exchange total. Both batches sessionize in a
+  // single window pass (the batch tag leads the ordering and forces a
+  // session break at the cut, so per-batch assignment is bit-identical
+  // to sessionizing each batch alone), and the stitch runs as per-user
+  // window algebra over the per-session rollup — same partitioning, so
+  // the former second scan + state join + anti-join all collapse into
+  // the one exchange. The stitch algebra itself (merge condition,
+  // absorb-state, renumber) is unchanged and oracle-pinned: the global
+  // session ordinal g equals batch-1's seq on batch-1 rows, and the
+  // batch-2 output seq st_seq + seq₂ − merged telescopes to
+  // g − merged (seq₂ = g − st_seq by construction).
   private val SessCut = "2024-01-16 00:00:00"
   private val SessGapSec = 7200L
   private val q191: Q = (s, dir) => {
-    import graft.ops.Sessionize
-    val e = Tables.events(s, dir).select(col("user_id"), col("ts"),
-      col("event_id"), Exact.cents(col("value")).as("cents"))
-    def sess(df: DataFrame): DataFrame =
-      Sessionize.assign(df, col("user_id"), col("ts"), col("event_id"),
-          SessGapSec)
-        .groupBy(col("user_id"), col("session_seq"))
-        .agg(count(lit(1)).as("n_events"),
-          min(unix_micros(col("ts"))).as("start_us"),
-          max(unix_micros(col("ts"))).as("end_us"),
-          sum(col("cents")).as("sum_cents"))
     val cut = lit(SessCut).cast("timestamp")
-    val s1 = sess(e.filter(col("ts") < cut)).localCheckpoint()
-    val s2 = sess(e.filter(col("ts") >= cut))
+    val e = Tables.events(s, dir).select(col("user_id"), col("ts"),
+      col("event_id"), Exact.cents(col("value")).as("cents"),
+      when(col("ts") < cut, 0).otherwise(1).as("b"))
+    val tsUs = unix_micros(col("ts"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("b"), col("ts"), col("event_id"))
+    val prevUs = lag(tsUs, 1).over(wOrd)
+    val prevB = lag(col("b"), 1).over(wOrd)
+    val newFlag = when(prevUs.isNull || prevB =!= col("b") ||
+      tsUs - prevUs >= SessGapSec * 1000000L, 1).otherwise(0)
+    val sess = e
+      .withColumn("g", sum(newFlag).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("g"))
+      .agg(max(col("b")).as("b"), // constant per session (never spans the cut)
+        count(lit(1)).as("n_events"),
+        min(tsUs).as("start_us"),
+        max(tsUs).as("end_us"),
+        sum(col("cents")).as("sum_cents"))
+    // Per-user stitch, all on the same hash(user_id) partitioning:
+    // the state row is the last batch-1 session; the first batch-2
+    // session merges into it iff the boundary gap stays under the
+    // threshold (prev row in g order IS the state row exactly when
+    // prev_b=0 ∧ b=1, because g is contiguous per user).
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("g"))
     val wu = Window.partitionBy(col("user_id"))
-    val s1m = s1.withColumn("max_seq", max(col("session_seq")).over(wu))
-    val closed = s1m.filter(col("session_seq") < col("max_seq"))
-      .drop("max_seq")
-    val state = s1m.filter(col("session_seq") === col("max_seq"))
-      .select(col("user_id"), col("session_seq").as("st_seq"),
-        col("n_events").as("st_n"), col("start_us").as("st_start"),
-        col("end_us").as("st_end"), col("sum_cents").as("st_sum"))
-    val j = s2.join(state, Seq("user_id"), "left")
-      .withColumn("merges",
-        col("session_seq") === 1L && col("st_end").isNotNull &&
-          (col("start_us") - col("st_end")) < SessGapSec * 1000000L)
+    val stitched = sess
+      .withColumn("pb", lag(col("b"), 1).over(wSeq))
+      .withColumn("pend", lag(col("end_us"), 1).over(wSeq))
+      .withColumn("pstart", lag(col("start_us"), 1).over(wSeq))
+      .withColumn("pn", lag(col("n_events"), 1).over(wSeq))
+      .withColumn("psum", lag(col("sum_cents"), 1).over(wSeq))
+      .withColumn("merges", col("b") === 1 && col("pb") === 0 &&
+        (col("start_us") - col("pend")) < SessGapSec * 1000000L)
       .withColumn("user_merges",
         max(when(col("merges"), 1L).otherwise(0L)).over(wu))
-    val adjusted = j.select(col("user_id"),
-      (coalesce(col("st_seq"), lit(0L)) + col("session_seq")
-        - col("user_merges")).as("session_seq"),
-      when(col("merges"), col("st_n") + col("n_events"))
-        .otherwise(col("n_events")).as("n_events"),
-      when(col("merges"), col("st_start")).otherwise(col("start_us"))
-        .as("start_us"),
-      col("end_us"),
-      when(col("merges"), col("st_sum") + col("sum_cents"))
-        .otherwise(col("sum_cents")).as("sum_cents"))
-    val mergedUsers = j.filter(col("merges"))
-      .select(col("user_id")).distinct()
-    val untouched = state.join(mergedUsers, Seq("user_id"), "left_anti")
-      .select(col("user_id"), col("st_seq").as("session_seq"),
-        col("st_n").as("n_events"), col("st_start").as("start_us"),
-        col("st_end").as("end_us"), col("st_sum").as("sum_cents"))
-    closed.unionByName(untouched).unionByName(adjusted)
+      .withColumn("absorbed", // the state row a batch-2 session absorbs
+        col("b") === 0 && col("user_merges") === 1L &&
+          lead(col("b"), 1, 1).over(wSeq) === 1)
+    stitched.filter(!col("absorbed"))
+      .select(col("user_id"),
+        when(col("b") === 1, col("g") - col("user_merges"))
+          .otherwise(col("g")).as("session_seq"),
+        when(col("merges"), col("pn") + col("n_events"))
+          .otherwise(col("n_events")).as("n_events"),
+        when(col("merges"), col("pstart")).otherwise(col("start_us"))
+          .as("start_us"),
+        col("end_us"),
+        when(col("merges"), col("psum") + col("sum_cents"))
+          .otherwise(col("sum_cents")).as("sum_cents"))
       .orderBy(col("user_id"), col("session_seq"))
   }
   private val q191Sql =
