@@ -946,14 +946,22 @@ object QueriesStats {
       .unionAll(sims.select(col("part_b").as("src"), col("part_a").as("dst"),
         col("cos2_ppt")))
     // cached: read by the scoring join AND the ownership anti-join — each
-    // re-read would re-pay the lineitem⨝orders join + distinct shuffle
+    // re-read would re-pay the lineitem⨝orders join + distinct shuffle.
+    // Keyed on hash(ck) (which satisfies the (ck, pk) dedup clustering),
+    // and the scorer re-keys its aggregate onto the same hash(ck) — so
+    // the ownership anti-join on (ck, dst) and the per-customer rank
+    // window both ride existing partitionings instead of paying their
+    // own exchanges (AQE re-plans around the materialized cache stage).
     val seen = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .join(Tables.orders(s, dir)
         .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck")), "ok")
-      .select(col("ck"), col("pk")).distinct()
+      .select(col("ck"), col("pk"))
+      .repartition(col("ck"))
+      .distinct()
       .cache()
     val scores = seen.join(sym, col("pk") === col("src"))
+      .repartition(col("ck")) // hash(ck) satisfies the (ck,dst) grouping
       .groupBy(col("ck"), col("dst"))
       .agg(sum(col("cos2_ppt")).as("score"), count(lit(1)).as("n_neighbors"))
     val unseen = scores.join(
