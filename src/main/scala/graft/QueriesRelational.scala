@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational operator inventory, part 2 (SURVEY.md §2.2/§2.3/§2.7/§2.8):
@@ -298,23 +299,54 @@ object QueriesRelational {
   // row order; threshold bucketing is value-deterministic — the property
   // that makes it scale-safe AND engine-portable). q43 stays as the exact
   // small-scale cross-check.
+  // r15 execution shape: everything runs off the distinct-PRICE histogram
+  // (the q126 percentile replay + q145 price-grid discipline). One codegen
+  // aggregate collapses the corpus to its price grid before any shuffle;
+  // the quartile cut points replay percentile_disc's ANSI cume_dist rule
+  // in exact integers on the two-level cumulative histogram (p25 ⇔
+  // 4·cum ≥ n etc. — no float division), and the published rollup is
+  // derived from the same histogram (count = Σcnt, exact revenue =
+  // Σ cents·cnt, min/max from the grid) — the former plan's
+  // ObjectHashAggregate percentile buffer (every value shipped to one
+  // reducer) and its SECOND corpus scan are both gone. The only windows
+  // are grid-sized: per coarse price bucket, then across the ≤|price
+  // range| bucket summaries. The oracle twin keeps native
+  // percentile_disc — same rows through a maximally different plan.
   private val q50: Q = (s, dir) => {
     val o = Tables.orders(s, dir)
-    val cuts = o.agg(
-      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("c25"),
-      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)").as("c50"),
-      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").as("c75"))
-    o.crossJoin(broadcast(cuts))
+    val cum = {
+      val h = o.groupBy(col("o_totalprice").as("p"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("pb", floor(col("p") / 1000.0))
+      val wIn = Window.partitionBy("pb").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBs = Window.orderBy("pb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bTot = h.groupBy("pb").agg(sum("cnt").as("bcnt"))
+        .select(col("pb"),
+          coalesce(sum("bcnt").over(wBs), lit(0L)).as("before"))
+      h.withColumn("cin", sum(col("cnt")).over(wIn))
+        .join(bTot, "pb")
+        .select(col("p"), col("cnt"), (col("cin") + col("before")).as("cum"))
+        .cache() // grid-sized; read by the cut selection AND the rollup
+    }
+    val cuts = cum
+      .crossJoin(broadcast(cum.agg(sum(col("cnt")).as("n"))))
+      .agg(min(when(col("cum") * 4 >= col("n"), col("p"))).as("c25"),
+        min(when(col("cum") * 2 >= col("n"), col("p"))).as("c50"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("p"))).as("c75"))
+    cum.crossJoin(broadcast(cuts))
       .withColumn("bucket",
-        when(col("o_totalprice") <= col("c25"), 1)
-          .when(col("o_totalprice") <= col("c50"), 2)
-          .when(col("o_totalprice") <= col("c75"), 3)
+        when(col("p") <= col("c25"), 1)
+          .when(col("p") <= col("c50"), 2)
+          .when(col("p") <= col("c75"), 3)
           .otherwise(4))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"),
-           Exact.sumMoney(col("o_totalprice")).as("revenue"),
-           min(col("o_totalprice")).as("min_price"),
-           max(col("o_totalprice")).as("max_price"))
+      .agg(sum(col("cnt")).as("n"),
+           (sum(Exact.cents(col("p")) * col("cnt")).cast("double") / 100.0)
+             .as("revenue"),
+           min(col("p")).as("min_price"),
+           max(col("p")).as("max_price"))
       .orderBy(col("bucket"))
   }
   private val q50Sql =

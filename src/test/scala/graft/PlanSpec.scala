@@ -54,11 +54,27 @@ class PlanSpec extends SparkSpec {
            plan("q31_cosine_topk").contains("BroadcastHashJoin"))
   }
 
-  test("q50 quantile bucketing plans with no Window operator at all") {
-    val p = plan("q50_quantile_buckets")
-    assert(!p.contains("Window"), "scale path must not sort a total order")
+  test("q50 quantile bucketing: no corpus-sized window, one corpus scan") {
+    val df = SparkEntry.queries("q50_quantile_buckets")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // r15: the cut points replay percentile_disc off the distinct-price
+    // histogram — windows are allowed but only ABOVE the histogram
+    // aggregate (grid-sized input), never over the raw orders scan; and
+    // the non-codegen ObjectHashAggregate percentile buffer is gone.
+    assert(!p.contains("ObjectHashAggregate"),
+      "cut points must come from the histogram, not a percentile buffer")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "cut points must broadcast")
+    val opt = df.queryExecution.optimizedPlan
+    val windowsOverScan = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.collectLeaves().nonEmpty &&
+            w.child.collect {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+            }.isEmpty => w
+    }
+    assert(windowsOverScan.isEmpty,
+      "every window must sit above the histogram aggregate")
   }
 
   test("q33 tokenizes each row exactly once (single split in the plan)") {
