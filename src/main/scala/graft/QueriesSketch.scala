@@ -562,19 +562,26 @@ object QueriesSketch {
   private val AmsD = 9
   private val q142: Q = (s, dir) => {
     val e = Tables.events(s, dir).select(col("user_id"))
+    // r15 shape: the sign hash depends only on user_id, so each estimator
+    // telescopes over the per-user frequency table — Z_i = Σ_u f_u·σ_i(u),
+    // an identical integer sum (commutativity) at 1/f_avg the hash count:
+    // the d md5s run once per USER, not once per event row, and the exact
+    // F2 rides the SAME final aggregate, so the former second corpus scan
+    // and the crossJoin are gone. One corpus pass (the user-keyed count),
+    // one d+1-column reduce over the user table.
+    val f = e.groupBy(col("user_id")).agg(count(lit(1)).as("f"))
     val signs = (0 until AmsD).map { i =>
       val h = TextOps.hash60(s"concat('ams', '$i', ':', CAST(user_id AS STRING))")
-      sum(expr(s"CASE WHEN ($h) & 1 = 1 THEN 1 ELSE -1 END")).as(s"z$i")
+      sum(expr(s"f * (CASE WHEN ($h) & 1 = 1 THEN 1 ELSE -1 END)")).as(s"z$i")
     }
     val sq = (0 until AmsD)
       .map(i => s"CAST(z$i AS DECIMAL(19,0)) * CAST(z$i AS DECIMAL(19,0))")
       .mkString(" + ")
-    val zs = e.agg(signs.head, signs.tail: _*)
-      .select(expr(s"($sq) DIV $AmsD").as("ams_est"))
-    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("f"))
-      .agg(sum(expr("CAST(f AS DECIMAL(19,0)) * CAST(f AS DECIMAL(19,0))"))
-        .as("exact_f2"))
-    zs.crossJoin(broadcast(exact))
+    f.agg(signs.head,
+        (signs.tail :+ sum(expr(
+          "CAST(f AS DECIMAL(19,0)) * CAST(f AS DECIMAL(19,0))"))
+          .as("exact_f2")): _*)
+      .select(expr(s"($sq) DIV $AmsD").as("ams_est"), col("exact_f2"))
       .select(
         expr("CAST(exact_f2 AS DOUBLE)").as("exact_f2"),
         expr("CAST(ams_est AS DOUBLE)").as("ams_estimate"),
