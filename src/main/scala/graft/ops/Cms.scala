@@ -55,6 +55,25 @@ object Cms {
       .groupBy(col("d"), col("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** [[counters]] over a PRE-AGGREGATED key table: each key row carries
+    * its multiplicity in `weightCol`, and the cell values are the
+    * weighted sums — identical to [[counters]] over the un-aggregated
+    * stream (c[d][b] = Σ_keys f·[bucket(key)=b]; integer sums commute),
+    * at one bucket hash per KEY instead of one per item. Callers that
+    * already hold the exact frequency table (q138's audit column) get
+    * the sketch build for d hashes per distinct key. CmsSpec pins the
+    * equality on a fixture. */
+  def weightedCounters(keyed: DataFrame, keyExpr: String, weightCol: String,
+                       d: Int, w: Int): DataFrame = {
+    requireNoReserved(keyed, "weightedCounters")
+    keyed
+      .withColumn("d", explode(expr(s"sequence(0, ${d - 1})")))
+      .select(col("d"), expr(bucketExpr(keyExpr, w)).as("bucket"),
+        col(weightCol).as("w_"))
+      .groupBy(col("d"), col("bucket"))
+      .agg(sum(col("w_")).as("c"))
+  }
+
   /** Point estimates for `probes` (must carry the key column):
     * min over the d rows of each probe's counter cells. `counters`
     * is broadcast — it is ≤ d·w rows by construction. LEFT join +

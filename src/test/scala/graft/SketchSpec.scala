@@ -64,6 +64,22 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("CMS weighted build over the frequency table equals the per-item " +
+      "build (the r15 q138 telescoping)") {
+    import graft.ops.Cms
+    // skewed multiplicities incl. a heavy hitter: the weighted build over
+    // (key, f) must reproduce the per-item counter table cell-for-cell
+    val items = (1 to 40).flatMap(u => (1 to (u % 7 + 1) * u))
+      .map(u => s"u$u").toDF("k")
+    val perItem = Cms.counters(items, "k", d = 4, w = 16)
+      .as[(Int, Long, Long)].collect().toSet
+    val keyed = items.groupBy("k").agg(count(lit(1)).as("f"))
+    val weighted = Cms.weightedCounters(keyed, "k", "f", d = 4, w = 16)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(weighted == perItem,
+      "weighted counters diverged from the per-item build")
+  }
+
   test("CMS probe of an unseen key survives and reads its true 0 when " +
       "any cell is empty") {
     import graft.ops.Cms
