@@ -71,7 +71,12 @@ object QueriesGraph {
       .groupBy(col("c"), col("sup"))
       .agg(count(lit(1)).as("w"))
       .cache()
-    val eS = eC.repartition(col("sup")).cache()
+    // (r15 A/B: a second repartition(sup).cache() copy for the sup-keyed
+    // passes measured SLOWER than letting those two passes re-exchange
+    // from the customer-keyed cache — 3.1-4.2 vs 2.6-3.8 best-of-4 ×3
+    // rounds — the extra table-cache barrier costs more than the saved
+    // narrow exchange at this shape, so eS is just an alias.)
+    val eS = eC
     val wC = eC.groupBy("c").agg(sum("w").as("wc"))
     val vS = eS.groupBy("sup").agg(sum("w").as("vs"))
     val m1 = eC.join(wC, "c")
