@@ -49,43 +49,31 @@ object QueriesGraph {
   private val q129: Q = (s, dir) => {
     val li  = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    // The walk reads the edge list five times: three aggregates/joins keyed
-    // on the customer (wC, r1's reduce, m2's flows) and two on the supplier
-    // (vS, r1's flows). Pre-partitioning ONE customer-keyed copy (hash(c)
-    // satisfies the (c, sup) grouping, so the dedup aggregate itself rides
-    // the same exchange) and ONE supplier-keyed copy lets every downstream
-    // join/aggregate reuse that exchange instead of re-shuffling the edge
-    // list per pass — the same-key ops then run exchange-free AT RUNTIME:
-    // the static plan still prints ENSURE_REQUIREMENTS exchanges over the
-    // cache scans (an unbuilt InMemoryRelation reports unknown
-    // partitioning), but once AQE materializes the TableCacheQueryStage it
-    // re-plans with the cached hash(c)/hash(sup) partitioning and elides
-    // them — verified in the executed plan. (A localCheckpoint would NOT
-    // get this: its LogicalRDD leaf reports UnknownPartitioning with no
-    // query stage to re-plan around, so every consumer re-exchanges for
-    // real.) The only remaining shuffles are the three narrow flow
-    // reductions (map-side partial aggs over sup- / c-sized key spaces).
-    val eC = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-      .repartition(col("c"))
-      .groupBy(col("c"), col("sup"))
+    // r14 shape, RESTORED in r16. The r15 rewrite pre-partitioned a
+    // customer-keyed cached copy (repartition(c) before the groupBy, so
+    // hash(c) satisfied the (c,sup) dedup and AQE elided the cache-scan
+    // exchanges of every c-keyed pass at runtime). Same-JVM A/Bs read it
+    // as a win, but the driver's cold best-of-N at 32 threads measured it
+    // 3.80 -> 5.90 s round-over-round (and 1.15 s at 8 cores): the
+    // explicit exchange ships the raw joined rows UN-COMBINED — no
+    // map-side partial aggregation, guide §2.3 — and the repartition's
+    // cache-materialization barrier pays 32-task fixed overhead per wave.
+    // The partial-agg groupBy + cache below is the honest shape at every
+    // scale the driver measures; the five downstream passes re-exchange
+    // dimension-sized aggregate rows, not the corpus.
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
       .agg(count(lit(1)).as("w"))
       .cache()
-    // (r15 A/B: a second repartition(sup).cache() copy for the sup-keyed
-    // passes measured SLOWER than letting those two passes re-exchange
-    // from the customer-keyed cache — 3.1-4.2 vs 2.6-3.8 best-of-4 ×3
-    // rounds — the extra table-cache barrier costs more than the saved
-    // narrow exchange at this shape, so eS is just an alias.)
-    val eS = eC
-    val wC = eC.groupBy("c").agg(sum("w").as("wc"))
-    val vS = eS.groupBy("sup").agg(sum("w").as("vs"))
-    val m1 = eC.join(wC, "c")
+    val wC = edges.groupBy("c").agg(sum("w").as("wc"))
+    val vS = edges.groupBy("sup").agg(sum("w").as("vs"))
+    val m1 = edges.join(wC, "c")
       .select(col("sup"), expr(flow(Scale.toString, "w", "wc")).as("t"))
       .groupBy("sup").agg(sum("t").as("m1"))
-    val r1 = eS.join(vS, "sup").join(m1, "sup")
+    val r1 = edges.join(vS, "sup").join(m1, "sup")
       .select(col("c"), expr(flow("m1", "w", "vs")).as("t"))
       .groupBy("c").agg(sum("t").as("r1"))
-    val m2 = eC.join(wC, "c").join(r1, "c")
+    val m2 = edges.join(wC, "c").join(r1, "c")
       .select(col("sup"), expr(flow("r1", "w", "wc")).as("t"))
       .groupBy("sup").agg(sum("t").as("m2"))
     val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
@@ -703,13 +691,16 @@ object QueriesGraph {
     // cached: read by the adoption-chain window AND the seed/first-buy
     // aggregate — each re-read would re-pay the orders⨝lineitem join +
     // (part, cust) aggregate; Bench clears per-query
-    // One part-keyed exchange serves BOTH the (pk,cust) aggregate (pk
-    // partitioning satisfies the (pk,cust) clustering requirement) and the
-    // adoption-chain window below (partitionBy pk) — previously the agg
-    // exchanged on (pk,cust) and the window re-exchanged the whole frame
-    // on pk: 2 corpus-sized shuffles → 1. Bytes are unchanged: (pk,cust)
-    // is near-unique per joined row, so the removed partial-agg exchange
-    // moved the same volume this explicit one does.
+    // r14 shape, RESTORED in r16. The r15 rewrite pre-partitioned the
+    // joined rows on l_partkey so one exchange fed both the (pk,cust)
+    // aggregate and the adoption-chain window, and pre-partitioned+sorted
+    // the edge list before its checkpoint. The driver's cold best-of-N at
+    // 32 threads measured the combination 2.69 -> 3.99 s round-over-round
+    // (1.21 s at 8 cores): the explicit exchange ships the raw joined
+    // rows un-combined (no map-side partial agg, guide §2.3) and the
+    // upfront edge sort+shuffle adds a 32-task barrier wave that costs
+    // more than the window-exchange it saves at every scale the driver
+    // measures.
     val buys = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"),
         expr("datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')")
@@ -717,7 +708,6 @@ object QueriesGraph {
       .join(Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey").as("pk"), col("o_custkey").as("cust"))
       .agg(min(col("d")).as("d"))
       .cache()
@@ -727,17 +717,15 @@ object QueriesGraph {
       .withColumn("nd", lead(col("d"), 1).over(wp))
       .filter(col("nd").isNotNull && col("nd") > col("d"))
       .select(col("cust").as("src"), col("ncust").as("dst"), col("nd").as("et"))
-      // partitioned+sorted by the probe key before the checkpoint.
-      // (Measured r15 note: in Spark 4.1 the checkpoint's LogicalRDD
-      // reports UnknownPartitioning, so each hop join DOES re-exchange
-      // this frame; a repartition(src).cache() variant lets AQE elide
-      // those per-round exchanges via the TableCacheQueryStage, but the
-      // IMR build/read cost measured ~30% slower end-to-end at sf0.1
-      // (3.74 vs 3.10 best-of-6), so the checkpoint stays. The win that
-      // landed here in r15 is upstream: one part-keyed exchange feeds
-      // both the buys aggregate and the chain window.)
-      .repartition(col("src"))
-      .sortWithinPartitions(col("src"))
+      // (Measured notes: the checkpoint's LogicalRDD reports
+      // UnknownPartitioning in Spark 4.1, so each hop join re-exchanges
+      // this frame; a repartition(src).cache() variant that lets AQE
+      // elide the per-round exchanges measured ~30% slower end-to-end at
+      // sf0.1 (3.74 vs 3.10 best-of-6, r15) — IMR build/read cost — and
+      // a repartition(src).sortWithinPartitions before the checkpoint
+      // regressed the driver's cold 32-thread leg (part of the 2.69 ->
+      // 3.99 s r15 regression; reverted in r16). The plain checkpoint is
+      // the measured optimum.)
       .localCheckpoint() // scanned every round
     val first = buys.groupBy(col("cust")).agg(min(col("d")).as("t"))
     var reach = first

@@ -947,21 +947,21 @@ object QueriesStats {
         col("cos2_ppt")))
     // cached: read by the scoring join AND the ownership anti-join — each
     // re-read would re-pay the lineitem⨝orders join + distinct shuffle.
-    // Keyed on hash(ck) (which satisfies the (ck, pk) dedup clustering),
-    // and the scorer re-keys its aggregate onto the same hash(ck) — so
-    // the ownership anti-join on (ck, dst) and the per-customer rank
-    // window both ride existing partitionings instead of paying their
-    // own exchanges (AQE re-plans around the materialized cache stage).
+    // (r14 shape, RESTORED in r16: the r15 hash(ck) keying — repartition
+    // before the distinct and again before the scorer's aggregate, so the
+    // anti-join and rank window rode existing partitionings — measured
+    // faster in same-JVM A/Bs but regressed the driver's cold 32-thread
+    // best-of-N to 2.46 s vs ≤1.78 in r14 (1.2 s at 8 cores): each
+    // explicit repartition ships raw un-combined rows (no map-side
+    // partial agg/distinct, guide §2.3) and adds a barrier wave of
+    // 32-task fixed overhead.)
     val seen = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .join(Tables.orders(s, dir)
         .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck")), "ok")
-      .select(col("ck"), col("pk"))
-      .repartition(col("ck"))
-      .distinct()
+      .select(col("ck"), col("pk")).distinct()
       .cache()
     val scores = seen.join(sym, col("pk") === col("src"))
-      .repartition(col("ck")) // hash(ck) satisfies the (ck,dst) grouping
       .groupBy(col("ck"), col("dst"))
       .agg(sum(col("cos2_ppt")).as("score"), count(lit(1)).as("n_neighbors"))
     val unseen = scores.join(
