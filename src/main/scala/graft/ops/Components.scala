@@ -97,7 +97,7 @@ object Components {
   /** Driver-side label ordering matching Spark's `min` for the type —
     * None for types the local path does not replicate exactly (falls
     * back to the distributed loop, whose `min` is Spark-native). */
-  private def localOrdering(dt: DataType): Option[Ordering[Any]] = dt match {
+  private[graft] def localOrdering(dt: DataType): Option[Ordering[Any]] = dt match {
     case StringType =>
       // Spark's StringType min is UTF8String order = unsigned byte-wise
       // UTF-8 comparison (NOT java.lang.String's UTF-16 compareTo —
@@ -125,14 +125,17 @@ object Components {
     case _           => None
   }
 
-  /** Collect + union-find (path halving, union by attachment to the
-    * running root) + per-root min by `ord`. Null endpoints never join
+  /** Driver-side union-find + per-root min label over already-collected
+    * pairs — the kernel behind [[localMinLabel]]'s DataFrame wrapper,
+    * reusable by callers whose pair GENERATION is itself driver work
+    * (q146's vocabulary-sized ER blocking). Union-find with path
+    * halving; per-root minimum by `ord`. Null endpoints never join
     * anything (SQL equality semantics — the distributed path's edge
     * join drops them the same way), so a null node is its own
-    * single-member component. */
-  private def localMinLabel(edges: DataFrame, idType: DataType,
-                            ord: Ordering[Any]): DataFrame = {
-    val rows = edges.collect()
+    * single-member component. Returns (nodes in first-seen order,
+    * node → min reachable label). */
+  private[graft] def unionFindMin(pairs: Iterator[(Any, Any)],
+      ord: Ordering[Any]): (IndexedSeq[Any], Any => Any) = {
     val idx = new java.util.HashMap[Any, Integer]()
     val nodes = scala.collection.mutable.ArrayBuffer.empty[Any]
     val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -154,9 +157,7 @@ object Components {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    rows.foreach { r =>
-      val a = r.get(0)
-      val b = r.get(1)
+    pairs.foreach { case (a, b) =>
       val ia = nodeOf(a)
       val ib = nodeOf(b)
       if (a != null && b != null) {
@@ -178,12 +179,21 @@ object Components {
         minOf.put(r, v)
       i += 1
     }
+    (nodes.toIndexedSeq, v => {
+      val j = idx.get(v)
+      if (j == null) v else minOf.get(find(j.intValue()))
+    })
+  }
+
+  /** Collect + [[unionFindMin]], published as the (id, component)
+    * DataFrame the distributed path emits. */
+  private def localMinLabel(edges: DataFrame, idType: DataType,
+                            ord: Ordering[Any]): DataFrame = {
+    val rows = edges.collect()
+    val (nodes, compOf) = unionFindMin(
+      rows.iterator.map(r => (r.get(0), r.get(1))), ord)
     val outRows = new java.util.ArrayList[Row](nodes.length)
-    i = 0
-    while (i < nodes.length) {
-      outRows.add(Row(nodes(i), minOf.get(find(i))))
-      i += 1
-    }
+    nodes.foreach { v => outRows.add(Row(v, compOf(v))) }
     val schema = StructType(Seq(StructField("id", idType),
       StructField("component", idType)))
     edges.sparkSession.createDataFrame(outRows, schema)
