@@ -1213,20 +1213,29 @@ object QueriesDedup {
       .withColumn("sig", expr("graft_minhash_sig(hs)"))
       .select(col("doc_id") +: col("hs") +: mhCols: _*)
       .localCheckpoint() // the signature pass runs once, not per scheme
-    def cands(r: Int): DataFrame = {
-      val bands = (0 until TextOps.NumPerm / r).map(j =>
-        s"struct($j AS band, ${sweepKeyExpr(r, j)} AS key)")
-      val sig = mat.select(col("doc_id"),
-        explode(expr(bands.mkString("array(", ", ", ")"))).as("e"))
-        .select(col("doc_id"), col("e.band").as("band"), col("e.key").as("key"))
-      sig.as("x").join(sig.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-        .withColumn("r", lit(r.toLong))
-    }
-    val allCands = SweepRs.map(cands).reduce(_ union _).localCheckpoint()
+    // ONE (r, band, key)-tagged signature frame for ALL three schemes
+    // (r16, guide §2.4): the per-scheme band self-joins and candidate
+    // distincts fuse into a single equi-join + a single (a,b,r) distinct
+    // — 6 join-side exchanges + 3 pair-distinct exchanges become 2 + 1,
+    // and the same bytes move (the three sigs were disjoint row sets of
+    // this union). Per scheme the key space stays disjoint via the r tag
+    // in the join key, so the candidate multiset is identical to the
+    // per-scheme runs (all key kinds are 60-bit longs).
+    val bandsAll = SweepRs.flatMap(r =>
+      (0 until TextOps.NumPerm / r).map(j =>
+        s"struct(CAST($r AS BIGINT) AS r, $j AS band, " +
+          s"${sweepKeyExpr(r, j)} AS key)"))
+    val sig = mat.select(col("doc_id"),
+        explode(expr(bandsAll.mkString("array(", ", ", ")"))).as("e"))
+      .select(col("doc_id"), col("e.r").as("r"), col("e.band").as("band"),
+        col("e.key").as("key"))
+    val allCands = sig.as("x").join(sig.as("y"),
+        col("x.r") === col("y.r") && col("x.band") === col("y.band") &&
+          col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.r").as("r"))
+      .distinct()
+      .localCheckpoint()
     val scored = NearDup.jaccardScored(
         allCands.select(col("a"), col("b")).distinct(),
         mat.select(col("doc_id"), col("hs")), "a", "b")
@@ -1331,20 +1340,22 @@ object QueriesDedup {
     // separate actions were paying mostly fixed job/driver overhead —
     // the r13 driver ledger showed both q213 reps slow with ~0.3 s GC
     // each, i.e. action-count-bound, not data-bound
-    val allCands = SweepRs.map { r =>
-      val bands = (0 until TextOps.NumPerm / r).map(j =>
-        s"struct($j AS band, ${sweepKeyExpr(r, j)} AS key)")
-      val sig = mat.select(col("doc_id"),
-          explode(expr(bands.mkString("array(", ", ", ")"))).as("e"))
-        .select(col("doc_id"), col("e.band").as("band"),
-          col("e.key").as("key"))
-      sig.as("x").join(sig.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-        .withColumn("r", lit(r.toLong))
-    }.reduce(_ union _)
+    // same (r, band, key)-tagged one-join fusion as q188 (r16): three
+    // scheme self-joins + three distincts -> one join + one distinct
+    val bandsAll = SweepRs.flatMap(r =>
+      (0 until TextOps.NumPerm / r).map(j =>
+        s"struct(CAST($r AS BIGINT) AS r, $j AS band, " +
+          s"${sweepKeyExpr(r, j)} AS key)"))
+    val sig = mat.select(col("doc_id"),
+        explode(expr(bandsAll.mkString("array(", ", ", ")"))).as("e"))
+      .select(col("doc_id"), col("e.r").as("r"), col("e.band").as("band"),
+        col("e.key").as("key"))
+    val allCands = sig.as("x").join(sig.as("y"),
+        col("x.r") === col("y.r") && col("x.band") === col("y.band") &&
+          col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.r").as("r"))
+      .distinct()
     val caught: Map[Int, Long] = allCands
       .join(truth, Seq("a", "b"), "left_semi")
       .groupBy(col("r")).agg(count(lit(1)).as("k"))

@@ -60,15 +60,20 @@ import org.apache.spark.sql.functions._
   *  - the right side is the boundary-point multiset (weight ±1) unioned
   *    with the per-minute prefix rows (weight ±prefix, sentinel value
   *    −∞ so they match every probe of their minute and kind);
-  *  - ONE (minute, kind)-keyed equi-join emits every rank contribution;
-  *    the gap-containment join contributes weight −1 rows to the same
-  *    union; sum(w) − 1 per (entity, seq) is the published count.
+  *  - ONE (key, kind)-keyed equi-join emits EVERY contribution (r16):
+  *    rank lookups under kinds 0/1 (key = boundary minute, residual
+  *    v < thresh) and the gap containment under kind 2 (key = the gap
+  *    start's coarse bucket, residual g1 ≥ s ∧ g2 ≤ e, weight −1) — the
+  *    kind tag keeps the two key domains disjoint, so the match multiset
+  *    is exactly the union of the two former joins; sum(w) − 1 per
+  *    (entity, seq) is the published count.
   *
   * vs the r8 shape (two rank joins + two boundary joins + one gap join,
   * each with its own (entity, seq) aggregate/left-join) this removes the
-  * three per-term aggregates and the two final left-joins — at sf0.1 the
-  * plan loses ~6 exchanges and the result needs no localCheckpoint fence,
-  * because nothing re-reads it inside the query.
+  * three per-term aggregates, the two final left-joins, and (r16) the
+  * separate gap-join wave — at sf0.1 the plan loses ~8 exchanges and the
+  * result needs no localCheckpoint fence, because nothing re-reads it
+  * inside the query.
   *
   * At 100 TB: shuffles are keyed on entity (sessionize), minute bucket
   * (histogram + the fused rank join), and coarse bucket (gap join) — all
@@ -159,11 +164,6 @@ object OverlapCount {
         col("csBefore").as("w"), lit(1).as("kind")))
       .unionAll(cum.select(col("m"), lit(Long.MinValue).as("v"),
         (-col("ceBefore")).as("w"), lit(0).as("kind")))
-    val rankTerms = probe2.join(rights,
-        probe2("bm") === rights("m") && probe2("kind") === rights("kind") &&
-          rights("v") < probe2("thresh"))
-      .select(col("entity"), col("seq"), col("w"))
-
     // --- contained-gap correction ------------------------------------------
     // Gaps between consecutive same-entity intervals; each spans ≥ gapUs,
     // so only probes at least that long can contain one. Blocked on the
@@ -179,15 +179,42 @@ object OverlapCount {
       .filter(col("end_us") - col("start_us") >= gapUs)
       .withColumn("bk", explode(expr(
         s"sequence(start_us DIV ${coarseUs}L, end_us DIV ${coarseUs}L)")))
-    val gapTerms = longProbes.join(gaps,
-        col("bk") === col("gbk") &&
-          col("g1") >= col("start_us") && col("g2") <= col("end_us"))
-      .select(col("entity"), col("seq"), lit(-1L).as("w"))
+
+    // --- ONE fused (key, kind) equi-join for rank AND gap terms (r16) -----
+    // The gap join's coarse-bucket key rides the same join as the rank
+    // lookups: gap rows enter the right side under kind 2 (key = the gap
+    // start's coarse bucket, v = gap start, g2 = gap end, w = −1), gap
+    // probes enter the left side under kind 2 (key = each coarse bucket
+    // the probe spans), and the per-kind residual picks the original
+    // predicate (v < thresh for the rank kinds, containment for kind 2).
+    // Kind keeps the key domains disjoint (minutes vs coarse buckets never
+    // meet), so the match multiset is EXACTLY the union of the two former
+    // joins — one join wave and one exchange pair instead of two
+    // (guide §2.4; OverlapCountSpec's brute-force fleet pins equality).
+    val probeAll = probe2
+      .select(col("entity"), col("seq"), col("bm").as("k"), col("kind"),
+        col("thresh"), lit(null).cast("long").as("ps"),
+        lit(null).cast("long").as("pe"))
+      .unionAll(longProbes.select(col("entity"), col("seq"),
+        col("bk").as("k"), lit(2).as("kind"),
+        lit(null).cast("long").as("thresh"),
+        col("start_us").as("ps"), col("end_us").as("pe")))
+    val rightAll = rights
+      .select(col("m").as("rk"), col("kind").as("rkind"), col("v"),
+        lit(null).cast("long").as("g2"), col("w"))
+      .unionAll(gaps.select(col("gbk").as("rk"), lit(2).as("rkind"),
+        col("g1").as("v"), col("g2"), lit(-1L).as("w")))
+    val terms = probeAll.join(rightAll,
+        col("k") === col("rk") && col("kind") === col("rkind") &&
+          ((col("rkind") === 2 && col("v") >= col("ps") &&
+            col("g2") <= col("pe")) ||
+           (col("rkind") =!= 2 && col("v") < col("thresh"))))
+      .select(col("entity"), col("seq"), col("w"))
 
     // --- single reduce: every probe appears (its prefix rows always match
     // — the minute key set covers every boundary minute), so the −1 self
     // term applies exactly once per probe.
-    rankTerms.unionAll(gapTerms)
+    terms
       .groupBy(col("entity"), col("seq"))
       .agg((sum(col("w")) - 1L).as("n_overlap_users"))
       .filter(col("n_overlap_users") >= 1L)
