@@ -141,7 +141,15 @@ object QueriesSimilarity {
   private val q41: Q = (s, dir) => {
     graft.functions.GraftFunctions.register(s)
     val cents = trainedCents(s, dir, NCells)
+    // repartition the single-file scan before the scoring map (guide
+    // §2.5 input parallelism / the documents-corpus pattern): the
+    // embeddings table arrives as ONE parquet row group, so the per-row
+    // cell scoring (NCells code dots + argmax) and the probe-join dot
+    // products all ran in a single task at ANY core count — q41 was the
+    // driver's flattest query across its 8c/32c legs (1.5 s at both,
+    // r15). One small exchange of the vectors buys full map parallelism.
     val em = Tables.embeddings(s, dir)
+      .repartition(Tables.shufflePartitions(s))
       .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
       .withColumn("nrm", expr(VectorOps.normExpr("v")))
       .withColumn("cd",
