@@ -141,26 +141,30 @@ object QueriesSimilarity {
   private val q41: Q = (s, dir) => {
     graft.functions.GraftFunctions.register(s)
     val cents = trainedCents(s, dir, NCells)
-    // repartition the single-file scan before the scoring map (guide
-    // §2.5 input parallelism / the documents-corpus pattern): the
-    // embeddings table arrives as ONE parquet row group, so the per-row
-    // cell scoring (NCells code dots + argmax) and the probe-join dot
-    // products all ran in a single task at ANY core count — q41 was the
-    // driver's flattest query across its 8c/32c legs (1.5 s at both,
-    // r15). One small exchange of the vectors buys full map parallelism.
     val em = Tables.embeddings(s, dir)
-      .repartition(Tables.shufflePartitions(s))
       .select(col("vec_id"), expr(VectorOps.toDoubleExpr("embedding")).as("v"))
       .withColumn("nrm", expr(VectorOps.normExpr("v")))
       .withColumn("cd",
         expr(s"transform(${KMeans.codesExpr("v")}, x -> CAST(x AS DOUBLE))"))
     val scoreCols = KMeans.scoreExprs("cd", cents)
       .zipWithIndex.map { case (e, i) => expr(e).as(s"s$i") }
-    val withCell = em.select(col("vec_id") +: col("v") +: col("nrm") +: scoreCols: _*)
-      .withColumn("cell", expr(VectorOps.argmaxCase(NCells)))
-    val corpus = withCell.filter(col("vec_id") >= NQueries)
+    def withCell(df: DataFrame): DataFrame =
+      df.select(col("vec_id") +: col("v") +: col("nrm") +: scoreCols: _*)
+        .withColumn("cell", expr(VectorOps.argmaxCase(NCells)))
+    // parallelize the CORPUS side's scoring map (guide §2.5 input
+    // parallelism): the embeddings table arrives as ONE parquet row
+    // group, so the per-row cell scoring (NCells code dots + argmax) and
+    // the probe-join dot products all ran in a single task at ANY core
+    // count — q41 was the driver's flattest query across its 8c/32c legs
+    // (1.5 s at both, r15). Hash-repartition on the unique vec_id BELOW
+    // the scoring projection (a keyless round-robin additionally pays a
+    // local sort of the vector rows — sortBeforeRepartition — and was
+    // measured ~+0.25 s adj over this form); the 100-row probe side
+    // stays scan-only so its broadcast build pays no exchange wave.
+    val corpus = withCell(em.filter(col("vec_id") >= NQueries)
+        .repartition(col("vec_id")))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    val probes = withCell.filter(col("vec_id") < NQueries)
+    val probes = withCell(em.filter(col("vec_id") < NQueries))
       .withColumn("cell2", expr(VectorOps.argmaxCase(NCells, Some("cell"))))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
               col("nrm").as("qn"),

@@ -68,8 +68,7 @@ class PlanSpec extends SparkSpec {
     val opt = df.queryExecution.optimizedPlan
     val windowsOverScan = opt.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window
-          if w.collectLeaves().nonEmpty &&
-            w.child.collect {
+          if w.child.collect {
               case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
             }.isEmpty => w
     }

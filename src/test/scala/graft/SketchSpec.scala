@@ -67,8 +67,10 @@ class SketchSpec extends SparkSpec {
   test("CMS weighted build over the frequency table equals the per-item " +
       "build (the r15 q138 telescoping)") {
     import graft.ops.Cms
-    // skewed multiplicities incl. a heavy hitter: the weighted build over
-    // (key, f) must reproduce the per-item counter table cell-for-cell
+    // skewed multiplicities (the inner map runs over the FLATTENED range
+    // values, so small ids repeat across many outer keys — u1 is the
+    // heavy hitter at ~40 copies): the weighted build over (key, f) must
+    // reproduce the per-item counter table cell-for-cell
     val items = (1 to 40).flatMap(u => (1 to (u % 7 + 1) * u))
       .map(u => s"u$u").toDF("k")
     val perItem = Cms.counters(items, "k", d = 4, w = 16)

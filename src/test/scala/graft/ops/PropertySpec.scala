@@ -185,10 +185,12 @@ class PropertySpec extends SparkSpec {
 
   test("minLabel distributed path: deep planted path (depth 2000) converges without raising maxIter") {
     // the high-diameter stress the SoCC'14 citation is about: pointer
-    // jumping must keep rounds ~log2(2000) ≈ 11, far under the 50 budget
+    // jumping must keep rounds ~log2(2000) ≈ 11, far under the 50
+    // budget — maxIter = 16 PINS the log-round property (r16): a
+    // propagation-only loop would need 1999 rounds and must fail here
     val edges = (0L until 1999L).map(i => (i, i + 1))
     val got = Components.minLabel(edges.toDF("doc_a", "doc_b"),
-        "doc_a", "doc_b", localEdgeMax = 0L)
+        "doc_a", "doc_b", maxIter = 16, localEdgeMax = 0L)
       .select("id", "component").as[(Long, Long)].collect().toMap
     assert(got.size == 2000 && got.values.forall(_ == 0L))
   }
